@@ -1,13 +1,223 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query-name prefixes map to SURVEY.md §2 categories:
+  *   rel_*  relational core (EXT §2.2: joins/aggs/windows/sorts/set ops)
+  *   art_*  article pipeline (reference O4-O6, O10-O13, O18-O20)
+  * Every query has a DuckDB oracle in [[oracleSql]] with identical column
+  * names and ORDER BY, so the driver's hash compare is deterministic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's raison d'être: keyword search over the cleansed
+    * article corpus (api.py:26). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ArticleOps.searchKeyword(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core ---
+    "rel_pricing_summary"      -> RelationalOps.pricingSummary _,
+    "rel_shipping_priority"    -> RelationalOps.shippingPriority _,
+    "rel_region_revenue"       -> RelationalOps.regionRevenue _,
+    "rel_semi_join_open_orders" -> RelationalOps.customersWithOpenOrders _,
+    "rel_anti_join_no_orders"  -> RelationalOps.customersWithoutOrders _,
+    "rel_window_topk_parts"    -> RelationalOps.topPartsPerBrand _,
+    "rel_orders_by_month"      -> RelationalOps.orderPriorityByMonth _,
+    "rel_rollup_customers"     -> RelationalOps.customerRollup _,
+    "rel_top_orders"           -> RelationalOps.topOrders _,
+    "rel_intersect_customers"  -> RelationalOps.setOpsCustomers _,
+    "rel_range_join_ship_lag"  -> RelationalOps.shipLagWithin30Days _,
+    "rel_above_brand_avg"      -> RelationalOps.partsAboveBrandAvg _,
+    // --- article pipeline ---
+    "art_cleanse_text"         -> ArticleOps.cleanseText _,
+    "art_extract_fields"       -> ArticleOps.extractArticleFields _,
+    "art_route_links"          -> ArticleOps.routeLinks _,
+    "art_route_counts"         -> ArticleOps.routeCounts _,
+    "art_search_keyword"       -> ((s: SparkSession, d: String) => ArticleOps.searchKeyword(s, d)),
+    "art_search_json"          -> ArticleOps.searchKeywordJson _,
+    "art_inverted_index"       -> ArticleOps.invertedIndex _,
+    "art_search_via_index"     -> ((s: SparkSession, d: String) => ArticleOps.searchViaIndex(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc_price,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "rel_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "rel_semi_join_open_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_anti_join_no_orders" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_window_topk_parts" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "rel_orders_by_month" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, o_orderpriority,
+        |  COUNT(*) AS order_count,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_total
+        |FROM orders GROUP BY 1, 2 ORDER BY order_month, o_orderpriority""".stripMargin,
+    "rel_rollup_customers" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "rel_top_orders" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total
+        |FROM orders ORDER BY total DESC, o_orderkey LIMIT 10""".stripMargin,
+    "rel_intersect_customers" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_range_join_ship_lag" ->
+      """SELECT l_orderkey, COUNT(*) AS n_quick_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "rel_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM (
+        |  SELECT p_partkey, p_brand, p_retailprice,
+        |    COUNT(*) OVER (PARTITION BY p_brand) AS cnt,
+        |    SUM(CAST(p_retailprice AS DECIMAL(12,2))) OVER (PARTITION BY p_brand) AS s
+        |  FROM part) t
+        |WHERE CAST(p_retailprice AS DECIMAL(12,2)) * cnt > s
+        |ORDER BY p_partkey""".stripMargin,
+    "art_cleanse_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace('<article><p>' || text || '</p></article>', '<[^>]*>', '', 'g')) AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "art_extract_fields" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN doc_id % 5 <> 0 THEN '<meta property="og:title" content="Doc ' || doc_id || '"/>' ELSE '' END)
+        |    || '<h1 itemprop="headline">Headline ' || doc_id || '</h1>'
+        |    || '<meta property="og:description" content="' || substr(text, 1, 40) || '"/>'
+        |    || (CASE WHEN doc_id % 3 <> 0 THEN '<meta property="article:author" content="author_' || (doc_id % 7) || '"/>' ELSE '' END)
+        |    || '<meta property="article:section" content="' || source || '"/>'
+        |    || '<meta name="keywords" content="' || lang || ',' || source || '"/>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'https://www.example.com/' || source || '/' || doc_id AS url,
+        |  COALESCE(
+        |    nullif(regexp_extract(html, '<meta property="og:title" content="([^"]*)"', 1), ''),
+        |    nullif(regexp_extract(html, '<h1 itemprop="headline">([^<]*)</h1>', 1), '')) AS title,
+        |  nullif(regexp_extract(html, '<meta property="og:description" content="([^"]*)"', 1), '') AS description,
+        |  nullif(regexp_extract(html, '<meta property="article:author" content="([^"]*)"', 1), '') AS author,
+        |  nullif(regexp_extract(html, '<meta property="article:section" content="([^"]*)"', 1), '') AS section,
+        |  nullif(regexp_extract(html, '<meta name="keywords" content="([^"]*)"', 1), '') AS keywords
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "art_route_links" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '/news/uk-' || doc_id
+        |      WHEN 1 THEN 'https://www.example.com/sport/' || doc_id
+        |      WHEN 2 THEN 'https://www.example.com/files/report' || doc_id || '.pdf'
+        |      WHEN 3 THEN 'https://other.site/page' || doc_id
+        |      WHEN 4 THEN 'https://www.example.com/img/logo' || doc_id || '.jpg'
+        |      ELSE 'report-' || doc_id || '.csv' END AS href
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, href,
+        |    CASE WHEN regexp_matches(href, '^https?://') THEN href
+        |         WHEN href LIKE '/%' THEN 'https://www.example.com' || href
+        |         ELSE 'https://www.example.com/' || href END AS resolved
+        |  FROM l)
+        |SELECT doc_id, href, resolved,
+        |  CASE WHEN regexp_matches(resolved, '\.(pdf|csv|docx?|xlsx?|zip|tar\.gz)$') THEN 'doc'
+        |       WHEN contains(resolved, 'www.example.com') AND NOT regexp_matches(resolved, '\.(jpe?g|png|gif|js|css|ico)$') THEN 'frontier'
+        |       ELSE 'junk' END AS route
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "art_route_counts" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '/news/uk-' || doc_id
+        |      WHEN 1 THEN 'https://www.example.com/sport/' || doc_id
+        |      WHEN 2 THEN 'https://www.example.com/files/report' || doc_id || '.pdf'
+        |      WHEN 3 THEN 'https://other.site/page' || doc_id
+        |      WHEN 4 THEN 'https://www.example.com/img/logo' || doc_id || '.jpg'
+        |      ELSE 'report-' || doc_id || '.csv' END AS href
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, href,
+        |    CASE WHEN regexp_matches(href, '^https?://') THEN href
+        |         WHEN href LIKE '/%' THEN 'https://www.example.com' || href
+        |         ELSE 'https://www.example.com/' || href END AS resolved
+        |  FROM l)
+        |SELECT route, COUNT(*) AS n FROM (
+        |  SELECT CASE WHEN regexp_matches(resolved, '\.(pdf|csv|docx?|xlsx?|zip|tar\.gz)$') THEN 'doc'
+        |       WHEN contains(resolved, 'www.example.com') AND NOT regexp_matches(resolved, '\.(jpe?g|png|gif|js|css|ico)$') THEN 'frontier'
+        |       ELSE 'junk' END AS route
+        |  FROM r) t
+        |GROUP BY route ORDER BY route""".stripMargin,
+    "art_search_keyword" ->
+      """SELECT doc_id, lang, source, n_chars, text FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY doc_id""".stripMargin,
+    "art_search_json" ->
+      """SELECT doc_id,
+        |  '{"doc_id":' || doc_id || ',"lang":"' || lang || '","source":"' || source || '"}' AS js
+        |FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY doc_id""".stripMargin,
+    "art_inverted_index" ->
+      """SELECT term, COUNT(DISTINCT doc_id) AS doc_count, COUNT(*) AS total_count,
+        |  list_sort(list(DISTINCT doc_id)) AS doc_ids
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
+        |WHERE length(term) > 0
+        |GROUP BY term ORDER BY term""".stripMargin,
+    "art_search_via_index" ->
+      """SELECT doc_id, lang, source FROM documents WHERE doc_id IN (
+        |  SELECT DISTINCT doc_id FROM
+        |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
+        |  WHERE term = 'merge')
+        |ORDER BY doc_id""".stripMargin,
+  )
 }

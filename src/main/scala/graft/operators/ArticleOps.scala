@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.UrlFunctions
+
+/** The reference's article ETL pipeline, Spark-first, over the driver's
+  * `documents` table (SURVEY.md §2 O4-O6, O10-O13, O18-O20).
+  *
+  * The reference crawls live HTML; here the corpus is synthesized
+  * deterministically from `documents` columns inside each query (both the
+  * Spark plan and the DuckDB oracle build the identical corpus), so each
+  * operator — tag-strip cleanse, meta-tag field extraction, link routing,
+  * keyword search, inverted index — is exercised end-to-end and
+  * hash-checked.
+  *
+  * Everything here is narrow (scan -> project/filter) or a single
+  * hash-agg; no query shuffles more than once. All regexes are shared
+  * Java/RE2-safe dialect.
+  */
+object ArticleOps {
+
+  /** `<tag>`-strip regex — the reference's `re.sub(r'<.*?>', '', …)`
+    * (newsspider.py:49), written as `<[^>]*>` which is equivalent on
+    * well-formed markup and safe in both Java regex and RE2. */
+  val TagRe = "<[^>]*>"
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  /** O13: cleanse — wrap the text in article markup, then strip tags +
+    * trim (newsspider.py:48-49). Pure narrow projection; whole-stage
+    * codegen'd end to end. */
+  def cleanseText(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(
+          concat(lit("<article><p>"), col("text"), lit("</p></article>")),
+          TagRe, "")).as("clean_text"))
+      .orderBy("doc_id")
+
+  /** Deterministic synthetic article HTML for a document row. Every 5th
+    * doc lacks og:title (exercising the h1 coalesce fallback, O12) and
+    * every 3rd lacks an author (nullable field, apitestmongo.py:27-31). */
+  private def articleHtml: Column = {
+    val ogTitle = when(col("doc_id") % 5 =!= 0,
+      concat(lit("<meta property=\"og:title\" content=\"Doc "),
+        col("doc_id"), lit("\"/>"))).otherwise(lit(""))
+    val author = when(col("doc_id") % 3 =!= 0,
+      concat(lit("<meta property=\"article:author\" content=\"author_"),
+        col("doc_id") % 7, lit("\"/>"))).otherwise(lit(""))
+    concat(
+      ogTitle,
+      lit("<h1 itemprop=\"headline\">Headline "), col("doc_id"), lit("</h1>"),
+      lit("<meta property=\"og:description\" content=\""),
+      substring(col("text"), 1, 40), lit("\"/>"),
+      author,
+      lit("<meta property=\"article:section\" content=\""), col("source"), lit("\"/>"),
+      lit("<meta name=\"keywords\" content=\""), col("lang"), lit(","),
+      col("source"), lit("\"/>"))
+  }
+
+  private def metaProp(html: Column, prop: String): Column =
+    nullif(regexp_extract(html,
+      "<meta property=\"" + prop + "\" content=\"([^\"]*)\"", 1), lit(""))
+
+  /** O11+O12: the 7-field article projection — regex meta-tag extraction
+    * with coalesce(og:title, h1) title fallback (newsspider.py:40-46). */
+  def extractArticleFields(spark: SparkSession, sfDir: String): DataFrame = {
+    val withHtml = docs(spark, sfDir).withColumn("html", articleHtml)
+    withHtml.select(
+      col("doc_id"),
+      concat(lit("https://www.example.com/"), col("source"), lit("/"),
+        col("doc_id")).as("url"),
+      coalesce(
+        metaProp(col("html"), "og:title"),
+        nullif(regexp_extract(col("html"),
+          "<h1 itemprop=\"headline\">([^<]*)</h1>", 1), lit(""))).as("title"),
+      metaProp(col("html"), "og:description").as("description"),
+      metaProp(col("html"), "article:author").as("author"),
+      metaProp(col("html"), "article:section").as("section"),
+      nullif(regexp_extract(col("html"),
+        "<meta name=\"keywords\" content=\"([^\"]*)\"", 1), lit(""))
+        .as("keywords"))
+      .orderBy("doc_id")
+  }
+
+  /** Regexes from index.py:10-12 (doc extensions / binary extensions),
+    * re-expressed portably. */
+  val WantedExtRe = "\\.(pdf|csv|docx?|xlsx?|zip|tar\\.gz)$"
+  val BinExtRe    = "\\.(jpe?g|png|gif|js|css|ico)$"
+  val SiteHost    = "www.example.com"
+
+  /** O4+O5+O6: link fan-out, URL normalization, 3-way routing
+    * (index.py:158-172). The href population is synthesized to hit every
+    * route branch; normalization runs through the `resolveUrl` UDF only
+    * for relative links (the regex guard short-circuits absolute ones). */
+  def routeLinks(spark: SparkSession, sfDir: String): DataFrame = {
+    val pageUrl = lit("https://www.example.com/index")
+    val href =
+      when(col("doc_id") % 6 === 0, concat(lit("/news/uk-"), col("doc_id")))
+      .when(col("doc_id") % 6 === 1,
+        concat(lit("https://www.example.com/sport/"), col("doc_id")))
+      .when(col("doc_id") % 6 === 2,
+        concat(lit("https://www.example.com/files/report"), col("doc_id"), lit(".pdf")))
+      .when(col("doc_id") % 6 === 3, concat(lit("https://other.site/page"), col("doc_id")))
+      .when(col("doc_id") % 6 === 4,
+        concat(lit("https://www.example.com/img/logo"), col("doc_id"), lit(".jpg")))
+      .otherwise(concat(lit("report-"), col("doc_id"), lit(".csv")))
+    docs(spark, sfDir)
+      .select(col("doc_id"), href.as("href"))
+      .withColumn("resolved", UrlFunctions.normalizeUrl(pageUrl, col("href")))
+      .withColumn("route",
+        when(col("resolved").rlike(WantedExtRe), "doc")
+          .when(col("resolved").contains(SiteHost) && !col("resolved").rlike(BinExtRe),
+            "frontier")
+          .otherwise("junk"))
+      .orderBy("doc_id")
+  }
+
+  /** O21-flavored summary over the routing: page/doc/junk counters
+    * (index.py:144's `found %d pages, %d docs`). */
+  def routeCounts(spark: SparkSession, sfDir: String): DataFrame =
+    routeLinks(spark, sfDir)
+      .groupBy("route").agg(count(lit(1)).as("n"))
+      .orderBy("route")
+
+  /** O18+O19: keyword search — case-insensitive whole-token match over
+    * `text` (the engine's defined semantics for Mongo `$text`, SURVEY.md
+    * §7.5), projecting the searchable fields. */
+  def searchKeyword(spark: SparkSession, sfDir: String, keyword: String = "spark"): DataFrame =
+    docs(spark, sfDir)
+      .filter(array_contains(split(lower(col("text")), " "), keyword.toLowerCase))
+      .select("doc_id", "lang", "source", "n_chars", "text")
+      .orderBy("doc_id")
+
+  /** O20: search results serialized to JSON lines (api.py:38). */
+  def searchKeywordJson(spark: SparkSession, sfDir: String): DataFrame =
+    searchKeyword(spark, sfDir)
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("source"))).as("js"))
+      .orderBy("doc_id")
+
+  /** O18 index form: the inverted index the Mongo text index implies
+    * (api.py:22) as a derived table: token explode -> term stats.
+    * One shuffle on `term`; partial aggregation collapses the explosion
+    * map-side. At 100 TB this materializes once and is reused by every
+    * search (join on term), instead of N full scans. */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(
+        countDistinct(col("doc_id")).as("doc_count"),
+        count(lit(1)).as("total_count"),
+        sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+      .orderBy("term")
+
+  /** Search via the inverted index: term lookup -> semi-join back to the
+    * documents (the scalable form of `searchKeyword` — touches only the
+    * postings for the term instead of scanning every document). */
+  def searchViaIndex(spark: SparkSession, sfDir: String, keyword: String = "merge"): DataFrame = {
+    val postings = docs(spark, sfDir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") === keyword.toLowerCase)
+      .select("doc_id").distinct()
+    docs(spark, sfDir)
+      .join(postings, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational core over the TPC-H-ish tables (SURVEY.md §2.2 EXT).
+  *
+  * Design notes for oracle parity + 100 TB scale:
+  *  - Money doubles are cast to DECIMAL(12,2) BEFORE any aggregation, so
+  *    sums are exact and independent of accumulation order — a parallel
+  *    sum over 1000 executors hashes identically to DuckDB's serial one.
+  *    Derived ratios divide the exact decimal sums as doubles (same two
+  *    inputs on both engines => bitwise-identical IEEE754 result).
+  *  - Every query ends in orderBy over a key prefix: deterministic output.
+  *  - Dim tables (region/nation/supplier ≤ a few thousand rows at any SF)
+  *    are broadcast-joined: no shuffle of the fact side.
+  *  - Aggregations are partial+final automatically (hash agg w/ map-side
+  *    combine); group keys are low-cardinality so the shuffle is tiny.
+  */
+object RelationalOps {
+
+  /** Exact money representation: DECIMAL(12,2) (values < 1e6, 2 decimals). */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Pricing summary report (TPC-H Q1 shape) over lineitem.
+    * Scan -> filter -> hash agg (partial+final) -> tiny sort.
+    * The only shuffle moves ~|groups| rows per partition (map-side combine).
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(money(col("l_quantity"))).as("sum_qty"),
+        sum(money(col("l_extendedprice"))).as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+          .as("sum_disc_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+          * (lit(1) + money(col("l_tax")))).as("sum_charge"),
+        (sum(money(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        (sum(money(col("l_extendedprice"))).cast("double") / count(lit(1)))
+          .as("avg_price"),
+        (sum(money(col("l_discount"))).cast("double") / count(lit(1)))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Shipping-priority top-k (TPC-H Q3 shape): filtered fact-fact join +
+    * broadcast of the filtered customer side, agg, top 10.
+    * customer is small after the segment filter -> broadcast, so the only
+    * shuffle is orders⋈lineitem (co-partitioned on orderkey) + final agg.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Revenue by region/nation (TPC-H Q5 shape). All dims broadcast; the
+    * fact side is never shuffled except for the final small agg. */
+  def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Customers with at least one open order — EXISTS via left_semi join
+    * (reference O7's set-membership test, index.py:166, relationalized). */
+  def customersWithOpenOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val open = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "O").select("o_custkey")
+    cust.join(open, cust("c_custkey") === open("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Customers with no orders at all — NOT EXISTS via left_anti join
+    * (reference O7 `not in` semantics, index.py:162). */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir).select("o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Top-3 parts by retail price per brand — ranking window (EXT §2.2).
+    * Shuffles once on p_brand; rank inside each partition. */
+  def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rn")
+      .orderBy("p_brand", "rn")
+  }
+
+  /** Order-priority counts by month — date_trunc + count agg (EXT). */
+  def orderPriorityByMonth(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+               col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"),
+           sum(money(col("o_totalprice"))).as("sum_total"))
+      .orderBy("order_month", "o_orderpriority")
+  }
+
+  /** Rollup over region/nation customer counts (grouping-sets EXT). */
+  def customerRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+    joined.rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(money(col("c_acctbal"))).as("sum_acctbal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Global top-k: 10 highest-value orders. Spark plans this as
+    * TakeOrderedAndProject — per-partition top-k then a single merge, no
+    * full sort. */
+  def topOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        money(col("o_totalprice")).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Set algebra (reference O7/union semantics): customers present in both
+    * the BUILDING segment and the high-balance set (intersect), plus union
+    * and except variants are covered in tests. */
+  def setOpsCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val building = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = cust.filter(col("c_acctbal") > 5000).select("c_custkey")
+    building.intersect(rich).orderBy("c_custkey")
+  }
+
+  /** Theta/range join: lineitems shipped within 30 days after their
+    * order date (non-equi condition on top of the equi key). */
+  def shipLagWithin30Days(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+    li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_quick_lines"))
+      .orderBy("l_orderkey")
+  }
+
+  /** Correlated-scalar shape: parts priced above their brand average.
+    * Expressed as window avg (one shuffle) instead of a self-join. */
+  def partsAboveBrandAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+    Tables.part(spark, sfDir)
+      .withColumn("brand_cnt", count(lit(1)).over(w))
+      .withColumn("brand_sum", sum(money(col("p_retailprice"))).over(w))
+      .filter(money(col("p_retailprice")) * col("brand_cnt") > col("brand_sum"))
+      .select("p_partkey", "p_brand", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+}
