@@ -41,6 +41,18 @@ object SparkEntry {
     "art_search_json"          -> ArticleOps.searchKeywordJson _,
     "art_inverted_index"       -> ArticleOps.invertedIndex _,
     "art_search_via_index"     -> ((s: SparkSession, d: String) => ArticleOps.searchViaIndex(s, d)),
+    // --- event analytics (batch forms of the streaming ops) ---
+    "evt_tumbling_window"      -> EventOps.tumblingWindowStats _,
+    "evt_sliding_window"       -> EventOps.slidingWindowStats _,
+    "evt_session_windows"      -> EventOps.sessionWindows _,
+    "evt_asof_purchase_signup" -> EventOps.asofPurchaseSignup _,
+    "evt_json_props"           -> EventOps.jsonPropsStats _,
+    "evt_running_totals"       -> EventOps.userRunningTotals _,
+    "evt_gaps"                 -> EventOps.eventGaps _,
+    "evt_dedup_first"          -> EventOps.earliestEventPerUserType _,
+    "evt_pivot_types"          -> EventOps.userTypePivot _,
+    // --- iterative graph (crawl frontier O8) ---
+    "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,7 +97,7 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "rel_anti_join_no_orders" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
     "rel_window_topk_parts" ->
       """SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
@@ -219,5 +231,83 @@ object SparkEntry {
         |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
         |  WHERE term = 'merge')
         |ORDER BY doc_id""".stripMargin,
+    "evt_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "evt_sliding_window" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts)
+        |    + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b0,
+        |    value
+        |  FROM events),
+        |e AS (SELECT unnest([b0, b0 - INTERVAL 30 MINUTE]) AS window_start, value FROM b)
+        |SELECT window_start, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM e GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "evt_session_windows" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "evt_asof_purchase_signup" ->
+      """SELECT event_id, user_id, ts, last_signup_ts FROM (
+        |  SELECT event_id, user_id, ts, kind,
+        |    max(CASE WHEN kind = 0 THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, kind, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |  FROM (SELECT event_id, user_id, ts,
+        |          CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS kind
+        |        FROM events WHERE event_type IN ('signup', 'purchase')) t) x
+        |WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "evt_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "evt_running_totals" ->
+      """SELECT user_id, event_id, ts,
+        |  SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "evt_gaps" ->
+      """SELECT user_id, event_id,
+        |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "evt_dedup_first" ->
+      """SELECT user_id, event_type, MIN(event_id) AS first_event_id,
+        |  MIN(ts) AS first_ts, COUNT(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "evt_pivot_types" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "graph_frontier_bfs" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents) AS dst
+        |  FROM documents),
+        |reach(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+        |  UNION
+        |  SELECT e.dst AS node, r.depth + 1 AS depth
+        |  FROM reach r JOIN edges e ON e.src = r.node WHERE r.depth < 6)
+        |SELECT node, MIN(depth) AS depth FROM reach GROUP BY node ORDER BY node""".stripMargin,
   )
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.RelationalOps.money
+
+/** Event-stream analytics over the `events` table (SURVEY.md §2.2
+  * Streaming/Windows, EXT). Every query here is the BATCH form of a
+  * streaming computation — `window`/`session_window` work identically on
+  * static DataFrames, which keeps the DuckDB oracle applicable; the
+  * streaming forms (readStream + watermark) live in
+  * graft.streaming.EventStreamOps and are covered by ScalaTest.
+  *
+  * Scale notes: all aggregations key on (user_id) or (window bucket,
+  * type) — high-cardinality enough to parallelize, low enough not to
+  * skew. Window functions partition by user_id (~1.5k users/M events):
+  * one shuffle, no driver state. Value sums use exact DECIMAL(12,2).
+  */
+object EventOps {
+
+  /** Tumbling 1-hour windows per event type (streaming: groupBy(window)).
+    * Epoch-aligned buckets; one small shuffle after map-side combine. */
+  def tumblingWindowStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding windows: 1-hour length, 30-minute slide — each event lands
+    * in exactly two buckets (Spark expands via a generator; fan-out is
+    * bounded = length/slide, map-side). */
+  def slidingWindowStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start")
+        .as("window_start"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_value"))
+      .orderBy("window_start")
+
+  /** Session windows per user, 30-minute inactivity gap
+    * (streaming: session_window + watermark). session_end follows
+    * Spark's definition: last event ts + gap. */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(money(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  /** As-of join: for every purchase, the latest signup at-or-before it
+    * for the same user. Expressed as union + cumulative-max window — one
+    * shuffle on user_id, no per-row subquery; this is the scalable as-of
+    * pattern (sort within partition, single pass). */
+  def asofPurchaseSignup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "signup", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_signup_ts",
+        max(when(col("kind") === 0, col("ts"))).over(w))
+      .filter(col("kind") === 1)
+      .select("event_id", "user_id", "ts", "last_signup_ts")
+      .orderBy("event_id")
+  }
+
+  /** JSON prop extraction (events.props is a JSON string): parse `$.k`,
+    * aggregate per event type. At scale the parse is codegen'd per row —
+    * no UDF. */
+  def jsonPropsStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Per-user running total of value over time (cumulative frame window).
+    * Explicit ROWS frame + unique (ts, event_id) ordering keeps it
+    * deterministic under ties. */
+  def userRunningTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("running_value", sum(money(col("value"))).over(w))
+      .select("user_id", "event_id", "ts", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** lag(): millisecond gap between consecutive events of a user. */
+  def eventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("gap_ms",
+        unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
+      .select("user_id", "event_id", "gap_ms")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Deterministic dedup: earliest event per (user_id, event_type) — the
+    * batch analogue of streaming dropDuplicatesWithinWatermark (O7). */
+  def earliestEventPerUserType(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(min(col("event_id")).as("first_event_id"),
+           min(col("ts")).as("first_ts"),
+           count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+
+  /** Pivot: per-user counts by event type (fixed value list so the plan
+    * is a single agg, no extra distinct pass). */
+  def userTypePivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("user_id")
+}

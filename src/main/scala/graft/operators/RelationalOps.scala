@@ -106,11 +106,12 @@ object RelationalOps {
       .orderBy("c_custkey")
   }
 
-  /** Customers with no orders at all — NOT EXISTS via left_anti join
-    * (reference O7 `not in` semantics, index.py:162). */
+  /** Customers with no pending ('P') orders — NOT EXISTS via left_anti
+    * join (reference O7 `not in` semantics, index.py:162). */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
-    val ord = Tables.orders(spark, sfDir).select("o_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "P").select("o_custkey")
     cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
       .orderBy("c_custkey")
