@@ -60,10 +60,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)/COUNT(*) AS avg_disc,
@@ -73,7 +73,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "rel_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -83,7 +83,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "rel_region_revenue" ->
       """SELECT r_name, n_name,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -106,20 +106,20 @@ object SparkEntry {
         |  FROM part) t
         |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
     "rel_orders_by_month" ->
-      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, o_orderpriority,
+      """SELECT date_trunc('month', o_orderdate) AS order_month, o_orderpriority,
         |  COUNT(*) AS order_count,
-        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
         |FROM orders GROUP BY 1, 2 ORDER BY order_month, o_orderpriority""".stripMargin,
     "rel_rollup_customers" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
-        |  SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_acctbal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
     "rel_top_orders" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total
+      """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total
         |FROM orders ORDER BY total DESC, o_orderkey LIMIT 10""".stripMargin,
     "rel_intersect_customers" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -221,7 +221,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "art_inverted_index" ->
       """SELECT term, COUNT(DISTINCT doc_id) AS doc_count, COUNT(*) AS total_count,
-        |  list_sort(list(DISTINCT doc_id)) AS doc_ids
+        |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids
         |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
         |WHERE length(term) > 0
         |GROUP BY term ORDER BY term""".stripMargin,
@@ -233,7 +233,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "evt_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "evt_sliding_window" ->
       """WITH b AS (
@@ -242,7 +242,7 @@ object SparkEntry {
         |    value
         |  FROM events),
         |e AS (SELECT unnest([b0, b0 - INTERVAL 30 MINUTE]) AS window_start, value FROM b)
-        |SELECT window_start, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |SELECT window_start, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY 1 ORDER BY window_start""".stripMargin,
     "evt_session_windows" ->
       """WITH o AS (
@@ -257,7 +257,7 @@ object SparkEntry {
         |  FROM o)
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "evt_asof_purchase_signup" ->
       """SELECT event_id, user_id, ts, last_signup_ts FROM (
@@ -271,14 +271,14 @@ object SparkEntry {
         |WHERE kind = 1 ORDER BY event_id""".stripMargin,
     "evt_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "evt_running_totals" ->
       """SELECT user_id, event_id, ts,
-        |  SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "evt_gaps" ->
       """SELECT user_id, event_id,

@@ -28,11 +28,15 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects. Read nanos as long, then floor-divide to
-    * microseconds — the same truncation DuckDB applies when it coerces
-    * nanos to its micro-precision TIMESTAMP, so oracle values match. */
+    * parquet reader rejects unless the session sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — every entry point
+    * (Verify/Bench/EntrySmoke/test fixtures) sets it at SparkSession
+    * creation; this loader must not mutate session conf as a side effect
+    * (it would leak into later reads and race under concurrency).
+    * Nanos read as long are floor-divided to microseconds — the same
+    * truncation DuckDB applies when it coerces nanos to its
+    * micro-precision TIMESTAMP, so oracle values match. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -156,7 +156,10 @@ object ArticleOps {
       .agg(
         countDistinct(col("doc_id")).as("doc_count"),
         count(lit(1)).as("total_count"),
-        sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+        // postings serialized to a sorted CSV string: array columns crash
+        // the driver's comparator (ADVICE.md r01), and a canonical string
+        // is what a downstream join would broadcast anyway
+        concat_ws(",", sort_array(collect_set(col("doc_id")))).as("doc_ids"))
       .orderBy("term")
 
   /** Search via the inverted index: term lookup -> semi-join back to the

@@ -4,19 +4,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.operators.RelationalOps.money
+import graft.operators.RelationalOps.{money, moneySum}
 
 /** Event-stream analytics over the `events` table (SURVEY.md §2.2
   * Streaming/Windows, EXT). Every query here is the BATCH form of a
   * streaming computation — `window`/`session_window` work identically on
   * static DataFrames, which keeps the DuckDB oracle applicable; the
   * streaming forms (readStream + watermark) live in
-  * graft.streaming.EventStreamOps and are covered by ScalaTest.
+  * graft.streaming.EventStreamOps.
   *
   * Scale notes: all aggregations key on (user_id) or (window bucket,
   * type) — high-cardinality enough to parallelize, low enough not to
   * skew. Window functions partition by user_id (~1.5k users/M events):
-  * one shuffle, no driver state. Value sums use exact DECIMAL(12,2).
+  * one shuffle, no driver state. Value sums accumulate in exact
+  * DECIMAL(12,2) and emit as double (oracle-type parity — see
+  * RelationalOps design notes).
   */
 object EventOps {
 
@@ -26,7 +28,7 @@ object EventOps {
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
                col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
       .orderBy("window_start", "event_type")
 
   /** Sliding windows: 1-hour length, 30-minute slide — each event lands
@@ -36,7 +38,7 @@ object EventOps {
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start")
         .as("window_start"))
-      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
       .orderBy("window_start")
 
   /** Session windows per user, 30-minute inactivity gap
@@ -45,7 +47,7 @@ object EventOps {
   def sessionWindows(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), sum(money(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -91,7 +93,7 @@ object EventOps {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, sfDir)
-      .withColumn("running_value", sum(money(col("value"))).over(w))
+      .withColumn("running_value", sum(money(col("value"))).over(w).cast("double"))
       .select("user_id", "event_id", "ts", "running_value")
       .orderBy("user_id", "event_id")
   }

@@ -11,9 +11,13 @@ import graft.Tables
   * Design notes for oracle parity + 100 TB scale:
   *  - Money doubles are cast to DECIMAL(12,2) BEFORE any aggregation, so
   *    sums are exact and independent of accumulation order — a parallel
-  *    sum over 1000 executors hashes identically to DuckDB's serial one.
-  *    Derived ratios divide the exact decimal sums as doubles (same two
-  *    inputs on both engines => bitwise-identical IEEE754 result).
+  *    sum over 1000 executors equals DuckDB's serial one. The FINAL
+  *    projection casts each exact sum to double (and the oracle does the
+  *    same), because the driver's comparator is representation-sensitive:
+  *    a DECIMAL '138014.00' and a float 138014.0 hash differently even
+  *    though they are numerically equal (ADVICE.md r01). Converting the
+  *    identical exact value to IEEE754 on both engines is deterministic,
+  *    so the doubles are bitwise equal.
   *  - Every query ends in orderBy over a key prefix: deterministic output.
   *  - Dim tables (region/nation/supplier ≤ a few thousand rows at any SF)
   *    are broadcast-joined: no shuffle of the fact side.
@@ -25,6 +29,9 @@ object RelationalOps {
   /** Exact money representation: DECIMAL(12,2) (values < 1e6, 2 decimals). */
   def money(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** Exact decimal sum, emitted as double for oracle-type parity. */
+  def moneySum(c: Column): Column = sum(money(c)).cast("double")
+
   /** Pricing summary report (TPC-H Q1 shape) over lineitem.
     * Scan -> filter -> hash agg (partial+final) -> tiny sort.
     * The only shuffle moves ~|groups| rows per partition (map-side combine).
@@ -34,12 +41,12 @@ object RelationalOps {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(money(col("l_quantity"))).as("sum_qty"),
-        sum(money(col("l_extendedprice"))).as("sum_base_price"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
         sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
-          .as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
-          * (lit(1) + money(col("l_tax")))).as("sum_charge"),
+          * (lit(1) + money(col("l_tax")))).cast("double").as("sum_charge"),
         (sum(money(col("l_quantity"))).cast("double") / count(lit(1)))
           .as("avg_qty"),
         (sum(money(col("l_extendedprice"))).cast("double") / count(lit(1)))
@@ -69,7 +76,7 @@ object RelationalOps {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
-        .as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -91,7 +98,7 @@ object RelationalOps {
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
-        .as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
@@ -131,11 +138,14 @@ object RelationalOps {
 
   /** Order-priority counts by month — date_trunc + count agg (EXT). */
   def orderPriorityByMonth(spark: SparkSession, sfDir: String): DataFrame = {
+    // order_month stays TIMESTAMP (not DATE): parquet DATE and DuckDB DATE
+    // take different paths through the driver's pandas compare (date object
+    // vs datetime64) and hash-mismatch even when equal
     Tables.orders(spark, sfDir)
-      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"),
                col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"),
-           sum(money(col("o_totalprice"))).as("sum_total"))
+           moneySum(col("o_totalprice")).as("sum_total"))
       .orderBy("order_month", "o_orderpriority")
   }
 
@@ -148,7 +158,7 @@ object RelationalOps {
         col("n_regionkey") === col("r_regionkey"))
     joined.rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-           sum(money(col("c_acctbal"))).as("sum_acctbal"))
+           moneySum(col("c_acctbal")).as("sum_acctbal"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
@@ -158,7 +168,7 @@ object RelationalOps {
   def topOrders(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"),
-        money(col("o_totalprice")).as("total"))
+        money(col("o_totalprice")).cast("double").as("total"))
       .orderBy(col("total").desc, col("o_orderkey"))
       .limit(10)
   }

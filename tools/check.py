@@ -1,40 +1,47 @@
 #!/usr/bin/env python3
-"""Local emulation of the driver's correctness gate.
+"""Local emulation of the driver's correctness gate — TYPE-SENSITIVE.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [name ...]
 
-Reads each <verifyOutDir>/<name> parquet (Spark result) and runs the
-matching oracle SQL from oracle_sql.json in DuckDB with views over the
-same sf parquet tables; compares row-by-row with columns sorted by name.
-Floats compared with tiny relative tolerance for reporting, but exact
-mismatches are flagged since the driver hashes values.
+The driver reads the Spark parquet with pandas (preserving decimal128 /
+int64 as Python objects) and the oracle via DuckDB's .df() (which coerces
+DECIMAL->float64, HUGEINT->float64/object), sorts columns by name, sorts
+rows, then hashes the stringified values.  Numerically-equal values with
+different representations (Decimal('138014.00') vs 138014.0) therefore
+MISMATCH.  Round 1's check.py read both sides through DuckDB, which
+coerced the types identically and produced a false-green gate
+(ADVICE.md r01).  This version reproduces the driver:
+
+  spark side : pandas.read_parquet (pyarrow) — decimals stay Decimal,
+               int64-with-nulls becomes float64+NaN, arrays become
+               numpy arrays (which CRASH sort_values, like the driver)
+  oracle side: duckdb .df()
+  compare    : sort cols by name, sort rows by all cols, str() each cell
 """
-import sys, os, json, math
+import sys, os, json
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def canon(v):
-    if isinstance(v, float):
-        return v
-    return v
 
-def eq(a, b):
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    if isinstance(a, list) and isinstance(b, list):
-        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
-    try:
-        return a == b
-    except Exception:
-        return str(a) == str(b)
+def cell(v):
+    """Driver-hash proxy: the stringified cell value."""
+    if v is None:
+        return "None"
+    if isinstance(v, float) and v != v:  # NaN
+        return "NaN"
+    return str(v)
 
-def main(sf_dir, out_dir):
+
+def frame_rows(df):
+    cols = sorted(df.columns)
+    df = df[cols].sort_values(by=cols).reset_index(drop=True)
+    return cols, [[cell(v) for v in row] for row in df.itertuples(index=False)]
+
+
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -44,53 +51,43 @@ def main(sf_dir, out_dir):
         oracle = json.load(f)
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         spark_path = os.path.join(out_dir, name)
         if not os.path.isdir(spark_path):
             print(f"FAIL {name}: no spark output dir")
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM '{spark_path}/*.parquet'").fetchall()
-            got_cols = [d[0] for d in con.description]
-            exp = con.execute(oracle[name]).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            got_cols, got = frame_rows(pd.read_parquet(spark_path))
         except Exception as e:
-            print(f"FAIL {name}: exec error: {e}")
+            print(f"FAIL {name}: spark read/sort error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+        try:
+            exp_cols, exp = frame_rows(con.execute(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        gidx = [got_cols.index(c) for c in sorted(got_cols)]
-        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
-        grows = [[canon(r[i]) for i in gidx] for r in got]
-        erows = [[canon(r[i]) for i in eidx] for r in exp]
-        if len(grows) != len(erows):
-            print(f"FAIL {name}: rowcount {len(grows)} != {len(erows)}")
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
             n_fail += 1
             continue
-        bad = None
-        for i, (g, e) in enumerate(zip(grows, erows)):
-            if not all(eq(a, b) for a, b in zip(g, e)):
-                bad = (i, g, e)
-                break
-        if bad:
-            i, g, e = bad
-            print(f"FAIL {name}: row {i} differs\n  spark:  {g}\n  oracle: {e}")
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rowcount {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        bad = next((i for i, (g, e) in enumerate(zip(got, exp)) if g != e), None)
+        if bad is not None:
+            print(f"FAIL {name}: row {bad} differs\n  spark:  {got[bad]}\n  oracle: {exp[bad]}")
             n_fail += 1
         else:
-            # type check (decimal vs float etc.) — report only
-            tmismatch = []
-            for gv, ev in zip(grows[0] if grows else [], erows[0] if erows else []):
-                if gv is not None and ev is not None and type(gv) != type(ev):
-                    tmismatch.append((type(gv).__name__, type(ev).__name__))
-            note = f" [type note: {tmismatch}]" if tmismatch else ""
-            print(f"PASS {name} ({len(grows)} rows){note}")
+            print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
