@@ -53,6 +53,11 @@ object SparkEntry {
     "evt_pivot_types"          -> EventOps.userTypePivot _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
+    // --- text analysis (LLM-pipeline EXT) ---
+    "txt_token_stats"          -> TextOps.tokenStats _,
+    "txt_quality"              -> TextOps.qualityScore _,
+    "txt_langid"               -> TextOps.langId _,
+    "txt_fingerprint"          -> TextOps.fingerprint _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -309,5 +314,76 @@ object SparkEntry {
         |  SELECT e.dst AS node, r.depth + 1 AS depth
         |  FROM reach r JOIN edges e ON e.src = r.node WHERE r.depth < 6)
         |SELECT node, MIN(depth) AS depth FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    "txt_token_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS avg_token_len
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "txt_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, len(ws) AS n_tok,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to'], x))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |    len(list_distinct(ws)) AS n_distinct
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CAST(n_distinct AS DOUBLE) / n_tok AS type_token_ratio,
+        |  CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+        |  CAST(n_punct AS DOUBLE) / length(text) AS punct_ratio,
+        |  (CAST(n_distinct AS DOUBLE) / n_tok) * 0.5
+        |    + (CAST(n_stop AS DOUBLE) / n_tok) * 0.3
+        |    + (1.0 - CAST(n_punct AS DOUBLE) / length(text)) * 0.2 AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "txt_langid" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(ws, x -> list_contains(['der','die','das','und','ein'], x))) AS BIGINT) AS de_hits,
+        |    CAST(len(list_filter(ws, x -> list_contains(['le','les','et','une','dans'], x))) AS BIGINT) AS fr_hits,
+        |    CAST(len(list_filter(ws, x -> list_contains(['el','los','y','que','por'], x))) AS BIGINT) AS es_hits,
+        |    CAST(len(list_filter(ws, x -> ascii(x) >= 11904)) AS BIGINT) AS zh_hits
+        |  FROM w)
+        |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+        |  CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits, zh_hits) THEN 'en'
+        |       WHEN de_hits >= greatest(fr_hits, es_hits, zh_hits) THEN 'de'
+        |       WHEN fr_hits >= greatest(es_hits, zh_hits) THEN 'fr'
+        |       WHEN es_hits >= zh_hits THEN 'es'
+        |       ELSE 'zh' END AS predicted
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(ws) >= 3 THEN
+        |      list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE [] END AS shingles
+        |  FROM w)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> ascii(c))),
+        |    (h, c) -> (h * 31 + c) % 1000000000000000) AS fp_full,
+        |  list_min(list_transform(shingles,
+        |    sh -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(sh, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000))) AS fp_min_shingle
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, and rolling-hash fingerprinting (north-star EXT per
+  * SURVEY.md §0; the reference's cleanse stage newsspider.py:48-49 is
+  * the seed of this family).
+  *
+  * Everything is built from higher-order array expressions
+  * (`transform`/`aggregate`/`filter`) — native Catalyst expressions, no
+  * UDFs, so the plan stays narrow (scan → project, zero shuffles) and
+  * distributes embarrassingly at 100 TB.
+  *
+  * Portability contract with the DuckDB oracle: hashes are polynomial
+  * rolling hashes (h = (h*31 + codepoint) mod 1e15) — expressible with
+  * identical integer arithmetic in both engines, unlike engine-native
+  * hash()/xxhash64 which differ by implementation.
+  */
+object TextOps {
+
+  /** Modulus keeps h*31+c well inside Long (1e15*31+1114111 < 2^63). */
+  val HashMod = 1000000000000000L
+
+  /** Polynomial rolling hash of a string column (codepoint-wise). */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c)),
+      lit(0L),
+      (h, c) => (h * 31 + c) % HashMod)
+
+  /** Lower-cased whitespace tokens, empties dropped (both engines drop
+    * them the same way: filter on length>0). */
+  def words(s: Column): Column =
+    filter(split(lower(s), " "), w => length(w) > 0)
+
+  /** Word n-gram shingles (space-rejoined). Empty array when the doc has
+    * fewer than n words. */
+  def wordShingles(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(ws, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single symbols.
+    * Kept to a Java/RE2-common subset (SURVEY.md §7.4 hard part (d)). */
+  val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  /** Token statistics per document: whitespace tokens, BPE-ish regex
+    * tokens, and mean token length. The schema a tokenizer-budget pass
+    * over a 100 TB corpus needs before training-data selection. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(ws).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
+          .cast("long").as("bpe_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(ws)).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality-score columns (the heuristics LLM-corpus filters apply:
+    * length, lexical diversity, stopword share, punctuation share), plus
+    * a single combined score. All ratios are double divisions of exact
+    * ints — bitwise-reproducible on both engines. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nTok = size(ws)
+    val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    val nStop = size(filter(ws, w => array_contains(stop, w)))
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val ttr = size(array_distinct(ws)).cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    val punctRatio = nPunct.cast("double") / length(col("text"))
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        ttr.as("type_token_ratio"),
+        stopRatio.as("stopword_ratio"),
+        punctRatio.as("punct_ratio"),
+        (ttr * 0.5 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2)
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: per-language stopword hit counts plus a CJK
+    * codepoint count, argmax with a fixed tie-break order. (The synthetic
+    * corpus shares one vocabulary across lang labels, so this scores the
+    * operator's determinism, not label recovery.) */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    def hits(stopwords: Seq[String]): Column =
+      size(filter(ws, w =>
+        array_contains(array(stopwords.map(lit): _*), w))).cast("long")
+    val en = hits(Seq("the", "a", "of", "and", "to"))
+    val de = hits(Seq("der", "die", "das", "und", "ein"))
+    val fr = hits(Seq("le", "les", "et", "une", "dans"))
+    val es = hits(Seq("el", "los", "y", "que", "por"))
+    val zh = size(filter(ws, w => ascii(w) >= 11904)).cast("long")
+    docs(spark, sfDir)
+      .select(col("doc_id"), en.as("en_hits"), de.as("de_hits"),
+        fr.as("fr_hits"), es.as("es_hits"), zh.as("zh_hits"))
+      .withColumn("predicted",
+        when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"),
+          col("es_hits"), col("zh_hits")), "en")
+          .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits"),
+            col("zh_hits")), "de")
+          .when(col("fr_hits") >= greatest(col("es_hits"), col("zh_hits")), "fr")
+          .when(col("es_hits") >= col("zh_hits"), "es")
+          .otherwise("zh"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: whole-text rolling hash (exact-dup key) and
+    * the minimum word-trigram shingle hash (a 1-element MinHash — the
+    * near-dup key; DedupOps widens this to full MinHash+LSH). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val shingleHashes = transform(wordShingles(ws, 3), s => polyHash(s))
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"),
+        polyHash(col("text")).as("fp_full"),
+        array_min(shingleHashes).as("fp_min_shingle"))
+      .orderBy("doc_id")
+  }
+}
