@@ -58,6 +58,12 @@ object SparkEntry {
     "txt_quality"              -> TextOps.qualityScore _,
     "txt_langid"               -> TextOps.langId _,
     "txt_fingerprint"          -> TextOps.fingerprint _,
+    // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
+    "dd_exact"                 -> DedupOps.exactDups _,
+    "dd_ngram_jaccard"         -> DedupOps.ngramJaccardPairs _,
+    "dd_minhash_lsh"           -> DedupOps.minhashLsh _,
+    "dd_simhash"               -> DedupOps.simhash _,
+    "dd_simhash_pairs"         -> DedupOps.simhashPairs _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -385,5 +391,149 @@ object SparkEntry {
         |      list_transform(string_split(sh, ''), c -> ascii(c))),
         |      (h, c) -> (h * 31 + c) % 1000000000000000))) AS fp_min_shingle
         |FROM s ORDER BY doc_id""".stripMargin,
+    "dd_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, source, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5)
+        |SELECT md5(text) AS text_md5, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS ids
+        |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY rep_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(ws) >= 3 THEN
+        |      list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE [] END) AS sh
+        |  FROM t),
+        |f AS (SELECT doc_id, source, sh FROM s WHERE len(sh) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_minhash_lsh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) >= 3 THEN
+        |      list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE [] END) AS sh
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s2 -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(s2, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS shh
+        |  FROM s WHERE len(sh) > 0),
+        |m AS (
+        |  SELECT doc_id, sh,
+        |    list_min(list_transform(shh, h -> (2*h + 1) % 999999999999989)) AS mh0,
+        |    list_min(list_transform(shh, h -> (3*h + 7) % 999999999999989)) AS mh1,
+        |    list_min(list_transform(shh, h -> (5*h + 13) % 999999999999989)) AS mh2,
+        |    list_min(list_transform(shh, h -> (7*h + 31) % 999999999999989)) AS mh3,
+        |    list_min(list_transform(shh, h -> (11*h + 101) % 999999999999989)) AS mh4,
+        |    list_min(list_transform(shh, h -> (13*h + 1009) % 999999999999989)) AS mh5,
+        |    list_min(list_transform(shh, h -> (17*h + 10007) % 999999999999989)) AS mh6,
+        |    list_min(list_transform(shh, h -> (19*h + 100003) % 999999999999989)) AS mh7
+        |  FROM f),
+        |bands AS (
+        |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bkey FROM m
+        |  UNION ALL
+        |  SELECT doc_id, '1_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM m
+        |  UNION ALL
+        |  SELECT doc_id, '2_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM m
+        |  UNION ALL
+        |  SELECT doc_id, '3_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM m),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN f sa ON sa.doc_id = doc_a
+        |  JOIN f sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_simhash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |wh AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 48), j ->
+        |    CASE WHEN 2 * len(list_filter(whs,
+        |        h -> CAST(floor(h / pow(2, j)) AS BIGINT) % 2 = 1)) >= len(whs)
+        |      THEN CAST(floor(pow(2, j)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM wh ORDER BY doc_id""".stripMargin,
+    "dd_simhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |wh AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 48), j ->
+        |      CASE WHEN 2 * len(list_filter(whs,
+        |          h -> CAST(floor(h / pow(2, j)) AS BIGINT) % 2 = 1)) >= len(whs)
+        |        THEN CAST(floor(pow(2, j)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM wh),
+        |ch AS (
+        |  SELECT doc_id, simhash,
+        |    CAST(k AS VARCHAR) || '_' ||
+        |      CAST(CAST(floor(simhash / pow(2, 12 * k)) AS BIGINT) % 4096 AS VARCHAR) AS ckey
+        |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS k)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sim_a, b.simhash AS sim_b
+        |  FROM ch a JOIN ch b ON a.ckey = b.ckey AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextOps.{polyHash, words, wordShingles}
+
+/** Corpus deduplication for a training-data pipeline (north-star EXT):
+  * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+  * bucket-join), SimHash, and n-gram Jaccard — the standard LLM-corpus
+  * dedup ladder.
+  *
+  * The generalized form of reference O7 (`caught_docs` set-membership
+  * dedup, index.py:162-163): the reference dedups URLs exactly; a 100 TB
+  * corpus needs *near*-dup removal, which is the same operator family
+  * with a locality-sensitive key instead of the natural key.
+  *
+  * Scale shape: signatures (minhash arrays, simhash words) are computed
+  * row-local with higher-order expressions — a narrow projection over
+  * the corpus, no shuffle. The only shuffles are the LSH bucket
+  * self-join (keyed on band signature: each bucket holds only colliding
+  * docs, so the join explodes only where candidates actually exist) and
+  * the final verify join. This is exactly how petabyte dedup runs wide:
+  * never all-pairs, always bucket-then-verify.
+  *
+  * All hashes are the portable polynomial family (TextOps.polyHash), so
+  * every stage stays DuckDB-oracle-checkable.
+  */
+object DedupOps {
+
+  /** Prime modulus for the minhash permutation family (< 1e15 so
+    * a*h+b stays far from Long overflow). */
+  val MinhashP = 999999999999989L
+
+  /** Fixed (a,b) parameters: 8 universal-hash permutations. */
+  val MinhashParams: Seq[(Int, Int)] = Seq(
+    (2, 1), (3, 7), (5, 13), (7, 31),
+    (11, 101), (13, 1009), (17, 10007), (19, 100003))
+
+  /** Test corpus with known duplicates, synthesized deterministically on
+    * both engines: the documents plus an exact copy of every 10th doc and
+    * a prefix-perturbed near-copy of every (10k+5)th doc. */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val exact = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text"))
+    val near = d.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 200000).as("doc_id"), col("source"),
+        concat(lit("extra words added "), col("text")).as("text"))
+    d.unionAll(exact).unionAll(near)
+  }
+
+  /** Exact dedup: group by content hash, keep groups with >1 copy.
+    * At scale this is one hash-shuffle on a 16-byte key; the
+    * representative (min id) is what a keep-one pass would retain. */
+  def exactDups(spark: SparkSession, sfDir: String): DataFrame =
+    corpus(spark, sfDir)
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("ids"))
+      .filter(col("n_copies") > 1)
+      .orderBy("rep_id")
+
+  /** Distinct word-trigram shingle set per row of `df`. */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("sh", array_distinct(wordShingles(words(col("text")), 3)))
+      .filter(size(col("sh")) > 0)
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** n-gram Jaccard near-dup scan within `source` partitions: the
+    * blocked all-pairs form (block on a grouping key so the quadratic
+    * stays bounded per block — here source, ~25 docs/block). */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = withShingles(Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text"))
+      .select("doc_id", "source", "sh")
+    val a = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("shb"))
+    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.02)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-doc minhash signature (array of 8 mins over the permuted
+    * shingle hashes) and the 4 LSH band keys (2 rows/band). */
+  private def withMinhashBands(df: DataFrame): DataFrame = {
+    val hashed = withShingles(df)
+      .withColumn("shh", transform(col("sh"), s => polyHash(s)))
+    val sigs = MinhashParams.zipWithIndex.foldLeft(hashed) {
+      case (acc, ((a, b), i)) =>
+        acc.withColumn(s"mh$i",
+          array_min(transform(col("shh"), h => (lit(a.toLong) * h + b) % MinhashP)))
+    }
+    sigs.withColumn("bands", array((0 until 4).map(i =>
+      concat_ws("_", lit(i), col(s"mh${2 * i}"), col(s"mh${2 * i + 1}"))): _*))
+  }
+
+  /** MinHash+LSH near-dup detection over the dup-seeded corpus:
+    * signature → band → bucket self-join → candidate pairs → exact
+    * Jaccard verify (≥ 0.5). The candidate set is tiny relative to
+    * all-pairs; the verify join only touches candidates. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = withMinhashBands(corpus(spark, sfDir))
+      .select("doc_id", "sh", "bands")
+    val bands = sigs.select(col("doc_id"), explode(col("bands")).as("bkey"))
+    val cands = bands.select(col("doc_id").as("doc_a"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("bkey")), Seq("bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 48-bit SimHash over the word-hash multiset: bit j is set when at
+    * least half the words have bit j set in their hash. Row-local,
+    * shuffle-free. Bits limited to 48 because polyHash values carry ~50
+    * significant bits. h/2^j stays exact in double (mantissa ≤ 50 bits),
+    * floor+mod-2 extracts the bit portably on both engines. */
+  def simhashValue: Column = {
+    val whs = transform(words(col("text")), w => polyHash(w))
+    val n = size(whs)
+    aggregate(sequence(lit(0), lit(47)), lit(0L), (acc, j) => {
+      val pow2 = floor(pow(lit(2.0), j)).cast("long")
+      val cnt = size(filter(whs, h => pmod(floor(h / pow(lit(2.0), j)).cast("long"), lit(2)) === 1))
+      acc + when(cnt * 2 >= n, pow2).otherwise(lit(0L))
+    })
+  }
+
+  /** Per-doc SimHash fingerprints over the dup-seeded corpus. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    corpus(spark, sfDir)
+      .select(col("doc_id"), simhashValue.as("simhash"))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs: band the 48 bits into 4×12-bit chunks,
+    * bucket-join, then verify hamming distance via popcount(xor).
+    * Threshold 1: the synthetic corpus draws on a ~30-word vocabulary,
+    * so simhash saturates (most pairs land within hamming 8); ≤1 keeps
+    * only exact copies and single-bit neighbours. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = corpus(spark, sfDir)
+      .select(col("doc_id"), simhashValue.as("simhash"))
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        concat_ws("_", lit(k),
+          pmod(floor(col("simhash") / pow(lit(2.0), lit(12 * k))).cast("long"),
+            lit(4096)))): _*)).as("ckey"))
+    val cands = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("ckey"))
+      .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("ckey")),
+        Seq("ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+    cands
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}
