@@ -64,6 +64,10 @@ object SparkEntry {
     "dd_minhash_lsh"           -> DedupOps.minhashLsh _,
     "dd_simhash"               -> DedupOps.simhash _,
     "dd_simhash_pairs"         -> DedupOps.simhashPairs _,
+    // --- similarity search over embeddings (LLM-pipeline EXT) ---
+    "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
+    "sim_lsh_ann"              -> SimilarityOps.lshAnnTopK _,
+    "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -535,5 +539,60 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "sim_brute_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q_id, vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * q_emb[i])), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * emb[i])), (x, y) -> x + y))) AS score
+        |  FROM q, e WHERE e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT q_id, vec_id, score, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "sim_lsh_ann" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, emb,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |          j -> emb[j] * CAST((1 + p*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          (x, y) -> x + y) >= 0
+        |      THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM e0),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q_id, e.vec_id, e.bucket,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * q_emb[i])), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * emb[i])), (x, y) -> x + y))) AS score
+        |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, bucket, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT q_id, vec_id, bucket, score, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "dd_emb_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.emb)+1),
+        |      i -> a.emb[i] * b.emb[i])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.emb)+1),
+        |      i -> a.emb[i] * a.emb[i])), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(b.emb)+1),
+        |      i -> b.emb[i] * b.emb[i])), (x, y) -> x + y))) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, label, cos FROM p WHERE cos >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (north-star EXT:
+  * approximate-nearest-neighbour for training-data curation).
+  *
+  * Two paths, as a real pipeline would ship them:
+  *  - brute-force cosine top-k: the exact baseline. One broadcast of the
+  *    (tiny) query set against a full scan of the vectors — at 100 TB
+  *    this is the "small query batch × huge corpus" shape: the corpus
+  *    side stays partition-parallel, never shuffled, and the per-query
+  *    top-k folds into a single TakeOrdered-style window per query.
+  *  - random-hyperplane LSH buckets: the scale path. The bucket id is a
+  *    row-local projection (8 sign bits), so candidate generation is an
+  *    equi-join on bucket — only colliding vectors are compared.
+  *
+  * Determinism contract with the DuckDB oracle: all arithmetic is IEEE
+  * double with an explicit sequential fold (Spark `aggregate`, DuckDB
+  * `list_reduce`) — float inputs widen exactly to double, products and
+  * ordered sums round identically, sqrt is correctly rounded in both
+  * engines, so scores are bitwise-equal and the driver's hash matches.
+  * Hyperplane weights are exact small integers derived from (plane,
+  * dim) indices — no RNG, no libm transcendentals (sin/cos differ
+  * across implementations; integer arithmetic doesn't).
+  */
+object SimilarityOps {
+
+  /** Sequential dot product of two double arrays. */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity (double, deterministic fold order). */
+  def cosine(a: Column, b: Column): Column =
+    dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+
+  /** 8-bit random-hyperplane bucket: bit p = sign of <emb, w_p>, where
+    * w_p[j] = ((1 + p*73 + j*179) * 2654435761 mod 1024) - 512 — a fixed
+    * integer-lattice "random" matrix both engines reproduce exactly. */
+  def hyperplaneBucket(emb: Column): Column =
+    aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, p) => {
+      val w = transform(sequence(lit(0), size(emb) - 1),
+        j => ((lit(1L) + p * 73 + j * 179) * lit(2654435761L) % 1024 - 512)
+          .cast("double"))
+      val dot = aggregate(zip_with(emb, w, (x, y) => x * y),
+        lit(0.0), (a2, v) => a2 + v)
+      acc + when(dot >= 0, floor(pow(lit(2.0), p)).cast("long")).otherwise(lit(0L))
+    })
+
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+
+  /** Exact cosine top-10 for query vectors (vec_id < 5) against the full
+    * corpus. The query side is broadcast; the corpus scan is the only
+    * pass over the data. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("emb")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy("q_id", "rn")
+  }
+
+  /** Approximate top-10 via LSH: compare only vectors sharing the
+    * query's hyperplane bucket. Recall trades against the bucket join
+    * touching ~1/256 of the corpus per query. */
+  def lshAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir).withColumn("bucket", hyperplaneBucket(col("emb")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("bucket"),
+        cosine(col("q_emb"), col("emb")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy("q_id", "rn")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked on `label` (the embedding
+    * analogue of DedupOps.ngramJaccardPairs: block, pair, verify). */
+  def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("ea"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("eb"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy("vec_a", "vec_b")
+  }
+}
