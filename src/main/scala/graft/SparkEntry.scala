@@ -68,6 +68,10 @@ object SparkEntry {
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
     "sim_lsh_ann"              -> SimilarityOps.lshAnnTopK _,
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
+    // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
+    "mm_binary_stats"          -> MultimodalOps.binaryStats _,
+    "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
+    "mm_frame_sample"          -> MultimodalOps.frameSample _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -594,5 +598,33 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, label, cos FROM p WHERE cos >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "mm_binary_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents)
+        |SELECT media_type, COUNT(*) AS n,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) AS avg_bytes
+        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "mm_decode_features" ->
+      """SELECT doc_id,
+        |  CAST(32 + octet_length(encode(text)) % 256 AS BIGINT) AS width,
+        |  CAST(32 + (ascii(substr(text, 1, 1)) * 7) % 256 AS BIGINT) AS height,
+        |  CAST(1 + (octet_length(encode(text)) * 31 + ascii(substr(text, 1, 1))) % 3 AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) // 16 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, text, n_frames,
+        |        greatest(1, n_frames // 4) AS step FROM v),
+        |x AS (SELECT doc_id, text,
+        |        unnest(range(0, n_frames, step)) AS frame_idx FROM f)
+        |SELECT doc_id, frame_idx, frame_idx * 16 + 1 AS frame_off,
+        |  md5(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_md5
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
