@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event analytics (SURVEY.md §2.2
+  * Streaming): the same declarative transforms as graft.operators
+  * .EventOps, over an unbounded source with event-time watermarks.
+  *
+  * Every function takes the events DataFrame (streaming or static —
+  * `window`/`session_window` are mode-agnostic, which is what lets the
+  * batch twins be DuckDB-oracle-checked while these run under
+  * MemoryStream in the ScalaTest suite). State stays bounded through
+  * watermarks; `runningTotals` shows the arbitrary-state escape hatch
+  * (`mapGroupsWithState`) that the reference's crawl-frontier
+  * accumulator (index.py:117-120) would map to in a streaming engine.
+  */
+object EventStreamOps {
+
+  /** events table schema (TESTDATA.md), for readStream sources that
+    * cannot infer it. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded file source over a directory of event parquet drops. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-hour windows per type; watermark bounds window state. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour/30-minute windows. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+
+  /** Per-user session windows, 30-minute inactivity gap. */
+  def sessionAggregate(events: DataFrame, watermark: String = "10 minutes",
+                       gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming dedup — the streaming form of reference O7 (`url not in
+    * caught_docs`): first event per (user, type) wins; state expires
+    * with the watermark instead of growing forever. */
+  def dedupFirstPerKey(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful processing: per-user running totals carried
+    * across micro-batches via mapGroupsWithState (update mode). The
+    * state is one small record per user — the bounded-state version of
+    * the reference's in-memory frontier sets. */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserTotals(uid, n, total)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+}

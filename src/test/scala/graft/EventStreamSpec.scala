@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.streaming.EventStreamOps
+import graft.streaming.EventStreamOps.EventRow
+
+/** Streaming behavior under MemoryStream: batch/stream equivalence for
+  * the windowed aggs, watermark dedup, and cross-batch state in
+  * mapGroupsWithState (SURVEY.md §5 streaming tests). */
+class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkFixture.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private val rows = Seq(
+    EventRow(1L, ts(0), 1L, "click", 1.0),
+    EventRow(2L, ts(5), 1L, "click", 2.0),
+    EventRow(3L, ts(10), 2L, "view", 3.0),
+    EventRow(4L, ts(10), 2L, "view", 4.0),
+    EventRow(5L, ts(59), 1L, "view", 5.0))
+
+  test("tumbling window counts: stream equals batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreamOps.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("tumb")
+        .select("window_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val expected = EventStreamOps.tumblingCounts(rows.toDF())
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got == expected)
+      assert(got.map(_._3).sum == rows.size)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    val out = EventStreamOps.sessionAggregate(rows.toDF(), gap = "30 minutes")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    // user 1: events at :00 and :05 join one session; :59 starts another
+    assert(out.count(_._1 == 1L) == 2)
+    assert(out.count(_._1 == 2L) == 1)
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per (user, type)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreamOps.dedupFirstPerKey(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("dedup").select("user_id", "event_type")
+        .as[(Long, String)].collect()
+      assert(got.length == got.toSet.size)
+      assert(got.toSet == Set((1L, "click"), (1L, "view"), (2L, "view")))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreamOps.runningTotals(spark, mem.toDF())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      // last update per user reflects ALL rows seen across both batches
+      val last = spark.table("totals")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(last == Map(1L -> 3L, 2L -> 2L))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.functions.UrlFunctions
+
+/** Unit specs per operator family over tiny literal DataFrames (the
+  * oracle gate covers the full corpus; these pin edge semantics). */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import SparkFixture.sf0001
+
+  test("polyHash matches the reference value computed independently") {
+    import spark.implicits._
+    // python: h=0; for c in 'hello': h=(h*31+ord(c))%10**15  -> 99162322
+    val got = Seq("hello").toDF("s")
+      .select(TextOps.polyHash(col("s"))).as[Long].head()
+    assert(got == 99162322L)
+  }
+
+  test("polyHash stays within [0, HashMod) on multilingual input") {
+    import spark.implicits._
+    val vals = Seq("", "a", "ünïcode", "中文字符", "x" * 500).toDF("s")
+      .select(TextOps.polyHash(col("s"))).as[Long].collect()
+    assert(vals.forall(v => v >= 0 && v < TextOps.HashMod))
+  }
+
+  test("words drops empties; shingles have size-n+1 grams") {
+    import spark.implicits._
+    val (ws, sh) = Seq("  a  b c d  ").toDF("t")
+      .select(TextOps.words(col("t")).as("w"),
+        TextOps.wordShingles(TextOps.words(col("t")), 3).as("s"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(ws == Seq("a", "b", "c", "d"))
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("one two").toDF("t")
+      .select(TextOps.wordShingles(TextOps.words(col("t")), 3))
+      .as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("cleanse strips all tags and trims (reference newsspider.py:49)") {
+    import spark.implicits._
+    val out = ArticleOps.cleanseText(spark, sf0001)
+      .select("clean_text").as[String].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(t => !t.contains("<") && !t.contains(">")))
+    assert(out.forall(t => t == t.trim))
+  }
+
+  test("url normalization: absolute passes through, relative resolves, junk nulls") {
+    import spark.implicits._
+    val df = Seq(
+      ("https://www.example.com/a", "https://other.site/x"),
+      ("https://www.example.com/a/b", "/root.css"),
+      ("https://www.example.com/a/b", "rel/path"),
+      ("https://www.example.com/a", "ht tp://bro ken")).toDF("base", "href")
+    val got = df.select(UrlFunctions.normalizeUrl(col("base"), col("href")))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(
+      Some("https://other.site/x"),
+      Some("https://www.example.com/root.css"),
+      Some("https://www.example.com/a/rel/path"),
+      None))
+  }
+
+  test("exact dedup finds exactly the seeded copies") {
+    val dups = DedupOps.exactDups(spark, sf0001)
+    val rows = dups.collect()
+    assert(rows.forall(_.getAs[Long]("n_copies") == 2L))
+    // every 10th doc is copied once; ids column pairs rep with rep+100000
+    assert(rows.forall { r =>
+      val ids = r.getAs[String]("ids").split(",").map(_.toLong)
+      ids.length == 2 && ids(1) == ids(0) + 100000 })
+  }
+
+  test("minhash LSH surfaces the seeded near-dups with jaccard >= 0.5") {
+    val pairs = DedupOps.minhashLsh(spark, sf0001).collect()
+    val exactPairs = pairs.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 100000)
+    assert(exactPairs.nonEmpty)
+    assert(exactPairs.forall(_.getAs[Double]("jaccard") == 1.0))
+    val nearPairs = pairs.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 200000)
+    assert(nearPairs.nonEmpty)
+    assert(nearPairs.forall { r =>
+      val j = r.getAs[Double]("jaccard"); j >= 0.5 && j < 1.0 })
+  }
+
+  test("simhash: identical docs collide, near-dups stay close") {
+    import spark.implicits._
+    val sh = DedupOps.simhash(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val exactIds = sh.keys.filter(id => id < 100000 && sh.contains(id + 100000))
+    assert(exactIds.nonEmpty)
+    assert(exactIds.forall(id => sh(id) == sh(id + 100000)))
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0, 2.0), Seq(0.0, 3.0, 0.0))).toDF("a", "b")
+    val (self, ortho) = df.select(
+      SimilarityOps.cosine(col("a"), col("a")),
+      SimilarityOps.cosine(col("a"), col("b")))
+      .as[(Double, Double)].head()
+    assert(math.abs(self - 1.0) < 1e-12)
+    assert(ortho == 0.0)
+  }
+
+  test("brute-force top-k returns k ranked neighbours per query") {
+    val out = SimilarityOps.bruteForceTopK(spark, sf0001).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rows =>
+      assert(rows.length == 10)
+      val scores = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN candidates all share the query bucket and rank <= 10") {
+    val out = SimilarityOps.lshAnnTopK(spark, sf0001).collect()
+    assert(out.forall(_.getAs[Long]("rn") <= 10))
+  }
+
+  test("decode stub is deterministic and total on empty input") {
+    val f = MultimodalOps.MediaDecoder.decodeStub(7L, "abc".getBytes)
+    assert(f == MultimodalOps.MediaDecoder.decodeStub(7L, "abc".getBytes))
+    val empty = MultimodalOps.MediaDecoder.decodeStub(1L, Array.emptyByteArray)
+    assert(empty.width == 32 && empty.height == 32 && empty.channels == 1)
+  }
+
+  test("frame sample emits within-bounds offsets with stable hashes") {
+    val out = MultimodalOps.frameSample(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("frame_md5").length == 32))
+    assert(out.forall { r =>
+      r.getAs[Long]("frame_off") == r.getAs[Long]("frame_idx") * 16 + 1 })
+  }
+
+  test("frontier BFS reaches only nodes on the synthetic ring and labels minimum depth") {
+    val out = GraphOps.frontierBfs(spark, sf0001).collect()
+    assert(out.map(_.getAs[Long]("node")).distinct.length == out.length)
+    assert(out.exists(r => r.getAs[Long]("node") == 0L && r.getAs[Int]("depth") == 0))
+  }
+}
