@@ -414,13 +414,20 @@ object SparkEntry {
         |  SELECT doc_id, source,
         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
         |  FROM documents),
+        |w2 AS (
+        |  SELECT doc_id, source,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
         |s AS (
         |  SELECT doc_id, source,
-        |    list_distinct(CASE WHEN len(ws) >= 3 THEN
-        |      list_transform(range(1, len(ws) - 1),
-        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
         |    ELSE [] END) AS sh
-        |  FROM t),
+        |  FROM w2),
         |f AS (SELECT doc_id, source, sh FROM s WHERE len(sh) > 0)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -440,38 +447,38 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
         |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
         |s AS (
         |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(ws) >= 3 THEN
-        |      list_transform(range(1, len(ws) - 1),
-        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
         |    ELSE [] END) AS sh
-        |  FROM t),
-        |f AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(sh, s2 -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(s2, ''), c -> ascii(c))),
-        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS shh
-        |  FROM s WHERE len(sh) > 0),
+        |  FROM w2),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
         |m AS (
         |  SELECT doc_id, sh,
-        |    list_min(list_transform(shh, h -> (2*h + 1) % 999999999999989)) AS mh0,
-        |    list_min(list_transform(shh, h -> (3*h + 7) % 999999999999989)) AS mh1,
-        |    list_min(list_transform(shh, h -> (5*h + 13) % 999999999999989)) AS mh2,
-        |    list_min(list_transform(shh, h -> (7*h + 31) % 999999999999989)) AS mh3,
-        |    list_min(list_transform(shh, h -> (11*h + 101) % 999999999999989)) AS mh4,
-        |    list_min(list_transform(shh, h -> (13*h + 1009) % 999999999999989)) AS mh5,
-        |    list_min(list_transform(shh, h -> (17*h + 10007) % 999999999999989)) AS mh6,
-        |    list_min(list_transform(shh, h -> (19*h + 100003) % 999999999999989)) AS mh7
+        |    list_min(list_transform(sh, h -> (2*h + 1) % 999999999999989)) AS mh0,
+        |    list_min(list_transform(sh, h -> (3*h + 7) % 999999999999989)) AS mh1,
+        |    list_min(list_transform(sh, h -> (5*h + 13) % 999999999999989)) AS mh2,
+        |    list_min(list_transform(sh, h -> (7*h + 31) % 999999999999989)) AS mh3,
+        |    list_min(list_transform(sh, h -> (11*h + 101) % 999999999999989)) AS mh4,
+        |    list_min(list_transform(sh, h -> (13*h + 1009) % 999999999999989)) AS mh5,
+        |    list_min(list_transform(sh, h -> (17*h + 10007) % 999999999999989)) AS mh6,
+        |    list_min(list_transform(sh, h -> (19*h + 100003) % 999999999999989)) AS mh7
         |  FROM f),
         |bands AS (
-        |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bkey FROM m
+        |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+        |    || '_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bkey FROM m
         |  UNION ALL
-        |  SELECT doc_id, '1_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM m
-        |  UNION ALL
-        |  SELECT doc_id, '2_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM m
-        |  UNION ALL
-        |  SELECT doc_id, '3_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM m),
+        |  SELECT doc_id, '1_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+        |    || '_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM m),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -534,8 +541,8 @@ object SparkEntry {
         |ch AS (
         |  SELECT doc_id, simhash,
         |    CAST(k AS VARCHAR) || '_' ||
-        |      CAST(CAST(floor(simhash / pow(2, 12 * k)) AS BIGINT) % 4096 AS VARCHAR) AS ckey
-        |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS k)),
+        |      CAST(CAST(floor(simhash / pow(2, 24 * k)) AS BIGINT) % 16777216 AS VARCHAR) AS ckey
+        |  FROM sh, (SELECT unnest([0, 1]) AS k)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.simhash AS sim_a, b.simhash AS sim_b

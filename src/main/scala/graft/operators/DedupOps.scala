@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
-import graft.operators.TextOps.{polyHash, words, wordShingles}
 
 /** Corpus deduplication for a training-data pipeline (north-star EXT):
   * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
@@ -62,9 +62,20 @@ object DedupOps {
       .filter(col("n_copies") > 1)
       .orderBy("rep_id")
 
-  /** Distinct word-trigram shingle set per row of `df`. */
+  /** Distinct hashed word-trigram shingle set per row of `df`.
+    *
+    * Shingle identity is the combined hash of the three WORD hashes
+    * ((wh1*31 + wh2) mod M * 31 + wh3) mod M — never a materialized
+    * "w1 w2 w3" string. Computed by the native codegen'd expressions
+    * (graft.functions.TextHashExpressions): the equivalent higher-order
+    * expressions are interpreted per element and profiled at ~10 ms per
+    * document at sf0.1 — a 50 s signature build for a 1 s scan, and
+    * CollapseProject multiplies it into every consumer. The native
+    * chain is one tight loop per row. Same values, DuckDB oracle
+    * unchanged (PropertySpec pins expression ≡ HOF ≡ JVM model). */
   private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("sh", array_distinct(wordShingles(words(col("text")), 3)))
+    df.withColumn("sh",
+        array_distinct(expr("shingle3_hashes(word_poly_hashes(lower(text)))")))
       .filter(size(col("sh")) > 0)
 
   private def jaccard(a: Column, b: Column): Column = {
@@ -89,26 +100,34 @@ object DedupOps {
   }
 
   /** Per-doc minhash signature (array of 8 mins over the permuted
-    * shingle hashes) and the 4 LSH band keys (2 rows/band). */
+    * shingle hashes) and the LSH band keys: 2 bands × 4 rows. Wide
+    * bands matter on this corpus — the shared ~30-word vocabulary gives
+    * random pairs Jaccard ≈ 0.1, and 2-row bands admit j² ≈ 1% of all
+    * pairs as candidates (quadratic blowup at sf0.1); 4-row bands admit
+    * j⁴ ≈ 0.01% while still catching the j ≥ 0.5 near-dups. */
   private def withMinhashBands(df: DataFrame): DataFrame = {
     val hashed = withShingles(df)
-      .withColumn("shh", transform(col("sh"), s => polyHash(s)))
     val sigs = MinhashParams.zipWithIndex.foldLeft(hashed) {
       case (acc, ((a, b), i)) =>
         acc.withColumn(s"mh$i",
-          array_min(transform(col("shh"), h => (lit(a.toLong) * h + b) % MinhashP)))
+          array_min(transform(col("sh"), h => (lit(a.toLong) * h + b) % MinhashP)))
     }
-    sigs.withColumn("bands", array((0 until 4).map(i =>
-      concat_ws("_", lit(i), col(s"mh${2 * i}"), col(s"mh${2 * i + 1}"))): _*))
+    sigs.withColumn("bands", array((0 until 2).map(i =>
+      concat_ws("_", lit(i), col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
+        col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}"))): _*))
   }
 
   /** MinHash+LSH near-dup detection over the dup-seeded corpus:
     * signature → band → bucket self-join → candidate pairs → exact
     * Jaccard verify (≥ 0.5). The candidate set is tiny relative to
-    * all-pairs; the verify join only touches candidates. */
+    * all-pairs; the verify join only touches candidates. Signatures are
+    * persisted: the plan references them three times (band explode and
+    * both verify sides) and recomputing the hash pipeline per reference
+    * tripled the query's cost at sf0.1. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = withMinhashBands(corpus(spark, sfDir))
       .select("doc_id", "sh", "bands")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"), explode(col("bands")).as("bkey"))
     val cands = bands.select(col("doc_id").as("doc_a"), col("bkey"))
       .join(bands.select(col("doc_id").as("doc_b"), col("bkey")), Seq("bkey"))
@@ -125,18 +144,12 @@ object DedupOps {
 
   /** 48-bit SimHash over the word-hash multiset: bit j is set when at
     * least half the words have bit j set in their hash. Row-local,
-    * shuffle-free. Bits limited to 48 because polyHash values carry ~50
-    * significant bits. h/2^j stays exact in double (mantissa ≤ 50 bits),
-    * floor+mod-2 extracts the bit portably on both engines. */
-  def simhashValue: Column = {
-    val whs = transform(words(col("text")), w => polyHash(w))
-    val n = size(whs)
-    aggregate(sequence(lit(0), lit(47)), lit(0L), (acc, j) => {
-      val pow2 = floor(pow(lit(2.0), j)).cast("long")
-      val cnt = size(filter(whs, h => pmod(floor(h / pow(lit(2.0), j)).cast("long"), lit(2)) === 1))
-      acc + when(cnt * 2 >= n, pow2).otherwise(lit(0L))
-    })
-  }
+    * shuffle-free, via the native simhash48 expression (one loop per
+    * row; the interpreted HOF form cost 48 array passes per document).
+    * Bits limited to 48 because polyHash values carry ~50 significant
+    * bits. */
+  def simhashValue: Column =
+    expr("simhash48(word_poly_hashes(lower(text)))")
 
   /** Per-doc SimHash fingerprints over the dup-seeded corpus. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
@@ -144,19 +157,24 @@ object DedupOps {
       .select(col("doc_id"), simhashValue.as("simhash"))
       .orderBy("doc_id")
 
-  /** SimHash near-dup pairs: band the 48 bits into 4×12-bit chunks,
+  /** SimHash near-dup pairs: band the 48 bits into 2×24-bit chunks,
     * bucket-join, then verify hamming distance via popcount(xor).
     * Threshold 1: the synthetic corpus draws on a ~30-word vocabulary,
     * so simhash saturates (most pairs land within hamming 8); ≤1 keeps
-    * only exact copies and single-bit neighbours. */
+    * only exact copies and single-bit neighbours — and by pigeonhole a
+    * ≤1-bit pair is identical in one of the two 24-bit halves, so two
+    * wide chunks give exact recall with far smaller buckets than
+    * narrow ones (12-bit chunks collided half the corpus at sf0.1).
+    * The signature side is persisted: both join sides reference it. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = corpus(spark, sfDir)
       .select(col("doc_id"), simhashValue.as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(k =>
+      explode(array((0 until 2).map(k =>
         concat_ws("_", lit(k),
-          pmod(floor(col("simhash") / pow(lit(2.0), lit(12 * k))).cast("long"),
-            lit(4096)))): _*)).as("ckey"))
+          pmod(floor(col("simhash") / pow(lit(2.0), lit(24 * k))).cast("long"),
+            lit(16777216L)))): _*)).as("ckey"))
     val cands = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("ckey"))
       .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("ckey")),
         Seq("ckey"))

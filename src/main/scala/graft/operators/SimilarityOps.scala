@@ -50,10 +50,20 @@ object SimilarityOps {
       acc + when(dot >= 0, floor(pow(lit(2.0), p)).cast("long")).otherwise(lit(0L))
     })
 
+  /** Vectors with their norm precomputed once per row: the pair stage
+    * then evaluates one dot product per pair instead of three (the
+    * interpreted HOF fold is the per-pair cost driver at sf0.1). The
+    * value of sqrt(<a,a>) is identical wherever it is computed, so the
+    * oracle (which inlines the norms per pair) still matches exactly. */
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dotd(col("emb"), col("emb"))))
+
+  /** Cosine from a precomputed-norm pair. */
+  private def cosinePre(a: Column, na: Column, b: Column, nb: Column): Column =
+    dotd(a, b) / (na * nb)
 
   /** Exact cosine top-10 for query vectors (vec_id < 5) against the full
     * corpus. The query side is broadcast; the corpus scan is the only
@@ -61,12 +71,13 @@ object SimilarityOps {
   def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("q_emb"), col("emb")).as("score"))
+        cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .orderBy("q_id", "rn")
@@ -78,13 +89,14 @@ object SimilarityOps {
   def lshAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir).withColumn("bucket", hyperplaneBucket(col("emb")))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("bucket"),
-        cosine(col("q_emb"), col("emb")).as("score"))
+        cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .orderBy("q_id", "rn")
@@ -94,11 +106,13 @@ object SimilarityOps {
     * analogue of DedupOps.ngramJaccardPairs: block, pair, verify). */
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("ea"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("eb"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("emb").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("label"),
-        cosine(col("ea"), col("eb")).as("cos"))
+        cosinePre(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
       .filter(col("cos") >= 0.3)
       .orderBy("vec_a", "vec_b")
   }

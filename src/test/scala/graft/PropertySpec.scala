@@ -41,6 +41,48 @@ class PropertySpec extends AnyFunSuite {
     samples.foreach(s => assert(got(s) == model(s), s"mismatch for ${s.take(30)}"))
   }
 
+  test("native hash expressions agree with the HOF forms and a JVM model") {
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(" "),
+      Gen.const("中文"), Gen.const("mot clé"))).map(_.mkString(" "))
+    val samples = Gen.listOfN(60, gen).sample.get.filter(_.nonEmpty)
+    def wordModel(s: String): Seq[Long] =
+      s.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+        .map(_.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % TextOps.HashMod))
+    val rows = samples.toDF("text")
+      .select(col("text"),
+        expr("poly_hash(text)"),
+        expr("word_poly_hashes(lower(text))"),
+        expr("shingle3_hashes(word_poly_hashes(lower(text)))"),
+        TextOps.polyHash(col("text")))
+      .as[(String, Long, Seq[Long], Seq[Long], Long)].collect()
+    rows.foreach { case (s, ph, whs, sh3, phHof) =>
+      assert(ph == phHof, s"poly_hash vs HOF for ${s.take(30)}")
+      assert(whs == wordModel(s), s"word_poly_hashes vs model for ${s.take(30)}")
+      val m = TextOps.HashMod
+      val expSh = whs.sliding(3).filter(_.size == 3)
+        .map(t => ((t(0) * 31 + t(1)) % m * 31 + t(2)) % m).toSeq
+      assert(sh3 == expSh, s"shingle3 vs model for ${s.take(30)}")
+    }
+  }
+
+  test("simhash48 expression matches a bit-counting JVM model") {
+    import spark.implicits._
+    val docs = Seq("alpha beta gamma delta", "one", "", "x y z x y z")
+    val got = docs.toDF("text")
+      .select(expr("simhash48(word_poly_hashes(lower(text)))"))
+      .as[Long].collect().toSeq
+    def model(s: String): Long = {
+      val whs = s.toLowerCase.split(" ").filter(_.nonEmpty)
+        .map(_.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % TextOps.HashMod))
+      (0 until 48).foldLeft(0L) { (acc, j) =>
+        val cnt = whs.count(h => ((h >>> j) & 1L) == 1L)
+        if (2 * cnt >= whs.length) acc | (1L << j) else acc
+      }
+    }
+    assert(got == docs.map(model))
+  }
+
   test("dedup keys: distinct md5 implies distinct text (md5 injective on corpus)") {
     import spark.implicits._
     val texts = Gen.listOfN(60, Gen.alphaStr).sample.get.distinct
