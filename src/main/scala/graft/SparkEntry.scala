@@ -32,6 +32,11 @@ object SparkEntry {
     "rel_intersect_customers"  -> RelationalOps.setOpsCustomers _,
     "rel_range_join_ship_lag"  -> RelationalOps.shipLagWithin30Days _,
     "rel_above_brand_avg"      -> RelationalOps.partsAboveBrandAvg _,
+    "rel_cube_orders"          -> RelationalOps.orderCube _,
+    "rel_except_customers"     -> RelationalOps.exceptCustomers _,
+    "rel_distinct_custs"       -> RelationalOps.distinctCustomersPerStatus _,
+    "rel_upsert_merge"         -> RelationalOps.upsertCustomers _,
+    "rel_median_price"         -> RelationalOps.medianPricePerBrand _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -41,6 +46,7 @@ object SparkEntry {
     "art_search_json"          -> ArticleOps.searchKeywordJson _,
     "art_inverted_index"       -> ArticleOps.invertedIndex _,
     "art_search_via_index"     -> ((s: SparkSession, d: String) => ArticleOps.searchViaIndex(s, d)),
+    "art_batch_report"         -> ArticleOps.batchReport _,
     // --- event analytics (batch forms of the streaming ops) ---
     "evt_tumbling_window"      -> EventOps.tumblingWindowStats _,
     "evt_sliding_window"       -> EventOps.slidingWindowStats _,
@@ -50,6 +56,7 @@ object SparkEntry {
     "evt_running_totals"       -> EventOps.userRunningTotals _,
     "evt_gaps"                 -> EventOps.eventGaps _,
     "evt_dedup_first"          -> EventOps.earliestEventPerUserType _,
+    "evt_lead_next"            -> EventOps.nextEvent _,
     "evt_pivot_types"          -> EventOps.userTypePivot _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
@@ -159,6 +166,50 @@ object SparkEntry {
         |  FROM part) t
         |WHERE CAST(p_retailprice AS DECIMAL(12,2)) * cnt > s
         |ORDER BY p_partkey""".stripMargin,
+    "rel_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "rel_except_customers" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_distinct_custs" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "rel_upsert_merge" ->
+      """WITH u AS (
+        |  SELECT c_custkey AS u_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) + 1000.0 AS u_acctbal,
+        |    'UPDATED' AS u_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT c_custkey,
+        |  COALESCE(u_acctbal, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)) AS acctbal,
+        |  COALESCE(u_mktsegment, c_mktsegment) AS mktsegment,
+        |  u_custkey IS NOT NULL AS was_updated
+        |FROM customer LEFT JOIN u ON c_custkey = u_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_median_price" ->
+      """SELECT p_brand, quantile_cont(p_retailprice, 0.5) AS median_price,
+        |  COUNT(*) AS n_parts
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "art_batch_report" ->
+      """WITH n AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS line_nb
+        |  FROM documents)
+        |SELECT CASE WHEN n_chars % 13 = 0 THEN 'error' ELSE 'ok' END AS outcome,
+        |  COUNT(*) AS n, MIN(line_nb) AS first_line, MAX(line_nb) AS last_line
+        |FROM n GROUP BY 1 ORDER BY outcome""".stripMargin,
+    "evt_lead_next" ->
+      """SELECT user_id, event_id,
+        |  lead(event_type) OVER w AS next_type,
+        |  (epoch_ms(lead(ts) OVER w) - epoch_ms(ts)) / 1000.0 AS secs_to_next
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "art_cleanse_text" ->
       """SELECT doc_id,
         |  trim(regexp_replace('<article><p>' || text || '</p></article>', '<[^>]*>', '', 'g')) AS clean_text

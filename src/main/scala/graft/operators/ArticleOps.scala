@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.UrlFunctions
 
@@ -161,6 +162,26 @@ object ArticleOps {
         // is what a downstream join would broadcast anyway
         concat_ws(",", sort_array(collect_set(col("doc_id")))).as("doc_ids"))
       .orderBy("term")
+
+  /** Reference O17 (`download_files` batch driver, index.py:190-212):
+    * number the input lines, give every row a per-row outcome (the
+    * reference's try/except skip, O24 — simulated deterministically
+    * here), and report `downloaded m / n` per outcome. The global
+    * row_number over an unpartitioned window mirrors the reference's
+    * sequential line counter — inherently single-partition, documented
+    * as such (at scale the natural key, not a sequence, is the id). */
+  def batchReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("doc_id")
+    docs(spark, sfDir)
+      .withColumn("line_nb", row_number().over(w).cast("long"))
+      .withColumn("outcome",
+        when(col("n_chars") % 13 === 0, "error").otherwise("ok"))
+      .groupBy("outcome")
+      .agg(count(lit(1)).as("n"),
+        min(col("line_nb")).as("first_line"),
+        max(col("line_nb")).as("last_line"))
+      .orderBy("outcome")
+  }
 
   /** Search via the inverted index: term lookup -> semi-join back to the
     * documents (the scalable form of `searchKeyword` — touches only the

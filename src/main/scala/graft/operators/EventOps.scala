@@ -108,6 +108,18 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** lead(): the next event's type and the seconds until it, per user —
+    * the forward-looking companion of [[eventGaps]]. */
+  def nextEvent(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("secs_to_next",
+        ((unix_millis(lead(col("ts"), 1).over(w)) - unix_millis(col("ts"))) / 1000.0))
+      .select("user_id", "event_id", "next_type", "secs_to_next")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Deterministic dedup: earliest event per (user_id, event_type) — the
     * batch analogue of streaming dropDuplicatesWithinWatermark (O7). */
   def earliestEventPerUserType(spark: SparkSession, sfDir: String): DataFrame =

@@ -197,6 +197,68 @@ object RelationalOps {
       .orderBy("l_orderkey")
   }
 
+  /** Cube over order status × priority (grouping-sets EXT, the cube
+    * companion of [[customerRollup]]). */
+  def orderCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           moneySum(col("o_totalprice")).as("sum_total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Set difference: BUILDING-segment customers that are NOT
+    * high-balance (completes the union/intersect/except triad of
+    * reference O7's set algebra). */
+  def exceptCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val building = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = cust.filter(col("c_acctbal") > 5000).select("c_custkey")
+    building.except(rich).orderBy("c_custkey")
+  }
+
+  /** Exact distinct-count per group (count_distinct shuffles on
+    * (status, custkey) for the partial phase — the exact form;
+    * approx_count_distinct (HLL) is the 100 TB form and is covered by a
+    * ScalaTest accuracy bound, since HLL sketches are not
+    * oracle-reproducible across engines). */
+  def distinctCustomersPerStatus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** Reference O15 (Mongo `$set` point update, apitestmongo.py:48-55) as
+    * merge semantics: updates table left-joined onto the base, new
+    * values coalesced over old per column. At production scale this is
+    * Delta/Iceberg MERGE; over parquet it is the same join shape. */
+  def upsertCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val updates = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("u_custkey"),
+        (money(col("c_acctbal")).cast("double") + 1000.0).as("u_acctbal"),
+        lit("UPDATED").as("u_mktsegment"))
+    cust.join(updates, col("c_custkey") === col("u_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("u_acctbal"), money(col("c_acctbal")).cast("double"))
+          .as("acctbal"),
+        coalesce(col("u_mktsegment"), col("c_mktsegment")).as("mktsegment"),
+        col("u_custkey").isNotNull.as("was_updated"))
+      .orderBy("c_custkey")
+  }
+
+  /** Median retail price per brand — exact interpolated percentile.
+    * Exact percentile shuffles all values per group (fine for bounded
+    * groups); at 100 TB approx_percentile is the sketch form. */
+  def medianPricePerBrand(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .groupBy("p_brand")
+      .agg(percentile(col("p_retailprice"), lit(0.5)).as("median_price"),
+           count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")
+
   /** Correlated-scalar shape: parts priced above their brand average.
     * Expressed as window avg (one shuffle) instead of a self-join. */
   def partsAboveBrandAvg(spark: SparkSession, sfDir: String): DataFrame = {

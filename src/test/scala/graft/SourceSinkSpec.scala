@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.UrlFunctions
+
+/** Source/sink coverage (SURVEY.md §2.2 scans/sources/sinks): the
+  * reference's seed-file source (O1), per-format round-trips, the
+  * file-byte sink naming rule (O16), and the HLL accuracy bound that
+  * replaces count_distinct at 100 TB. */
+class SourceSinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("O1 seed scan: read a URL list file, trim, drop blanks") {
+    import spark.implicits._
+    val f = Files.createTempFile("seeds", ".lst")
+    Files.writeString(f,
+      "https://www.example.com/a\n  \nhttps://www.example.com/b  \n\n")
+    val seeds = spark.read.text(f.toString)
+      .select(trim(col("value")).as("url"))
+      .filter(length(col("url")) > 0)
+      .as[String].collect().toSeq
+    assert(seeds == Seq("https://www.example.com/a", "https://www.example.com/b"))
+  }
+
+  test("CSV round-trip preserves schema and rows") {
+    import spark.implicits._
+    val dir = tmpDir("csv")
+    val df = Seq((1L, "a,b", 1.5), (2L, "c\"d", -0.25)).toDF("id", "s", "v")
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema("id LONG, s STRING, v DOUBLE").csv(dir)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("JSON lines round-trip including null fields") {
+    import spark.implicits._
+    val dir = tmpDir("json")
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "s")
+    df.write.mode("overwrite").json(dir)
+    val back = spark.read.schema("id LONG, s STRING").json(dir)
+    assert(back.orderBy("id").as[(Long, Option[String])].collect().toSeq ==
+      Seq((1L, Some("x")), (2L, None)))
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmpDir("part")
+    Tables.documents(spark, SparkFixture.sf0001)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("lang") === "en")
+    val planStr = one.queryExecution.executedPlan.toString
+    assert(one.count() > 0)
+    // partition filter must reach the scan, not survive as a row filter
+    assert(planStr.contains("PartitionFilters") || !planStr.contains("Filter"))
+    val full = spark.read.parquet(dir).count()
+    assert(full == Tables.documents(spark, SparkFixture.sf0001).count())
+  }
+
+  test("O16 file sink naming: url basename column") {
+    import spark.implicits._
+    val got = Seq("https://www.example.com/files/report7.pdf",
+      "https://www.example.com/x").toDF("url")
+      .select(UrlFunctions.urlBasename(col("url"))).as[String].collect().toSeq
+    assert(got == Seq("report7.pdf", "x"))
+  }
+
+  test("approx_count_distinct tracks exact distinct within 5%") {
+    import spark.implicits._
+    val ev = Tables.events(spark, SparkFixture.sf0001)
+    val (approx, exact) = ev.select(
+      approx_count_distinct(col("user_id")),
+      countDistinct(col("user_id"))).as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("to_json/from_json round-trip on event props") {
+    import spark.implicits._
+    val ev = Tables.events(spark, SparkFixture.sf0001).limit(100)
+    val round = ev.select(col("props"),
+      to_json(from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))).as("rt"))
+      .filter(col("props").isNotNull)
+    // parse -> serialize keeps every key/value pair (order may differ;
+    // maps are not directly comparable, so compare sorted entry arrays)
+    def entries(c: org.apache.spark.sql.Column) =
+      sort_array(map_entries(from_json(c,
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))))
+    val bad = round.filter(entries(col("props")) =!= entries(col("rt"))).count()
+    assert(bad == 0)
+  }
+}
