@@ -37,6 +37,8 @@ object SparkEntry {
     "rel_distinct_custs"       -> RelationalOps.distinctCustomersPerStatus _,
     "rel_upsert_merge"         -> RelationalOps.upsertCustomers _,
     "rel_median_price"         -> RelationalOps.medianPricePerBrand _,
+    "rel_full_outer"           -> RelationalOps.fullOuterSegments _,
+    "rel_rank_family"          -> RelationalOps.rankFamilyParts _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -57,6 +59,8 @@ object SparkEntry {
     "evt_gaps"                 -> EventOps.eventGaps _,
     "evt_dedup_first"          -> EventOps.earliestEventPerUserType _,
     "evt_lead_next"            -> EventOps.nextEvent _,
+    "evt_range_frame"          -> EventOps.rolling1hSum _,
+    "evt_topk_udaf"            -> EventOps.topEventsPerType _,
     "evt_pivot_types"          -> EventOps.userTypePivot _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
@@ -210,6 +214,33 @@ object SparkEntry {
         |  (epoch_ms(lead(ts) OVER w) - epoch_ms(ts)) / 1000.0 AS secs_to_next
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "rel_full_outer" ->
+      """WITH b AS (SELECT c_custkey AS b_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |p AS (SELECT o_custkey AS p_custkey, COUNT(*) AS n_pending
+        |      FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+        |SELECT COALESCE(b_custkey, p_custkey) AS custkey,
+        |  b_custkey IS NOT NULL AS in_building,
+        |  COALESCE(n_pending, 0) AS n_pending
+        |FROM b FULL OUTER JOIN p ON b_custkey = p_custkey
+        |ORDER BY custkey""".stripMargin,
+    "rel_rank_family" ->
+      """SELECT p_brand, p_partkey, rnk, drnk, quartile FROM (
+        |  SELECT p_brand, p_partkey,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile
+        |  FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)) t
+        |WHERE rnk <= 8 ORDER BY p_brand, rnk, p_partkey""".stripMargin,
+    "evt_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "evt_topk_udaf" ->
+      """SELECT event_type,
+        |  array_to_string((list(event_id ORDER BY value DESC, event_id))[1:3], ',') AS top_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "art_cleanse_text" ->
       """SELECT doc_id,
         |  trim(regexp_replace('<article><p>' || text || '</p></article>', '<[^>]*>', '', 'g')) AS clean_text

@@ -108,6 +108,32 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** RANGE-frame window: per-user rolling 1-hour sum of value, keyed on
+    * event-time millis (ties at the same timestamp all join the frame —
+    * standard RANGE semantics, deterministic without a row tiebreak). */
+  def rolling1hSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("rolling_1h",
+        sum(money(col("value"))).over(w).cast("double"))
+      .select("user_id", "event_id", "rolling_1h")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Typed-Aggregator UDAF: top-3 event ids by value per event type
+    * (graft.functions.TopKAggregator — bounded k-row buffers map-side,
+    * so the shuffle is k rows per partition per group). */
+  def topEventsPerType(spark: SparkSession, sfDir: String): DataFrame = {
+    val topk = graft.functions.TopKAggregator.topK(3)
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(topk(col("event_id"), col("value")).as("top_ids"))
+      .orderBy("event_type")
+  }
+
   /** lead(): the next event's type and the seconds until it, per user —
     * the forward-looking companion of [[eventGaps]]. */
   def nextEvent(spark: SparkSession, sfDir: String): DataFrame = {

@@ -259,6 +259,38 @@ object RelationalOps {
            count(lit(1)).as("n_parts"))
       .orderBy("p_brand")
 
+  /** Full outer join: BUILDING-segment membership vs pending-order
+    * counts — rows survive from either side, key coalesced. */
+  def fullOuterSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val building = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("b_custkey"))
+    val pending = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey").as("p_custkey"))
+      .agg(count(lit(1)).as("n_pending"))
+    building.join(pending, col("b_custkey") === col("p_custkey"), "full_outer")
+      .select(
+        coalesce(col("b_custkey"), col("p_custkey")).as("custkey"),
+        col("b_custkey").isNotNull.as("in_building"),
+        coalesce(col("n_pending"), lit(0L)).as("n_pending"))
+      .orderBy("custkey")
+  }
+
+  /** Ranking-function family over one window: rank, dense_rank, ntile
+    * (deterministic: ordering includes the unique p_partkey). */
+  def rankFamilyParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_partkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .filter(col("rnk") <= 8)
+      .orderBy("p_brand", "rnk", "p_partkey")
+  }
+
   /** Correlated-scalar shape: parts priced above their brand average.
     * Expressed as window avg (one shuffle) instead of a self-join. */
   def partsAboveBrandAvg(spark: SparkSession, sfDir: String): DataFrame = {

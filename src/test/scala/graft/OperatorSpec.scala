@@ -124,6 +124,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("rn") <= 10))
   }
 
+  test("TopK aggregator: bounded buffer, deterministic under ties") {
+    import spark.implicits._
+    val topk = graft.functions.TopKAggregator.topK(2)
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 1.0),
+      ("b", 9L, 0.0)).toDF("g", "id", "v")
+    val got = df.groupBy("g").agg(topk(col("id"), col("v")).as("top"))
+      .orderBy("g").as[(String, String)].collect().toSeq
+    // ties on score break by ascending id; k bounds the output
+    assert(got == Seq(("a", "1,2"), ("b", "9")))
+  }
+
   test("decode stub is deterministic and total on empty input") {
     val f = MultimodalOps.MediaDecoder.decodeStub(7L, "abc".getBytes)
     assert(f == MultimodalOps.MediaDecoder.decodeStub(7L, "abc".getBytes))
