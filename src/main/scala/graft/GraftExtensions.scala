@@ -12,6 +12,7 @@ import graft.functions.{PolyHashExpr, Shingle3HashesExpr, SimHash48Expr, WordPol
   * entry point (Verify/Bench/EntrySmoke/tests) does. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.TokenSearchRewrite)
     ext.injectFunction((
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),

@@ -61,6 +61,7 @@ object SparkEntry {
     "evt_lead_next"            -> EventOps.nextEvent _,
     "evt_range_frame"          -> EventOps.rolling1hSum _,
     "evt_topk_udaf"            -> EventOps.topEventsPerType _,
+    "evt_salted_totals"        -> EventOps.saltedUserTotals _,
     "evt_pivot_types"          -> EventOps.userTypePivot _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
@@ -241,6 +242,11 @@ object SparkEntry {
       """SELECT event_type,
         |  array_to_string((list(event_id ORDER BY value DESC, event_id))[1:3], ',') AS top_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "evt_salted_totals" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "art_cleanse_text" ->
       """SELECT doc_id,
         |  trim(regexp_replace('<article><p>' || text || '</p></article>', '<[^>]*>', '', 'g')) AS clean_text

@@ -156,6 +156,22 @@ object EventOps {
            count(lit(1)).as("n"))
       .orderBy("user_id", "event_type")
 
+  /** Skew-mitigation shape: two-phase salted aggregation. Phase 1
+    * splits every group key across 8 salt buckets (hot keys fan out
+    * over 8 reducers instead of one); phase 2 merges the partial
+    * aggregates. Results are exactly the direct aggregation (decimal
+    * partials re-summed exactly), which is what the oracle checks —
+    * the point of the query is the plan shape under a skewed key. */
+  def saltedUserTotals(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy("user_id", "salt")
+      .agg(sum(money(col("value"))).as("psum"), count(lit(1)).as("pn"))
+      .groupBy("user_id")
+      .agg(sum(col("psum")).cast("double").as("total_value"),
+           sum(col("pn")).as("n"))
+      .orderBy("user_id")
+
   /** Pivot: per-user counts by event type (fixed value list so the plan
     * is a single agg, no extra distinct pass). */
   def userTypePivot(spark: SparkSession, sfDir: String): DataFrame =

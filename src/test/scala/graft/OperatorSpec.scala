@@ -124,6 +124,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("rn") <= 10))
   }
 
+  test("TokenSearchRewrite: plan rewritten to locate, results unchanged") {
+    import spark.implicits._
+    // stop constant folding from collapsing the literal test relation
+    // before the rewrite is observable
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try {
+      val df = Seq("spark rules", "sparkles", "a spark", "spark", "no match")
+        .toDF("text")
+        .filter(array_contains(split(lower(col("text")), " "), "spark"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("locate"), s"rule did not fire:\n$optimized")
+      assert(!optimized.contains("array_contains"))
+      // whole-token semantics preserved (no substring false-positives)
+      assert(df.as[String].collect().toSet ==
+        Set("spark rules", "a spark", "spark"))
+      // spaced keywords are left alone
+      val spaced = Seq("a b").toDF("text")
+        .filter(array_contains(split(col("text"), " "), "a b"))
+      assert(spaced.queryExecution.optimizedPlan.toString.contains("array_contains"))
+      assert(spaced.count() == 0)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("TopK aggregator: bounded buffer, deterministic under ties") {
     import spark.implicits._
     val topk = graft.functions.TopKAggregator.topK(2)
