@@ -70,6 +70,7 @@ object SparkEntry {
     "txt_quality"              -> TextOps.qualityScore _,
     "txt_langid"               -> TextOps.langId _,
     "txt_fingerprint"          -> TextOps.fingerprint _,
+    "txt_tfidf_top"            -> TextOps.tfidfTopTerms _,
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
     "dd_ngram_jaccard"         -> DedupOps.ngramJaccardPairs _,
@@ -487,6 +488,24 @@ object SparkEntry {
         |      list_transform(string_split(sh, ''), c -> ascii(c))),
         |      (h, c) -> (h * 31 + c) % 1000000000000000))) AS fp_min_shingle
         |FROM s ORDER BY doc_id""".stripMargin,
+    "txt_tfidf_top" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * n.n AS DOUBLE) / dfq.df AS score
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
     "dd_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents

@@ -122,6 +122,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF-style salient terms: term frequency per doc × rational
+    * inverse document frequency (N/df — no log, so the score is exact
+    * integer arithmetic finished by one double division and stays
+    * bitwise-reproducible; libm log is not guaranteed identical across
+    * engines). Top-3 terms per doc. Plan shape: one shuffle for tf on
+    * (doc, term), the small df and N sides broadcast back, window
+    * rank inside doc partitions — the standard corpus-statistics
+    * pipeline at any scale. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = docs(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(spark, sfDir).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("doc_id", "rn")
+  }
+
   /** Document fingerprints: whole-text rolling hash (exact-dup key) and
     * the minimum word-trigram shingle hash (a 1-element MinHash — the
     * near-dup key; DedupOps widens this to full MinHash+LSH). */

@@ -69,6 +69,60 @@ object EventStreamOps {
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
     user_id: Long, event_type: String, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Custom sessionization with flatMapGroupsWithState + event-time
+    * timeout: sessions accumulate in per-user state and are EMITTED
+    * EXACTLY ONCE, when closed — either by a later in-batch event
+    * beyond the gap, or by the watermark passing end+gap (the timeout).
+    * This is the fully-custom form of [[sessionAggregate]] (use it when
+    * session_window's fixed semantics don't fit); state is one record
+    * per open session, reclaimed on timeout — bounded like the
+    * reference's frontier sets never were (index.py:117-120). */
+  def sessionAssembly(spark: SparkSession, events: DataFrame,
+                      gapMs: Long = 30L * 60 * 1000,
+                      watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.withWatermark("ts", watermark)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          def close(s: SessionState) = SessionOut(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end + gapMs),
+            s.n, s.total)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close)
+            state.remove()
+            out.iterator
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= close(s)
+                  Some(SessionState(t, t, 1, e.value))
+                case None => Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF()
+  }
 
   /** Arbitrary stateful processing: per-user running totals carried
     * across micro-batches via mapGroupsWithState (update mode). The

@@ -70,6 +70,32 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sessionAssembly emits a session once, when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreamOps.sessionAssembly(spark, mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two events 5 min apart -> one open session for user 1
+      mem.addData(EventRow(1L, ts(0), 1L, "click", 1.0),
+        EventRow(2L, ts(5), 1L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // still open
+      // an event 2h later pushes the watermark past end+gap -> closes it
+      mem.addData(EventRow(3L,
+        Timestamp.valueOf("2026-01-01 12:00:00"), 2L, "view", 3.0))
+      q.processAllAvailable()
+      mem.addData(EventRow(4L,
+        Timestamp.valueOf("2026-01-01 12:30:00"), 2L, "view", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(got == Set((1L, ts(0), ts(35), 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

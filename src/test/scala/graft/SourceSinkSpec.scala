@@ -68,6 +68,31 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(got == Seq("report7.pdf", "x"))
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, SparkFixture.sf0001)
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("orders_bucketed")
+      Tables.customer(spark, SparkFixture.sf0001)
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("customer_bucketed")
+      val joined = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the key: the join needs no shuffle
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+    }
+  }
+
   test("approx_count_distinct tracks exact distinct within 5%") {
     import spark.implicits._
     val ev = Tables.events(spark, SparkFixture.sf0001)
