@@ -175,6 +175,23 @@ class OperatorSpec extends AnyFunSuite {
       r.getAs[Long]("frame_off") == r.getAs[Long]("frame_idx") * 16 + 1 })
   }
 
+  test("O24 row-level tolerance: Try-wrapped typed map yields (ok, err) columns") {
+    import spark.implicits._
+    // the reference skips bad rows with try/except (index.py:124-129);
+    // the engine form captures the outcome per row and keeps the batch alive
+    val parsed = Seq("https://ok.example/x", "::not a url::", "https://ok.example/y")
+      .toDS()
+      .map { s =>
+        scala.util.Try(java.net.URI.create(s).getHost) match {
+          case scala.util.Success(h) => (s, h, null: String)
+          case scala.util.Failure(e) => (s, null: String, e.getClass.getSimpleName)
+        }
+      }
+      .toDF("url", "host", "err")
+    assert(parsed.filter(col("err").isNull).count() == 2)
+    assert(parsed.filter(col("err").isNotNull).count() == 1)
+  }
+
   test("frontier BFS reaches only nodes on the synthetic ring and labels minimum depth") {
     val out = GraphOps.frontierBfs(spark, sf0001).collect()
     assert(out.map(_.getAs[Long]("node")).distinct.length == out.length)
