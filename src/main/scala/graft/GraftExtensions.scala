@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{PolyHashExpr, Shingle3HashesExpr, SimHash48Expr, WordPolyHashesExpr}
+import graft.functions.{PolyHashExpr, Shingle3HashesExpr, SimHash48Expr, SortedIntersectCountExpr, WordPolyHashesExpr}
 
 /** Engine extension point (SURVEY.md §7.4 custom work): registers the
   * native hash expressions as SQL functions so queries reach them via
@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Shingle3HashesExpr].getName, "shingle3_hashes"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Shingle3HashesExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCountExpr].getName, "sorted_intersect_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectCountExpr(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48Expr].getName, "simhash48"),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -77,6 +77,23 @@ object TextHashExpressions {
     new GenericArrayData(out)
   }
 
+  /** Count of common elements of two SORTED distinct long arrays — one
+    * merge scan, no per-call hash set (array_intersect allocates an
+    * OpenHashSet per invocation, which dominates pair-verify joins). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** 48-bit SimHash over a word-hash array: bit j set iff at least half
     * the hashes have bit j set. */
   def simHash48(arr: ArrayData): Long = {
@@ -145,6 +162,24 @@ case class Shingle3HashesExpr(child: Expression)
       c => s"graft.functions.TextHashExpressions.shingle3Hashes($c)")
   override protected def withNewChildInternal(newChild: Expression): Shingle3HashesExpr =
     copy(child = newChild)
+}
+
+/** sorted_intersect_count(array<long>, array<long>) — merge-scan count
+  * of common elements; both inputs must be sorted distinct. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashExpressions.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashExpressions.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** simhash48(array<long>) — 48-bit majority-bit SimHash as LongType. */

@@ -75,11 +75,18 @@ object DedupOps {
     * unchanged (PropertySpec pins expression ≡ HOF ≡ JVM model). */
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("sh",
-        array_distinct(expr("shingle3_hashes(word_poly_hashes(lower(text)))")))
+        sort_array(array_distinct(
+          expr("shingle3_hashes(word_poly_hashes(lower(text)))"))))
       .filter(size(col("sh")) > 0)
 
+  /** Jaccard over the sorted distinct shingle sets. The intersect count
+    * is the native merge-scan expression: array_intersect allocates a
+    * hash set per pair, which dominated the 622k-pair verify stage at
+    * sf0.1; sorting once per row buys an allocation-free per-pair scan.
+    * Count of common distinct elements is order-independent, so the
+    * DuckDB oracle (list_intersect) is unchanged. */
   private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
+    val inter = call_function("sorted_intersect_count", a, b)
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 

@@ -40,7 +40,9 @@ object GraphOps {
         .distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .localCheckpoint() // cap lineage: each round starts from materialized state
-      visited = visited.union(next).localCheckpoint()
+      // visited is a union of already-checkpointed frontiers — cheap
+      // lineage, no second materialization per round
+      visited = visited.union(next)
       frontier = next
     }
     visited.orderBy("node")

@@ -83,6 +83,18 @@ class PropertySpec extends AnyFunSuite {
     assert(got == docs.map(model))
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on random sets") {
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.chooseNum(0L, 30L)).map(_.distinct.sorted)
+    val pairs = Gen.listOfN(50, Gen.zip(gen, gen)).sample.get
+    val rows = pairs.toDF("a", "b")
+      .select(
+        expr("sorted_intersect_count(a, b)"),
+        size(array_intersect(col("a"), col("b"))))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (got, exp) => assert(got == exp) }
+  }
+
   test("dedup keys: distinct md5 implies distinct text (md5 injective on corpus)") {
     import spark.implicits._
     val texts = Gen.listOfN(60, Gen.alphaStr).sample.get.distinct
