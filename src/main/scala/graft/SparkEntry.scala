@@ -80,6 +80,7 @@ object SparkEntry {
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
     "sim_lsh_ann"              -> SimilarityOps.lshAnnTopK _,
+    "sim_ivf_ann"              -> SimilarityOps.ivfAnnTopK _,
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
     // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
@@ -699,6 +700,36 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
         |  FROM s)
         |SELECT q_id, vec_id, bucket, score, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "sim_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+        |      FROM n WHERE vec_id % 97 = 0),
+        |a0 AS (
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * cemb[i])), (x, y) -> x + y) / (nrm * cnrm) AS cscore
+        |  FROM n CROSS JOIN c),
+        |a AS (
+        |  SELECT vec_id, emb, nrm, cent_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC, cent_id) AS arn FROM a0) t
+        |  WHERE arn = 1),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cent_id
+        |      FROM a WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q_id, a.vec_id, a.cent_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
+        |  FROM q JOIN a ON q.cent_id = a.cent_id AND a.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, cent_id, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT q_id, vec_id, cent_id, score, rn FROM r WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin,
     "dd_emb_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |p AS (

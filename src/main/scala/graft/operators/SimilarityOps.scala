@@ -102,6 +102,39 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
+  /** IVF-style ANN: the second scale path besides LSH. A deterministic
+    * centroid subset (every 97th vector — grows with the corpus like a
+    * sampled codebook), each vector assigned to its nearest centroid
+    * (one broadcast of the centroid set against a single corpus scan),
+    * queries probe ONLY their own centroid's inverted list. Candidate
+    * cost is corpus/k per query; recall trades against nprobe=1. */
+  def ivfAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cent_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"),
+        cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select("vec_id", "emb", "nrm", "cent_id")
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(q), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cent_id"),
+        cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy("q_id", "rn")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on `label` (the embedding
     * analogue of DedupOps.ngramJaccardPairs: block, pair, verify). */
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
