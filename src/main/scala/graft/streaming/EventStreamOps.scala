@@ -73,6 +73,26 @@ object EventStreamOps {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
+  /** Stream-stream inner join: purchases matched to same-user signups
+    * within one hour. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so each side's state buffer
+    * is reclaimable — the two requirements for unbounded stream-stream
+    * joins. (Batch analogue: the as-of window in EventOps.) */
+  def purchasesAfterSignup(events: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    purchases.join(signups,
+      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR"))
+      .select(col("p_event"), col("p_user").as("user_id"),
+        col("p_ts"), col("s_ts"))
+  }
+
   /** Custom sessionization with flatMapGroupsWithState + event-time
     * timeout: sessions accumulate in per-user state and are EMITTED
     * EXACTLY ONCE, when closed — either by a later in-batch event

@@ -96,6 +96,25 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to signups within the hour") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreamOps.purchasesAfterSignup(mem.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        EventRow(1L, ts(0), 1L, "signup", 0.0),
+        EventRow(2L, ts(30), 1L, "purchase", 9.0),   // within the hour -> match
+        EventRow(3L, ts(10), 2L, "purchase", 5.0),   // user 2 never signed up
+        EventRow(4L, Timestamp.valueOf("2026-01-01 12:30:00"), 1L, "purchase", 7.0)) // >1h
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").select("p_event").as[Long].collect().toSet
+      assert(got == Set(2L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
