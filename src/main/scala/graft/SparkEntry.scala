@@ -71,6 +71,7 @@ object SparkEntry {
     "txt_langid"               -> TextOps.langId _,
     "txt_fingerprint"          -> TextOps.fingerprint _,
     "txt_tfidf_top"            -> TextOps.tfidfTopTerms _,
+    "pipe_curation"            -> TextOps.curateCorpus _,
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
     "dd_ngram_jaccard"         -> DedupOps.ngramJaccardPairs _,
@@ -507,6 +508,28 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
+    "pipe_curation" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        |m AS (
+        |  SELECT c.doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus c JOIN keepers k ON c.doc_id = k.doc_id),
+        |s AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.5
+        |      + (CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(ws)) * 0.3
+        |      + 0.2 AS quality_score
+        |  FROM m)
+        |SELECT doc_id, n_tokens, quality_score FROM s
+        |WHERE quality_score >= 0.45 AND n_tokens BETWEEN 20 AND 400
+        |ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents

@@ -122,6 +122,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus curation — the composed pipeline an LLM data
+    * team runs, as one dataflow: exact-dedup keep-one (content-hash
+    * groupBy over the dup-seeded corpus) → quality gate (lexical
+    * diversity + stopword share) → token budget. Demonstrates that the
+    * operator families compose into the full workload; every stage is
+    * a shape already verified on its own. */
+  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = DedupOps.corpus(spark, sfDir)
+    val keepers = corpus
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val ws = words(col("text"))
+    val nTok = size(ws)
+    val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    val quality =
+      (size(array_distinct(ws)).cast("double") / nTok) * 0.5 +
+      (size(filter(ws, w => array_contains(stop, w))).cast("double") / nTok) * 0.3 +
+      0.2
+    corpus.join(keepers, Seq("doc_id"), "left_semi")
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("quality_score", quality)
+      .filter(col("quality_score") >= 0.45 &&
+        col("n_tokens").between(20, 400))
+      .select("doc_id", "n_tokens", "quality_score")
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF-style salient terms: term frequency per doc × rational
     * inverse document frequency (N/df — no log, so the score is exact
     * integer arithmetic finished by one double division and stays
