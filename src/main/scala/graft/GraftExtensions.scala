@@ -11,32 +11,39 @@ import graft.functions.{PolyHashExpr, Shingle3HashesExpr, SimHash48Expr, SortedI
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — every
   * entry point (Verify/Bench/EntrySmoke/tests) does. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def arity(name: String, n: Int)(
+      b: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    children => {
+      require(children.length == n,
+        s"$name expects $n argument(s), got ${children.length}")
+      b(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.TokenSearchRewrite)
     ext.injectFunction((
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        PolyHashExpr(children.head)))
+      arity("poly_hash", 1)(children => PolyHashExpr(children.head))))
     ext.injectFunction((
       new FunctionIdentifier("word_poly_hashes"),
       new ExpressionInfo(classOf[WordPolyHashesExpr].getName, "word_poly_hashes"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        WordPolyHashesExpr(children.head)))
+      arity("word_poly_hashes", 1)(children => WordPolyHashesExpr(children.head))))
     ext.injectFunction((
       new FunctionIdentifier("shingle3_hashes"),
       new ExpressionInfo(classOf[Shingle3HashesExpr].getName, "shingle3_hashes"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Shingle3HashesExpr(children.head)))
+      arity("shingle3_hashes", 1)(children => Shingle3HashesExpr(children.head))))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCountExpr].getName, "sorted_intersect_count"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SortedIntersectCountExpr(children.head, children(1))))
+      arity("sorted_intersect_count", 2)(children =>
+        SortedIntersectCountExpr(children.head, children(1)))))
     ext.injectFunction((
       new FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48Expr].getName, "simhash48"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash48Expr(children.head)))
+      arity("simhash48", 1)(children => SimHash48Expr(children.head))))
   }
 }

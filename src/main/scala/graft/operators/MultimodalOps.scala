@@ -92,8 +92,12 @@ object MultimodalOps {
       .filter(col("media_type") === "video")
       .withColumn("n_frames", (col("meta.n_bytes") / 16).cast("long"))
       .withColumn("step", greatest(lit(1L), (col("n_frames") / 4).cast("long")))
+      // guard: sequence(0, -1) throws on sub-16-byte payloads; the empty
+      // array explodes to zero rows, matching the oracle's range(0, 0)
       .withColumn("frame_idx",
-        explode(sequence(lit(0L), col("n_frames") - 1, col("step"))))
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0L), col("n_frames") - 1, col("step")))
+          .otherwise(array().cast("array<bigint>"))))
       .select(
         col("doc_id"),
         col("frame_idx"),

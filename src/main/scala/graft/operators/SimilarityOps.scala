@@ -115,12 +115,15 @@ object SimilarityOps {
         col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("cent_id"))
+    // persisted: referenced as both the query side and the corpus side of
+    // the probe join — without it the cross-join assignment runs twice
     val assigned = e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"),
         cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select("vec_id", "emb", "nrm", "cent_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("cent_id"))

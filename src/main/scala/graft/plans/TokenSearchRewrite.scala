@@ -37,8 +37,12 @@ object TokenSearchRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // limit must be the unlimited default (-1): a bounded split keeps
+      // separators inside the last element, which the substring probe
+      // would wrongly match
       case ArrayContains(
-            StringSplit(text, Literal(sep: UTF8String, StringType), _),
+            StringSplit(text, Literal(sep: UTF8String, StringType),
+              Literal(-1, _)),
             Literal(kw: UTF8String, StringType))
           if sep == Space && plainToken(kw) =>
         val padded = Concat(Seq(

@@ -54,8 +54,11 @@ class SourceSinkSpec extends AnyFunSuite {
     val one = spark.read.parquet(dir).filter(col("lang") === "en")
     val planStr = one.queryExecution.executedPlan.toString
     assert(one.count() > 0)
-    // partition filter must reach the scan, not survive as a row filter
-    assert(planStr.contains("PartitionFilters") || !planStr.contains("Filter"))
+    // the lang predicate must appear INSIDE the scan's PartitionFilters
+    // list (the node prints 'PartitionFilters: []' even when empty, so
+    // a bare contains check would be vacuous)
+    assert(planStr.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang filter not pushed to partition pruning:\n$planStr")
     val full = spark.read.parquet(dir).count()
     assert(full == Tables.documents(spark, SparkFixture.sf0001).count())
   }
