@@ -33,6 +33,7 @@ object SparkEntry {
     "rel_range_join_ship_lag"  -> RelationalOps.shipLagWithin30Days _,
     "rel_above_brand_avg"      -> RelationalOps.partsAboveBrandAvg _,
     "rel_cube_orders"          -> RelationalOps.orderCube _,
+    "rel_grouping_sets"        -> RelationalOps.orderGroupingSets _,
     "rel_except_customers"     -> RelationalOps.exceptCustomers _,
     "rel_distinct_custs"       -> RelationalOps.distinctCustomersPerStatus _,
     "rel_upsert_merge"         -> RelationalOps.upsertCustomers _,
@@ -178,6 +179,12 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "rel_except_customers" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -207,6 +207,18 @@ object RelationalOps {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Arbitrary GROUPING SETS (beyond rollup/cube): per-status totals,
+    * per-priority totals, and the grand total — but not the cross. */
+  def orderGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           moneySum(col("o_totalprice")).as("sum_total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Set difference: BUILDING-segment customers that are NOT
     * high-balance (completes the union/intersect/except triad of
     * reference O7's set algebra). */

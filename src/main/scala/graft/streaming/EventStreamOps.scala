@@ -73,6 +73,12 @@ object EventStreamOps {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
+  /** Stream-static join: enrich the event stream with a static
+    * dimension (broadcastable per micro-batch — the streaming analogue
+    * of the relational core's broadcast dim joins). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+
   /** Stream-stream inner join: purchases matched to same-user signups
     * within one hour. Both sides carry watermarks and the join
     * condition bounds event-time distance, so each side's state buffer

@@ -96,6 +96,23 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[EventRow]
+    val q = EventStreamOps.enrichWithDim(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("enriched").select("user_id", "tier")
+        .as[(Long, Option[String])].collect().toSet
+      assert(got == Set((1L, Some("gold")), (2L, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches purchases to signups within the hour") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

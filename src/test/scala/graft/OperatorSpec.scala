@@ -145,6 +145,12 @@ class OperatorSpec extends AnyFunSuite {
         .filter(array_contains(split(col("text"), " "), "a b"))
       assert(spaced.queryExecution.optimizedPlan.toString.contains("array_contains"))
       assert(spaced.count() == 0)
+      // bounded split keeps separators in its last element: must NOT be
+      // rewritten (and the row must not match)
+      val limited = Seq("a b c").toDF("text")
+        .filter(array_contains(split(col("text"), " ", 2), "c"))
+      assert(limited.queryExecution.optimizedPlan.toString.contains("array_contains"))
+      assert(limited.count() == 0)
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
