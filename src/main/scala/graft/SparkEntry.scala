@@ -55,6 +55,7 @@ object SparkEntry {
     "evt_sliding_window"       -> EventOps.slidingWindowStats _,
     "evt_session_windows"      -> EventOps.sessionWindows _,
     "evt_asof_purchase_signup" -> EventOps.asofPurchaseSignup _,
+    "evt_asof_merge"           -> AsOfJoinOps.purchaseSignupMerge _,
     "evt_json_props"           -> EventOps.jsonPropsStats _,
     "evt_running_totals"       -> EventOps.userRunningTotals _,
     "evt_gaps"                 -> EventOps.eventGaps _,
@@ -377,6 +378,18 @@ object SparkEntry {
         |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "evt_asof_purchase_signup" ->
+      """SELECT event_id, user_id, ts, last_signup_ts FROM (
+        |  SELECT event_id, user_id, ts, kind,
+        |    max(CASE WHEN kind = 0 THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, kind, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |  FROM (SELECT event_id, user_id, ts,
+        |          CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS kind
+        |        FROM events WHERE event_type IN ('signup', 'purchase')) t) x
+        |WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    // same oracle as evt_asof_purchase_signup: the merge-join operator
+    // must reproduce the window formulation exactly
+    "evt_asof_merge" ->
       """SELECT event_id, user_id, ts, last_signup_ts FROM (
         |  SELECT event_id, user_id, ts, kind,
         |    max(CASE WHEN kind = 0 THEN ts END) OVER (

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed sort-merge AS-OF join (SURVEY.md §2.2 joins: the
+  * operator Spark lacks natively). For every left row, find the latest
+  * right row with the same key and ts ≤ left.ts.
+  *
+  * The window formulation (EventOps.asofPurchaseSignup: union + running
+  * max) answers the single-table case; this operator is the general
+  * two-table form, built the way a native engine builds it:
+  *
+  *  1. hash-repartition BOTH inputs on the key with the SAME
+  *     partitioner (co-partitioning — one shuffle per side, like a
+  *     shuffled-hash join),
+  *  2. sort within partitions by (key, ts),
+  *  3. zip the partition pairs and run a streaming two-iterator merge —
+  *     O(n+m) per partition, constant memory beyond one buffered row.
+  *
+  * This is the sanctioned per-partition-imperative case (genuine merge
+  * algorithm; no driver collect, no state larger than one row).
+  * Verified against the SAME DuckDB oracle as the window form — both
+  * must produce identical output. */
+object AsOfJoinOps {
+
+  final case class LeftRow(event_id: Long, user_id: Long, tsMicros: Long)
+  final case class RightRow(user_id: Long, tsMicros: Long)
+  final case class AsOfOut(event_id: Long, user_id: Long, tsMicros: Long,
+    asofMicros: Option[Long])
+
+  /** Generic as-of: left rows get the latest right tsMicros ≤ their own,
+    * per user_id. Both inputs any partitioning; output is a Dataset of
+    * AsOfOut. */
+  def asofJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
+               partitions: Int): DataFrame = {
+    import spark.implicits._
+    val l = left
+      .repartition(partitions, col("user_id"))
+      .sortWithinPartitions("user_id", "tsMicros", "event_id")
+      .as[LeftRow]
+    val r = right
+      .repartition(partitions, col("user_id"))
+      .sortWithinPartitions("user_id", "tsMicros")
+      .as[RightRow]
+    // identical HashPartitioning expressions => co-partitioned RDDs
+    val merged = l.rdd.zipPartitions(r.rdd) { (li, ri) =>
+      val rBuf = ri.buffered
+      var curUser = Long.MinValue
+      var lastTs = Option.empty[Long]
+      li.map { e =>
+        if (e.user_id != curUser) { curUser = e.user_id; lastTs = None }
+        // advance the right side through all rows at-or-before e
+        while (rBuf.hasNext && (rBuf.head.user_id < curUser ||
+            (rBuf.head.user_id == curUser && rBuf.head.tsMicros <= e.tsMicros))) {
+          val rr = rBuf.next()
+          if (rr.user_id == curUser) lastTs = Some(rr.tsMicros)
+        }
+        AsOfOut(e.event_id, e.user_id, e.tsMicros, lastTs)
+      }
+    }
+    spark.createDataset(merged).toDF()
+  }
+
+  /** The purchase←signup as-of via the merge operator, shaped to match
+    * EventOps.asofPurchaseSignup's oracle exactly. */
+  def purchaseSignupMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsMicros"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+    val parts = spark.sparkContext.defaultParallelism
+    asofJoin(spark, purchases, signups, parts)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("tsMicros")).as("ts"),
+        timestamp_micros(col("asofMicros")).as("last_signup_ts"))
+      .orderBy("event_id")
+  }
+}

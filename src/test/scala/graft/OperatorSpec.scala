@@ -181,6 +181,21 @@ class OperatorSpec extends AnyFunSuite {
       r.getAs[Long]("frame_off") == r.getAs[Long]("frame_idx") * 16 + 1 })
   }
 
+  test("merge as-of join: ties included, missing right side null, co-partitioned") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 50L))
+      .toDF("event_id", "user_id", "tsMicros")
+    val right = Seq((10L, 100L), (10L, 150L), (30L, 10L))
+      .toDF("user_id", "tsMicros")
+    val got = graft.operators.AsOfJoinOps
+      .asofJoin(spark, left, right, 4)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 10L, 100L, Some(100L)),  // tie at same ts counts
+      (2L, 10L, 200L, Some(150L)),  // latest at-or-before wins
+      (3L, 20L, 50L, None)))        // user 20 has no right rows
+  }
+
   test("O24 row-level tolerance: Try-wrapped typed map yields (ok, err) columns") {
     import spark.implicits._
     // the reference skips bad rows with try/except (index.py:124-129);
