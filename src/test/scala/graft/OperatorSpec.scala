@@ -213,6 +213,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(parsed.filter(col("err").isNotNull).count() == 1)
   }
 
+  test("queries build and run safely under concurrent construction") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // Tables must not mutate session state per-query (ADVICE r01); four
+    // different table families constructed and executed in parallel
+    val names = Seq("rel_pricing_summary", "evt_tumbling_window",
+      "txt_token_stats", "dd_exact")
+    val counts = Await.result(
+      Future.sequence(names.map(n => Future {
+        SparkEntry.queries(n)(spark, SparkFixture.sf0001).count()
+      })), 120.seconds)
+    assert(counts.forall(_ > 0))
+  }
+
+  test("registered hash functions reject wrong arity with a clear message") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq("x").toDF("s").select(expr("poly_hash()")).collect()
+    }
+    assert(e.getMessage.contains("poly_hash expects 1 argument"))
+  }
+
   test("frontier BFS reaches only nodes on the synthetic ring and labels minimum depth") {
     val out = GraphOps.frontierBfs(spark, sf0001).collect()
     assert(out.map(_.getAs[Long]("node")).distinct.length == out.length)
