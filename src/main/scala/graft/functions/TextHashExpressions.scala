@@ -94,6 +94,21 @@ object TextHashExpressions {
     n
   }
 
+  /** Sequential dot product of two double arrays — identical fold order
+    * and operations to the HOF `aggregate(zip_with(...))` form and to
+    * DuckDB's seeded list_reduce, so results stay bitwise-equal; just
+    * one tight loop instead of interpreted per-element lambdas. */
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   /** 48-bit SimHash over a word-hash array: bit j set iff at least half
     * the hashes have bit j set. */
   def simHash48(arr: ArrayData): Long = {
@@ -179,6 +194,23 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
       s"graft.functions.TextHashExpressions.sortedIntersectCount($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot_double(array<double>, array<double>) — sequential dot product. */
+case class DotDoubleExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_double"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashExpressions.dotDouble(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashExpressions.dotDouble($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotDoubleExpr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -29,8 +29,16 @@ import graft.Tables
   */
 object SimilarityOps {
 
-  /** Sequential dot product of two double arrays. */
+  /** Sequential dot product of two double arrays — the native codegen'd
+    * expression (same fold order as the HOF form and the DuckDB
+    * list_reduce oracle, so scores stay bitwise-equal; PropertySpec
+    * pins the equivalence). */
   def dotd(a: Column, b: Column): Column =
+    call_function("dot_double", a, b)
+
+  /** Interpreted HOF reference implementation of [[dotd]] (kept as the
+    * independent model for the equivalence test). */
+  def dotdHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity (double, deterministic fold order). */

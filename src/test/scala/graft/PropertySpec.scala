@@ -83,6 +83,21 @@ class PropertySpec extends AnyFunSuite {
     assert(got == docs.map(model))
   }
 
+  test("dot_double is bitwise-equal to the sequential HOF fold") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0))
+    val pairs = Gen.listOfN(30, Gen.zip(vecGen, vecGen)).sample.get
+    val rows = pairs.toDF("a", "b")
+      .select(
+        expr("dot_double(a, b)"),
+        graft.operators.SimilarityOps.dotdHof(col("a"), col("b")))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (got, exp) =>
+      assert(java.lang.Double.doubleToRawLongBits(got) ==
+        java.lang.Double.doubleToRawLongBits(exp))
+    }
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on random sets") {
     import spark.implicits._
     val gen = Gen.listOf(Gen.chooseNum(0L, 30L)).map(_.distinct.sorted)
