@@ -47,6 +47,7 @@ object SparkEntry {
     "art_route_counts"         -> ArticleOps.routeCounts _,
     "art_search_keyword"       -> ((s: SparkSession, d: String) => ArticleOps.searchKeyword(s, d)),
     "art_search_json"          -> ArticleOps.searchKeywordJson _,
+    "art_search_any"           -> ((s: SparkSession, d: String) => ArticleOps.searchAnyKeyword(s, d)),
     "art_inverted_index"       -> ArticleOps.invertedIndex _,
     "art_search_via_index"     -> ((s: SparkSession, d: String) => ArticleOps.searchViaIndex(s, d)),
     "art_batch_report"         -> ArticleOps.batchReport _,
@@ -64,6 +65,7 @@ object SparkEntry {
     "evt_range_frame"          -> EventOps.rolling1hSum _,
     "evt_topk_udaf"            -> EventOps.topEventsPerType _,
     "evt_salted_totals"        -> EventOps.saltedUserTotals _,
+    "evt_value_histogram"      -> EventOps.valueHistogram _,
     "evt_pivot_types"          -> EventOps.userTypePivot _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
@@ -337,6 +339,14 @@ object SparkEntry {
         |FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |ORDER BY doc_id""".stripMargin,
+    "art_search_any" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE list_has_any(string_split(lower(text), ' '), ['spark', 'merge'])
+        |ORDER BY doc_id""".stripMargin,
+    "evt_value_histogram" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "art_inverted_index" ->
       """SELECT term, COUNT(DISTINCT doc_id) AS doc_count, COUNT(*) AS total_count,
         |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids

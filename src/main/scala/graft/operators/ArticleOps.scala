@@ -137,6 +137,17 @@ object ArticleOps {
       .select("doc_id", "lang", "source", "n_chars", "text")
       .orderBy("doc_id")
 
+  /** O18 multi-keyword form: Mongo `$text $search` ORs its terms
+    * (api.py:26 — "spark merge" matches docs containing either token);
+    * arrays_overlap expresses exactly that over the token set. */
+  def searchAnyKeyword(spark: SparkSession, sfDir: String,
+                       keywords: Seq[String] = Seq("spark", "merge")): DataFrame =
+    docs(spark, sfDir)
+      .filter(arrays_overlap(split(lower(col("text")), " "),
+        array(keywords.map(k => lit(k.toLowerCase)): _*)))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   /** O20: search results serialized to JSON lines (api.py:38). */
   def searchKeywordJson(spark: SparkSession, sfDir: String): DataFrame =
     searchKeyword(spark, sfDir)

@@ -172,6 +172,16 @@ object EventOps {
            sum(col("pn")).as("n"))
       .orderBy("user_id")
 
+  /** Histogram binning: event values into width-10 buckets (floor
+    * division — portable, handles negatives identically on both
+    * engines). The one-pass distributed histogram shape. */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(floor(col("value") / 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           moneySum(col("value")).as("sum_value"))
+      .orderBy("bucket")
+
   /** Pivot: per-user counts by event type (fixed value list so the plan
     * is a single agg, no extra distinct pass). */
   def userTypePivot(spark: SparkSession, sfDir: String): DataFrame =

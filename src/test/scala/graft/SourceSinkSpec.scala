@@ -63,6 +63,18 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(full == Tables.documents(spark, SparkFixture.sf0001).count())
   }
 
+  test("column pruning reaches the parquet scan") {
+    val df = Tables.lineitem(spark, SparkFixture.sf0001)
+      .filter(col("l_quantity") > 25)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    // the scan must read exactly the two referenced columns
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan not pruned:\n$scan")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]"),
+      s"filter not pushed:\n$scan")
+  }
+
   test("O16 file sink naming: url basename column") {
     import spark.implicits._
     val got = Seq("https://www.example.com/files/report7.pdf",
