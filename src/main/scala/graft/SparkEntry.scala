@@ -75,6 +75,7 @@ object SparkEntry {
     "txt_langid"               -> TextOps.langId _,
     "txt_fingerprint"          -> TextOps.fingerprint _,
     "txt_tfidf_top"            -> TextOps.tfidfTopTerms _,
+    "txt_sql_fingerprint"      -> TextOps.sqlFingerprint _,
     "pipe_curation"            -> TextOps.curateCorpus _,
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
@@ -560,6 +561,24 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, quality_score FROM s
         |WHERE quality_score >= 0.45 AND n_tokens BETWEEN 20 AND 400
         |ORDER BY doc_id""".stripMargin,
+    "txt_sql_fingerprint" ->
+      """WITH wh AS (
+        |  SELECT doc_id, text,
+        |    list_transform(
+        |      list_filter(string_split(lower(text), ' '), x -> length(x) > 0),
+        |      w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(w, ''), c -> ascii(c))),
+        |        (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> ascii(c))),
+        |    (h, c) -> (h * 31 + c) % 1000000000000000) AS fp_full,
+        |  CAST(list_sum(list_transform(range(0, 48), j ->
+        |    CASE WHEN 2 * len(list_filter(whs,
+        |        h -> CAST(floor(h / pow(2, j)) AS BIGINT) % 2 = 1)) >= len(whs)
+        |      THEN CAST(floor(pow(2, j)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS fp_simhash
+        |FROM wh ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents

@@ -175,6 +175,18 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** The SQL entry path: the same engine surface through spark.sql over
+    * a registered view, exercising the injected native functions from
+    * SQL text (the GraftExtensions seam end-to-end). */
+  def sqlFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    docs(spark, sfDir).createOrReplaceTempView("documents_v")
+    spark.sql(
+      """SELECT doc_id,
+        |  poly_hash(text) AS fp_full,
+        |  simhash48(word_poly_hashes(lower(text))) AS fp_simhash
+        |FROM documents_v ORDER BY doc_id""".stripMargin)
+  }
+
   /** Document fingerprints: whole-text rolling hash (exact-dup key) and
     * the minimum word-trigram shingle hash (a 1-element MinHash — the
     * near-dup key; DedupOps widens this to full MinHash+LSH). */
