@@ -51,6 +51,7 @@ object SparkEntry {
     "art_inverted_index"       -> ArticleOps.invertedIndex _,
     "art_search_via_index"     -> ((s: SparkSession, d: String) => ArticleOps.searchViaIndex(s, d)),
     "art_batch_report"         -> ArticleOps.batchReport _,
+    "art_crawl_e2e"            -> ((s: SparkSession, d: String) => ArticleOps.crawlExtractSearch(s, d)),
     // --- event analytics (batch forms of the streaming ops) ---
     "evt_tumbling_window"      -> EventOps.tumblingWindowStats _,
     "evt_sliding_window"       -> EventOps.slidingWindowStats _,
@@ -360,6 +361,38 @@ object SparkEntry {
         |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
         |  WHERE term = 'merge')
         |ORDER BY doc_id""".stripMargin,
+    "art_crawl_e2e" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents) AS dst
+        |  FROM documents),
+        |reach(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+        |  UNION
+        |  SELECT e.dst AS node, r.depth + 1 AS depth
+        |  FROM reach r JOIN edges e ON e.src = r.node WHERE r.depth < 6),
+        |reached AS (SELECT node AS doc_id, MIN(depth) AS depth FROM reach GROUP BY node),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN doc_id % 5 <> 0 THEN '<meta property="og:title" content="Doc ' || doc_id || '"/>' ELSE '' END)
+        |    || '<h1 itemprop="headline">Headline ' || doc_id || '</h1>'
+        |    || '<meta property="article:section" content="' || source || '"/>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    COALESCE(
+        |      nullif(regexp_extract(html, '<meta property="og:title" content="([^"]*)"', 1), ''),
+        |      nullif(regexp_extract(html, '<h1 itemprop="headline">([^<]*)</h1>', 1), '')) AS title,
+        |    nullif(regexp_extract(html, '<meta property="article:section" content="([^"]*)"', 1), '') AS section
+        |  FROM h),
+        |hits AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE list_contains(string_split(lower(text), ' '), 'spark'))
+        |SELECT x.doc_id, CAST(reached.depth AS BIGINT) AS depth, x.title, x.section
+        |FROM x JOIN reached ON x.doc_id = reached.doc_id
+        |JOIN hits ON x.doc_id = hits.doc_id
+        |ORDER BY x.doc_id""".stripMargin,
     "evt_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

@@ -174,6 +174,23 @@ object ArticleOps {
         concat_ws(",", sort_array(collect_set(col("doc_id")))).as("doc_ids"))
       .orderBy("term")
 
+  /** The reference's whole reason to exist as ONE dataflow (EP1+EP3,
+    * SURVEY.md §3): crawl reachability (BFS from the seed over the link
+    * graph) → article field extraction on the reached pages → keyword
+    * search over their text. Composes the iterative, extraction, and
+    * search layers end-to-end. */
+  def crawlExtractSearch(spark: SparkSession, sfDir: String,
+                         keyword: String = "spark"): DataFrame = {
+    val reached = GraphOps.frontierBfs(spark, sfDir)
+      .select(col("node").as("doc_id"), col("depth"))
+    extractArticleFields(spark, sfDir)
+      .join(reached, "doc_id")
+      .join(searchKeyword(spark, sfDir, keyword).select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("depth").cast("long").as("depth"),
+        col("title"), col("section"))
+      .orderBy("doc_id")
+  }
+
   /** Reference O17 (`download_files` batch driver, index.py:190-212):
     * number the input lines, give every row a per-row outcome (the
     * reference's try/except skip, O24 — simulated deterministically
