@@ -77,6 +77,7 @@ object SparkEntry {
     "txt_fingerprint"          -> TextOps.fingerprint _,
     "txt_tfidf_top"            -> TextOps.tfidfTopTerms _,
     "txt_sql_fingerprint"      -> TextOps.sqlFingerprint _,
+    "txt_mixture_sample"       -> TextOps.mixtureSample _,
     "pipe_curation"            -> TextOps.curateCorpus _,
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
@@ -594,6 +595,13 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, quality_score FROM s
         |WHERE quality_score >= 0.45 AND n_tokens BETWEEN 20 AND 400
         |ORDER BY doc_id""".stripMargin,
+    "txt_mixture_sample" ->
+      """SELECT source, COUNT(*) AS n_sampled FROM documents
+        |WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> ascii(c))),
+        |    (h, c) -> (h * 31 + c) % 1000000000000000) % 100
+        |  < CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 30 ELSE 10 END
+        |GROUP BY source ORDER BY source""".stripMargin,
     "txt_sql_fingerprint" ->
       """WITH wh AS (
         |  SELECT doc_id, text,

@@ -175,6 +175,22 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** Deterministic mixture sampling — the pretraining data-mixture op:
+    * each source gets a target rate (src0-src4 upweighted to 30%, the
+    * rest 10%), membership decided by the portable content hash, so the
+    * sample is reproducible on any engine and any cluster size (no RNG,
+    * no per-partition seed drift) and stable under reruns — exactly the
+    * property a 100 TB mixture job needs for resumability. */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 30)
+      .otherwise(10)
+    docs(spark, sfDir)
+      .filter(pmod(expr("poly_hash(text)"), lit(100)) < rate)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("source")
+  }
+
   /** The SQL entry path: the same engine surface through spark.sql over
     * a registered view, exercising the injected native functions from
     * SQL text (the GraftExtensions seam end-to-end). */
