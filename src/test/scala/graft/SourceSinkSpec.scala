@@ -108,6 +108,35 @@ class SourceSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 50k rows of key 0 + 10k uniform over 100 keys: key 0's shuffle
+      // partition dwarfs the rest
+      val skewed = spark.range(60000)
+        .select(when(col("id") < 50000, 0L).otherwise(col("id") % 100).as("k"),
+          concat(lit("payload-padding-"), col("id")).as("v"))
+      val dim = spark.range(100).select(col("id").as("k"), lit("d").as("d"))
+      val joined = skewed.join(dim, "k")
+      // collect() finalizes THIS Dataset's adaptive plan (count() would
+      // plan its own execution and leave this one unfinalized)
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx_count_distinct tracks exact distinct within 5%") {
     import spark.implicits._
     val ev = Tables.events(spark, SparkFixture.sf0001)
