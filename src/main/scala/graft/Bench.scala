@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,24 +20,39 @@ object Bench {
     try Tables.lineitem(spark, sfDir).limit(1000)
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => }
+    // failed queries report -1 (a best-of-two minimum of a time-to-throw
+    // would otherwise read as a deceptively fast success)
     def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // release per-query persisted intermediates (cache release is
       // charged to the query that created them)
       spark.catalog.clearCache()
-      name -> dt
+      name -> (if (ok) dt else -1.0)
     }
     // two sweeps, best-of per query: single-run numbers on this box vary
     // ~±15% from GC/JIT interference between queries
     val first = sweep()
     val second = sweep()
-    val results = first.map { case (k, v) => k -> math.min(v, second(k)) }
+    val results = first.map { case (k, v) =>
+      val w = second(k)
+      k -> (if (v < 0 || w < 0) -1.0 else math.min(v, w))
+    }
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fs,"queries":$qs,"sf":"$sfDir"}"""
+    // total-first short line BEFORE the long per-query line, plus a file
+    // copy: the driver captures a log tail, and round 2's single long
+    // line got truncated into an unparseable BENCH json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    Files.writeString(Paths.get("bench_out.json"), json)
+    println(json)
     spark.stop()
   }
 }

@@ -18,14 +18,31 @@ object TopKAggregator {
   final case class ScoredId(id: Long, score: Double)
 
   class TopK(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], String] {
+    // rank key: score desc, id asc — smaller key = better element
+    private def key(x: ScoredId): (Double, Long) = (-x.score, x.id)
+    private val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
     private def best(xs: Seq[ScoredId]): Seq[ScoredId] =
-      xs.sortBy(x => (-x.score, x.id)).take(k)
+      xs.sortBy(key)(ord).take(k)
     override def zero: Seq[ScoredId] = Seq.empty
+    /** Map-side fold is O(k) compare + at most one element swap per row
+      * (no sort, no growing allocation): append while under k, then
+      * replace the current worst only when the new row beats it. The
+      * buffer stays unsorted until merge/finish sorts once. */
     override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
-      best(b :+ a)
+      if (b.length < k) b :+ a
+      else {
+        var wi = 0
+        var i = 1
+        while (i < b.length) {
+          if (ord.gt(key(b(i)), key(b(wi)))) wi = i
+          i += 1
+        }
+        if (ord.lt(key(a), key(b(wi)))) b.updated(wi, a) else b
+      }
     override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =
       best(b1 ++ b2)
-    override def finish(r: Seq[ScoredId]): String = r.map(_.id).mkString(",")
+    override def finish(r: Seq[ScoredId]): String =
+      r.sortBy(key)(ord).map(_.id).mkString(",")
     override def bufferEncoder: Encoder[Seq[ScoredId]] =
       Encoders.kryo[Seq[ScoredId]]
     override def outputEncoder: Encoder[String] = Encoders.STRING

@@ -194,14 +194,32 @@ object ArticleOps {
   /** Reference O17 (`download_files` batch driver, index.py:190-212):
     * number the input lines, give every row a per-row outcome (the
     * reference's try/except skip, O24 — simulated deterministically
-    * here), and report `downloaded m / n` per outcome. The global
-    * row_number over an unpartitioned window mirrors the reference's
-    * sequential line counter — inherently single-partition, documented
-    * as such (at scale the natural key, not a sequence, is the id). */
+    * here), and report `downloaded m / n` per outcome.
+    *
+    * The sequential line counter (index.py:198-205) is computed with
+    * two-level numbering instead of a global unpartitioned window
+    * (round-2's single-task bottleneck): rows are range-bucketed on the
+    * order key, numbered per bucket in parallel, and each bucket adds
+    * the cumulative count of the buckets before it. The only serial
+    * step is the running sum over per-bucket COUNTS — O(#buckets) rows,
+    * not O(#rows) — and the offset table broadcasts back. Same values
+    * as `row_number() OVER (ORDER BY doc_id)` (doc_ids are unique), so
+    * the oracle is unchanged. */
   def batchReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy("doc_id")
-    docs(spark, sfDir)
-      .withColumn("line_nb", row_number().over(w).cast("long"))
+    val bucketWidth = 1000L
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bucket", floor(col("doc_id") / bucketWidth))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+    val offsets = d.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    d.join(broadcast(offsets), "bucket")
+      .withColumn("line_nb",
+        (col("offset") + row_number().over(wIn)).cast("long"))
       .withColumn("outcome",
         when(col("n_chars") % 13 === 0, "error").otherwise("ok"))
       .groupBy("outcome")
