@@ -88,7 +88,8 @@ object SparkEntry {
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
     "sim_lsh_ann"              -> SimilarityOps.lshAnnTopK _,
-    "sim_ivf_ann"              -> SimilarityOps.ivfAnnTopK _,
+    "sim_ivf_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.ivfAnnTopK(s, d)),
+    "sim_recall"               -> SimilarityOps.annRecall _,
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
     // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
@@ -819,7 +820,7 @@ object SparkEntry {
         |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
         |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e),
         |c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
-        |      FROM n WHERE vec_id % 97 = 0),
+        |      FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id LIMIT 16),
         |a0 AS (
         |  SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
@@ -844,18 +845,86 @@ object SparkEntry {
         |SELECT q_id, vec_id, cent_id, score, rn FROM r WHERE rn <= 10
         |ORDER BY q_id, rn""".stripMargin,
     "dd_emb_neardup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(emb, x -> x * 2.0) FROM e0 WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000, list_transform(emb, x -> x * 0.5) FROM e0 WHERE vec_id % 10 = 5),
+        |e AS (
+        |  SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |          j -> emb[j] * CAST((1 + p*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          (x, y) -> x + y) >= 0
+        |      THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM corpus),
         |p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.emb)+1),
-        |      i -> a.emb[i] * b.emb[i])), (x, y) -> x + y)
-        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.emb)+1),
-        |      i -> a.emb[i] * a.emb[i])), (x, y) -> x + y))
-        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(b.emb)+1),
-        |      i -> b.emb[i] * b.emb[i])), (x, y) -> x + y))) AS cos
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, label, cos FROM p WHERE cos >= 0.3
+        |      i -> a.emb[i] * b.emb[i])), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, bucket, cos FROM p WHERE cos >= 0.999
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_recall" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e0),
+        |bq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 5),
+        |bs AS (
+        |  SELECT q_id, n.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
+        |  FROM bq, n WHERE n.vec_id <> bq.q_id),
+        |br AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM bs) t
+        |  WHERE rn <= 10),
+        |lb AS (SELECT vec_id, emb, nrm,
+        |  CAST(list_sum(list_transform(range(0, 8), p ->
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |        j -> emb[j] * CAST((1 + p*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |        (x, y) -> x + y) >= 0
+        |    THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM n),
+        |lq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, bucket FROM lb WHERE vec_id < 5),
+        |ls AS (SELECT q_id, lb.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
+        |  FROM lq JOIN lb ON lq.bucket = lb.bucket AND lb.vec_id <> lq.q_id),
+        |lr AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM ls) t
+        |  WHERE rn <= 10),
+        |ic AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM n
+        |       ORDER BY (vec_id * 2654435761) % 1000000007, vec_id LIMIT 16),
+        |ia0 AS (SELECT n.vec_id, n.emb, n.nrm, ic.cent_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * cemb[i])), (x, y) -> x + y) / (nrm * cnrm) AS cscore
+        |  FROM n CROSS JOIN ic),
+        |ia AS (SELECT vec_id, emb, nrm, cent_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS arn FROM ia0) t
+        |  WHERE arn = 1),
+        |iq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cent_id FROM ia WHERE vec_id < 5),
+        |isc AS (SELECT q_id, ia.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
+        |  FROM iq JOIN ia ON iq.cent_id = ia.cent_id AND ia.vec_id <> iq.q_id),
+        |ir AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM isc) t
+        |  WHERE rn <= 10),
+        |tot AS (SELECT COUNT(*) AS possible FROM br),
+        |ih AS (SELECT COUNT(*) AS hits FROM br WHERE EXISTS (
+        |  SELECT 1 FROM ir WHERE ir.q_id = br.q_id AND ir.vec_id = br.vec_id)),
+        |lh AS (SELECT COUNT(*) AS hits FROM br WHERE EXISTS (
+        |  SELECT 1 FROM lr WHERE lr.q_id = br.q_id AND lr.vec_id = br.vec_id))
+        |SELECT method, hits, possible, CAST(hits AS DOUBLE) / possible AS recall FROM (
+        |  SELECT 'ivf' AS method, ih.hits AS hits, tot.possible AS possible FROM ih, tot
+        |  UNION ALL
+        |  SELECT 'lsh', lh.hits, tot.possible FROM lh, tot) u
+        |ORDER BY method""".stripMargin,
     "mm_binary_stats" ->
       """WITH m AS (
         |  SELECT doc_id,

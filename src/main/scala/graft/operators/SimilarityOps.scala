@@ -110,17 +110,31 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
-  /** IVF-style ANN: the second scale path besides LSH. A deterministic
-    * centroid subset (every 97th vector — grows with the corpus like a
-    * sampled codebook), each vector assigned to its nearest centroid
-    * (one broadcast of the centroid set against a single corpus scan),
-    * queries probe ONLY their own centroid's inverted list. Candidate
-    * cost is corpus/k per query; recall trades against nprobe=1. */
-  def ivfAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir)
-    val cents = e.filter(col("vec_id") % 97 === 0)
+  /** Fixed-size IVF codebook: the `k` vectors with the smallest
+    * multiplicative hash of vec_id (ties by vec_id) — a deterministic
+    * unbiased sample whose SIZE is independent of the corpus, so
+    * centroid assignment is O(N·k), never O(N²). (Round 2 sampled
+    * every 97th vector, which made the codebook — and the assignment
+    * cross-product — grow linearly with the corpus.) Production sizes
+    * k as a fixed config constant (~√N at the design scale); the
+    * structure is identical. */
+  def ivfCentroids(e: DataFrame, k: Int): DataFrame =
+    e.withColumn("h", (col("vec_id") * lit(2654435761L)) % lit(1000000007L))
+      .orderBy("h", "vec_id").limit(k)
       .select(col("vec_id").as("cent_id"), col("emb").as("cemb"),
         col("nrm").as("cnrm"))
+
+  /** IVF-style ANN: the second scale path besides LSH. A fixed-k
+    * deterministic codebook ([[ivfCentroids]]), each vector assigned to
+    * its nearest centroid (one broadcast of the k-row centroid set
+    * against a single corpus scan — O(N·k) dot products), queries probe
+    * ONLY their own centroid's inverted list. Candidate cost is ~N/k
+    * per query; recall trades against nprobe=1 (measured by
+    * [[annRecall]]). Caller releases the persisted assignment via
+    * spark.catalog.clearCache() (Verify/Bench/specs do). */
+  def ivfAnnTopK(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = ivfCentroids(e, k)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("cent_id"))
     // persisted: referenced as both the query side and the corpus side of
@@ -146,18 +160,87 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
-  /** Embedding-cosine near-dup pairs, blocked on `label` (the embedding
-    * analogue of DedupOps.ngramJaccardPairs: block, pair, verify). */
+  /** Dup-seeded embedding corpus, the vector analogue of
+    * DedupOps.corpus: the embeddings plus a ×2-scaled copy of every
+    * 10th vector and a ×0.5-scaled copy of every (10k+5)th. Scaling by
+    * a power of two is EXACT in IEEE double and preserves direction, so
+    * every seeded copy has cosine ≈ 1 (±ulp) with its original AND
+    * provably identical hyperplane sign bits (sign(2x) = sign(x)
+    * bit-for-bit) — LSH recall on the seeded dups is exact by
+    * construction, not probabilistically. */
+  def embCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val x2 = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("emb"), x => x * lit(2.0)).as("emb"))
+    val half = e.filter(col("vec_id") % 10 === 5)
+      .select((col("vec_id") + 200000).as("vec_id"), col("label"),
+        transform(col("emb"), x => x * lit(0.5)).as("emb"))
+    e.unionAll(x2).unionAll(half)
+  }
+
+  /** Embedding near-dup pairs over the dup-seeded corpus via
+    * hyperplane-LSH buckets: candidates are an equi-join on the 8-bit
+    * bucket (row-local projection — only colliding vectors are ever
+    * compared), verified by exact cosine ≥ 0.999. Replaces round 2's
+    * all-pairs join blocked on `label`, whose fixed block count made
+    * pair volume quadratic in the corpus; bucket width grows with
+    * log N in production, keeping per-bucket volume bounded. Recall on
+    * the seeded dups is exact (see [[embCorpus]]: identical sign bits).
+    * Caller releases the persisted signatures via clearCache(). */
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+    val e = embCorpus(spark, sfDir)
+      .withColumn("nrm", sqrt(dotd(col("emb"), col("emb"))))
+      .withColumn("bucket", hyperplaneBucket(col("emb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
       col("emb").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
       col("emb").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("label"),
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("bucket"),
         cosinePre(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
-      .filter(col("cos") >= 0.3)
+      .filter(col("cos") >= 0.999)
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Spec-only reference model for [[embeddingNearDups]]: unblocked
+    * all-pairs cosine over the dup-seeded corpus. O(n²) by definition —
+    * never registered as a query; exists so tests can assert the
+    * LSH-bucketed form has no false positives and exact recall on the
+    * seeded dups. */
+  def embeddingNearDupsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embCorpus(spark, sfDir)
+      .withColumn("nrm", sqrt(dotd(col("emb"), col("emb"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosinePre(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+      .filter(col("cos") >= 0.999)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** ANN quality measurement: recall@10 of the LSH and IVF paths
+    * against the exact brute-force top-10 on the same query set — the
+    * number a real pipeline tunes banding/nprobe against. hits/possible
+    * are exact integers; recall is their division, so the oracle
+    * hash-matches bitwise. Caller releases persisted intermediates via
+    * clearCache(). */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = bruteForceTopK(spark, sfDir).select("q_id", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bTot = brute.agg(count(lit(1)).as("possible"))
+    def one(m: DataFrame, name: String): DataFrame =
+      brute.join(m.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(bTot) // 1-row × 1-row
+        .select(lit(name).as("method"), col("hits"), col("possible"),
+          (col("hits").cast("double") / col("possible")).as("recall"))
+    one(ivfAnnTopK(spark, sfDir), "ivf")
+      .unionAll(one(lshAnnTopK(spark, sfDir), "lsh"))
+      .orderBy("method")
   }
 }

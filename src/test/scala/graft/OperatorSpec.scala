@@ -236,6 +236,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("poly_hash expects 1 argument"))
   }
 
+  test("IVF codebook size is constant in corpus size (fixed-k, O(N·k) assignment)") {
+    import org.apache.spark.sql.functions.col
+    def centroids(sfDir: String): Long = {
+      val e = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+          SimilarityOps.dotd(col("emb"), col("emb"))))
+      SimilarityOps.ivfCentroids(e, 16).count()
+    }
+    // sf0.001 has 500 vectors, sf0.1 has 2000 — codebook must not grow
+    assert(centroids(sf0001) == 16L)
+    assert(centroids("/root/testdata/sf0.1") == 16L)
+  }
+
+  test("embedding near-dup: exact recall on seeded dups, no false positives vs all-pairs model") {
+    val lsh = SimilarityOps.embeddingNearDups(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val allPairs = SimilarityOps.embeddingNearDupsAllPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // every seeded copy pair (identical direction => identical sign bits
+    // => same bucket) must be found by the bucketed form
+    val ids = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0))
+    val seeded = ids.filter(_ % 10 == 0).map(v => (v, v + 100000)).toSet ++
+      ids.filter(_ % 10 == 5).map(v => (v, v + 200000)).toSet
+    assert(seeded.subsetOf(lsh), s"missing: ${seeded.diff(lsh).take(5)}")
+    // bucketing may only ever REMOVE pairs relative to the exact model
+    assert(lsh.subsetOf(allPairs))
+    spark.catalog.clearCache()
+  }
+
+  test("ANN recall report: hits bounded by possible, both methods present") {
+    val rows = SimilarityOps.annRecall(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("method")).toSeq == Seq("ivf", "lsh"))
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits"); val poss = r.getAs[Long]("possible")
+      assert(hits >= 0 && hits <= poss && poss == 50L)
+      assert(r.getAs[Double]("recall") == hits.toDouble / poss)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("frontier BFS reaches only nodes on the synthetic ring and labels minimum depth") {
     val out = GraphOps.frontierBfs(spark, sf0001).collect()
     assert(out.map(_.getAs[Long]("node")).distinct.length == out.length)
