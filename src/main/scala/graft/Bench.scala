@@ -22,7 +22,12 @@ object Bench {
     catch { case _: Throwable => }
     // failed queries report -1 (a best-of-two minimum of a time-to-throw
     // would otherwise read as a deceptively fast success)
-    def sweep(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // optional args: query names to bench (all when empty — the driver
+    // passes none)
+    val only = args.toSet
+    def sweep(): Map[String, Double] = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

@@ -632,31 +632,48 @@ object SparkEntry {
         |  array_to_string(list_sort(list(doc_id)), ',') AS ids
         |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY rep_id""".stripMargin,
     "dd_ngram_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, source,
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
-        |  FROM documents),
+        |  FROM corpus),
         |w2 AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id,
         |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(w, ''), c -> ascii(c))),
         |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
         |  FROM t),
         |s AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(whs) >= 3 THEN
         |      list_transform(range(1, len(whs) - 1),
         |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
         |              + whs[i+2]) % 1000000000000000)
         |    ELSE [] END) AS sh
         |  FROM w2),
-        |f AS (SELECT doc_id, source, sh FROM s WHERE len(sh) > 0)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        |FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM f),
+        |dfq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+        |pr AS (SELECT doc_id, n, s FROM (
+        |    SELECT ex.doc_id, ex.s, ex.n,
+        |      row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfq.df, ex.s) AS rn
+        |    FROM ex JOIN dfq USING (s)) z
+        |  WHERE rn <= n // 2 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    AND 2 * LEAST(a.n, b.n) >= GREATEST(a.n, b.n)),
+        |v AS (SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE)
+        |      / (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN f fa ON fa.doc_id = doc_a
+        |  JOIN f fb ON fb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH corpus AS (

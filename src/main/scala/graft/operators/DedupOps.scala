@@ -90,19 +90,72 @@ object DedupOps {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** n-gram Jaccard near-dup scan within `source` partitions: the
-    * blocked all-pairs form (block on a grouping key so the quadratic
-    * stays bounded per block — here source, ~25 docs/block). */
+  /** EXACT n-gram Jaccard similarity join over the dup-seeded corpus
+    * via prefix filtering (the SSJoin/PPJoin family — public-knowledge
+    * exact-similarity-join machinery): provably 100% recall at the
+    * threshold, no all-pairs anywhere.
+    *
+    * Principle: order the shingle universe by a global total order —
+    * here (document frequency asc, hash asc), rarest first — and emit
+    * from each doc only its first L = n - ceil(t·n) + 1 shingles
+    * (t = 0.5 → L = n/2 + 1). Any pair with Jaccard ≥ t must share at
+    * least ⌈t·n⌉ shingles, and by pigeonhole two sets sharing that many
+    * elements must collide inside these prefixes — so the equi-join on
+    * prefix shingles generates a candidate superset of every true pair,
+    * and the exact Jaccard verify touches candidates only. Rarest-first
+    * ordering is what keeps prefixes selective on this shared-vocabulary
+    * corpus: hot shingles live in suffixes and never key the join.
+    *
+    * Shuffles: df aggregation on shingle, per-doc window for the prefix
+    * (keyed on doc_id, fully parallel), candidate equi-join on shingle,
+    * verify join on doc id — all key-partitioned; nothing is quadratic
+    * in a block size. (Round 2's form joined all pairs within `source`,
+    * O(n²) per block.) The df table is small relative to the corpus;
+    * AQE broadcasts it at bench scale and shuffle-joins it beyond.
+    * Caller releases persisted signatures via clearCache(). */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = withShingles(Tables.documents(spark, sfDir)
-      .select("doc_id", "source", "text"))
-      .select("doc_id", "source", "sh")
-    val a = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sha"))
-    val b = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("shb"))
-    a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+    val sigs = withShingles(corpus(spark, sfDir))
+      .select(col("doc_id"), col("sh"))
+      .withColumn("n", size(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = sigs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val dfq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "s")
+    val prefix = ex.join(dfq, "s")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= expr("n DIV 2 + 1"))
+      .select("doc_id", "n", "s")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // length filter (the PPJoin size companion): jaccard >= 0.5 forces
+    // 2*min(|A|,|B|) >= max(|A|,|B|), pruned before the distinct+verify
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sha"), col("shb")).as("jaccard"))
-      .filter(col("jaccard") >= 0.02)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Spec-only reference model for [[ngramJaccardPairs]]: unblocked
+    * all-pairs Jaccard over the same corpus and threshold. O(n²) by
+    * definition — never registered as a query; exists so tests can
+    * assert the prefix-filtered join is EXACTLY equal to it (prefix
+    * filtering is lossless, unlike LSH). */
+  def ngramJaccardPairsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = withShingles(corpus(spark, sfDir)).select("doc_id", "sh")
+    val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -236,6 +236,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("poly_hash expects 1 argument"))
   }
 
+  test("prefix-filtered Jaccard join is EXACTLY the all-pairs result; LSH is a subset") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = pairs(DedupOps.ngramJaccardPairs(spark, sf0001))
+    val model = pairs(DedupOps.ngramJaccardPairsAllPairs(spark, sf0001))
+    // prefix filtering is lossless at the threshold (pigeonhole lemma):
+    // candidates are a superset of every pair with jaccard >= 0.5, and
+    // the verify is the same exact jaccard — so equality, not subset
+    assert(exact == model,
+      s"missing=${model.diff(exact).take(5)} extra=${exact.diff(model).take(5)}")
+    // minhash-LSH (probabilistic recall) can only ever find a subset of
+    // what the exact join finds at the same threshold
+    val lsh = pairs(DedupOps.minhashLsh(spark, sf0001))
+    assert(lsh.subsetOf(exact))
+    spark.catalog.clearCache()
+  }
+
   test("IVF codebook size is constant in corpus size (fixed-k, O(N·k) assignment)") {
     import org.apache.spark.sql.functions.col
     def centroids(sfDir: String): Long = {
