@@ -63,8 +63,31 @@ object AsOfJoinOps {
     spark.createDataset(merged).toDF()
   }
 
-  /** The purchase←signup as-of via the merge operator, shaped to match
-    * EventOps.asofPurchaseSignup's oracle exactly. */
+  /** General as-of through the custom physical operator
+    * (graft.plans.AsOfMergeExec): builds the logical AsOfJoinNode over
+    * the analyzed inputs and lets the injected strategy plan it. The
+    * planner enforces co-partitioning + per-partition (key, ts) order
+    * via requiredChildDistribution/Ordering — the invariant the RDD
+    * formulation above could only assume (ADVICE r02). Right columns
+    * are re-aliased so both sides carry distinct attribute ids. */
+  def asofJoinExec(spark: SparkSession, left: DataFrame, right: DataFrame,
+                   keyCol: String = "user_id", tsCol: String = "tsMicros"): DataFrame = {
+    val r = right.select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"))
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, keyCol), attr(lPlan, tsCol),
+      attr(rPlan, "r_key"), attr(rPlan, "r_ts"),
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "asofMicros", org.apache.spark.sql.types.LongType, nullable = true)())
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
+  }
+
+  /** The purchase←signup as-of via the custom merge operator, shaped to
+    * match EventOps.asofPurchaseSignup's oracle exactly. */
   def purchaseSignupMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -72,8 +95,7 @@ object AsOfJoinOps {
         unix_micros(col("ts")).as("tsMicros"))
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
-    val parts = spark.sparkContext.defaultParallelism
-    asofJoin(spark, purchases, signups, parts)
+    asofJoinExec(spark, purchases, signups)
       .select(col("event_id"), col("user_id"),
         timestamp_micros(col("tsMicros")).as("ts"),
         timestamp_micros(col("asofMicros")).as("last_signup_ts"))

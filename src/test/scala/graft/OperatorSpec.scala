@@ -196,6 +196,36 @@ class OperatorSpec extends AnyFunSuite {
       (3L, 20L, 50L, None)))        // user 20 has no right rows
   }
 
+  test("AsOfMergeExec: custom plan fires, one exchange per side, sorts planner-inserted") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 50L))
+      .toDF("event_id", "user_id", "tsMicros")
+    val right = Seq((10L, 100L), (10L, 150L), (30L, 10L))
+      .toDF("user_id", "tsMicros")
+    val df = graft.operators.AsOfJoinOps.asofJoinExec(spark, left, right)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMerge"), s"operator missing:\n$plan")
+    // planner-enforced co-partitioning: exactly one hash exchange and one
+    // partition-local sort per side, nothing operator-inserted
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+    assert("\\bSort \\[".r.findAllIn(plan).length == 2, plan)
+    val got = df.as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 10L, 100L, Some(100L)),
+      (2L, 10L, 200L, Some(150L)),
+      (3L, 20L, 50L, None)))
+  }
+
+  test("AsOfMergeExec equals the window formulation on real multi-partition data") {
+    // ADVICE r02: cross-check the merge operator against the independent
+    // window formulation so partitioning drift fails loudly. Same oracle,
+    // same ordering — row streams must be identical.
+    val sf = "/root/testdata/sf0.01"
+    val viaExec = graft.operators.AsOfJoinOps.purchaseSignupMerge(spark, sf).collect().toSeq
+    val viaWindow = EventOps.asofPurchaseSignup(spark, sf).collect().toSeq
+    assert(viaExec.nonEmpty && viaExec == viaWindow)
+  }
+
   test("O24 row-level tolerance: Try-wrapped typed map yields (ok, err) columns") {
     import spark.implicits._
     // the reference skips bad rows with try/except (index.py:124-129);
