@@ -50,6 +50,8 @@ object SparkEntry {
     "art_search_any"           -> ((s: SparkSession, d: String) => ArticleOps.searchAnyKeyword(s, d)),
     "art_inverted_index"       -> ArticleOps.invertedIndex _,
     "art_search_via_index"     -> ((s: SparkSession, d: String) => ArticleOps.searchViaIndex(s, d)),
+    "art_search_indexed"       -> ((s: SparkSession, d: String) => ArticleOps.searchIndexed(s, d)),
+    "art_search_ranked"        -> ((s: SparkSession, d: String) => ArticleOps.searchRanked(s, d)),
     "art_batch_report"         -> ArticleOps.batchReport _,
     "art_crawl_e2e"            -> ((s: SparkSession, d: String) => ArticleOps.crawlExtractSearch(s, d)),
     // --- event analytics (batch forms of the streaming ops) ---
@@ -347,6 +349,22 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE list_has_any(string_split(lower(text), ' '), ['spark', 'merge'])
         |ORDER BY doc_id""".stripMargin,
+    // same semantics as art_search_keyword (the rewrite must not change
+    // results) — narrower projection, plan goes through the postings join
+    "art_search_indexed" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |ORDER BY doc_id""".stripMargin,
+    "art_search_ranked" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, COUNT(*) AS score FROM w
+        |  WHERE term IN ('spark', 'merge') GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, d.source, h.score
+        |FROM documents d JOIN h ON d.doc_id = h.doc_id
+        |ORDER BY h.score DESC, d.doc_id""".stripMargin,
     "evt_value_histogram" ->
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

@@ -229,6 +229,40 @@ object ArticleOps {
       .orderBy("outcome")
   }
 
+  /** Index-backed search as the DEFAULT plan (VERDICT r02 item 4): the
+    * query is written as the plain token-match filter — identical source
+    * to [[searchKeyword]] — but the materialized text index is
+    * registered first, so graft.plans.TextIndexRewrite rewrites the
+    * filter into a semi-join against the postings table during
+    * optimization. The Mongo shape exactly: `create_index` once
+    * (api.py:22), then every `$text` search uses it transparently
+    * (api.py:26). A plan spec asserts the index join fires. */
+  def searchIndexed(spark: SparkSession, sfDir: String, keyword: String = "spark"): DataFrame = {
+    graft.plans.TextIndexCatalog.ensureIndex(spark, sfDir)
+    docs(spark, sfDir)
+      .filter(array_contains(split(lower(col("text")), " "), keyword.toLowerCase))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Ranked search — the Mongo textScore analogue (api.py:26): multi-term
+    * OR match scored by total term frequency (integer-exact, so the
+    * oracle hash is stable), ordered by (score desc, doc_id). One
+    * (doc_id) shuffle for the TF aggregation, then a key join back to
+    * the documents; the token explode collapses map-side via partial
+    * aggregation. */
+  def searchRanked(spark: SparkSession, sfDir: String,
+                   keywords: Seq[String] = Seq("spark", "merge")): DataFrame = {
+    val hits = docs(spark, sfDir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term").isin(keywords.map(_.toLowerCase): _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("score"))
+    docs(spark, sfDir)
+      .join(hits, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Search via the inverted index: term lookup -> semi-join back to the
     * documents (the scalable form of `searchKeyword` — touches only the
     * postings for the term instead of scanning every document). */

@@ -154,6 +154,38 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("TextIndexRewrite: token search over a registered table becomes a postings semi-join") {
+    import spark.implicits._
+    graft.plans.TextIndexCatalog.clear()
+    // scan form first (registry empty => no rewrite): the expected rows
+    val expected = ArticleOps.searchKeyword(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSeq
+    // searchIndexed registers the materialized index, then plans the SAME
+    // token-match filter — the rule must turn it into the index join
+    val df = ArticleOps.searchIndexed(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), s"index join did not fire:\n$opt")
+    assert(opt.contains("Relation [term"), s"no postings scan:\n$opt")
+    // the term probe reaches the postings parquet scan as a pushed filter
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("EqualTo(term,spark)"), s"term not pushed:\n$phys")
+    assert(df.select("doc_id").as[Long].collect().toSeq == expected)
+    // with the index registered, the PLAIN searchKeyword query plans the
+    // index join too — index-backed search is the default, like Mongo
+    val plain = ArticleOps.searchKeyword(spark, sf0001)
+    assert(plain.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(plain.select("doc_id").as[Long].collect().toSeq == expected)
+    graft.plans.TextIndexCatalog.clear()
+  }
+
+  test("ranked search orders by integer TF score desc then doc_id") {
+    val rows = ArticleOps.searchRanked(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ >= 1L))
+  }
+
   test("TopK aggregator: bounded buffer, deterministic under ties") {
     import spark.implicits._
     val topk = graft.functions.TopKAggregator.topK(2)
