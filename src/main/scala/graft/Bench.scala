@@ -14,6 +14,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // O23 journal: per-query task metrics (input/shuffle/output volume)
+    val journal = new graft.tools.QueryJournal
+    spark.sparkContext.addSparkListener(journal)
     // JIT/codegen warmup, untimed: the first timed query otherwise pays
     // ~5 s of classloading + whole-stage-codegen compilation that has
     // nothing to do with the query itself.
@@ -28,6 +31,7 @@ object Bench {
     def sweep(): Map[String, Double] = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      journal.start(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
@@ -58,6 +62,9 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     Files.writeString(Paths.get("bench_out.json"), json)
     println(json)
+    // listener bus is async; give it a moment to drain before snapshotting
+    Thread.sleep(1000)
+    Files.writeString(Paths.get("bench_journal.jsonl"), journal.toJsonLines)
     spark.stop()
   }
 }

@@ -183,7 +183,9 @@ object DedupOps {
     * all-pairs; the verify join only touches candidates. Signatures are
     * persisted: the plan references them three times (band explode and
     * both verify sides) and recomputing the hash pipeline per reference
-    * tripled the query's cost at sf0.1. */
+    * tripled the query's cost at sf0.1. Contract: the caller releases
+    * the persisted blocks via spark.catalog.clearCache() after the
+    * consuming action (Verify/Bench/specs do). */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = withMinhashBands(corpus(spark, sfDir))
       .select("doc_id", "sh", "bands")
@@ -225,7 +227,9 @@ object DedupOps {
     * ≤1-bit pair is identical in one of the two 24-bit halves, so two
     * wide chunks give exact recall with far smaller buckets than
     * narrow ones (12-bit chunks collided half the corpus at sf0.1).
-    * The signature side is persisted: both join sides reference it. */
+    * The signature side is persisted: both join sides reference it.
+    * Contract: the caller releases the persisted blocks via
+    * spark.catalog.clearCache() after the consuming action. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = corpus(spark, sfDir)
       .select(col("doc_id"), simhashValue.as("simhash"))

@@ -357,6 +357,25 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("O23 journal listener attributes task metrics to the running query") {
+    val journal = new graft.tools.QueryJournal
+    spark.sparkContext.addSparkListener(journal)
+    try {
+      journal.start("spec_query")
+      graft.Tables.documents(spark, sf0001).count()
+      // listener bus is async — poll until the metrics land
+      val deadline = System.currentTimeMillis() + 15000
+      var snap = journal.snapshot.getOrElse("spec_query", (0L, 0L, 0L, 0L, 0L, 0L))
+      while (snap._2 == 0L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        snap = journal.snapshot.getOrElse("spec_query", (0L, 0L, 0L, 0L, 0L, 0L))
+      }
+      assert(snap._1 > 0L, "no tasks recorded")
+      assert(snap._2 >= 500L, s"expected >=500 input records, got ${snap._2}")
+      assert(journal.toJsonLines.contains("\"query\":\"spec_query\""))
+    } finally spark.sparkContext.removeSparkListener(journal)
+  }
+
   test("frontier BFS reaches only nodes on the synthetic ring and labels minimum depth") {
     val out = GraphOps.frontierBfs(spark, sf0001).collect()
     assert(out.map(_.getAs[Long]("node")).distinct.length == out.length)
