@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotDoubleExpr, PolyHashExpr, Shingle3HashesExpr, SimHash48Expr, SortedIntersectCountExpr, WordPolyHashesExpr}
+import graft.functions.{DotDoubleExpr, HyperplaneBucketExpr, PolyHashExpr, Shingle3HashesExpr, SimHash48Expr, SortedIntersectCountExpr, WordPolyHashesExpr}
 
 /** Engine extension point (SURVEY.md §7.4 custom work): registers the
   * native hash expressions as SQL functions so queries reach them via
@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48Expr].getName, "simhash48"),
       arity("simhash48", 1)(children => SimHash48Expr(children.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "hyperplane_bucket"),
+      arity("hyperplane_bucket", 3)(children =>
+        HyperplaneBucketExpr(children.head, children(1), children(2)))))
     ext.injectFunction((
       new FunctionIdentifier("dot_double"),
       new ExpressionInfo(classOf[DotDoubleExpr].getName, "dot_double"),

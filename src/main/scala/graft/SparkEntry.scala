@@ -89,7 +89,7 @@ object SparkEntry {
     "dd_simhash_pairs"         -> DedupOps.simhashPairs _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
-    "sim_lsh_ann"              -> SimilarityOps.lshAnnTopK _,
+    "sim_lsh_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.lshAnnTopK(s, d)),
     "sim_ivf_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.ivfAnnTopK(s, d)),
     "sim_recall"               -> SimilarityOps.annRecall _,
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
@@ -826,29 +826,32 @@ object SparkEntry {
         |SELECT q_id, vec_id, score, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     "sim_lsh_ann" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |e AS (
-        |  SELECT vec_id, emb,
-        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e0),
+        |tb AS (
+        |  SELECT vec_id, t,
+        |    CAST(list_sum(list_transform(range(0, 4), b ->
         |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
-        |          j -> emb[j] * CAST((1 + p*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          j -> emb[j] * CAST((1 + (t*4+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
         |          (x, y) -> x + y) >= 0
-        |      THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM e0),
-        |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM e WHERE vec_id < 5),
+        |      THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+        |  FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+        |  FROM tb q JOIN tb c ON q.t = c.t AND q.bkt = c.bkt
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
         |s AS (
-        |  SELECT q_id, e.vec_id, e.bucket,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
-        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y)
-        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
-        |      i -> q_emb[i] * q_emb[i])), (x, y) -> x + y))
-        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
-        |      i -> emb[i] * emb[i])), (x, y) -> x + y))) AS score
-        |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
+        |  SELECT q_id, cand.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(qe.emb)+1),
+        |      i -> qe.emb[i] * ce.emb[i])), (x, y) -> x + y) / (qe.nrm * ce.nrm) AS score
+        |  FROM cand
+        |  JOIN n qe ON qe.vec_id = cand.q_id
+        |  JOIN n ce ON ce.vec_id = cand.vec_id),
         |r AS (
-        |  SELECT q_id, vec_id, bucket, score,
+        |  SELECT q_id, vec_id, score,
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
         |  FROM s)
-        |SELECT q_id, vec_id, bucket, score, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+        |SELECT q_id, vec_id, score, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     "sim_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,
@@ -918,18 +921,23 @@ object SparkEntry {
         |br AS (SELECT q_id, vec_id FROM (
         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM bs) t
         |  WHERE rn <= 10),
-        |lb AS (SELECT vec_id, emb, nrm,
-        |  CAST(list_sum(list_transform(range(0, 8), p ->
-        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
-        |        j -> emb[j] * CAST((1 + p*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
-        |        (x, y) -> x + y) >= 0
-        |    THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM n),
-        |lq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, bucket FROM lb WHERE vec_id < 5),
-        |ls AS (SELECT q_id, lb.vec_id,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
-        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
-        |  FROM lq JOIN lb ON lq.bucket = lb.bucket AND lb.vec_id <> lq.q_id),
+        |ltb AS (
+        |  SELECT vec_id, t,
+        |    CAST(list_sum(list_transform(range(0, 4), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |          j -> emb[j] * CAST((1 + (t*4+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          (x, y) -> x + y) >= 0
+        |      THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+        |  FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
+        |lcand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+        |  FROM ltb q JOIN ltb c ON q.t = c.t AND q.bkt = c.bkt
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |ls AS (SELECT q_id, lcand.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(qe.emb)+1),
+        |      i -> qe.emb[i] * ce.emb[i])), (x, y) -> x + y) / (qe.nrm * ce.nrm) AS score
+        |  FROM lcand
+        |  JOIN n qe ON qe.vec_id = lcand.q_id
+        |  JOIN n ce ON ce.vec_id = lcand.vec_id),
         |lr AS (SELECT q_id, vec_id FROM (
         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM ls) t
         |  WHERE rn <= 10),

@@ -109,6 +109,33 @@ object TextHashExpressions {
     acc
   }
 
+  /** Random-hyperplane LSH bucket for one hash table: bit b of the
+    * result is the sign of <arr, w_p> for global plane p = table*bits+b,
+    * with the integer-lattice weight family
+    * w_p[j] = ((1 + p*73 + j*179) * 2654435761 mod 1024) - 512.
+    * Exact-double fold in index order — identical operations to the HOF
+    * form and the DuckDB list_reduce oracle, so buckets are bitwise
+    * equal (PropertySpec pins it); one tight loop instead of bits×dim
+    * interpreted lambdas. */
+  def hyperplaneBucket(arr: ArrayData, table: Int, bits: Int): Long = {
+    val n = arr.numElements()
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      val p = (table * bits + b).toLong
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val w = ((1L + p * 73L + j.toLong * 179L) * 2654435761L % 1024L - 512L).toDouble
+        dot += arr.getDouble(j) * w
+        j += 1
+      }
+      if (dot >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
   /** 48-bit SimHash over a word-hash array: bit j set iff at least half
     * the hashes have bit j set. */
   def simHash48(arr: ArrayData): Long = {
@@ -212,6 +239,25 @@ case class DotDoubleExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotDoubleExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** hyperplane_bucket(array<double>, table, bits) — one LSH hash-table
+  * bucket id as LongType (see TextHashExpressions.hyperplaneBucket). */
+case class HyperplaneBucketExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+  override protected def nullSafeEval(arr: Any, table: Any, bits: Any): Any =
+    TextHashExpressions.hyperplaneBucket(arr.asInstanceOf[ArrayData],
+      table.asInstanceOf[Int], bits.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, t, b) =>
+      s"graft.functions.TextHashExpressions.hyperplaneBucket($a, $t, $b)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HyperplaneBucketExpr =
+    copy(first = f, second = s, third = t)
 }
 
 /** simhash48(array<long>) — 48-bit majority-bit SimHash as LongType. */

@@ -124,6 +124,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("rn") <= 10))
   }
 
+  test("native hyperplane_bucket is bitwise-equal to the HOF model, all tables") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .select(col("embedding").cast("array<double>").as("emb")).limit(100)
+    val checks = (0 until 4).map(t =>
+      (SimilarityOps.hyperplaneBucket(col("emb"), t, 6) ===
+        SimilarityOps.hyperplaneBucketHof(col("emb"), t, 6)).as(s"t$t")) :+
+      (SimilarityOps.hyperplaneBucket(col("emb"), 0, 8) ===
+        SimilarityOps.hyperplaneBucketHof(col("emb"), 0, 8)).as("t08")
+    val rows = e.select(checks: _*).collect()
+    assert(rows.nonEmpty && rows.forall(r => (0 until 5).forall(r.getBoolean)))
+  }
+
   test("TokenSearchRewrite: plan rewritten to locate, results unchanged") {
     import spark.implicits._
     // stop constant folding from collapsing the literal test relation
