@@ -864,23 +864,22 @@ object SparkEntry {
         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
         |      i -> emb[i] * cemb[i])), (x, y) -> x + y) / (nrm * cnrm) AS cscore
         |  FROM n CROSS JOIN c),
-        |a AS (
-        |  SELECT vec_id, emb, nrm, cent_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cscore DESC, cent_id) AS arn FROM a0) t
-        |  WHERE arn = 1),
+        |ar AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cscore DESC, cent_id) AS arn FROM a0),
+        |a AS (SELECT vec_id, emb, nrm, cent_id FROM ar WHERE arn = 1),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cent_id
-        |      FROM a WHERE vec_id < 5),
+        |      FROM ar WHERE vec_id < 5 AND arn <= 2),
         |s AS (
-        |  SELECT q_id, a.vec_id, a.cent_id,
+        |  SELECT q_id, a.vec_id,
         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
         |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
         |  FROM q JOIN a ON q.cent_id = a.cent_id AND a.vec_id <> q.q_id),
         |r AS (
-        |  SELECT q_id, vec_id, cent_id, score,
+        |  SELECT q_id, vec_id, score,
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
         |  FROM s)
-        |SELECT q_id, vec_id, cent_id, score, rn FROM r WHERE rn <= 10
+        |SELECT q_id, vec_id, score, rn FROM r WHERE rn <= 10
         |ORDER BY q_id, rn""".stripMargin,
     "dd_emb_neardup" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -947,10 +946,11 @@ object SparkEntry {
         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
         |      i -> emb[i] * cemb[i])), (x, y) -> x + y) / (nrm * cnrm) AS cscore
         |  FROM n CROSS JOIN ic),
-        |ia AS (SELECT vec_id, emb, nrm, cent_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS arn FROM ia0) t
-        |  WHERE arn = 1),
-        |iq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cent_id FROM ia WHERE vec_id < 5),
+        |iar AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS arn FROM ia0),
+        |ia AS (SELECT vec_id, emb, nrm, cent_id FROM iar WHERE arn = 1),
+        |iq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cent_id
+        |       FROM iar WHERE vec_id < 5 AND arn <= 2),
         |isc AS (SELECT q_id, ia.vec_id,
         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
         |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
