@@ -89,15 +89,43 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   private def plainToken(kw: String): Boolean =
     kw != null && kw.nonEmpty && !kw.contains(' ')
 
-  /** (text attribute, keyword) from either predicate spelling. */
+  /** (text attribute, keywords) from any predicate spelling: the
+    * single-term array_contains form, the locate form TokenSearchRewrite
+    * produces, and the multi-term OR form (arrays_overlap — Mongo $text
+    * ORs its terms, api.py:26). */
   private object TokenMatch {
-    def unapply(e: Expression): Option[(Attribute, String)] = e match {
+    private def tokenArray(e: Expression): Option[Seq[String]] = e match {
+      case CreateArray(elems, _) =>
+        val kws = elems.collect {
+          case Literal(kw: UTF8String, StringType) if plainToken(kw.toString) =>
+            kw.toString
+        }
+        if (kws.length == elems.length && kws.nonEmpty) Some(kws) else None
+      // constant folding collapses CreateArray of literals into one
+      // array literal before this rule's match
+      case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(StringType, _)) =>
+        val n = arr.numElements()
+        val kws = (0 until n).flatMap { i =>
+          Option(arr.getUTF8String(i)).map(_.toString)
+        }
+        if (kws.length == n && kws.nonEmpty && kws.forall(plainToken)) Some(kws)
+        else None
+      case _ => None
+    }
+    def unapply(e: Expression): Option[(Attribute, Seq[String])] = e match {
       case ArrayContains(
             StringSplit(Lower(a: Attribute), Literal(sep: UTF8String, StringType),
               Literal(-1, _)),
             Literal(kw: UTF8String, StringType))
           if sep.toString == " " && plainToken(kw.toString) =>
-        Some((a, kw.toString))
+        Some((a, Seq(kw.toString)))
+      case ArraysOverlap(
+            StringSplit(Lower(a: Attribute), Literal(sep: UTF8String, StringType),
+              Literal(-1, _)),
+            arr)
+          if sep.toString == " " && tokenArray(arr).isDefined =>
+        Some((a, tokenArray(arr).get))
       case GreaterThan(
             StringLocate(Literal(needle: UTF8String, StringType),
               Concat(Seq(Literal(s1: UTF8String, StringType),
@@ -110,7 +138,7 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             n.length > 2 && n.startsWith(" ") && n.endsWith(" ") &&
               plainToken(n.substring(1, n.length - 1))
           } =>
-        Some((a, needle.toString.trim))
+        Some((a, Seq(needle.toString.trim)))
       case _ => None
     }
   }
@@ -131,18 +159,21 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val hit = conjuncts.collectFirst {
-        case p @ TokenMatch(attr, kw)
+        case p @ TokenMatch(attr, kws)
             if attr.name == "text" && child.outputSet.contains(attr) &&
               child.output.exists(_.name == "doc_id") &&
               registeredScan(child).isDefined =>
-          (p, kw)
+          (p, kws)
       }
       hit match {
-        case Some((pred, kw)) =>
+        case Some((pred, kws)) =>
           val docsPath = registeredScan(child).get
           val idxPath = TextIndexCatalog.lookup(docsPath).get
+          // postings are distinct per (term, doc_id); a doc matching
+          // several OR terms yields several matches, which LeftSemi
+          // collapses — no distinct needed
           val probe = spark.read.parquet(idxPath)
-            .filter(col("term") === lit(kw)).select("doc_id")
+            .filter(col("term").isin(kws: _*)).select("doc_id")
             .queryExecution.analyzed
           val docId = child.output.find(_.name == "doc_id").get
           val idxDocId = probe.output.find(_.name == "doc_id").get

@@ -191,6 +191,19 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("TextIndexRewrite: multi-term OR search (arrays_overlap) uses the index too") {
+    import spark.implicits._
+    graft.plans.TextIndexCatalog.clear()
+    val expected = ArticleOps.searchAnyKeyword(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSeq
+    graft.plans.TextIndexCatalog.ensureIndex(spark, sf0001)
+    val df = ArticleOps.searchAnyKeyword(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), s"OR rewrite did not fire:\n$opt")
+    assert(df.select("doc_id").as[Long].collect().toSeq == expected)
+    graft.plans.TextIndexCatalog.clear()
+  }
+
   test("ranked search orders by integer TF score desc then doc_id") {
     val rows = ArticleOps.searchRanked(spark, sf0001).collect()
     assert(rows.nonEmpty)
