@@ -31,6 +31,10 @@ object Bench {
     def sweep(): Map[String, Double] = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      // index registration is per-query state: without the clear, a
+      // search query benched after art_search_indexed would silently run
+      // the index-join plan and best-of-two would mix two plans
+      graft.plans.TextIndexCatalog.clear()
       journal.start(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -44,6 +48,10 @@ object Bench {
     // two sweeps, best-of per query: single-run numbers on this box vary
     // ~±15% from GC/JIT interference between queries
     val first = sweep()
+    // journal reports the second (steady-state) sweep only — without the
+    // reset both sweeps accumulate and every volume reads double
+    Thread.sleep(500)
+    journal.reset()
     val second = sweep()
     val results = first.map { case (k, v) =>
       val w = second(k)

@@ -31,8 +31,10 @@ object Verify {
       }
       // queries may persist() intermediates (LSH signatures, IVF
       // assignments); release them so cache doesn't accumulate across
-      // the 60-query sweep
+      // the 60-query sweep. Index registration is likewise per-query
+      // state: cleared so each query's plan is order-independent.
       spark.catalog.clearCache()
+      graft.plans.TextIndexCatalog.clear()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

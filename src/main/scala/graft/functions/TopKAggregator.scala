@@ -18,6 +18,7 @@ object TopKAggregator {
   final case class ScoredId(id: Long, score: Double)
 
   class TopK(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], String] {
+    require(k > 0, s"topK requires k > 0, got $k")
     // rank key: score desc, id asc — smaller key = better element
     private def key(x: ScoredId): (Double, Long) = (-x.score, x.id)
     private val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)

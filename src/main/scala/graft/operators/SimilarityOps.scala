@@ -115,7 +115,11 @@ object SimilarityOps {
     * only shuffles are the candidate join and the per-query top-k. */
   def lshAnnTopK(spark: SparkSession, sfDir: String,
                  tables: Int = 8, bits: Int = 4): DataFrame = {
+    // persisted: the normed scan feeds the bucket explode (referenced
+    // twice), the candidate join and the query broadcast — same contract
+    // as the other similarity ops (caller clearCache()s after the action)
     val e = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eb = e.select(col("vec_id"), explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), hyperplaneBucket(col("emb"), t, bits).as("bkt"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))

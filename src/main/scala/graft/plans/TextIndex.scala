@@ -49,13 +49,23 @@ object TextIndexCatalog {
 
   /** Materialize (once) + register the text index for `sfDir`'s
     * documents table. The postings land under java.io.tmpdir keyed by a
-    * hash of the docs path; sorted by term within few partitions so the
-    * term-equality probe prunes parquet row groups (at 100 TB this is a
-    * bucketed-by-term table; same probe shape). Idempotent. */
+    * hash of the docs path PLUS the source files' (name, length, mtime)
+    * fingerprint — a regenerated docs parquet at the same path gets a
+    * fresh index directory instead of silently serving stale postings.
+    * Sorted by term within few partitions so the term-equality probe
+    * prunes parquet row groups (at 100 TB this is a bucketed-by-term
+    * table; same probe shape). Idempotent per fingerprint. */
   def ensureIndex(spark: SparkSession, sfDir: String): String = {
     val docsPath = s"$sfDir/documents.parquet"
+    val f = new File(docsPath)
+    val parts =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+      else Array(s"${f.getName}:${f.length}:${f.lastModified}")
+    val fingerprint = docsPath + "|" + parts.mkString(",")
     val key = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(docsPath.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val idxDir = new File(sys.props("java.io.tmpdir"),
       s"graft-text-index/$key").getAbsolutePath
     if (!new File(idxDir, "_SUCCESS").exists()) {
@@ -94,6 +104,9 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * produces, and the multi-term OR form (arrays_overlap — Mongo $text
     * ORs its terms, api.py:26). */
   private object TokenMatch {
+    private object TokenArrayLit {
+      def unapply(e: Expression): Option[Seq[String]] = tokenArray(e)
+    }
     private def tokenArray(e: Expression): Option[Seq[String]] = e match {
       case CreateArray(elems, _) =>
         val kws = elems.collect {
@@ -123,9 +136,9 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case ArraysOverlap(
             StringSplit(Lower(a: Attribute), Literal(sep: UTF8String, StringType),
               Literal(-1, _)),
-            arr)
-          if sep.toString == " " && tokenArray(arr).isDefined =>
-        Some((a, tokenArray(arr).get))
+            TokenArrayLit(kws))
+          if sep.toString == " " =>
+        Some((a, kws))
       case GreaterThan(
             StringLocate(Literal(needle: UTF8String, StringType),
               Concat(Seq(Literal(s1: UTF8String, StringType),
@@ -143,31 +156,36 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** The registered docs path scanned under `plan`, if any. */
-  private def registeredScan(plan: LogicalPlan): Option[String] =
-    plan.collectLeaves().collectFirst {
-      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
-          if fs.location.rootPaths.exists(p =>
-            TextIndexCatalog.lookup(p.toUri.getPath).isDefined) =>
-        fs.location.rootPaths.collectFirst {
-          case p if TextIndexCatalog.lookup(p.toUri.getPath).isDefined =>
-            p.toUri.getPath
-        }.get
-    }
+  /** The registered docs scan DIRECTLY under `plan` — only through
+    * row-identity-preserving nodes (Project/Filter). Anything else
+    * (union, join, generate, aggregate) changes or mixes row identity,
+    * so rewriting a filter above it against the base table's postings
+    * would be wrong (e.g. a dup-seeded union contains rows the postings
+    * have never seen); those plans are conservatively refused. */
+  private def registeredScan(plan: LogicalPlan): Option[String] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.collectFirst {
+        case p if TextIndexCatalog.lookup(p.toUri.getPath).isDefined =>
+          p.toUri.getPath
+      }
+    case org.apache.spark.sql.catalyst.plans.logical.Project(_, c) => registeredScan(c)
+    case Filter(_, c) => registeredScan(c)
+    case _ => None
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val hit = conjuncts.collectFirst {
-        case p @ TokenMatch(attr, kws)
-            if attr.name == "text" && child.outputSet.contains(attr) &&
-              child.output.exists(_.name == "doc_id") &&
-              registeredScan(child).isDefined =>
-          (p, kws)
+      val hit = registeredScan(child).flatMap { docsPath =>
+        conjuncts.collectFirst {
+          case p @ TokenMatch(attr, kws)
+              if attr.name == "text" && child.outputSet.contains(attr) &&
+                child.output.exists(_.name == "doc_id") =>
+            (p, kws, docsPath)
+        }
       }
       hit match {
-        case Some((pred, kws)) =>
-          val docsPath = registeredScan(child).get
+        case Some((pred, kws, docsPath)) =>
           val idxPath = TextIndexCatalog.lookup(docsPath).get
           // postings are distinct per (term, doc_id); a doc matching
           // several OR terms yields several matches, which LeftSemi

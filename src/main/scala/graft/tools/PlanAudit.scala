@@ -34,9 +34,12 @@ object PlanAudit {
           s"| ${n("BroadcastExchange")} | ${n("Scan parquet")} " +
           s"| ${n("\\bSort \\[")} | $spans |")
       } catch {
-        case e: Throwable => println(s"| $name | plan failed: ${e.getMessage} |")
+        case e: Throwable =>
+          val msg = String.valueOf(e.getMessage).replace("|", "/").take(60)
+          println(s"| $name | plan failed: $msg | - | - | - | - |")
       }
       spark.catalog.clearCache()
+      graft.plans.TextIndexCatalog.clear()
     }
     spark.stop()
   }

@@ -32,6 +32,9 @@ class QueryJournal extends SparkListener {
   /** Tag subsequent task metrics with this query name. */
   def start(name: String): Unit = current = name
 
+  /** Drop all accumulated metrics (e.g. between bench sweeps). */
+  def reset(): Unit = cells.clear()
+
   override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
     val tm = ev.taskMetrics
     if (tm != null) {

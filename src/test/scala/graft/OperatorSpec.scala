@@ -204,6 +204,23 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("TextIndexRewrite is identity-safe: union over the docs scan keeps seeded rows") {
+    import spark.implicits._
+    // DedupOps.corpus unions the docs scan with seeded copies whose
+    // doc_ids the postings have never seen; a rewrite keyed only on "the
+    // plan contains the registered relation somewhere" would drop them
+    def q() = DedupOps.corpus(spark, sf0001)
+      .filter(array_contains(split(lower(col("text")), " "), "spark"))
+      .select("doc_id")
+    graft.plans.TextIndexCatalog.clear()
+    val expected = q().as[Long].collect().toSet
+    graft.plans.TextIndexCatalog.ensureIndex(spark, sf0001)
+    val got = q().as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.exists(_ >= 200000L), "seeded near-copy matches must survive")
+    graft.plans.TextIndexCatalog.clear()
+  }
+
   test("ranked search orders by integer TF score desc then doc_id") {
     val rows = ArticleOps.searchRanked(spark, sf0001).collect()
     assert(rows.nonEmpty)
