@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming form of the corpus-curation pipeline (the LLM-pipeline
+  * analogue of TextOps.curateCorpus, and the streaming restatement of
+  * reference O7's `caught_docs` dedup, index.py:162-163): documents
+  * arrive as an unbounded stream tagged with an ingest timestamp; each
+  * micro-batch is exact-deduplicated against watermark-bounded state by
+  * content hash, then gated on the same cheap quality signals the batch
+  * pipeline uses.
+  *
+  * Scale shape: the dedup state is one 16-byte md5 per surviving doc
+  * within the watermark horizon — reclaimed as event time advances, so
+  * a perpetual 100 TB/day ingest holds state proportional to the
+  * horizon, not the corpus. Everything else is a narrow projection.
+  * (Cross-horizon dedup at rest remains the batch `dd_exact` /
+  * `dd_minhash_lsh` sweep — stream dedup dedups the firehose, batch
+  * dedup dedups the lake; production runs both.)
+  */
+object DocStreamOps {
+
+  final case class DocRow(doc_id: Long, ingest_ts: java.sql.Timestamp,
+    source: String, text: String)
+
+  /** Content-hash dedup within the watermark + quality gate.
+    * Emits (doc_id, source, n_tokens, text_md5) for accepted docs. */
+  def curateDocStream(docs: DataFrame, watermark: String = "10 minutes",
+                      minTokens: Int = 3): DataFrame =
+    docs.withWatermark("ingest_ts", watermark)
+      .withColumn("text_md5", md5(col("text").cast("binary")))
+      .dropDuplicatesWithinWatermark("text_md5")
+      .withColumn("n_tokens",
+        size(filter(split(lower(col("text")), " "), t => length(t) > 0)))
+      .filter(col("n_tokens") >= minTokens)
+      .select("doc_id", "source", "n_tokens", "text_md5")
+}

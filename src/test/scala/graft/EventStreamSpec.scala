@@ -157,6 +157,32 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming doc curation: content dedup across batches + quality gate") {
+    import spark.implicits._
+    import graft.streaming.DocStreamOps
+    import graft.streaming.DocStreamOps.DocRow
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[DocRow]
+    val q = DocStreamOps.curateDocStream(mem.toDF())
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        DocRow(1L, ts(0), "a", "the quick brown fox"),
+        DocRow(2L, ts(1), "a", "the quick brown fox"), // in-batch dup: dropped
+        DocRow(3L, ts(2), "b", "tiny"))                // below minTokens: dropped
+      q.processAllAvailable()
+      mem.addData(
+        DocRow(4L, ts(3), "c", "the quick brown fox"), // cross-batch dup within watermark: dropped
+        DocRow(5L, ts(4), "c", "a different document entirely"))
+      q.processAllAvailable()
+      val got = spark.table("curated").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 5L))
+      val toks = spark.table("curated").select("n_tokens").as[Int].collect()
+      assert(toks.forall(_ >= 3))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
