@@ -13,6 +13,7 @@ class DeterminismSpec extends AnyFunSuite {
 
   test("all declared queries produce identical ordered output across runs") {
     val flaky = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      graft.plans.TextIndexCatalog.clear() // per-query plan independence
       val a = fn(spark, SparkFixture.sf0001).collect().map(_.toString).toSeq
       spark.catalog.clearCache()
       val b = fn(spark, SparkFixture.sf0001).collect().map(_.toString).toSeq

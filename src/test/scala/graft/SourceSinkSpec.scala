@@ -108,6 +108,43 @@ class SourceSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("AsOfMergeExec over bucketed tables: declared distribution satisfied, no exchange") {
+    import org.apache.spark.sql.functions.unix_micros
+    // the payoff of requiredChildDistribution being a planner contract:
+    // inputs bucketed on the key already satisfy it, so the planner
+    // inserts NO exchange (SURVEY.md §8.2) — the same query that plans
+    // one exchange per side on unbucketed inputs
+    val ev = Tables.events(spark, SparkFixture.sf0001)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+      .repartition(8, col("user_id")) // one file per bucket
+      .write.mode("overwrite").bucketBy(8, "user_id")
+      .sortBy("user_id", "tsMicros").saveAsTable("purchases_bucketed")
+    ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+      .repartition(8, col("user_id"))
+      .write.mode("overwrite").bucketBy(8, "user_id")
+      .sortBy("user_id", "tsMicros").saveAsTable("signups_bucketed")
+    try {
+      val df = graft.operators.AsOfJoinOps.asofJoinExec(spark,
+        spark.table("purchases_bucketed"), spark.table("signups_bucketed"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfMerge"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+      // same rows as the unbucketed path
+      val expected = graft.operators.AsOfJoinOps.asofJoinExec(spark,
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsMicros")),
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), unix_micros(col("ts")).as("tsMicros")))
+        .collect().map(_.toString).sorted.toSeq
+      assert(df.collect().map(_.toString).sorted.toSeq == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS purchases_bucketed")
+      spark.sql("DROP TABLE IF EXISTS signups_bucketed")
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     val confs = Map(
