@@ -29,6 +29,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("prefix-filter lemma: df-ordered prefixes catch every pair with jaccard >= 0.5") {
+    // the pure-set form of the pigeonhole argument dd_ngram_jaccard
+    // relies on: for any two sets with jaccard >= t, the (n - ceil(t*n)
+    // + 1)-prefixes under ANY shared total order must intersect. Checked
+    // here against random set families with the same global order the
+    // query uses (document frequency asc, value asc).
+    val setGen = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 40L)).map(_.toSet))
+    holds(Prop.forAll(Gen.listOfN(6, setGen)) { fam =>
+      val df = fam.flatten.groupBy(identity).map { case (v, xs) => v -> xs.size }
+      def prefix(s: Set[Long]): Set[Long] = {
+        val n = s.size
+        s.toSeq.sortBy(v => (df(v), v)).take(n / 2 + 1).toSet
+      }
+      def jaccard(a: Set[Long], b: Set[Long]): Double =
+        a.intersect(b).size.toDouble / a.union(b).size
+      fam.combinations(2).forall { case Seq(a, b) =>
+        jaccard(a, b) < 0.5 || prefix(a).intersect(prefix(b)).nonEmpty
+      }
+    })
+  }
+
   test("Spark polyHash agrees with an independent JVM model on random ASCII") {
     import spark.implicits._
     def model(s: String): Long =
