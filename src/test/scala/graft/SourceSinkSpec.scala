@@ -145,6 +145,37 @@ class SourceSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the 100 TB-relevant runtime optimization: a selective dim-side
+    // filter injects a bloom filter onto the fact scan, so most fact
+    // rows die before the shuffle (complements static pushdown, which
+    // cannot see join selectivity)
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // the rule only fires when the pruned side is big (10GB default);
+      // zero it so the sf0.001 fixture exercises the plan shape
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables.orders(spark, SparkFixture.sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = Tables.lineitem(spark, SparkFixture.sf0001)
+      val joined = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter") ||
+        plan.contains("might_contain"), s"no runtime filter injected:\n$plan")
+      assert(joined.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     val confs = Map(
