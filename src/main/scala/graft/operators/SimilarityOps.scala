@@ -163,27 +163,49 @@ object SimilarityOps {
     * recall dial, tuned off [[annRecall]]: nprobe=1 measured recall@10
     * = 0.36 at sf0.01, nprobe=2 measures 0.48 at ~2× candidate cost —
     * candidates stay ~nprobe·N/k per query, lists are disjoint so no
-    * dedup is needed). Caller releases the persisted assignment via
-    * spark.catalog.clearCache() (Verify/Bench/specs do). */
+    * dedup is needed).
+    *
+    * Shuffle discipline: only NARROW (vec_id, cent_id, cscore) rows ever
+    * cross the assignment exchange. The N·k centroid scores are reduced
+    * to the per-vector argmax by a hash aggregate — max of a
+    * (cscore, -cent_id) struct, identical (score desc, cent_id asc)
+    * order to the window formulation — with map-side partial combine, so
+    * the exchange carries ≤ one 24-byte row per vector. The 64-double
+    * payload is joined back by vec_id afterwards: exactly one payload
+    * pass through an exchange, instead of k× through the old
+    * Window.partitionBy(vec_id) (which shuffled emb+nrm on all N·k
+    * rows — k× write amplification of the whole corpus at 100 TB).
+    * The probe-side top-k join stays broadcast, so the inverted lists
+    * are never shuffled again. Caller releases the persisted corpus
+    * scan via spark.catalog.clearCache() (Verify/Bench/specs do). */
   def ivfAnnTopK(spark: SparkSession, sfDir: String,
                  k: Int = 16, nprobe: Int = 2): DataFrame = {
+    // persisted: the normed corpus feeds the codebook TakeOrdered, the
+    // O(N·k) assignment scan, the payload rejoin and the query vectors
     val e = vecs(spark, sfDir)
-    val cents = ivfCentroids(e, k)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("cent_id"))
-    // persisted: the centroid-scored scan feeds both the corpus inverted
-    // lists and the query probe set — without it the O(N·k) assignment
-    // runs twice
-    val scored = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"),
-        cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
-      .withColumn("arn", row_number().over(wAssign))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = scored.filter(col("arn") === 1)
-      .select("vec_id", "emb", "nrm", "cent_id")
-    val qprobe = scored.filter(col("vec_id") < 5 && col("arn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cent_id"))
+    val cents = ivfCentroids(e, k)
+    // narrow centroid scores: payload is consumed map-side by the dot
+    // product and never projected past this select
+    val cscored = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
+    val assignCent = cscored
+      .groupBy("vec_id")
+      .agg(max(struct(col("cscore").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cent_id"))
+    val assigned = e.select("vec_id", "emb", "nrm").join(assignCent, "vec_id")
+    // query probe set: vec_id < 5 prunes the scored scan to 5·k rows
+    // before the rank window, so this side is trivially cheap
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cent_id"))
+    val qprobe = cscored.filter(col("vec_id") < 5)
+      .withColumn("arn", row_number().over(wProbe))
+      .filter(col("arn") <= nprobe)
+      .join(e.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm")),
+        "vec_id")
+      .select(col("vec_id").as("q_id"), col("q_emb"), col("q_nrm"), col("cent_id"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     assigned.join(broadcast(qprobe), Seq("cent_id"))
