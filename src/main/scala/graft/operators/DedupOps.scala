@@ -113,8 +113,16 @@ object DedupOps {
     * O(n²) per block.) The df table is small relative to the corpus;
     * AQE broadcasts it at bench scale and shuffle-joins it beyond.
     * Caller releases persisted signatures via clearCache(). */
-  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = withShingles(corpus(spark, sfDir))
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPairsOf(corpus(spark, sfDir))
+
+  /** [[ngramJaccardPairs]] over an arbitrary (doc_id, text) corpus —
+    * the injectable form the skew spec drives with a seeded hot prefix
+    * shingle (df-asc ordering keeps naturally-hot shingles out of
+    * prefixes, but a corpus of near-identical SHORT docs forces one in;
+    * AQE skew-join is the backstop that splits that bucket). */
+  def ngramJaccardPairsOf(corpusDf: DataFrame): DataFrame = {
+    val sigs = withShingles(corpusDf)
       .select(col("doc_id"), col("sh"))
       .withColumn("n", size(col("sh")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -148,8 +156,12 @@ object DedupOps {
     * definition — never registered as a query; exists so tests can
     * assert the prefix-filtered join is EXACTLY equal to it (prefix
     * filtering is lossless, unlike LSH). */
-  def ngramJaccardPairsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = withShingles(corpus(spark, sfDir)).select("doc_id", "sh")
+  def ngramJaccardPairsAllPairs(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPairsAllPairsOf(corpus(spark, sfDir))
+
+  /** Injectable all-pairs model (see [[ngramJaccardPairsOf]]). */
+  def ngramJaccardPairsAllPairsOf(corpusDf: DataFrame): DataFrame = {
+    val d = withShingles(corpusDf).select("doc_id", "sh")
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))

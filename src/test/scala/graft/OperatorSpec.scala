@@ -358,6 +358,53 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("AQE skew-join splits the Jaccard prefix equi-join under a seeded hot shingle") {
+    import spark.implicits._
+    // df-asc prefix ordering keeps naturally-common shingles out of
+    // prefixes, but it cannot BOUND a bucket: a corpus of short
+    // near-identical docs forces one shingle into every prefix. 600 docs
+    // of the form "alpha beta gamma w<i>" all carry the [alpha beta
+    // gamma] trigram, and at 2 shingles/doc the prefix length L = n/2+1
+    // = 2 admits both — so the candidate equi-join on s sees one bucket
+    // with 600x600 potential. AQE skew-join is the designed backstop;
+    // this pins that it actually fires on the operator's own plan.
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(600).select(col("id").as("doc_id"),
+        lit("seed").as("source"),
+        concat(lit("alpha beta gamma w"), col("id")).as("text"))
+      // two true dups so the verified output is non-empty
+      val dups = Seq((9001L, "seed", "one two three four five"),
+        (9002L, "seed", "one two three four five"))
+        .toDF("doc_id", "source", "text")
+      val corpus = hot.unionAll(dups)
+      val got = DedupOps.ngramJaccardPairsOf(corpus)
+      val rows = got.collect()
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n$plan")
+      // hot-doc pairs share 1 of 3 distinct shingles (jaccard 1/3 < 0.5):
+      // the verify rejects them all; only the seeded dup pair survives
+      assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        .toSet == Set((9001L, 9002L)))
+      val model = DedupOps.ngramJaccardPairsAllPairsOf(corpus)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(model == Set((9001L, 9002L)))
+    } finally {
+      spark.catalog.clearCache()
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("IVF codebook size is constant in corpus size (fixed-k, O(N·k) assignment)") {
     import org.apache.spark.sql.functions.col
     def centroids(sfDir: String): Long = {
