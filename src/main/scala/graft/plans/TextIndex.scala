@@ -1,7 +1,8 @@
 package graft.plans
 
-import java.io.File
 import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
@@ -40,38 +41,111 @@ object TextIndexCatalog {
 
   def lookup(docsPath: String): Option[String] = indexes.get(docsPath)
 
-  /** Distinct (term, doc_id) postings for a docs table. */
-  def postings(spark: SparkSession, docsPath: String): DataFrame =
-    spark.read.parquet(docsPath)
+  /** Distinct (term, doc_id) postings over an arbitrary docs frame.
+    * Per-file distinct composes into a globally-distinct index because
+    * `doc_id` uniquely keys the docs TABLE (the register contract):
+    * posting sets from disjoint doc_id ranges are themselves disjoint,
+    * which is what makes the append-delta build below sound. */
+  def postingsOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(lower(col("text")), " ")).as("term"), col("doc_id"))
       .filter(length(col("term")) > 0)
       .distinct()
 
-  /** Materialize (once) + register the text index for `sfDir`'s
-    * documents table. The postings land under java.io.tmpdir keyed by a
-    * hash of the docs path PLUS the source files' (name, length, mtime)
-    * fingerprint — a regenerated docs parquet at the same path gets a
-    * fresh index directory instead of silently serving stale postings.
-    * Sorted by term within few partitions so the term-equality probe
-    * prunes parquet row groups (at 100 TB this is a bucketed-by-term
-    * table; same probe shape). Idempotent per fingerprint. */
-  def ensureIndex(spark: SparkSession, sfDir: String): String = {
+  /** Distinct (term, doc_id) postings for a docs table. */
+  def postings(spark: SparkSession, docsPath: String): DataFrame =
+    postingsOf(spark.read.parquet(docsPath))
+
+  /** Data files the index must cover, as name:length:mtime entries —
+    * the same visibility rule Spark's parquet reader uses (files led by
+    * '_' or '.' are metadata, not data). Hadoop FileSystem API, not
+    * java.io.File: the docs "directory" is an object-store prefix in
+    * production and a local path only in tests. */
+  private def dataFileEntries(fs: FileSystem, docsPath: Path): Seq[String] = {
+    val st = fs.getFileStatus(docsPath)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(docsPath).toSeq
+          .filter(s => s.isFile && {
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+      else Seq(st)
+    files.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted
+  }
+
+  /** File names (manifest-entry prefixes) the most recent [[ensureIndex]]
+    * call actually built postings for: empty when the index was served
+    * as-is, the delta files on an append-only refresh, every data file
+    * on a full (re)build. Test introspection for the delta contract. */
+  @volatile var lastBuild: Seq[String] = Seq.empty
+
+  /** Materialize + register the text index for `sfDir`'s documents
+    * table, with INCREMENTAL maintenance: the index directory (under
+    * java.io.tmpdir, keyed by a hash of the docs path) carries a
+    * `_manifest` of the data files it covers as (name, length, mtime)
+    * entries. Per call:
+    *
+    *  - manifest == current files → serve as-is (no build);
+    *  - manifest ⊂ current files, covered entries unchanged → build
+    *    postings for the NEW files only and append them (sound because
+    *    doc_id uniquely keys the table, see [[postingsOf]]) — the
+    *    append-only path a 100 TB corpus takes daily;
+    *  - anything else (changed/removed files, first build) → full
+    *    rebuild, so a regenerated docs parquet can never be served
+    *    stale postings.
+    *
+    * Each build repartitions by term and sorts within partitions —
+    * the build parallelizes across the cluster and every term's
+    * postings land contiguously in one file per build, so the probe's
+    * term-equality pushed filter prunes to one partition's row groups
+    * (the bucketed-by-term layout of SURVEY §8.1; delta builds add one
+    * term-partitioned file generation each). Synchronized: concurrent
+    * callers in this JVM must not race the append (the metastore
+    * transaction's stand-in). */
+  def ensureIndex(spark: SparkSession, sfDir: String): String = synchronized {
     val docsPath = s"$sfDir/documents.parquet"
-    val f = new File(docsPath)
-    val parts =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName)
-          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
-      else Array(s"${f.getName}:${f.length}:${f.lastModified}")
-    val fingerprint = docsPath + "|" + parts.mkString(",")
+    val hconf = spark.sessionState.newHadoopConf()
+    val dPath = new Path(docsPath)
+    val fs = dPath.getFileSystem(hconf)
+    val current = dataFileEntries(fs, dPath)
     val key = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val idxDir = new File(sys.props("java.io.tmpdir"),
+      .digest(docsPath.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-text-index/$key").getAbsolutePath
-    if (!new File(idxDir, "_SUCCESS").exists()) {
-      postings(spark, docsPath)
-        .coalesce(4).sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(idxDir)
+    val idxPath = new Path(idxDir)
+    val ifs = idxPath.getFileSystem(hconf)
+    val manifestPath = new Path(idxPath, "_manifest")
+    val built = ifs.exists(new Path(idxPath, "_SUCCESS"))
+    val prev: Seq[String] =
+      if (built && ifs.exists(manifestPath)) {
+        val in = ifs.open(manifestPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      } else Seq.empty
+    def writeManifest(): Unit = {
+      val out = ifs.create(manifestPath, true)
+      try out.write(current.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    def bucketedWrite(df: DataFrame, mode: String): Unit =
+      df.repartition(col("term")).sortWithinPartitions("term")
+        .write.mode(mode).parquet(idxDir)
+    val prevSet = prev.toSet
+    if (prev.nonEmpty && prevSet == current.toSet) {
+      lastBuild = Seq.empty // up to date
+    } else if (prev.nonEmpty && prevSet.subsetOf(current.toSet)) {
+      val delta = current.filterNot(prevSet)
+      val deltaFiles = delta.map(e =>
+        new Path(dPath, e.substring(0, e.indexOf(':'))).toString)
+      bucketedWrite(postingsOf(spark.read.parquet(deltaFiles: _*)), "append")
+      writeManifest()
+      lastBuild = delta.map(e => e.substring(0, e.indexOf(':')))
+    } else {
+      bucketedWrite(postings(spark, docsPath), "overwrite")
+      writeManifest()
+      lastBuild = current.map(e => e.substring(0, e.indexOf(':')))
     }
     register(docsPath, idxDir)
     idxDir

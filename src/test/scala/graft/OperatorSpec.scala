@@ -221,6 +221,52 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("ensureIndex is incremental: appended files build a delta; changed files force rebuild") {
+    import spark.implicits._
+    import graft.plans.TextIndexCatalog
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val docsDir = s"$tmp/documents.parquet"
+    Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(docsDir)
+    TextIndexCatalog.clear()
+    val idx = TextIndexCatalog.ensureIndex(spark, tmp)
+    val fullBuild = TextIndexCatalog.lastBuild
+    assert(fullBuild.nonEmpty, "first call must be a full build")
+    // idempotent: unchanged corpus builds nothing
+    TextIndexCatalog.ensureIndex(spark, tmp)
+    assert(TextIndexCatalog.lastBuild.isEmpty, "unchanged corpus must not rebuild")
+    // appended doc file: postings built for the NEW file only, unioned
+    // into the same index directory
+    Seq((3L, "gamma delta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    TextIndexCatalog.ensureIndex(spark, tmp)
+    val delta = TextIndexCatalog.lastBuild
+    assert(delta.nonEmpty && delta.forall(f => !fullBuild.contains(f)),
+      s"delta build must cover only the appended files: $delta vs $fullBuild")
+    def indexed(): Set[(String, Long)] = spark.read.parquet(idx)
+      .select("term", "doc_id").as[(String, Long)].collect().toSet
+    def scratch(): Set[(String, Long)] = TextIndexCatalog
+      .postings(spark, docsDir).as[(String, Long)].collect().toSet
+    assert(indexed() == scratch() && indexed().contains(("delta", 3L)))
+    // searches through the refreshed index still plan the semi-join and
+    // see the appended doc
+    val q = spark.read.parquet(docsDir)
+      .filter(array_contains(split(lower(col("text")), " "), "delta"))
+      .select("doc_id")
+    assert(q.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(q.as[Long].collect().toSeq == Seq(3L))
+    // regenerated corpus (covered files changed): full rebuild, nothing
+    // stale survives
+    Seq((1L, "alpha beta"), (2L, "beta gamma"), (9L, "omega epsilon"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(docsDir)
+    TextIndexCatalog.ensureIndex(spark, tmp)
+    assert(TextIndexCatalog.lastBuild.nonEmpty)
+    assert(indexed() == scratch(), "rebuild must replace stale postings")
+    assert(indexed().contains(("omega", 9L)) && !indexed().exists(_._1 == "delta"))
+    TextIndexCatalog.clear()
+  }
+
   test("ranked search orders by integer TF score desc then doc_id") {
     val rows = ArticleOps.searchRanked(spark, sf0001).collect()
     assert(rows.nonEmpty)
