@@ -52,6 +52,10 @@ object SparkEntry {
     "art_search_via_index"     -> ((s: SparkSession, d: String) => ArticleOps.searchViaIndex(s, d)),
     "art_search_indexed"       -> ((s: SparkSession, d: String) => ArticleOps.searchIndexed(s, d)),
     "art_search_ranked"        -> ((s: SparkSession, d: String) => ArticleOps.searchRanked(s, d)),
+    "art_search_bm25"          -> ((s: SparkSession, d: String) => ArticleOps.searchBm25(s, d)),
+    "art_search_phrase"        -> ((s: SparkSession, d: String) => ArticleOps.searchPhrase(s, d)),
+    "art_search_negation"      -> ((s: SparkSession, d: String) => ArticleOps.searchNegation(s, d)),
+    "art_keywords_split"       -> ArticleOps.keywordsSplit _,
     "art_batch_report"         -> ArticleOps.batchReport _,
     "art_crawl_e2e"            -> ((s: SparkSession, d: String) => ArticleOps.crawlExtractSearch(s, d)),
     // --- event analytics (batch forms of the streaming ops) ---
@@ -365,6 +369,67 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source, h.score
         |FROM documents d JOIN h ON d.doc_id = h.doc_id
         |ORDER BY h.score DESC, d.doc_id""".stripMargin,
+    // BM25-style score: identical expression tree both engines — exact
+    // integer inputs through +,×,/ and floor only (no ln), so the floored
+    // per-term parts and their BIGINT sum hash-match bitwise
+    "art_search_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+        |  WHERE term IN ('spark', 'merge') GROUP BY term),
+        |parts AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(1000000.0 *
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |        (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(dl.dl AS DOUBLE) /
+        |            (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |    ) AS BIGINT) AS part
+        |  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats),
+        |scores AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score
+        |  FROM parts GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, d.source, s.score
+        |FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+        |ORDER BY s.score DESC, d.doc_id""".stripMargin,
+    // phrase = adjacent positions in the empty-filtered token sequence;
+    // the position base (0 vs 1) cancels in the +1 adjacency join
+    "art_search_phrase" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS l
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t),
+        |a AS (SELECT doc_id, pos FROM tok WHERE term = 'merge'),
+        |b AS (SELECT doc_id, pos FROM tok WHERE term = 'group'),
+        |hits AS (SELECT DISTINCT a.doc_id FROM a
+        |  JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin,
+    "art_search_negation" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+        |  AND NOT list_contains(string_split(lower(text), ' '), 'merge')
+        |ORDER BY doc_id""".stripMargin,
+    // keywords CSV -> array derivation (SURVEY §1.3): the synthetic
+    // keywords meta field is lang,source; posexplode is 0-based and
+    // generate_subscripts 1-based, hence the -1
+    "art_keywords_split" ->
+      """WITH k AS (
+        |  SELECT doc_id, string_split(lang || ',' || source, ',') AS kws
+        |  FROM documents)
+        |SELECT doc_id, CAST(generate_subscripts(kws, 1) - 1 AS BIGINT) AS kw_pos,
+        |  unnest(kws) AS keyword
+        |FROM k ORDER BY doc_id, kw_pos""".stripMargin,
     "evt_value_histogram" ->
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

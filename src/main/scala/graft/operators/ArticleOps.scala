@@ -263,6 +263,114 @@ object ArticleOps {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Mongo `$text` quoted-phrase search (api.py:26 accepts `"exact
+    * phrase"` syntax): docs whose FILTERED token sequence contains the
+    * phrase's tokens adjacently, in order. Textbook positional-index
+    * plan: the materialized postings give the candidate docs (every doc
+    * containing ALL phrase terms — a term-pruned index scan, never a
+    * corpus scan), then the positional verify runs on candidates only —
+    * posexplode positions per candidate, and the phrase is an equi-join
+    * of each term's positions shifted by its phrase offset (the IR
+    * AND-merge of positional postings). Adjacency is over the
+    * empty-filtered token sequence, consistent with every other search's
+    * whole-token semantics. */
+  def searchPhrase(spark: SparkSession, sfDir: String,
+                   phrase: String = "merge group"): DataFrame = {
+    val terms = phrase.toLowerCase.split(" ").filter(_.nonEmpty)
+    val idxPath = graft.plans.TextIndexCatalog.ensureIndex(spark, sfDir)
+    val cand = spark.read.parquet(idxPath)
+      .filter(col("term").isin(terms.distinct.toSeq: _*))
+      .groupBy("doc_id").agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === terms.distinct.length)
+      .select("doc_id")
+    val toks = docs(spark, sfDir)
+      .join(cand, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(
+        filter(split(lower(col("text")), " "), t => length(t) > 0)))
+      .toDF("doc_id", "pos", "term")
+    val first = toks.filter(col("term") === terms(0)).select("doc_id", "pos")
+    val hits = terms.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(toks.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("pos")), Seq("doc_id", "pos"))
+    }.select("doc_id").distinct()
+    docs(spark, sfDir).join(hits, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Mongo `$text` negation (api.py:26 accepts `-term` exclusions):
+    * `"spark -merge"` matches docs containing `spark` but not `merge`.
+    * The positive conjunct is the rewrite-matchable token pattern, so
+    * with an index registered TextIndexRewrite turns it into the
+    * postings semi-join and the negation stays behind as the residual
+    * filter over the candidates — index-pruned scan plus a cheap
+    * per-candidate check, the standard inclusion-list/exclusion-filter
+    * split. */
+  def searchNegation(spark: SparkSession, sfDir: String,
+                     keyword: String = "spark", excluded: String = "merge"): DataFrame =
+    docs(spark, sfDir)
+      .filter(array_contains(split(lower(col("text")), " "), keyword.toLowerCase) &&
+        !array_contains(split(lower(col("text")), " "), excluded.toLowerCase))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** BM25-style ranked search — the tf·idf-shaped upgrade of
+    * [[searchRanked]]'s raw TF (Mongo's textScore weighs rarity and
+    * length, api.py:26). Per (doc, term):
+    *
+    *   part = floor(1e6 · idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)))
+    *
+    * with k1 = 1.2, b = 0.75 and the log-free probabilistic idf ratio
+    * (N − df + 0.5)/(df + 0.5) — no transcendental functions, because ln
+    * is not correctly-rounded across engines while +,×,/ and floor are:
+    * both sides evaluate the identical expression tree over exact
+    * integer inputs, so the floored parts — and their BIGINT sum, the
+    * score — hash-match bitwise. Shuffle shape: one doc_id agg for
+    * lengths, one narrow (doc_id, term) agg for tf, a broadcast df
+    * table, a broadcast 1-row stats table, and the score join back —
+    * the explode collapses map-side everywhere. */
+  def searchBm25(spark: SparkSession, sfDir: String,
+                 keywords: Seq[String] = Seq("spark", "merge")): DataFrame = {
+    val kws = keywords.map(_.toLowerCase)
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tf = toks.filter(col("term").isin(kws: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = toks.filter(col("term").isin(kws: _*))
+      .select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scores = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // 1-row stats
+      .select(col("doc_id"),
+        floor(lit(1000000.0) *
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("tot").cast("double") / col("n_docs").cast("double"))))))
+        ).cast("long").as("part"))
+      .groupBy("doc_id").agg(sum(col("part")).as("score"))
+    docs(spark, sfDir)
+      .join(scores, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** SURVEY §1.3 `keywords` CSV → array derivation: the extracted
+    * comma-joined keywords string split into one row per keyword with
+    * its position (arrays can't be output columns under the driver's
+    * comparator, so the derivation is exercised as an explode). */
+  def keywordsSplit(spark: SparkSession, sfDir: String): DataFrame =
+    extractArticleFields(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("keywords"), ",")))
+      .toDF("doc_id", "kw_pos", "keyword")
+      .select(col("doc_id"), col("kw_pos").cast("long").as("kw_pos"), col("keyword"))
+      .orderBy("doc_id", "kw_pos")
+
   /** Search via the inverted index: term lookup -> semi-join back to the
     * documents (the scalable form of `searchKeyword` — touches only the
     * postings for the term instead of scanning every document). */

