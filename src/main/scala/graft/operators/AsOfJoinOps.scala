@@ -30,9 +30,30 @@ object AsOfJoinOps {
   final case class AsOfOut(event_id: Long, user_id: Long, tsMicros: Long,
     asofMicros: Option[Long])
 
+  /** Partition a key the way Spark's HashPartitioning does for a single
+    * LongType clustering column: murmur3(long, seed 42) pmod n. Used by
+    * the runtime alignment guard below; if a Spark upgrade ever changes
+    * the exchange this stops matching and the guard FAILS LOUDLY,
+    * instead of the merge silently pairing misaligned partitions. */
+  private[graft] def expectedPartition(key: Long, n: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(key, 42)
+    val m = h % n
+    if (m < 0) m + n else m
+  }
+
   /** Generic as-of: left rows get the latest right tsMicros ≤ their own,
     * per user_id. Both inputs any partitioning; output is a Dataset of
-    * AsOfOut. */
+    * AsOfOut.
+    *
+    * Correctness of the zipped merge rests on an UNCONTRACTED Spark
+    * invariant (ADVICE r03): identical `repartition(n, col)` calls on
+    * both inputs yield identically-assigned hash partitions. That holds
+    * for HashPartitioning today, but zipPartitions only validates
+    * partition COUNTS — so every row is cheaply re-hashed in the closure
+    * and asserted to belong to the partition it arrived in; drift fails
+    * the job with a diagnostic instead of emitting wrong as-of matches.
+    * (The planner-enforced form below, [[asofJoinExec]], needs no guard:
+    * requiredChildDistribution makes Spark itself own the invariant.) */
   def asofJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
                partitions: Int): DataFrame = {
     import spark.implicits._
@@ -46,16 +67,25 @@ object AsOfJoinOps {
       .as[RightRow]
     // identical HashPartitioning expressions => co-partitioned RDDs
     val merged = l.rdd.zipPartitions(r.rdd) { (li, ri) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      def aligned(key: Long): Long = {
+        val exp = expectedPartition(key, partitions)
+        if (exp != pid) throw new IllegalStateException(
+          s"as-of co-partitioning drifted: key $key hashes to partition " +
+            s"$exp but arrived in $pid of $partitions — Spark's exchange " +
+            "no longer matches HashPartitioning(murmur3); use asofJoinExec")
+        key
+      }
       val rBuf = ri.buffered
       var curUser = Long.MinValue
       var lastTs = Option.empty[Long]
       li.map { e =>
-        if (e.user_id != curUser) { curUser = e.user_id; lastTs = None }
+        if (e.user_id != curUser) { curUser = aligned(e.user_id); lastTs = None }
         // advance the right side through all rows at-or-before e
         while (rBuf.hasNext && (rBuf.head.user_id < curUser ||
             (rBuf.head.user_id == curUser && rBuf.head.tsMicros <= e.tsMicros))) {
           val rr = rBuf.next()
-          if (rr.user_id == curUser) lastTs = Some(rr.tsMicros)
+          if (aligned(rr.user_id) == curUser) lastTs = Some(rr.tsMicros)
         }
         AsOfOut(e.event_id, e.user_id, e.tsMicros, lastTs)
       }

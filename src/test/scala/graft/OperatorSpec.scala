@@ -404,6 +404,39 @@ class OperatorSpec extends AnyFunSuite {
       (3L, 20L, 50L, None)))
   }
 
+  test("RDD as-of guard: replicated hash matches the real exchange; equals the window form") {
+    import spark.implicits._
+    // ADVICE r03: the zipPartitions merge assumes repartition(n, col)
+    // assigns both sides identically. The in-closure guard re-hashes each
+    // key; this pins that the replicated murmur3-pmod matches the
+    // partition Spark ACTUALLY assigns (if an upgrade changes the
+    // exchange, this test and the runtime guard fail together, loudly)
+    val n = 7
+    val assigned = spark.range(1000).select(col("id").as("user_id"))
+      .repartition(n, col("user_id"))
+      .rdd.mapPartitionsWithIndex((i, it) => it.map(r => (r.getLong(0), i)))
+      .collect()
+    assert(assigned.length == 1000)
+    assert(assigned.forall { case (k, p) =>
+      graft.operators.AsOfJoinOps.expectedPartition(k, n) == p })
+    // guarded merge over real skewed multi-partition data == the
+    // independent window formulation, bit for bit
+    val sf = "/root/testdata/sf0.01"
+    val ev = graft.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+    val viaRdd = graft.operators.AsOfJoinOps
+      .asofJoin(spark, purchases, signups, 8)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("tsMicros")).as("ts"),
+        timestamp_micros(col("asofMicros")).as("last_signup_ts"))
+      .orderBy("event_id").collect().toSeq
+    val viaWindow = EventOps.asofPurchaseSignup(spark, sf).collect().toSeq
+    assert(viaRdd.nonEmpty && viaRdd == viaWindow)
+  }
+
   test("AsOfMergeExec equals the window formulation on real multi-partition data") {
     // ADVICE r02: cross-check the merge operator against the independent
     // window formulation so partitioning drift fails loudly. Same oracle,
