@@ -84,19 +84,24 @@ object SparkEntry {
     "txt_tfidf_top"            -> TextOps.tfidfTopTerms _,
     "txt_sql_fingerprint"      -> TextOps.sqlFingerprint _,
     "txt_mixture_sample"       -> TextOps.mixtureSample _,
+    "txt_redact_pii"           -> TextOps.redactPii _,
+    "txt_repetition"           -> TextOps.repetitionScore _,
     "pipe_curation"            -> TextOps.curateCorpus _,
+    "pipe_shard_export"        -> ((s: SparkSession, d: String) => TextOps.shardExport(s, d)),
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
     "dd_ngram_jaccard"         -> DedupOps.ngramJaccardPairs _,
     "dd_minhash_lsh"           -> DedupOps.minhashLsh _,
     "dd_simhash"               -> DedupOps.simhash _,
     "dd_simhash_pairs"         -> DedupOps.simhashPairs _,
+    "dd_contamination"         -> DedupOps.contamination _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
     "sim_lsh_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.lshAnnTopK(s, d)),
     "sim_ivf_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.ivfAnnTopK(s, d)),
     "sim_recall"               -> SimilarityOps.annRecall _,
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
+    "sim_quantize_int8"        -> SimilarityOps.quantizeInt8 _,
     // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
@@ -657,6 +662,32 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, term, score, rn FROM r WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
+    // injected PII is deterministic per doc; DuckDB regexp_replace needs
+    // the 'g' flag to match Spark's replace-all semantics
+    "txt_redact_pii" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or call +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(r, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(r, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(r, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "txt_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)] AS sh
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_trigrams,
+        |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+        |  CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) AS dup_frac
+        |FROM s WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin,
     "pipe_curation" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -679,6 +710,59 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, quality_score FROM s
         |WHERE quality_score >= 0.45 AND n_tokens BETWEEN 20 AND 400
         |ORDER BY doc_id""".stripMargin,
+    // same curation CTE, finished by the deterministic shard assignment
+    "pipe_shard_export" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        |m AS (
+        |  SELECT c.doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus c JOIN keepers k ON c.doc_id = k.doc_id),
+        |s AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.5
+        |      + (CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(ws)) * 0.3
+        |      + 0.2 AS quality_score
+        |  FROM m),
+        |curated AS (
+        |  SELECT doc_id, n_tokens FROM s
+        |  WHERE quality_score >= 0.45 AND n_tokens BETWEEN 20 AND 400),
+        |sharded AS (
+        |  SELECT doc_id, CAST(((doc_id * 2654435761) % 1000000007) % 64 AS BIGINT) AS shard, n_tokens
+        |  FROM curated)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS pos,
+        |  n_tokens
+        |FROM sharded ORDER BY doc_id""".stripMargin,
+    // eval set = 10-token window of every 50th doc; contamination = any
+    // shared word 8-gram (1-based inclusive slice w[6:15] == Spark
+    // slice(ws, 6, 10); comprehension range mirrors sequence(0, n-8))
+    "dd_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |ev AS (
+        |  SELECT DISTINCT unnest(
+        |    [ew[i] || ' ' || ew[i+1] || ' ' || ew[i+2] || ' ' || ew[i+3] || ' ' ||
+        |     ew[i+4] || ' ' || ew[i+5] || ' ' || ew[i+6] || ' ' || ew[i+7]
+        |     for i in range(1, len(ew) - 6)]) AS g
+        |  FROM (SELECT w[6:15] AS ew FROM t WHERE doc_id % 50 = 0 AND len(w) >= 15)),
+        |tr AS (
+        |  SELECT doc_id, unnest(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |     w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+        |     for i in range(1, len(w) - 6)]) AS g
+        |  FROM t WHERE len(w) >= 8)
+        |SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared
+        |FROM tr JOIN ev ON tr.g = ev.g
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "txt_mixture_sample" ->
       """SELECT source, COUNT(*) AS n_sampled FROM documents
         |WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1033,6 +1117,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'lsh', lh.hits, tot.possible FROM lh, tot) u
         |ORDER BY method""".stripMargin,
+    // int8 quantization: floor(x*127/scale + 0.5) round-half-up both
+    // engines; float -> double widening is exact, so scales and codes match
+    "sim_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, emb,
+        |    list_max(list_transform(emb, x -> abs(x))) AS scale
+        |  FROM e)
+        |SELECT vec_id, scale,
+        |  array_to_string(list_transform(emb,
+        |    x -> CAST(CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q_csv
+        |FROM s WHERE scale > 0 ORDER BY vec_id""".stripMargin,
     "mm_binary_stats" ->
       """WITH m AS (
         |  SELECT doc_id,

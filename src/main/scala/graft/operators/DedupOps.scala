@@ -171,6 +171,34 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark decontamination — the pre-training hygiene pass: flag
+    * training docs sharing any word 8-gram with an evaluation set
+    * (the standard n-gram-overlap contamination test). The eval set is
+    * synthesized deterministically as a 10-token window (tokens 6–15)
+    * of every 50th doc, so contamination exists by construction at
+    * every scale factor and both engines build the identical set.
+    *
+    * Scale shape: both sides are narrow (doc_id, 8-gram) projections;
+    * the eval side is distinct 8-grams — a small fraction of the corpus
+    * (the benchmark suite), broadcast at bench scale, a shuffle
+    * equi-join on the gram beyond — and the per-doc count is one
+    * map-side-combined aggregate. Never all-pairs: docs only meet
+    * through shared grams, exactly like the dedup ladder. */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val ws = TextOps.words(col("text"))
+    val ev = d.filter(col("doc_id") % 50 === 0)
+      .select(slice(ws, 6, 10).as("ew"))
+      .filter(size(col("ew")) === 10)
+      .select(explode(TextOps.wordShingles(col("ew"), 8)).as("g"))
+      .distinct()
+    d.select(col("doc_id"), explode(TextOps.wordShingles(ws, 8)).as("g"))
+      .join(ev, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc minhash signature (array of 8 mins over the permuted
     * shingle hashes) and the LSH band keys: 2 bands × 4 rows. Wide
     * bands matter on this corpus — the shared ~30-word vocabulary gives

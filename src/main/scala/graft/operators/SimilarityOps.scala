@@ -280,6 +280,27 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the
+    * compression step an ANN index build runs before serving (4× smaller
+    * vectors, SIMD-friendly dot products). Per vector: scale = max |x|,
+    * q_i = floor(x_i·127/scale + 0.5) ∈ [−127, 127] (floor(x+0.5) is
+    * round-half-up — identical in both engines, unlike round()'s
+    * half-even vs half-away ambiguity). Row-local, zero shuffles; the
+    * quantized vector is serialized to CSV because array columns can't
+    * cross the driver's comparator. */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("scale", array_max(transform(col("emb"), x => abs(x))))
+      .filter(col("scale") > 0)
+    e.select(col("vec_id"), col("scale"),
+      concat_ws(",", transform(col("emb"),
+        x => floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("long")
+          .cast("string"))).as("q_csv"))
+      .orderBy("vec_id")
+  }
+
   /** ANN quality measurement: recall@10 of the LSH and IVF paths
     * against the exact brute-force top-10 on the same query set — the
     * number a real pipeline tunes banding/nprobe against. hits/possible

@@ -191,6 +191,69 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** PII redaction — the scrub pass every training corpus runs before
+    * export. The synthetic corpus carries no PII, so each doc gets a
+    * deterministic email + phone appended (same construction both
+    * engines, like ArticleOps.articleHtml) and the operator must find
+    * and mask ALL of them: match counts and the md5 of the redacted
+    * text are the oracle-checked outputs, so a missed or mangled
+    * replacement fails the hash. Pure narrow projection — regex scan +
+    * replace per row, zero shuffles, embarrassingly parallel at 100 TB. */
+  def redactPii(spark: SparkSession, sfDir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val raw = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com or call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val redacted = regexp_replace(regexp_replace(raw, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(raw, lit(emailRe), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(raw, lit(phoneRe), lit(0))).cast("long")
+          .as("n_phones"),
+        md5(redacted.cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition scoring — the Gopher-family quality signal: the
+    * fraction of duplicated word trigrams per document (1 − distinct/
+    * total). High-repetition docs are boilerplate/spam and get filtered
+    * before training. Row-local (shingle + distinct inside the row),
+    * zero shuffles. */
+  def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = wordShingles(words(col("text")), 3)
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(sh).cast("long").as("n_trigrams"),
+        size(array_distinct(sh)).cast("long").as("n_distinct"))
+      .filter(col("n_trigrams") > 0)
+      .withColumn("dup_frac",
+        (col("n_trigrams") - col("n_distinct")).cast("double") / col("n_trigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Training-shard export assignment — the last step of a curation
+    * pipeline: every curated doc gets a deterministic shard (fixed
+    * multiplicative hash of doc_id — no RNG, identical on any engine
+    * and cluster size, resumable like [[mixtureSample]]) and a stable
+    * position within its shard. The window partitions by shard —
+    * `shards` independent groups, fully parallel; at 100 TB this is the
+    * partitioned write itself (write.partitionBy(shard)), with position
+    * assignment per shard file. */
+  def shardExport(spark: SparkSession, sfDir: String, shards: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    curateCorpus(spark, sfDir)
+      .withColumn("shard",
+        (((col("doc_id") * lit(2654435761L)) % lit(1000000007L)) % shards)
+          .cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** The SQL entry path: the same engine surface through spark.sql over
     * a registered view, exercising the injected native functions from
     * SQL text (the GraftExtensions seam end-to-end). */

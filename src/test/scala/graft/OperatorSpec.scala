@@ -551,6 +551,74 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("PII redaction masks every injected email and phone") {
+    val rows = TextOps.redactPii(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // exactly one synthetic email + phone injected per doc; the corpus
+    // itself carries none — a missed match would show as 0 or 2+
+    assert(rows.forall(_.getAs[Long]("n_emails") == 1L))
+    assert(rows.forall(_.getAs[Long]("n_phones") == 1L))
+    assert(rows.forall(_.getAs[String]("redacted_md5").length == 32))
+  }
+
+  test("repetition score: dup_frac in [0,1), distinct <= total trigrams") {
+    val rows = TextOps.repetitionScore(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val f = r.getAs[Double]("dup_frac")
+      f >= 0.0 && f < 1.0 &&
+        r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_trigrams")
+    })
+    // the shared-vocabulary corpus must exhibit SOME repetition — a
+    // uniformly-zero column would mean the shingle distinct is broken
+    assert(rows.exists(_.getAs[Double]("dup_frac") > 0.0))
+  }
+
+  test("shard export: shards bounded, positions contiguous from 1 per shard") {
+    val rows = TextOps.shardExport(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("shard"); s >= 0 && s < 64 })
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to g.length).toSeq)
+    }
+  }
+
+  test("contamination finds every eval-source doc (own window = guaranteed overlap)") {
+    import spark.implicits._
+    val got = DedupOps.contamination(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    // docs the eval windows were cut from: doc_id % 50 == 0 with >= 15
+    // tokens contribute 3 eval 8-grams they themselves contain
+    val sources = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 50 === 0 &&
+        size(TextOps.words(col("text"))) >= 15)
+      .select("doc_id").as[Long].collect()
+    assert(sources.nonEmpty)
+    sources.foreach { id =>
+      assert(got.getOrElse(id, 0L) >= 3L, s"source doc $id not flagged") }
+  }
+
+  test("int8 quantization: codes in [-127,127], dequantized cosine >= 0.999") {
+    import spark.implicits._
+    val rows = SimilarityOps.quantizeInt8(spark, sf0001).limit(50).collect()
+    assert(rows.nonEmpty)
+    val orig = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { r =>
+      val codes = r.getAs[String]("q_csv").split(",").map(_.toLong)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      val scale = r.getAs[Double]("scale")
+      val deq = codes.map(_ * scale / 127.0)
+      val e = orig(r.getAs[Long]("vec_id"))
+      val dot = e.zip(deq).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(e.map(x => x * x).sum) *
+        math.sqrt(deq.map(x => x * x).sum))
+      assert(cos >= 0.999, s"quantization lost too much: cos=$cos")
+    }
+  }
+
   test("IVF codebook size is constant in corpus size (fixed-k, O(N·k) assignment)") {
     import org.apache.spark.sql.functions.col
     def centroids(sfDir: String): Long = {
