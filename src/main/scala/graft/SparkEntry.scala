@@ -55,6 +55,7 @@ object SparkEntry {
     "art_search_bm25"          -> ((s: SparkSession, d: String) => ArticleOps.searchBm25(s, d)),
     "art_search_phrase"        -> ((s: SparkSession, d: String) => ArticleOps.searchPhrase(s, d)),
     "art_search_negation"      -> ((s: SparkSession, d: String) => ArticleOps.searchNegation(s, d)),
+    "art_search_stemmed"       -> ((s: SparkSession, d: String) => ArticleOps.searchStemmed(s, d)),
     "art_keywords_split"       -> ArticleOps.keywordsSplit _,
     "art_batch_report"         -> ArticleOps.batchReport _,
     "art_crawl_e2e"            -> ((s: SparkSession, d: String) => ArticleOps.crawlExtractSearch(s, d)),
@@ -424,6 +425,29 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |  AND NOT list_contains(string_split(lower(text), ' '), 'merge')
+        |ORDER BY doc_id""".stripMargin,
+    // S-stemmer applied to doc tokens and the query term ('merges' stems
+    // to 'merge') — same three endsWith rules both engines, no regex
+    "art_search_stemmed" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_transform(
+        |      list_filter(string_split(lower(text), ' '), x -> length(x) > 0),
+        |      x -> CASE
+        |        WHEN ends_with(x, 'ies') THEN
+        |          CASE WHEN NOT ends_with(x, 'eies') AND NOT ends_with(x, 'aies')
+        |            THEN substr(x, 1, length(x) - 3) || 'y' ELSE x END
+        |        WHEN ends_with(x, 'es') THEN
+        |          CASE WHEN NOT ends_with(x, 'aes') AND NOT ends_with(x, 'ees')
+        |            AND NOT ends_with(x, 'oes')
+        |            THEN substr(x, 1, length(x) - 1) ELSE x END
+        |        WHEN ends_with(x, 's') THEN
+        |          CASE WHEN NOT ends_with(x, 'us') AND NOT ends_with(x, 'ss')
+        |            THEN substr(x, 1, length(x) - 1) ELSE x END
+        |        ELSE x END) AS st
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM t
+        |WHERE list_contains(st, 'merge')
         |ORDER BY doc_id""".stripMargin,
     // keywords CSV -> array derivation (SURVEY §1.3): the synthetic
     // keywords meta field is lang,source; posexplode is 0-based and

@@ -371,6 +371,23 @@ object ArticleOps {
       .select(col("doc_id"), col("kw_pos").cast("long").as("kw_pos"), col("keyword"))
       .orderBy("doc_id", "kw_pos")
 
+  /** Stemmed search — the Mongo `$text` stemming behavior (api.py:26:
+    * Mongo stems both query and document terms, so "merges" matches
+    * "merge"), on the S-stemmer defined in TextOps.stemToken. Both the
+    * document tokens and the query keyword go through the SAME stem
+    * function; match is whole-(stemmed-)token. Narrow scan + row-local
+    * transform; at 100 TB the postings table is built over stemmed
+    * terms once and this becomes the usual index semi-join. */
+  def searchStemmed(spark: SparkSession, sfDir: String,
+                    keyword: String = "merges"): DataFrame =
+    docs(spark, sfDir)
+      .filter(array_contains(
+        transform(graft.operators.TextOps.words(col("text")),
+          t => graft.operators.TextOps.stemToken(t)),
+        graft.operators.TextOps.stemToken(lit(keyword.toLowerCase))))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   /** Search via the inverted index: term lookup -> semi-join back to the
     * documents (the scalable form of `searchKeyword` — touches only the
     * postings for the term instead of scanning every document). */

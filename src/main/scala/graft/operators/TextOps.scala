@@ -49,6 +49,31 @@ object TextOps {
     * Kept to a Java/RE2-common subset (SURVEY.md §7.4 hard part (d)). */
   val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** Harman S-stemmer — the light plural stemmer, chosen over Snowball
+    * because its three suffix rules are expressible identically in both
+    * engines (endsWith + substring, no regex lookbehind, which RE2
+    * lacks). Rules, first match wins:
+    *   ies → y   (unless eies/aies)
+    *   es  → e   (unless aes/ees/oes)
+    *   s   → ''  (unless us/ss)
+    * This narrows the documented Mongo `$text` stemming divergence
+    * (SURVEY §7.5): plural forms now match their singulars; full
+    * Snowball derivational stemming remains out of scope. */
+  def stemToken(t: Column): Column =
+    // dispatch on suffix CLASS first: an exception word ('goes', 'sees')
+    // stops at its class unchanged, it does not fall through to the
+    // bare-s rule (Harman's if/elif structure)
+    when(t.endsWith("ies"),
+      when(!t.endsWith("eies") && !t.endsWith("aies"),
+        concat(t.substr(lit(1), length(t) - 3), lit("y"))).otherwise(t))
+    .when(t.endsWith("es"),
+      when(!t.endsWith("aes") && !t.endsWith("ees") && !t.endsWith("oes"),
+        t.substr(lit(1), length(t) - 1)).otherwise(t))
+    .when(t.endsWith("s"),
+      when(!t.endsWith("us") && !t.endsWith("ss"),
+        t.substr(lit(1), length(t) - 1)).otherwise(t))
+    .otherwise(t)
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
 

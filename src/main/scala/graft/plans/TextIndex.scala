@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, explode, length, lit, lower, split}
+import org.apache.spark.sql.functions.{col, countDistinct, explode, length, lit, lower, split}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -166,6 +166,11 @@ object TextIndexCatalog {
   * leaving any remaining conjuncts as a residual Filter. The postings
   * probe's term filter reaches the parquet scan as a pushed filter, so
   * the search touches one term's row groups instead of every document.
+  *
+  * Multi-token locate needles (quoted phrases) take the PhraseMatch
+  * path instead: the index supplies docs containing ALL phrase terms
+  * and the original locate predicate survives above the semi-join as
+  * the adjacency verify over candidates only.
   */
 class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
@@ -230,6 +235,33 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
+  /** Phrase spelling: `locate(' p1 p2 ', ' ' || lower(text) || ' ') > 0`
+    * with a MULTI-token needle (single tokens are TokenMatch's locate
+    * case). The rewrite can't replace this predicate — postings carry no
+    * positions — but it can prune: docs lacking ANY phrase term can
+    * never match, so candidates come from the index and the original
+    * predicate survives above the join as the adjacency verify,
+    * evaluated on candidates only. */
+  private object PhraseMatch {
+    def unapply(e: Expression): Option[(Attribute, Seq[String])] = e match {
+      case GreaterThan(
+            StringLocate(Literal(needle: UTF8String, StringType),
+              Concat(Seq(Literal(s1: UTF8String, StringType),
+                Lower(a: Attribute),
+                Literal(s2: UTF8String, StringType))),
+              Literal(1, IntegerType)),
+            Literal(0, _))
+          if s1.toString == " " && s2.toString == " " =>
+        val n = needle.toString
+        if (n.length > 2 && n.startsWith(" ") && n.endsWith(" ")) {
+          val terms = n.trim.split(" ").toSeq
+          if (terms.length >= 2 && terms.forall(plainToken)) Some((a, terms))
+          else None
+        } else None
+      case _ => None
+    }
+  }
+
   /** The registered docs scan DIRECTLY under `plan` — only through
     * row-identity-preserving nodes (Project/Filter). Anything else
     * (union, join, generate, aggregate) changes or mixes row identity,
@@ -273,7 +305,36 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           val base = if (rest.isEmpty) child else Filter(rest.reduce(And), child)
           Join(base, probe, LeftSemi,
             Some(EqualTo(docId, idxDocId)), JoinHint.NONE)
-        case None => f
+        case None =>
+          // phrase form: index prunes to docs containing ALL terms, the
+          // original predicate stays above the join as adjacency verify
+          val phraseHit = registeredScan(child).flatMap { docsPath =>
+            conjuncts.collectFirst {
+              case p @ PhraseMatch(attr, terms)
+                  if attr.name == "text" && child.outputSet.contains(attr) &&
+                    child.output.exists(_.name == "doc_id") =>
+                (p, terms, docsPath)
+            }
+          }
+          phraseHit match {
+            case Some((pred, terms, docsPath)) =>
+              val idxPath = TextIndexCatalog.lookup(docsPath).get
+              val distinctTerms = terms.distinct
+              val probe = spark.read.parquet(idxPath)
+                .filter(col("term").isin(distinctTerms: _*))
+                .groupBy("doc_id")
+                .agg(countDistinct(col("term")).as("nt"))
+                .filter(col("nt") === distinctTerms.length)
+                .select("doc_id")
+                .queryExecution.analyzed
+              val docId = child.output.find(_.name == "doc_id").get
+              val idxDocId = probe.output.find(_.name == "doc_id").get
+              val rest = conjuncts.filterNot(_ eq pred)
+              val base = if (rest.isEmpty) child else Filter(rest.reduce(And), child)
+              Filter(pred, Join(base, probe, LeftSemi,
+                Some(EqualTo(docId, idxDocId)), JoinHint.NONE))
+            case None => f
+          }
       }
   }
 }

@@ -317,6 +317,47 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("S-stemmer rules: ies->y, es->e-drop-s, s-drop, with the exception suffixes") {
+    import spark.implicits._
+    val cases = Seq(
+      "stories" -> "story", "merges" -> "merge", "cats" -> "cat",
+      "glass" -> "glass",   // ss kept
+      "bus" -> "bus",       // us kept
+      "goes" -> "goes",     // oes kept
+      "sees" -> "sees",     // ees kept
+      "merge" -> "merge")   // no suffix
+    val got = cases.map(_._1).toDF("t")
+      .select(TextOps.stemToken(col("t"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // stemmed search matches plurals of the query term on literal docs
+    val hits = Seq((1L, "the merges ran"), (2L, "a merge ran"), (3L, "no match"))
+      .toDF("doc_id", "text")
+      .filter(array_contains(
+        transform(TextOps.words(col("text")), t => TextOps.stemToken(t)),
+        TextOps.stemToken(lit("merges"))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L))
+  }
+
+  test("TextIndexRewrite phrase path: index prunes candidates, locate verifies above the join") {
+    import spark.implicits._
+    graft.plans.TextIndexCatalog.clear()
+    def q() = graft.Tables.documents(spark, sf0001)
+      .filter(locate(" merge group ",
+        concat(lit(" "), lower(col("text")), lit(" "))) > 0)
+      .select("doc_id")
+    val expected = q().as[Long].collect().toSeq
+    assert(expected.nonEmpty)
+    graft.plans.TextIndexCatalog.ensureIndex(spark, sf0001)
+    val df = q()
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), s"phrase candidates not index-pruned:\n$opt")
+    assert(opt.contains("count(distinct term"), s"all-terms probe missing:\n$opt")
+    assert(opt.contains("locate"), s"adjacency verify must survive:\n$opt")
+    assert(df.as[Long].collect().toSeq == expected)
+    graft.plans.TextIndexCatalog.clear()
+  }
+
   test("BM25 search ranks rare-term docs above equal-TF common-term docs") {
     val rows = ArticleOps.searchBm25(spark, sf0001).collect()
     assert(rows.nonEmpty)
