@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotDoubleExpr, HyperplaneBucketExpr, PolyHashExpr, Shingle3HashesExpr, SimHash48Expr, SortedIntersectCountExpr, WordPolyHashesExpr}
+import graft.functions.{DotDoubleExpr, HyperplaneBucketExpr, PolyHashExpr, Shingle3HashesExpr, ShingleKHashesExpr, SimHash48Expr, SortedIntersectCountExpr, WordPolyHashesExpr}
 
 /** Engine extension point (SURVEY.md §7.4 custom work): registers the
   * native hash expressions as SQL functions so queries reach them via
@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle3_hashes"),
       new ExpressionInfo(classOf[Shingle3HashesExpr].getName, "shingle3_hashes"),
       arity("shingle3_hashes", 1)(children => Shingle3HashesExpr(children.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("shinglek_hashes"),
+      new ExpressionInfo(classOf[ShingleKHashesExpr].getName, "shinglek_hashes"),
+      arity("shinglek_hashes", 2)(children =>
+        ShingleKHashesExpr(children.head, children(1)))))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCountExpr].getName, "sorted_intersect_count"),

@@ -89,6 +89,8 @@ object SparkEntry {
     "txt_repetition"           -> TextOps.repetitionScore _,
     "pipe_curation"            -> TextOps.curateCorpus _,
     "pipe_shard_export"        -> ((s: SparkSession, d: String) => TextOps.shardExport(s, d)),
+    "txt_chunks"               -> ((s: SparkSession, d: String) => TextOps.chunkDocs(s, d)),
+    "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
     "dd_ngram_jaccard"         -> DedupOps.ngramJaccardPairs _,
@@ -96,6 +98,7 @@ object SparkEntry {
     "dd_simhash"               -> DedupOps.simhash _,
     "dd_simhash_pairs"         -> DedupOps.simhashPairs _,
     "dd_contamination"         -> DedupOps.contamination _,
+    "dd_dup_clusters"          -> DedupOps.dupClusters _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
     "sim_lsh_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.lshAnnTopK(s, d)),
@@ -704,10 +707,18 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
         |  FROM documents),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(w, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(x, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
         |s AS (
         |  SELECT doc_id,
-        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)] AS sh
-        |  FROM t WHERE len(w) >= 3)
+        |    list_transform(range(1, len(whs) - 1),
+        |      i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |            + whs[i+2]) % 1000000000000000) AS sh
+        |  FROM w2 WHERE len(whs) >= 3)
         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_trigrams,
         |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
         |  CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) AS dup_frac
@@ -764,6 +775,50 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS pos,
         |  n_tokens
         |FROM sharded ORDER BY doc_id""".stripMargin,
+    // overlapping token windows: chunk=64 advancing by stride=48;
+    // DuckDB list_slice is 1-based inclusive-end (== Spark slice start/
+    // length); chunk content compared via the shared polynomial hash
+    "txt_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM t WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, ws, n,
+        |    CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS n_chunks
+        |  FROM f),
+        |e AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+        |p AS (SELECT doc_id, chunk_id,
+        |    list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64) AS piece
+        |  FROM e)
+        |SELECT doc_id, chunk_id, CAST(len(piece) AS BIGINT) AS n_tok,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(array_to_string(piece, ' '), ''),
+        |      c -> ascii(c))),
+        |    (h, c) -> (h * 31 + c) % 1000000000000000) AS chunk_hash
+        |FROM p ORDER BY doc_id, chunk_id""".stripMargin,
+    // concat-and-chunk packing at budget=512: a doc spans every sequence
+    // its [cum - n_tok, cum) token interval overlaps; SUM OVER gives the
+    // same running offsets as the two-level bucket computation
+    "pipe_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_tok FROM t WHERE n_tok > 0),
+        |c AS (SELECT doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM f),
+        |s AS (SELECT doc_id, n_tok, cum, cum - n_tok AS strt FROM c),
+        |e AS (SELECT doc_id, strt, cum,
+        |    unnest(range(strt // 512, (cum - 1) // 512 + 1)) AS seq_id
+        |  FROM s)
+        |SELECT seq_id, doc_id,
+        |  GREATEST(strt, seq_id * 512) - strt AS tok_from,
+        |  LEAST(cum, (seq_id + 1) * 512) - strt AS tok_to
+        |FROM e ORDER BY seq_id, doc_id""".stripMargin,
     // eval set = 10-token window of every 50th doc; contamination = any
     // shared word 8-gram (1-based inclusive slice w[6:15] == Spark
     // slice(ws, 6, 10); comprehension range mirrors sequence(0, n-8))
@@ -772,18 +827,24 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
         |  FROM documents),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(w, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(x, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
         |ev AS (
         |  SELECT DISTINCT unnest(
-        |    [ew[i] || ' ' || ew[i+1] || ' ' || ew[i+2] || ' ' || ew[i+3] || ' ' ||
-        |     ew[i+4] || ' ' || ew[i+5] || ' ' || ew[i+6] || ' ' || ew[i+7]
+        |    [list_reduce(list_slice(ew, i, i + 7),
+        |       (a, b) -> (a * 31 + b) % 1000000000000000)
         |     for i in range(1, len(ew) - 6)]) AS g
-        |  FROM (SELECT w[6:15] AS ew FROM t WHERE doc_id % 50 = 0 AND len(w) >= 15)),
+        |  FROM (SELECT whs[6:15] AS ew FROM w2 WHERE doc_id % 50 = 0 AND len(whs) >= 15)),
         |tr AS (
         |  SELECT doc_id, unnest(
-        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
-        |     w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
-        |     for i in range(1, len(w) - 6)]) AS g
-        |  FROM t WHERE len(w) >= 8)
+        |    [list_reduce(list_slice(whs, i, i + 7),
+        |       (a, b) -> (a * 31 + b) % 1000000000000000)
+        |     for i in range(1, len(whs) - 6)]) AS g
+        |  FROM w2 WHERE len(whs) >= 8)
         |SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared
         |FROM tr JOIN ev ON tr.g = ev.g
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
@@ -866,6 +927,65 @@ object SparkEntry {
         |  JOIN f fb ON fb.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components of the near-dup pair graph (pairs CTE = the
+    // dd_ngram_jaccard result): recursive reachability closure over the
+    // bidirected edges, min reachable id = the component label the
+    // min-label propagation loop converges to
+    "dd_dup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END) AS sh
+        |  FROM w2),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM f),
+        |dfq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+        |pr AS (SELECT doc_id, n, s FROM (
+        |    SELECT ex.doc_id, ex.s, ex.n,
+        |      row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfq.df, ex.s) AS rn
+        |    FROM ex JOIN dfq USING (s)) z
+        |  WHERE rn <= n // 2 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    AND 2 * LEAST(a.n, b.n) >= GREATEST(a.n, b.n)),
+        |v AS (SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE)
+        |      / (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN f fa ON fa.doc_id = doc_a
+        |  JOIN f fb ON fb.doc_id = doc_b),
+        |pairs AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |r AS (
+        |  SELECT src AS node, src AS reach FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.reach),
+        |lab AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node),
+        |sz AS (SELECT cluster_id, COUNT(*) AS csize FROM lab GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, sz.csize,
+        |  CAST(l.doc_id = l.cluster_id AS BIGINT) AS is_canonical
+        |FROM lab l JOIN sz USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

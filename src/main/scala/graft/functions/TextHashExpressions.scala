@@ -77,6 +77,25 @@ object TextHashExpressions {
     new GenericArrayData(out)
   }
 
+  /** Hashed k-gram shingles from a word-hash array — the generalized
+    * [[shingle3Hashes]]: seed with the window's first hash, fold the
+    * rest as h = (h*31 + w) mod M (identical to DuckDB's seedless
+    * list_reduce over the same slice). */
+  def shingleKHashes(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (k <= 0 || n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = arr.getLong(i)
+      var j = 1
+      while (j < k) { h = (h * 31 + arr.getLong(i + j)) % Mod; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of common elements of two SORTED distinct long arrays — one
     * merge scan, no per-call hash set (array_intersect allocates an
     * OpenHashSet per invocation, which dominates pair-verify joins). */
@@ -204,6 +223,23 @@ case class Shingle3HashesExpr(child: Expression)
       c => s"graft.functions.TextHashExpressions.shingle3Hashes($c)")
   override protected def withNewChildInternal(newChild: Expression): Shingle3HashesExpr =
     copy(child = newChild)
+}
+
+/** shinglek_hashes(array<long>, k) — hashed k-gram shingles. */
+case class ShingleKHashesExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shinglek_hashes"
+  override protected def nullSafeEval(arr: Any, k: Any): Any =
+    TextHashExpressions.shingleKHashes(
+      arr.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, k) =>
+      s"graft.functions.TextHashExpressions.shingleKHashes($a, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleKHashesExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** sorted_intersect_count(array<long>, array<long>) — merge-scan count

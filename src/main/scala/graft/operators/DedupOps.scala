@@ -116,12 +116,21 @@ object DedupOps {
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
     ngramJaccardPairsOf(corpus(spark, sfDir))
 
+  /** [[ngramJaccardPairs]] without the presentation sort — for consumers
+    * like [[dupClusters]] that re-aggregate the pairs (the sort exchange
+    * would be dead work between two shuffles). */
+  def ngramJaccardPairsUnsorted(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPairsRaw(corpus(spark, sfDir))
+
   /** [[ngramJaccardPairs]] over an arbitrary (doc_id, text) corpus —
     * the injectable form the skew spec drives with a seeded hot prefix
     * shingle (df-asc ordering keeps naturally-hot shingles out of
     * prefixes, but a corpus of near-identical SHORT docs forces one in;
     * AQE skew-join is the backstop that splits that bucket). */
-  def ngramJaccardPairsOf(corpusDf: DataFrame): DataFrame = {
+  def ngramJaccardPairsOf(corpusDf: DataFrame): DataFrame =
+    ngramJaccardPairsRaw(corpusDf).orderBy("doc_a", "doc_b")
+
+  private def ngramJaccardPairsRaw(corpusDf: DataFrame): DataFrame = {
     val sigs = withShingles(corpusDf)
       .select(col("doc_id"), col("sh"))
       .withColumn("n", size(col("sh")))
@@ -148,7 +157,59 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Duplicate-cluster canonicalization — the pass a dedup pipeline runs
+    * AFTER pair generation: near-dup similarity is not transitive
+    * (a~b, b~c does not imply a~c), so keep-one-per-pair over-deletes;
+    * the correct unit is the connected component of the pair graph, with
+    * one canonical representative (min doc_id) retained per component.
+    *
+    * Connected components by min-label propagation: every node starts
+    * labeled with its own id; each round every node takes the min of its
+    * own and its neighbors' labels; fixpoint in O(component diameter)
+    * rounds. Dup components are shallow (stars/short chains — docs
+    * similar to a common ancestor; measured: 1 propagation round + 1
+    * confirm on the synthetic corpus); `localCheckpoint` caps lineage
+    * per round exactly like [[graft.operators.GraphOps.frontierBfs]].
+    * Each round is one key-partitioned join + hash agg on (node) — no
+    * all-pairs, scales with |edges|. The alternating large-star/
+    * small-star optimization (Kiveris et al., "Connected Components in
+    * MapReduce") drops in here if component diameters ever grow; for
+    * dup graphs they don't (path-halving was tried and measured a net
+    * loss: it doubles per-round work to cut rounds that are already 2). */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    dupClustersOf(ngramJaccardPairsUnsorted(spark, sfDir))
+
+  /** Injectable form of [[dupClusters]]: components of an arbitrary
+    * (doc_a, doc_b) pair list. */
+  def dupClustersOf(pairsDf: DataFrame): DataFrame = {
+    val pairs = pairsDf.select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // neighbor minimum per node, then keep the smaller of own/neighbor
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src").as("n2")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") < col("old")).count()
+      labels = next.select("node", "label")
+    }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        (col("doc_id") === col("cluster_id")).cast("long").as("is_canonical"))
+      .orderBy("doc_id")
   }
 
   /** Spec-only reference model for [[ngramJaccardPairs]]: unblocked
@@ -178,21 +239,26 @@ object DedupOps {
     * of every 50th doc, so contamination exists by construction at
     * every scale factor and both engines build the identical set.
     *
-    * Scale shape: both sides are narrow (doc_id, 8-gram) projections;
-    * the eval side is distinct 8-grams — a small fraction of the corpus
-    * (the benchmark suite), broadcast at bench scale, a shuffle
-    * equi-join on the gram beyond — and the per-doc count is one
-    * map-side-combined aggregate. Never all-pairs: docs only meet
-    * through shared grams, exactly like the dedup ladder. */
+    * Scale shape: both sides are narrow (doc_id, 8-gram-hash)
+    * projections; the eval side is distinct grams — a small fraction of
+    * the corpus (the benchmark suite), broadcast at bench scale, a
+    * shuffle equi-join on the gram beyond — and the per-doc count is
+    * one map-side-combined aggregate. Never all-pairs: docs only meet
+    * through shared grams, exactly like the dedup ladder. Grams travel
+    * as their codegen'd 8-fold polynomial hash (shinglek_hashes), not
+    * as ~60-byte concatenated strings: the string-HOF form cost ~17 s
+    * at sf0.1 in interpreted per-element lambdas and shuffled 8× wider
+    * rows; both engines hash identically so the join is unchanged. */
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val ws = TextOps.words(col("text"))
+    val whs = expr("word_poly_hashes(lower(text))")
     val ev = d.filter(col("doc_id") % 50 === 0)
-      .select(slice(ws, 6, 10).as("ew"))
+      .select(slice(whs, 6, 10).as("ew"))
       .filter(size(col("ew")) === 10)
-      .select(explode(TextOps.wordShingles(col("ew"), 8)).as("g"))
+      .select(explode(expr("shinglek_hashes(ew, 8)")).as("g"))
       .distinct()
-    d.select(col("doc_id"), explode(TextOps.wordShingles(ws, 8)).as("g"))
+    d.select(col("doc_id"),
+        explode(expr("shinglek_hashes(word_poly_hashes(lower(text)), 8)")).as("g"))
       .join(ev, "g")
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_shared"))

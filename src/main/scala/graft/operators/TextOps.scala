@@ -246,9 +246,12 @@ object TextOps {
     * fraction of duplicated word trigrams per document (1 − distinct/
     * total). High-repetition docs are boilerplate/spam and get filtered
     * before training. Row-local (shingle + distinct inside the row),
-    * zero shuffles. */
+    * zero shuffles. Trigrams are compared by their codegen'd polynomial
+    * hash, not as concatenated strings — the interpreted string-HOF
+    * form cost ~7 s at sf0.1 (the known per-element-lambda trap);
+    * distinct-over-hashes counts identically on both engines. */
   def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = wordShingles(words(col("text")), 3)
+    val sh = expr("shingle3_hashes(word_poly_hashes(lower(text)))")
     docs(spark, sfDir)
       .select(col("doc_id"),
         size(sh).cast("long").as("n_trigrams"),
@@ -277,6 +280,77 @@ object TextOps {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("doc_id", "shard", "pos", "n_tokens")
       .orderBy("doc_id")
+  }
+
+  /** Fixed-size overlapping token chunking — the RAG/embedding prep op:
+    * each document's token stream is cut into windows of `chunk` tokens
+    * advancing by `stride` (overlap = chunk - stride keeps boundary
+    * context in both neighbors). Entirely row-local — tokenize, compute
+    * the window count, explode one row per window, slice — no shuffle
+    * except the output sort; at 100 TB this is a narrow flat-map that
+    * scales with token volume. Chunk content is carried as the codegen'd
+    * poly_hash of the rejoined window (array output columns break the
+    * oracle comparator; the hash proves content equality). */
+  def chunkDocs(spark: SparkSession, sfDir: String,
+                chunk: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunk >= stride, "need 0 < stride <= chunk")
+    docs(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= chunk, lit(1L))
+          .otherwise(expr(s"(n - $chunk + $stride - 1) DIV $stride + 1")))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("piece",
+        slice(col("ws"), (col("chunk_id") * stride + 1).cast("int"), lit(chunk)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("piece")).cast("long").as("n_tok"),
+        expr("poly_hash(concat_ws(' ', piece))").as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Sequence packing — concat-and-chunk, the GPT-style pretraining
+    * batcher: documents in a deterministic order form one token stream,
+    * cut into training sequences of `budget` tokens; a document spans
+    * every sequence its token interval overlaps. Output is the packing
+    * manifest (seq_id, doc_id, slice of the doc in that sequence).
+    *
+    * The global running token offset is the same two-level computation
+    * as [[graft.operators.ArticleOps.batchReport]]'s line numbering
+    * (SURVEY §8.1): per-bucket token sums in parallel, a running total
+    * over the O(#buckets) bucket sums, offsets broadcast back — no
+    * global single-task window anywhere. */
+  def packSequences(spark: SparkSession, sfDir: String,
+                    budget: Int = 512): DataFrame = {
+    val bucketWidth = 1000L
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", floor(col("doc_id") / bucketWidth))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+    val wB = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("bucket").agg(sum(col("n_tok")).as("bt"))
+      .withColumn("offset", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select("bucket", "offset")
+    d.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("offset") + sum(col("n_tok")).over(wIn))
+      .withColumn("start", col("cum") - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("start"), col("cum"),
+        explode(sequence(expr(s"start DIV $budget"),
+          expr(s"(cum - 1) DIV $budget"))).as("seq_id"))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        // the doc's slice landing in this sequence, in doc-local tokens
+        (greatest(col("start"), col("seq_id") * budget) - col("start"))
+          .as("tok_from"),
+        (least(col("cum"), (col("seq_id") + 1) * budget) - col("start"))
+          .as("tok_to"))
+      .orderBy("seq_id", "doc_id")
   }
 
   /** The SQL entry path: the same engine surface through spark.sql over

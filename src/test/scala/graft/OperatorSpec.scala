@@ -358,6 +358,74 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("shinglek_hashes: k=3 equals shingle3_hashes; k=8 matches the fold model") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog today").toDF("text")
+    val (k3, s3, k8, whs) = df.select(
+      expr("shinglek_hashes(word_poly_hashes(text), 3)"),
+      expr("shingle3_hashes(word_poly_hashes(text))"),
+      expr("shinglek_hashes(word_poly_hashes(text), 8)"),
+      expr("word_poly_hashes(text)"))
+      .as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])].head()
+    assert(k3 == s3)
+    val model = whs.sliding(8).map(_.reduce((a, b) =>
+      (a * 31 + b) % TextOps.HashMod)).toSeq
+    assert(k8 == model && k8.length == whs.length - 7)
+    // shorter than k -> empty, not error
+    val empty = Seq("a b").toDF("text")
+      .select(expr("shinglek_hashes(word_poly_hashes(text), 8)"))
+      .as[Seq[Long]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("dupClusters: chain components union transitively, canonical = min id") {
+    import spark.implicits._
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3) plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.dupClustersOf(pairs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 1L), (2L, 1L, 3L, 0L), (3L, 1L, 3L, 0L),
+      (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
+  }
+
+  test("txt_chunks invariants: stride coverage reconstructs the token count") {
+    import spark.implicits._
+    // chunk=64/stride=48: n_tok of chunk 0..last sums to n + 16*(n_chunks-1)
+    val perDoc = TextOps.chunkDocs(spark, sf0001)
+      .groupBy("doc_id")
+      .agg(sum("n_tok").as("tok_sum"), count(lit(1)).as("nc"),
+        max("n_tok").as("max_tok"))
+    val stats = TextOps.tokenStats(spark, sf0001).select("doc_id", "ws_tokens")
+    val joined = perDoc.join(stats, "doc_id")
+      .select(col("tok_sum") === col("ws_tokens") + lit(16) * (col("nc") - 1),
+        col("max_tok") <= 64)
+      .as[(Boolean, Boolean)].collect()
+    assert(joined.nonEmpty && joined.forall(t => t._1 && t._2))
+  }
+
+  test("pack_sequences invariants: doc slices partition each doc; full sequences hold budget tokens") {
+    import spark.implicits._
+    val packed = TextOps.packSequences(spark, sf0001)
+    // per-doc: slices are nonempty, contiguous from 0 to n_tok
+    val perDoc = packed.groupBy("doc_id")
+      .agg(min("tok_from").as("lo"), max("tok_to").as("hi"),
+        sum(col("tok_to") - col("tok_from")).as("covered"))
+    val stats = TextOps.tokenStats(spark, sf0001).select("doc_id", "ws_tokens")
+    val ok = perDoc.join(stats, "doc_id")
+      .select(col("lo") === 0 && col("hi") === col("ws_tokens") &&
+        col("covered") === col("ws_tokens"))
+      .as[Boolean].collect()
+    assert(ok.nonEmpty && ok.forall(identity))
+    // per-sequence: every sequence except the last carries exactly 512 tokens
+    val perSeq = packed.groupBy("seq_id")
+      .agg(sum(col("tok_to") - col("tok_from")).as("toks"))
+    val maxSeq = perSeq.agg(max("seq_id")).as[Long].head()
+    val full = perSeq.filter(col("seq_id") < maxSeq)
+      .select(col("toks") === 512).as[Boolean].collect()
+    assert(full.nonEmpty && full.forall(identity))
+  }
+
   test("BM25 search ranks rare-term docs above equal-TF common-term docs") {
     val rows = ArticleOps.searchBm25(spark, sf0001).collect()
     assert(rows.nonEmpty)
