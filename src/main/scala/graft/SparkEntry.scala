@@ -56,6 +56,7 @@ object SparkEntry {
     "art_search_phrase"        -> ((s: SparkSession, d: String) => ArticleOps.searchPhrase(s, d)),
     "art_search_negation"      -> ((s: SparkSession, d: String) => ArticleOps.searchNegation(s, d)),
     "art_search_stemmed"       -> ((s: SparkSession, d: String) => ArticleOps.searchStemmed(s, d)),
+    "art_search_stemmed_idx"   -> ((s: SparkSession, d: String) => ArticleOps.searchStemmedIndexed(s, d)),
     "art_keywords_split"       -> ArticleOps.keywordsSplit _,
     "art_batch_report"         -> ArticleOps.batchReport _,
     "art_crawl_e2e"            -> ((s: SparkSession, d: String) => ArticleOps.crawlExtractSearch(s, d)),
@@ -106,6 +107,8 @@ object SparkEntry {
     "sim_recall"               -> SimilarityOps.annRecall _,
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
     "sim_quantize_int8"        -> SimilarityOps.quantizeInt8 _,
+    "sim_pq_codes"             -> SimilarityOps.pqCodes _,
+    "sim_pq_recall"            -> SimilarityOps.pqRecall _,
     // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
@@ -432,6 +435,30 @@ object SparkEntry {
     // S-stemmer applied to doc tokens and the query term ('merges' stems
     // to 'merge') — same three endsWith rules both engines, no regex
     "art_search_stemmed" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_transform(
+        |      list_filter(string_split(lower(text), ' '), x -> length(x) > 0),
+        |      x -> CASE
+        |        WHEN ends_with(x, 'ies') THEN
+        |          CASE WHEN NOT ends_with(x, 'eies') AND NOT ends_with(x, 'aies')
+        |            THEN substr(x, 1, length(x) - 3) || 'y' ELSE x END
+        |        WHEN ends_with(x, 'es') THEN
+        |          CASE WHEN NOT ends_with(x, 'aes') AND NOT ends_with(x, 'ees')
+        |            AND NOT ends_with(x, 'oes')
+        |            THEN substr(x, 1, length(x) - 1) ELSE x END
+        |        WHEN ends_with(x, 's') THEN
+        |          CASE WHEN NOT ends_with(x, 'us') AND NOT ends_with(x, 'ss')
+        |            THEN substr(x, 1, length(x) - 1) ELSE x END
+        |        ELSE x END) AS st
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM t
+        |WHERE list_contains(st, 'merge')
+        |ORDER BY doc_id""".stripMargin,
+    // index form of the stemmed search: same observable result (the
+    // oracle is the declarative spec; the Spark side goes through the
+    // stemmed-postings semi-join)
+    "art_search_stemmed_idx" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,
         |    list_transform(
@@ -1274,6 +1301,88 @@ object SparkEntry {
         |  array_to_string(list_transform(emb,
         |    x -> CAST(CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q_csv
         |FROM s WHERE scale > 0 ORDER BY vec_id""".stripMargin,
+    // product-quantization encode: 8 subspaces x 16 centroids over unit
+    // vectors; codebook = the deterministic multiplicative-hash sample
+    // re-indexed 0..15; code = argmax subspace inner product, ties low
+    "sim_pq_codes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id,
+        |    list_transform(emb, x -> x / sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(emb, y -> y * y)), (a, b) -> a + b))) AS u
+        |  FROM e),
+        |sub AS (SELECT vec_id, s, list_slice(u, s*8+1, s*8+8) AS vs
+        |  FROM n, (SELECT unnest(range(0, 8)) AS s) g),
+        |samp AS (SELECT u, c FROM (
+        |    SELECT u, row_number() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) - 1 AS c
+        |    FROM n) z WHERE c < 16),
+        |csub AS (SELECT c, s, list_slice(u, s*8+1, s*8+8) AS cs
+        |  FROM samp, (SELECT unnest(range(0, 8)) AS s) g),
+        |scored AS (SELECT vec_id, sub.s, c,
+        |    list_reduce(list_prepend(0.0, [vs[i] * cs[i] for i in range(1, 9)]),
+        |      (x, y) -> x + y) AS d
+        |  FROM sub JOIN csub ON sub.s = csub.s),
+        |codes AS (SELECT vec_id, s, c FROM (
+        |    SELECT vec_id, s, c, row_number() OVER (
+        |      PARTITION BY vec_id, s ORDER BY d DESC, c) AS rn
+        |    FROM scored) z WHERE rn = 1)
+        |SELECT vec_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY s) AS codes_csv
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // PQ-ADC recall@10 vs exact brute force: approx score = subspace-
+    // ordered sum of the query's centroid inner products at the corpus
+    // vector's codes; brute = the sim_brute_topk cosine on raw emb
+    "sim_pq_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id,
+        |    list_transform(emb, x -> x / sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(emb, y -> y * y)), (a, b) -> a + b))) AS u
+        |  FROM e),
+        |sub AS (SELECT vec_id, s, list_slice(u, s*8+1, s*8+8) AS vs
+        |  FROM n, (SELECT unnest(range(0, 8)) AS s) g),
+        |samp AS (SELECT u, c FROM (
+        |    SELECT u, row_number() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) - 1 AS c
+        |    FROM n) z WHERE c < 16),
+        |csub AS (SELECT c, s, list_slice(u, s*8+1, s*8+8) AS cs
+        |  FROM samp, (SELECT unnest(range(0, 8)) AS s) g),
+        |scored AS (SELECT vec_id, sub.s, c,
+        |    list_reduce(list_prepend(0.0, [vs[i] * cs[i] for i in range(1, 9)]),
+        |      (x, y) -> x + y) AS d
+        |  FROM sub JOIN csub ON sub.s = csub.s),
+        |codes AS (SELECT vec_id, s, c FROM (
+        |    SELECT vec_id, s, c, row_number() OVER (
+        |      PARTITION BY vec_id, s ORDER BY d DESC, c) AS rn
+        |    FROM scored) z WHERE rn = 1),
+        |dt AS (SELECT vec_id AS q_id, s, c, d AS part FROM scored WHERE vec_id < 5),
+        |parts AS (SELECT dt.q_id, codes.vec_id, codes.s, dt.part
+        |  FROM codes JOIN dt ON codes.s = dt.s AND codes.c = dt.c
+        |    AND codes.vec_id <> dt.q_id),
+        |adc AS (SELECT q_id, vec_id,
+        |    list_reduce(list_prepend(0.0, list(part ORDER BY s)), (x, y) -> x + y) AS score
+        |  FROM parts GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM adc),
+        |pqt AS (SELECT q_id, vec_id FROM r WHERE rn <= 10),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+        |bs AS (
+        |  SELECT q_id, vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * q_emb[i])), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * emb[i])), (x, y) -> x + y))) AS score
+        |  FROM q, e WHERE e.vec_id <> q.q_id),
+        |br AS (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM bs),
+        |bt AS (SELECT q_id, vec_id FROM br WHERE rn <= 10)
+        |SELECT method, hits, possible, CAST(hits AS DOUBLE) / possible AS recall
+        |FROM (SELECT 'pq' AS method,
+        |  (SELECT COUNT(*) FROM bt JOIN pqt
+        |     ON bt.q_id = pqt.q_id AND bt.vec_id = pqt.vec_id) AS hits,
+        |  (SELECT COUNT(*) FROM bt) AS possible) z""".stripMargin,
     "mm_binary_stats" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -401,4 +401,25 @@ object ArticleOps {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }
+
+  /** [[searchStemmed]] in index form — the 100 TB path its scaladoc
+    * promises: postings are built over STEMMED terms (stemming is
+    * row-local, applied once at index time), the query keyword is
+    * stemmed once, and the probe is a pushed equality on the stemmed
+    * term + semi-join back — so a plural-insensitive search touches one
+    * term's postings instead of re-stemming every document per query. */
+  def searchStemmedIndexed(spark: SparkSession, sfDir: String,
+                           keyword: String = "merges"): DataFrame = {
+    val postings = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(transform(graft.operators.TextOps.words(col("text")),
+          t => graft.operators.TextOps.stemToken(t))).as("term"))
+      .filter(col("term") ===
+        graft.operators.TextOps.stemToken(lit(keyword.toLowerCase)))
+      .select("doc_id").distinct()
+    docs(spark, sfDir)
+      .join(postings, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
 }

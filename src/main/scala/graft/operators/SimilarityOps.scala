@@ -301,6 +301,108 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Normalized vectors and their per-subspace slices for product
+    * quantization: unit vectors (so subspace inner products sum to the
+    * full cosine), exploded into `m` contiguous subvectors. Narrow by
+    * construction — each exploded row carries dim/m doubles. */
+  private def pqSubvectors(spark: SparkSession, sfDir: String,
+                           m: Int, subDim: Int): DataFrame =
+    vecs(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("emb"), x => x / col("nrm")).as("u"))
+      .select(col("vec_id"), col("u"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("vec_id"), col("s"),
+        slice(col("u"), (col("s") * subDim + 1).cast("int"), lit(subDim)).as("sub"))
+
+  /** Per-(vector, subspace, centroid) inner products — the shared table
+    * both PQ stages read: codes take the per-(vec, s) argmax, and the
+    * query distance table is the vec_id < 5 slice of the very same rows
+    * (queries are corpus vectors, so their subspace dots are already
+    * here — no second scoring pass). The codebook is the [[ivfCentroids]]
+    * deterministic multiplicative-hash sample, re-indexed 0..k-1, sliced
+    * per subspace and broadcast; scored rows are (vec_id, s, c, d) —
+    * nothing wide ever reaches a shuffle. */
+  private def pqScored(spark: SparkSession, sfDir: String,
+                       m: Int = 8, k: Int = 16): DataFrame = {
+    val subDim = 64 / m
+    val sub = pqSubvectors(spark, sfDir, m, subDim)
+    val sampleW = Window.orderBy("h", "vec_id")
+    val cents = vecs(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("emb"), x => x / col("nrm")).as("u"))
+      .withColumn("h", (col("vec_id") * lit(2654435761L)) % lit(1000000007L))
+      .orderBy("h", "vec_id").limit(k)
+      // k rows: the global window is a 16-row sort, not a scale concern
+      .withColumn("c", row_number().over(sampleW) - 1)
+      .select(col("c"), col("u"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("c"), col("s"),
+        slice(col("u"), (col("s") * subDim + 1).cast("int"), lit(subDim)).as("csub"))
+    sub.join(broadcast(cents), "s")
+      .select(col("vec_id"), col("s"), col("c"),
+        dotd(col("sub"), col("csub")).as("d"))
+  }
+
+  /** PQ code assignment: per (vector, subspace) the argmax-inner-product
+    * centroid (ties to the lowest code — max of a (d, -c) struct, the
+    * same trick as the IVF assignment). */
+  private def pqCodeTable(spark: SparkSession, sfDir: String): DataFrame =
+    pqScored(spark, sfDir)
+      .groupBy("vec_id", "s")
+      .agg(max(struct(col("d").as("d"), (-col("c")).as("nc"))).as("m"))
+      .select(col("vec_id"), col("s"), (-col("m.nc")).as("c"))
+
+  /** Product-quantization encode — the 8×16 codebook compresses each
+    * 64-dim double vector to 8 nibble codes (128× smaller than the raw
+    * doubles; the serving form an ANN index ships to disk). Codes are
+    * emitted in subspace order as CSV (array columns can't cross the
+    * driver's comparator). */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodeTable(spark, sfDir)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("c")))).as("sc"))
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("sc"),
+          p => p.getField("c").cast("string"))).as("codes_csv"))
+      .orderBy("vec_id")
+
+  /** PQ-ADC recall@10 vs the exact brute-force top-10 — asymmetric
+    * distance computation: the query keeps its exact subvectors, corpus
+    * vectors contribute only their codes, and the approximate cosine is
+    * the subspace-ordered sum of the query's precomputed inner products
+    * with each coded centroid. The distance table (5 queries × 8
+    * subspaces × 16 centroids) broadcasts; the scan side is the N×m
+    * codes table — rows of four scalars, the narrow shape a PQ serving
+    * scan has at 100 TB. The per-pair sum folds in subspace order on
+    * both engines (array_sort + sequential fold ≡ DuckDB's ordered list
+    * + list_reduce), so scores stay bitwise-equal. */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val codes = pqCodeTable(spark, sfDir)
+    val dt = pqScored(spark, sfDir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("s"), col("c"), col("d").as("part"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val pqTop = codes.join(broadcast(dt), Seq("s", "c"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("part")))).as("ps"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(col("ps"), lit(0.0),
+          (a, p) => a + p.getField("part")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("q_id", "vec_id")
+    val brute = bruteForceTopK(spark, sfDir).select("q_id", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bTot = brute.agg(count(lit(1)).as("possible"))
+    brute.join(pqTop, Seq("q_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(bTot) // 1-row × 1-row
+      .select(lit("pq").as("method"), col("hits"), col("possible"),
+        (col("hits").cast("double") / col("possible")).as("recall"))
+  }
+
   /** ANN quality measurement: recall@10 of the LSH and IVF paths
     * against the exact brute-force top-10 on the same query set — the
     * number a real pipeline tunes banding/nprobe against. hits/possible

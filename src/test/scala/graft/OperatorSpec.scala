@@ -426,6 +426,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(full.nonEmpty && full.forall(identity))
   }
 
+  test("PQ encode: 8 nibble codes per vector, every code < 16") {
+    import spark.implicits._
+    val rows = SimilarityOps.pqCodes(spark, sf0001)
+      .select("codes_csv").as[String].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { csv =>
+      val cs = csv.split(",").map(_.toInt)
+      cs.length == 8 && cs.forall(c => c >= 0 && c < 16)
+    })
+    spark.catalog.clearCache()
+  }
+
+  test("stemmed index search equals the scan-form stemmed search") {
+    import spark.implicits._
+    val scan = ArticleOps.searchStemmed(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSeq
+    val idx = ArticleOps.searchStemmedIndexed(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(scan.nonEmpty && idx == scan)
+  }
+
   test("BM25 search ranks rare-term docs above equal-TF common-term docs") {
     val rows = ArticleOps.searchBm25(spark, sf0001).collect()
     assert(rows.nonEmpty)
