@@ -91,6 +91,7 @@ object SparkEntry {
     "pipe_curation"            -> TextOps.curateCorpus _,
     "pipe_shard_export"        -> ((s: SparkSession, d: String) => TextOps.shardExport(s, d)),
     "txt_chunks"               -> ((s: SparkSession, d: String) => TextOps.chunkDocs(s, d)),
+    "txt_cms_terms"            -> TextOps.cmsTermCounts _,
     "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
@@ -824,6 +825,39 @@ object SparkEntry {
         |      c -> ascii(c))),
         |    (h, c) -> (h * 31 + c) % 1000000000000000) AS chunk_hash
         |FROM p ORDER BY doc_id, chunk_id""".stripMargin,
+    // count-min sketch: d=4 universal-hash rows x w=1024 buckets; cell
+    // counts = sum of per-term instance counts landing in the bucket;
+    // estimate = min over rows (left join: absent probe terms read the
+    // bucket's pure collision mass)
+    "txt_cms_terms" ->
+      """WITH terms AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, COUNT(*) AS n FROM terms GROUP BY term),
+        |thc AS (SELECT term, n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(term, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS th
+        |  FROM tc),
+        |hp AS (SELECT * FROM (VALUES (0, 3, 17), (1, 7, 101),
+        |    (2, 11, 1009), (3, 13, 10007)) AS v(r, a, b)),
+        |cells AS (
+        |  SELECT r, (a * th + b) % 999999999999989 % 1024 AS bkt,
+        |    CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM thc, hp GROUP BY 1, 2),
+        |probes AS (SELECT unnest(['the','a','of','and','to','zzz_absent']) AS term),
+        |ph AS (SELECT term,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(term, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS th
+        |  FROM probes),
+        |pe AS (SELECT term, r, (a * th + b) % 999999999999989 % 1024 AS bkt
+        |  FROM ph, hp),
+        |est AS (SELECT term, MIN(COALESCE(cnt, 0)) AS cms_estimate
+        |  FROM pe LEFT JOIN cells USING (r, bkt) GROUP BY term)
+        |SELECT est.term, cms_estimate, COALESCE(tc.n, 0) AS exact_count
+        |FROM est LEFT JOIN tc USING (term) ORDER BY term""".stripMargin,
     // concat-and-chunk packing at budget=512: a doc spans every sequence
     // its [cum - n_tok, cum) token interval overlaps; SUM OVER gives the
     // same running offsets as the two-level bucket computation

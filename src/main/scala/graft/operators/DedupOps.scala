@@ -188,9 +188,10 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    // not checkpointed: only round 1 reads it (twice — one distinct
+    // recompute from the checkpointed edges beats a materialization job)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       // neighbor minimum per node, then keep the smaller of own/neighbor

@@ -353,6 +353,54 @@ object TextOps {
       .orderBy("seq_id", "doc_id")
   }
 
+  /** Count–min sketch over corpus terms — the bounded-memory frequency
+    * estimator (Cormode & Muthukrishnan): d=4 hash rows × w=1024
+    * buckets; a term's estimate is the MIN of its d bucket counts and
+    * can only over-estimate (collisions add, never subtract). The
+    * sketch build is one explode + one hash aggregate over (row,
+    * bucket) — 4096 cells regardless of corpus size, the whole point at
+    * 100 TB: mergeable across partitions/days, constant memory, no
+    * per-term state. Emitted per probe term (the stopword set) next to
+    * its exact count, so the overestimate property is visible in the
+    * output. Universal hash family: h_i(t) = ((a_i·poly(t) + b_i) mod
+    * p) mod w with fixed odd multipliers — all integer, identical both
+    * engines. */
+  def cmsTermCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = 4
+    val w = 1024
+    val p = 999999999999989L // prime > any poly hash value
+    val as = Seq(3L, 7L, 11L, 13L)
+    val bs = Seq(17L, 101L, 1009L, 10007L)
+    val terms = docs(spark, sfDir)
+      .select(explode(words(col("text"))).as("term"))
+      .withColumn("th", expr("poly_hash(term)"))
+    // the 4096-cell sketch: one aggregate over (row, bucket)
+    val cells = terms
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"),
+          ((lit(as(i)) * col("th") + bs(i)) % p % w).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    // probe set: the engine's stopword list + a term absent from the
+    // corpus (its estimate is pure collision mass)
+    val probes = Seq("the", "a", "of", "and", "to", "zzz_absent")
+    val probeDf = spark.range(1)
+      .select(explode(array(probes.map(lit): _*)).as("term"))
+      .withColumn("th", expr("poly_hash(term)"))
+      .select(col("term"), explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"),
+          ((lit(as(i)) * col("th") + bs(i)) % p % w).as("b"))): _*)).as("rb"))
+      .select(col("term"), col("rb.r").as("r"), col("rb.b").as("b"))
+    val est = probeDf.join(cells, Seq("r", "b"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"), col("cms_estimate"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+      .orderBy("term")
+  }
+
   /** The SQL entry path: the same engine surface through spark.sql over
     * a registered view, exercising the injected native functions from
     * SQL text (the GraftExtensions seam end-to-end). */

@@ -426,6 +426,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(full.nonEmpty && full.forall(identity))
   }
 
+  test("count-min sketch never under-estimates; absent terms read collision mass") {
+    import spark.implicits._
+    val rows = TextOps.cmsTermCounts(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 6)
+    assert(rows.forall { case (_, est, exact) => est >= exact })
+    val absent = rows.find(_._1 == "zzz_absent").get
+    assert(absent._3 == 0L) // absent from the corpus...
+    assert(absent._2 >= 0L) // ...its estimate is pure collision mass
+  }
+
   test("PQ encode: 8 nibble codes per vector, every code < 16") {
     import spark.implicits._
     val rows = SimilarityOps.pqCodes(spark, sf0001)
