@@ -76,6 +76,8 @@ object SparkEntry {
     "evt_salted_totals"        -> EventOps.saltedUserTotals _,
     "evt_value_histogram"      -> EventOps.valueHistogram _,
     "evt_pivot_types"          -> EventOps.userTypePivot _,
+    "evt_funnel"               -> EventOps.funnel _,
+    "evt_retention"            -> EventOps.cohortRetention _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     // --- text analysis (LLM-pipeline EXT) ---
@@ -616,6 +618,33 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // ordered funnel: each step's timestamp must strictly follow the
+    // previous step's min timestamp
+    "evt_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |t1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM e JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM e JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        |SELECT step, users FROM (
+        |  SELECT '1_view' AS step, COUNT(*) AS users FROM t1
+        |  UNION ALL SELECT '2_click', COUNT(*) FROM t2
+        |  UNION ALL SELECT '3_purchase', COUNT(*) FROM t3) z
+        |ORDER BY step""".stripMargin,
+    // cohort = week of first event (date_trunc week = Monday in both
+    // engines, session TZ UTC); offset in exact 7-day integer steps
+    "evt_retention" ->
+      """WITH u AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT u.cw AS cohort_week,
+        |  date_diff('day', u.cw, a.w) // 7 AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS active_users
+        |FROM a JOIN u USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "graph_frontier_bfs" ->
       """WITH RECURSIVE
         |edges AS (

@@ -191,4 +191,46 @@ object EventOps {
       .agg(count(lit(1)))
       .na.fill(0)
       .orderBy("user_id")
+
+  /** Funnel analysis view → click → purchase: users advance a step only
+    * with a strictly-later event of the next type (min-timestamp per
+    * step — the standard ordered-funnel semantics). Each step is one
+    * user_id-keyed join + hash aggregate, so the funnel runs in
+    * #steps shuffles on the same key — co-partitioned end-to-end under
+    * bucketing on user_id (SURVEY §8.1), never a per-user sort. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    t1.agg(lit("1_view").as("step"), count(lit(1)).as("users"))
+      .unionAll(t2.agg(lit("2_click").as("step"), count(lit(1)).as("users")))
+      .unionAll(t3.agg(lit("3_purchase").as("step"), count(lit(1)).as("users")))
+      .orderBy("step")
+  }
+
+  /** Cohort retention: users grouped by the week of their first event,
+    * counted as active in every week they appear — the engagement
+    * matrix every product-analytics stack computes. Two aggregates
+    * (first-week per user; distinct user-weeks) and one join, all keyed
+    * on user_id; week arithmetic is exact integer day math on
+    * week-truncated timestamps (both engines truncate to Monday, the
+    * session is pinned UTC). */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val active = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).as("w")).distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        expr("datediff(w, cw) DIV 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -426,6 +426,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(full.nonEmpty && full.forall(identity))
   }
 
+  test("funnel counts are monotone non-increasing and respect event order") {
+    import spark.implicits._
+    val rows = EventOps.funnel(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(rows.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(rows("1_view") >= rows("2_click"))
+    assert(rows("2_click") >= rows("3_purchase"))
+    // retention: offset-0 cell of each cohort counts the whole cohort
+    val ret = EventOps.cohortRetention(spark, sf0001).collect()
+    val week0 = ret.filter(_.getAs[Long]("week_offset") == 0L)
+    assert(week0.nonEmpty)
+    assert(ret.forall(r => r.getAs[Long]("week_offset") >= 0L))
+  }
+
   test("count-min sketch never under-estimates; absent terms read collision mass") {
     import spark.implicits._
     val rows = TextOps.cmsTermCounts(spark, sf0001)
