@@ -110,6 +110,7 @@ object SparkEntry {
     "sim_recall"               -> SimilarityOps.annRecall _,
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
     "sim_quantize_int8"        -> SimilarityOps.quantizeInt8 _,
+    "sim_int8_topk"            -> SimilarityOps.int8TopK _,
     "sim_pq_codes"             -> SimilarityOps.pqCodes _,
     "sim_pq_recall"            -> SimilarityOps.pqRecall _,
     // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
@@ -1364,6 +1365,32 @@ object SparkEntry {
         |  array_to_string(list_transform(emb,
         |    x -> CAST(CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q_csv
         |FROM s WHERE scale > 0 ORDER BY vec_id""".stripMargin,
+    // int8 MIPS serving: exact integer dot of the quantized vectors,
+    // dequantized by both scale factors in the same expression order
+    "sim_int8_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, list_max(list_transform(emb, x -> abs(x))) AS scale, emb
+        |  FROM e),
+        |q8 AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(emb, x -> floor(x * 127.0 / scale + 0.5)) AS q
+        |  FROM s WHERE scale > 0),
+        |qs AS (SELECT vec_id AS q_id, scale AS q_scale, q AS qq
+        |  FROM q8 WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT q_id, vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(qq)+1),
+        |      i -> qq[i] * q[i])), (x, y) -> x + y)
+        |      * q_scale * scale / 16129.0 AS score
+        |  FROM qs, q8 WHERE q8.vec_id <> qs.q_id),
+        |r AS (SELECT q_id, vec_id, score,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+        |  FROM sc)
+        |SELECT q_id, vec_id, score, rn FROM r WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin,
     // product-quantization encode: 8 subspaces x 16 centroids over unit
     // vectors; codebook = the deterministic multiplicative-hash sample
     // re-indexed 0..15; code = argmax subspace inner product, ties low

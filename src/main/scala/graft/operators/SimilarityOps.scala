@@ -301,6 +301,43 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Serving top-k on the int8-quantized vectors — what an ANN index
+    * actually ranks with after [[quantizeInt8]] compresses the corpus.
+    * The quantized values are small integers carried as doubles, so the
+    * dot product is EXACT (every product and partial sum is an integer
+    * ≤ 127²·64 ≪ 2⁵³ — no rounding anywhere, determinism by
+    * construction rather than by fold-order discipline). Same broadcast
+    * query batch × one corpus scan shape as [[bruteForceTopK]]; emitted
+    * next to each pair's rank under exact float cosine is the recall
+    * question answered per query in [[pqRecall]] style by the spec. */
+  def int8TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val q8 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("scale", array_max(transform(col("emb"), x => abs(x))))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), col("scale"),
+        // Spark floor returns LONG; the quantized values are exact small
+        // integers either way, carried as doubles for dot_double
+        transform(col("emb"),
+          x => floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("double"))
+          .as("q"))
+    val qs = q8.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("scale").as("q_scale"),
+        col("q").as("qq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    // dequantized inner product: exact integer dot, then the two scale
+    // factors in a FIXED multiplication order (both engines evaluate
+    // the identical expression tree, so the float result is bitwise-equal)
+    q8.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotd(col("qq"), col("q")) * col("q_scale") * col("scale") /
+          lit(16129.0)).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy("q_id", "rn")
+  }
+
   /** Normalized vectors and their per-subspace slices for product
     * quantization: unit vectors (so subspace inner products sum to the
     * full cosine), exploded into `m` contiguous subvectors. Narrow by

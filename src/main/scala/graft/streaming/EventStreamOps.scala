@@ -73,6 +73,45 @@ object EventStreamOps {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
+  final case class FunnelState(stage: Int, ts: Long)
+  final case class FunnelAdvance(user_id: Long, step: String,
+    ts: java.sql.Timestamp)
+
+  /** Streaming form of EventOps.funnel: a per-user monotone state
+    * machine view → click → purchase that emits one row each time a
+    * user advances a step (strictly-later timestamp required, matching
+    * the batch funnel's min-timestamp chain for in-order streams: the
+    * first qualifying event after the previous step IS that minimum).
+    * State is one (stage, ts) pair per user — bounded by the user
+    * population, not the event volume, the property that makes
+    * streaming funnels deployable at firehose rates. */
+  def funnelAdvances(spark: SparkSession, events: DataFrame,
+                     watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val stepOf = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+    events.withWatermark("ts", watermark)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelAdvance]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val want = s.stage + 1
+            if (want <= 3 && stepOf.get(e.event_type).contains(want) &&
+                (s.stage == 0 || e.ts.getTime > s.ts)) {
+              s = FunnelState(want, e.ts.getTime)
+              out += FunnelAdvance(uid, s"${want}_${e.event_type}", e.ts)
+            }
+          }
+          if (s.stage > 0) state.update(s)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Stream-static join: enrich the event stream with a static
     * dimension (broadcastable per micro-batch — the streaming analogue
     * of the relational core's broadcast dim joins). */

@@ -121,6 +121,35 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming funnel advances per user: ordered steps only, state carries across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreamOps.funnelAdvances(spark, mem.toDF())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: click BEFORE any view must not advance; then view at :05
+      mem.addData(EventRow(1L, ts(0), 1L, "click", 1.0),
+        EventRow(2L, ts(5), 1L, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel").as[(Long, String, Timestamp)].collect()
+        .toSet == Set((1L, "1_view", ts(5))))
+      // next batch: click after the view advances; purchase same-ts as
+      // click must NOT advance (strictly later required); later one does
+      mem.addData(EventRow(3L, ts(10), 1L, "click", 1.0),
+        EventRow(4L, ts(10), 1L, "purchase", 1.0),
+        EventRow(5L, ts(20), 1L, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel").as[(Long, String, Timestamp)]
+        .collect().toSet
+      assert(got == Set(
+        (1L, "1_view", ts(5)),
+        (1L, "2_click", ts(10)),
+        (1L, "3_purchase", ts(20))))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
