@@ -365,31 +365,41 @@ object TextOps {
     * output. Universal hash family: h_i(t) = ((a_i·poly(t) + b_i) mod
     * p) mod w with fixed odd multipliers — all integer, identical both
     * engines. */
-  def cmsTermCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = 4
-    val w = 1024
-    val p = 999999999999989L // prime > any poly hash value
-    val as = Seq(3L, 7L, 11L, 13L)
-    val bs = Seq(17L, 101L, 1009L, 10007L)
-    val terms = docs(spark, sfDir)
-      .select(explode(words(col("text"))).as("term"))
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val CmsPrime = 999999999999989L // prime > any poly hash value
+  private val CmsA = Seq(3L, 7L, 11L, 13L)
+  private val CmsB = Seq(17L, 101L, 1009L, 10007L)
+
+  /** The d bucket coordinates of a hashed term, as exploded (r, b)
+    * struct rows. */
+  private def cmsBuckets(th: Column): Column =
+    explode(array((0 until CmsDepth).map(i =>
+      struct(lit(i).as("r"),
+        ((lit(CmsA(i)) * th + CmsB(i)) % CmsPrime % CmsWidth).as("b"))): _*))
+
+  /** The 4096-cell sketch of a (term) stream: one explode + one hash
+    * aggregate with map-side combine. Exposed for the mergeability
+    * spec — CMS(A ∪ B) is the cell-wise sum of CMS(A) and CMS(B), the
+    * property that lets sketches build per-partition/per-day and merge. */
+  def cmsCellsOf(termsDf: DataFrame): DataFrame =
+    termsDf
       .withColumn("th", expr("poly_hash(term)"))
-    // the 4096-cell sketch: one aggregate over (row, bucket)
-    val cells = terms
-      .select(explode(array((0 until d).map(i =>
-        struct(lit(i).as("r"),
-          ((lit(as(i)) * col("th") + bs(i)) % p % w).as("b"))): _*)).as("rb"))
+      .select(cmsBuckets(col("th")).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
+
+  def cmsTermCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = docs(spark, sfDir)
+      .select(explode(words(col("text"))).as("term"))
+    val cells = cmsCellsOf(terms)
     // probe set: the engine's stopword list + a term absent from the
     // corpus (its estimate is pure collision mass)
     val probes = Seq("the", "a", "of", "and", "to", "zzz_absent")
     val probeDf = spark.range(1)
       .select(explode(array(probes.map(lit): _*)).as("term"))
       .withColumn("th", expr("poly_hash(term)"))
-      .select(col("term"), explode(array((0 until d).map(i =>
-        struct(lit(i).as("r"),
-          ((lit(as(i)) * col("th") + bs(i)) % p % w).as("b"))): _*)).as("rb"))
+      .select(col("term"), cmsBuckets(col("th")).as("rb"))
       .select(col("term"), col("rb.r").as("r"), col("rb.b").as("b"))
     val est = probeDf.join(cells, Seq("r", "b"), "left")
       .groupBy("term")

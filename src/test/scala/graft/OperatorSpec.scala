@@ -451,6 +451,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(absent._2 >= 0L) // ...its estimate is pure collision mass
   }
 
+  test("count-min sketch is mergeable: CMS(A union B) = cellwise sum of parts") {
+    import spark.implicits._
+    val a = Seq("x y z x", "y y q").toDF("text")
+      .select(explode(TextOps.words(col("text"))).as("term"))
+    val b = Seq("z q q r", "x r r r").toDF("text")
+      .select(explode(TextOps.words(col("text"))).as("term"))
+    val whole = TextOps.cmsCellsOf(a.unionAll(b))
+      .as[(Int, Long, Long)].collect()
+      .map { case (r, bk, c) => ((r, bk), c) }.toMap
+    val merged = TextOps.cmsCellsOf(a).unionAll(TextOps.cmsCellsOf(b))
+      .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (r, bk, c) => ((r, bk), c) }.toMap
+    assert(whole.nonEmpty && whole == merged)
+  }
+
   test("PQ encode: 8 nibble codes per vector, every code < 16") {
     import spark.implicits._
     val rows = SimilarityOps.pqCodes(spark, sf0001)
