@@ -403,22 +403,23 @@ object ArticleOps {
   }
 
   /** [[searchStemmed]] in index form — the 100 TB path its scaladoc
-    * promises: postings are built over STEMMED terms (stemming is
-    * row-local, applied once at index time), the query keyword is
-    * stemmed once, and the probe is a pushed equality on the stemmed
-    * term + semi-join back — so a plural-insensitive search touches one
-    * term's postings instead of re-stemming every document per query. */
+    * promises: a MATERIALIZED stemmed-postings table (stemming is
+    * row-local, applied once at index time;
+    * TextIndexCatalog.ensureStemmedIndex carries the same incremental
+    * manifest/delta maintenance as the token index), the query keyword
+    * is stemmed once, and the probe is a pushed term equality on the
+    * term-bucketed postings + semi-join back — a plural-insensitive
+    * search touches one term's row groups instead of re-stemming every
+    * document per query. */
   def searchStemmedIndexed(spark: SparkSession, sfDir: String,
                            keyword: String = "merges"): DataFrame = {
-    val postings = docs(spark, sfDir)
-      .select(col("doc_id"),
-        explode(transform(graft.operators.TextOps.words(col("text")),
-          t => graft.operators.TextOps.stemToken(t))).as("term"))
+    val idxDir = graft.plans.TextIndexCatalog.ensureStemmedIndex(spark, sfDir)
+    val probe = spark.read.parquet(idxDir)
       .filter(col("term") ===
         graft.operators.TextOps.stemToken(lit(keyword.toLowerCase)))
-      .select("doc_id").distinct()
+      .select("doc_id")
     docs(spark, sfDir)
-      .join(postings, Seq("doc_id"), "left_semi")
+      .join(probe, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }

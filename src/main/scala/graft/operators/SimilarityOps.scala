@@ -413,7 +413,9 @@ object SimilarityOps {
     * codes table — rows of four scalars, the narrow shape a PQ serving
     * scan has at 100 TB. The per-pair sum folds in subspace order on
     * both engines (array_sort + sequential fold ≡ DuckDB's ordered list
-    * + list_reduce), so scores stay bitwise-equal. */
+    * + list_reduce), so scores stay bitwise-equal. The brute baseline is
+    * persisted (hits and possible both read it); caller releases via
+    * spark.catalog.clearCache() — Verify/Bench/specs do. */
   def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val codes = pqCodeTable(spark, sfDir)
     val dt = pqScored(spark, sfDir).filter(col("vec_id") < 5)

@@ -34,12 +34,23 @@ object TextIndexCatalog {
   /** absolute docs-parquet path -> postings directory */
   private val indexes = TrieMap.empty[String, String]
 
+  /** docs-parquet path -> STEMMED postings directory (the plural-
+    * insensitive index variant; separate registry because the two
+    * indexes answer different predicates). */
+  private val stemmedIndexes = TrieMap.empty[String, String]
+
   def register(docsPath: String, indexPath: String): Unit =
     indexes.put(docsPath, indexPath)
 
-  def clear(): Unit = indexes.clear()
+  def registerStemmed(docsPath: String, indexPath: String): Unit =
+    stemmedIndexes.put(docsPath, indexPath)
+
+  def clear(): Unit = { indexes.clear(); stemmedIndexes.clear() }
 
   def lookup(docsPath: String): Option[String] = indexes.get(docsPath)
+
+  def lookupStemmed(docsPath: String): Option[String] =
+    stemmedIndexes.get(docsPath)
 
   /** Distinct (term, doc_id) postings over an arbitrary docs frame.
     * Per-file distinct composes into a globally-distinct index because
@@ -49,6 +60,19 @@ object TextIndexCatalog {
   def postingsOf(docs: DataFrame): DataFrame =
     docs
       .select(explode(split(lower(col("text")), " ")).as("term"), col("doc_id"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+
+  /** Stemmed postings: the same distinct (term, doc_id) contract with
+    * every token passed through the S-stemmer at INDEX time — queries
+    * then stem the keyword once and probe, Mongo `$text`'s storage
+    * layout for stemmed search. Same append-delta soundness argument as
+    * [[postingsOf]]. */
+  def stemmedPostingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(org.apache.spark.sql.functions.transform(
+        graft.operators.TextOps.words(col("text")),
+        t => graft.operators.TextOps.stemToken(t))).as("term"), col("doc_id"))
       .filter(length(col("term")) > 0)
       .distinct()
 
@@ -104,14 +128,24 @@ object TextIndexCatalog {
     * term-partitioned file generation each). Synchronized: concurrent
     * callers in this JVM must not race the append (the metastore
     * transaction's stand-in). */
-  def ensureIndex(spark: SparkSession, sfDir: String): String = synchronized {
+  def ensureIndex(spark: SparkSession, sfDir: String): String =
+    ensureVariant(spark, sfDir, "", postingsOf, register)
+
+  /** [[ensureIndex]] for the stemmed postings: same incremental
+    * manifest/delta machinery, separate directory and registry. */
+  def ensureStemmedIndex(spark: SparkSession, sfDir: String): String =
+    ensureVariant(spark, sfDir, "#stemmed", stemmedPostingsOf, registerStemmed)
+
+  private def ensureVariant(spark: SparkSession, sfDir: String,
+      variant: String, build: DataFrame => DataFrame,
+      registerFn: (String, String) => Unit): String = synchronized {
     val docsPath = s"$sfDir/documents.parquet"
     val hconf = spark.sessionState.newHadoopConf()
     val dPath = new Path(docsPath)
     val fs = dPath.getFileSystem(hconf)
     val current = dataFileEntries(fs, dPath)
     val key = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(docsPath.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest((docsPath + variant).getBytes("UTF-8")).map("%02x".format(_)).mkString
     val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-text-index/$key").getAbsolutePath
     val idxPath = new Path(idxDir)
@@ -139,15 +173,15 @@ object TextIndexCatalog {
       val delta = current.filterNot(prevSet)
       val deltaFiles = delta.map(e =>
         new Path(dPath, e.substring(0, e.indexOf(':'))).toString)
-      bucketedWrite(postingsOf(spark.read.parquet(deltaFiles: _*)), "append")
+      bucketedWrite(build(spark.read.parquet(deltaFiles: _*)), "append")
       writeManifest()
       lastBuild = delta.map(e => e.substring(0, e.indexOf(':')))
     } else {
-      bucketedWrite(postings(spark, docsPath), "overwrite")
+      bucketedWrite(build(spark.read.parquet(docsPath)), "overwrite")
       writeManifest()
       lastBuild = current.map(e => e.substring(0, e.indexOf(':')))
     }
-    register(docsPath, idxDir)
+    registerFn(docsPath, idxDir)
     idxDir
   }
 }

@@ -404,6 +404,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(joined.nonEmpty && joined.forall(t => t._1 && t._2))
   }
 
+  test("pack_sequences plan: the only single-partition exchange carries bucket counts, not doc rows") {
+    // the two-level running-offset claim, pinned structurally: a global
+    // window over data rows would show as a second SinglePartition
+    // exchange below the doc-row aggregates
+    val plan = TextOps.packSequences(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(n <= 1, s"expected at most one SinglePartition exchange (bucket offsets), got $n:\n$plan")
+  }
+
   test("pack_sequences invariants: doc slices partition each doc; full sequences hold budget tokens") {
     import spark.implicits._
     val packed = TextOps.packSequences(spark, sf0001)
