@@ -267,6 +267,36 @@ class OperatorSpec extends AnyFunSuite {
     TextIndexCatalog.clear()
   }
 
+  test("ensureStemmedIndex: stemmed terms materialized, delta on append, independent of the token index") {
+    import spark.implicits._
+    import graft.plans.TextIndexCatalog
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stem-incr").toString
+    val docsDir = s"$tmp/documents.parquet"
+    Seq((1L, "the merges ran"), (2L, "stories end")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(docsDir)
+    TextIndexCatalog.clear()
+    val idx = TextIndexCatalog.ensureStemmedIndex(spark, tmp)
+    // index stores STEMS: 'merges'->'merge', 'stories'->'story'
+    val terms = spark.read.parquet(idx).select("term").as[String].collect().toSet
+    assert(terms.contains("merge") && terms.contains("story"))
+    assert(!terms.contains("merges") && !terms.contains("stories"))
+    // append builds a delta only
+    TextIndexCatalog.ensureStemmedIndex(spark, tmp)
+    assert(TextIndexCatalog.lastBuild.isEmpty)
+    Seq((3L, "merge bodies")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    TextIndexCatalog.ensureStemmedIndex(spark, tmp)
+    assert(TextIndexCatalog.lastBuild.nonEmpty)
+    val got = spark.read.parquet(idx)
+      .filter(col("term") === "merge").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+    // the stemmed registry is separate from the token-index registry
+    assert(TextIndexCatalog.lookupStemmed(docsDir).isDefined)
+    assert(TextIndexCatalog.lookup(docsDir).isEmpty)
+    TextIndexCatalog.clear()
+  }
+
   test("phrase search = substring match over the space-rejoined token sequence") {
     import spark.implicits._
     graft.plans.TextIndexCatalog.clear()

@@ -88,6 +88,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shinglek_hashes matches the seeded-fold model for random arrays and k") {
+    import spark.implicits._
+    val m = TextOps.HashMod
+    def model(ws: Seq[Long], k: Int): Seq[Long] =
+      if (ws.length < k) Seq.empty
+      else ws.sliding(k).filter(_.size == k)
+        .map(_.reduce((a, b) => (a * 31 + b) % m)).toSeq
+    val arrGen = Gen.listOfN(12, Gen.choose(0L, m - 1))
+    val samples = Gen.listOfN(25, arrGen).sample.get
+    (1 to 10).foreach { k =>
+      val rows = samples.map(Tuple1(_)).toDF("ws")
+        .select(col("ws"), expr(s"shinglek_hashes(ws, $k)"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (ws, got) =>
+        assert(got == model(ws, k), s"k=$k on ${ws.take(4)}...")
+      }
+    }
+    // k=3 coincides with the dedicated trigram expression
+    val eq = samples.map(Tuple1(_)).toDF("ws")
+      .select((expr("shinglek_hashes(ws, 3)") === expr("shingle3_hashes(ws)"))
+        .as("same"))
+      .as[Boolean].collect()
+    assert(eq.forall(identity))
+  }
+
   test("simhash48 expression matches a bit-counting JVM model") {
     import spark.implicits._
     val docs = Seq("alpha beta gamma delta", "one", "", "x y z x y z")
