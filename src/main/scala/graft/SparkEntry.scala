@@ -444,6 +444,7 @@ object SparkEntry {
         |    list_transform(
         |      list_filter(string_split(lower(text), ' '), x -> length(x) > 0),
         |      x -> CASE
+        |        WHEN length(x) <= 2 THEN x
         |        WHEN ends_with(x, 'ies') THEN
         |          CASE WHEN NOT ends_with(x, 'eies') AND NOT ends_with(x, 'aies')
         |            THEN substr(x, 1, length(x) - 3) || 'y' ELSE x END
@@ -468,6 +469,7 @@ object SparkEntry {
         |    list_transform(
         |      list_filter(string_split(lower(text), ' '), x -> length(x) > 0),
         |      x -> CASE
+        |        WHEN length(x) <= 2 THEN x
         |        WHEN ends_with(x, 'ies') THEN
         |          CASE WHEN NOT ends_with(x, 'eies') AND NOT ends_with(x, 'aies')
         |            THEN substr(x, 1, length(x) - 3) || 'y' ELSE x END
@@ -873,7 +875,7 @@ object SparkEntry {
         |hp AS (SELECT * FROM (VALUES (0, 3, 17), (1, 7, 101),
         |    (2, 11, 1009), (3, 13, 10007)) AS v(r, a, b)),
         |cells AS (
-        |  SELECT r, (a * th + b) % 999999999999989 % 1024 AS bkt,
+        |  SELECT r, (a * th + b) % 1000000000000037 % 1024 AS bkt,
         |    CAST(SUM(n) AS BIGINT) AS cnt
         |  FROM thc, hp GROUP BY 1, 2),
         |probes AS (SELECT unnest(['the','a','of','and','to','zzz_absent']) AS term),
@@ -882,7 +884,7 @@ object SparkEntry {
         |      list_transform(string_split(term, ''), c -> ascii(c))),
         |      (h, c) -> (h * 31 + c) % 1000000000000000) AS th
         |  FROM probes),
-        |pe AS (SELECT term, r, (a * th + b) % 999999999999989 % 1024 AS bkt
+        |pe AS (SELECT term, r, (a * th + b) % 1000000000000037 % 1024 AS bkt
         |  FROM ph, hp),
         |est AS (SELECT term, MIN(COALESCE(cnt, 0)) AS cms_estimate
         |  FROM pe LEFT JOIN cells USING (r, bkt) GROUP BY term)

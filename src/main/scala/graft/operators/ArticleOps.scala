@@ -277,6 +277,8 @@ object ArticleOps {
   def searchPhrase(spark: SparkSession, sfDir: String,
                    phrase: String = "merge group"): DataFrame = {
     val terms = phrase.toLowerCase.split(" ").filter(_.nonEmpty)
+    require(terms.nonEmpty,
+      "phrase search needs at least one non-space token")
     val idxPath = graft.plans.TextIndexCatalog.ensureIndex(spark, sfDir)
     val cand = spark.read.parquet(idxPath)
       .filter(col("term").isin(terms.distinct.toSeq: _*))
@@ -339,9 +341,9 @@ object ArticleOps {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     val tf = toks.filter(col("term").isin(kws: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfq = toks.filter(col("term").isin(kws: _*))
-      .select("term", "doc_id").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df falls out of tf (one row per doc containing the term) — no
+    // third tokenize+explode pass over the corpus
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scores = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
       .crossJoin(broadcast(stats)) // 1-row stats
       .select(col("doc_id"),

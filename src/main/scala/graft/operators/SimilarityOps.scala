@@ -385,7 +385,10 @@ object SimilarityOps {
     * centroid (ties to the lowest code — max of a (d, -c) struct, the
     * same trick as the IVF assignment). */
   private def pqCodeTable(spark: SparkSession, sfDir: String): DataFrame =
-    pqScored(spark, sfDir)
+    pqCodeTableOf(pqScored(spark, sfDir))
+
+  private def pqCodeTableOf(scored: DataFrame): DataFrame =
+    scored
       .groupBy("vec_id", "s")
       .agg(max(struct(col("d").as("d"), (-col("c")).as("nc"))).as("m"))
       .select(col("vec_id"), col("s"), (-col("m.nc")).as("c"))
@@ -417,6 +420,10 @@ object SimilarityOps {
     * persisted (hits and possible both read it); caller releases via
     * spark.catalog.clearCache() — Verify/Bench/specs do. */
   def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    // deliberately NOT persisted: the distance-table branch re-derives
+    // pqScored, but its vec_id < 5 filter pushes below the explode, so
+    // the "second pass" scores 5 vectors, not N — measured faster than
+    // materializing the N·m·k scored table for one extra read
     val codes = pqCodeTable(spark, sfDir)
     val dt = pqScored(spark, sfDir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("s"), col("c"), col("d").as("part"))

@@ -60,10 +60,15 @@ object TextOps {
     * (SURVEY §7.5): plural forms now match their singulars; full
     * Snowball derivational stemming remains out of scope. */
   def stemToken(t: Column): Column =
+    // words of <= 2 chars pass through (Harman applies endings only to
+    // long-enough words; also keeps every stem non-empty, so the
+    // stemmed postings index — which stores non-empty terms — answers
+    // exactly the same queries as the scan form for ANY keyword)
+    when(length(t) <= 2, t)
     // dispatch on suffix CLASS first: an exception word ('goes', 'sees')
     // stops at its class unchanged, it does not fall through to the
     // bare-s rule (Harman's if/elif structure)
-    when(t.endsWith("ies"),
+    .when(t.endsWith("ies"),
       when(!t.endsWith("eies") && !t.endsWith("aies"),
         concat(t.substr(lit(1), length(t) - 3), lit("y"))).otherwise(t))
     .when(t.endsWith("es"),
@@ -367,7 +372,10 @@ object TextOps {
     * engines. */
   private val CmsDepth = 4
   private val CmsWidth = 1024
-  private val CmsPrime = 999999999999989L // prime > any poly hash value
+  // prime STRICTLY above every poly hash value (hashes are mod 1e15, so
+  // max 1e15-1; the first prime past 1e15 keeps the universal-hash
+  // precondition th < p for all inputs)
+  private val CmsPrime = 1000000000000037L
   private val CmsA = Seq(3L, 7L, 11L, 13L)
   private val CmsB = Seq(17L, 101L, 1009L, 10007L)
 

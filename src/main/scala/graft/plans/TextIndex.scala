@@ -80,23 +80,29 @@ object TextIndexCatalog {
   def postings(spark: SparkSession, docsPath: String): DataFrame =
     postingsOf(spark.read.parquet(docsPath))
 
-  /** Data files the index must cover, as name:length:mtime entries —
-    * the same visibility rule Spark's parquet reader uses (files led by
-    * '_' or '.' are metadata, not data). Hadoop FileSystem API, not
+  /** Data files the index must cover, as relativePath:length:mtime
+    * entries — RECURSIVE, because production doc tables are routinely
+    * directory-partitioned, and a manifest that only sees top-level
+    * files would serve stale postings when nested files change. Same
+    * visibility rule as Spark's parquet reader: any path component led
+    * by '_' or '.' is metadata, not data. Hadoop FileSystem API, not
     * java.io.File: the docs "directory" is an object-store prefix in
     * production and a local path only in tests. */
   private def dataFileEntries(fs: FileSystem, docsPath: Path): Seq[String] = {
     val st = fs.getFileStatus(docsPath)
-    val files =
-      if (st.isDirectory)
-        fs.listStatus(docsPath).toSeq
-          .filter(s => s.isFile && {
-            val n = s.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          })
-      else Seq(st)
-    files.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted
+    if (!st.isDirectory)
+      return Seq(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    val rootUri = docsPath.toUri
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(docsPath, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = rootUri.relativize(s.getPath.toUri).getPath
+      val hidden = rel.split("/")
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) out += s"$rel:${s.getLen}:${s.getModificationTime}"
+    }
+    out.result().sorted
   }
 
   /** File names (manifest-entry prefixes) the most recent [[ensureIndex]]
@@ -277,23 +283,25 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * predicate survives above the join as the adjacency verify,
     * evaluated on candidates only. */
   private object PhraseMatch {
-    def unapply(e: Expression): Option[(Attribute, Seq[String])] = e match {
-      case GreaterThan(
-            StringLocate(Literal(needle: UTF8String, StringType),
-              Concat(Seq(Literal(s1: UTF8String, StringType),
-                Lower(a: Attribute),
-                Literal(s2: UTF8String, StringType))),
-              Literal(1, IntegerType)),
-            Literal(0, _))
-          if s1.toString == " " && s2.toString == " " =>
-        val n = needle.toString
-        if (n.length > 2 && n.startsWith(" ") && n.endsWith(" ")) {
-          val terms = n.trim.split(" ").toSeq
-          if (terms.length >= 2 && terms.forall(plainToken)) Some((a, terms))
-          else None
-        } else None
-      case _ => None
-    }
+    def unapply(e: Expression): Option[(Attribute, Seq[String], Expression)] =
+      e match {
+        case GreaterThan(
+              loc @ StringLocate(Literal(needle: UTF8String, StringType),
+                Concat(Seq(Literal(s1: UTF8String, StringType),
+                  Lower(a: Attribute),
+                  Literal(s2: UTF8String, StringType))),
+                Literal(1, IntegerType)),
+              Literal(0, _))
+            if s1.toString == " " && s2.toString == " " =>
+          val n = needle.toString
+          if (n.length > 2 && n.startsWith(" ") && n.endsWith(" ")) {
+            val terms = n.trim.split(" ").toSeq
+            if (terms.length >= 2 && terms.forall(plainToken))
+              Some((a, terms, loc))
+            else None
+          } else None
+        case _ => None
+      }
   }
 
   /** The registered docs scan DIRECTLY under `plan` — only through
@@ -341,17 +349,25 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             Some(EqualTo(docId, idxDocId)), JoinHint.NONE)
         case None =>
           // phrase form: index prunes to docs containing ALL terms, the
-          // original predicate stays above the join as adjacency verify
+          // adjacency verify stays above the join — RE-SPELLED as
+          // locate >= 1 (same semantics: locate is 0 or a 1-based
+          // position). The GT-0 spelling must NOT survive: predicate
+          // pushdown moves the verify back under the join each
+          // fixed-point iteration, this rule would match it again, and
+          // the optimizer stacks a fresh semi-join per iteration until
+          // the batch cap (~200 duplicate probes, found empirically).
+          // The GE-1 spelling is outside PhraseMatch, so the rewrite is
+          // idempotent wherever pushdown parks the verify.
           val phraseHit = registeredScan(child).flatMap { docsPath =>
             conjuncts.collectFirst {
-              case p @ PhraseMatch(attr, terms)
+              case p @ PhraseMatch(attr, terms, loc)
                   if attr.name == "text" && child.outputSet.contains(attr) &&
                     child.output.exists(_.name == "doc_id") =>
-                (p, terms, docsPath)
+                (p, terms, loc, docsPath)
             }
           }
           phraseHit match {
-            case Some((pred, terms, docsPath)) =>
+            case Some((pred, terms, loc, docsPath)) =>
               val idxPath = TextIndexCatalog.lookup(docsPath).get
               val distinctTerms = terms.distinct
               val probe = spark.read.parquet(idxPath)
@@ -365,7 +381,8 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
               val idxDocId = probe.output.find(_.name == "doc_id").get
               val rest = conjuncts.filterNot(_ eq pred)
               val base = if (rest.isEmpty) child else Filter(rest.reduce(And), child)
-              Filter(pred, Join(base, probe, LeftSemi,
+              val verify = GreaterThanOrEqual(loc, Literal(1, IntegerType))
+              Filter(verify, Join(base, probe, LeftSemi,
                 Some(EqualTo(docId, idxDocId)), JoinHint.NONE))
             case None => f
           }
