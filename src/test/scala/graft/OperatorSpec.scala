@@ -425,6 +425,15 @@ class OperatorSpec extends AnyFunSuite {
       (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
   }
 
+  test("dupClusters on an empty pair graph returns empty; searchPhrase rejects empty phrases") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupOps.dupClustersOf(none).count() == 0L)
+    intercept[IllegalArgumentException] {
+      ArticleOps.searchPhrase(spark, sf0001, "   ")
+    }
+  }
+
   test("txt_chunks invariants: stride coverage reconstructs the token count") {
     import spark.implicits._
     // chunk=64/stride=48: n_tok of chunk 0..last sums to n + 16*(n_chunks-1)
