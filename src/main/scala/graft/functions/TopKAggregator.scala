@@ -49,7 +49,32 @@ object TopKAggregator {
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /** [[TopK]] that keeps the (id, score) pairs in rank order instead of
+    * flattening to a CSV — for consumers that explode the top-k back to
+    * rows (the ANN top-k queries). Same bounded buffer, same
+    * deterministic (score desc, id asc) order. */
+  class TopKPairs(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    private val inner = new TopK(k)
+    override def zero: Seq[ScoredId] = inner.zero
+    override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+      inner.reduce(b, a)
+    override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =
+      inner.merge(b1, b2)
+    override def finish(r: Seq[ScoredId]): Seq[ScoredId] =
+      r.sortBy(x => (-x.score, x.id))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    override def bufferEncoder: Encoder[Seq[ScoredId]] =
+      Encoders.kryo[Seq[ScoredId]]
+    override def outputEncoder: Encoder[Seq[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  }
+
   /** Column function: topK(3)(col(id), col(score)). */
   def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopK(k), Encoders.product[ScoredId])
+
+  /** Column function: topKPairs(10)(col(id), col(score)) — array of
+    * (id, score) structs in rank order. */
+  def topKPairs(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKPairs(k), Encoders.product[ScoredId])
 }

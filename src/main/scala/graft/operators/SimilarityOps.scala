@@ -84,19 +84,27 @@ object SimilarityOps {
 
   /** Exact cosine top-10 for query vectors (vec_id < 5) against the full
     * corpus. The query side is broadcast; the corpus scan is the only
-    * pass over the data. */
+    * pass over the data. Top-k via the bounded typed aggregator
+    * (TopKPairs), not a rank window: partial aggregation folds each
+    * partition to k candidates map-side, so the exchange carries
+    * k·partitions rows per query instead of every scored candidate —
+    * at 100 TB that is the difference between shuffling k rows and
+    * shuffling the corpus. Ordering (score desc, vec_id asc) matches
+    * the window formulation exactly, so the oracle is unchanged. */
   def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id"))
+    val top = graft.functions.TopKAggregator.topKPairs(10)
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
+      .groupBy("q_id")
+      .agg(top(col("vec_id"), col("score")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
       .orderBy("q_id", "rn")
   }
 
@@ -324,17 +332,21 @@ object SimilarityOps {
     val qs = q8.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("scale").as("q_scale"),
         col("q").as("qq"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id"))
     // dequantized inner product: exact integer dot, then the two scale
     // factors in a FIXED multiplication order (both engines evaluate
-    // the identical expression tree, so the float result is bitwise-equal)
+    // the identical expression tree, so the float result is bitwise-equal);
+    // top-k via the bounded aggregator — k rows per partition cross the
+    // exchange, not every scored candidate (see bruteForceTopK)
+    val top = graft.functions.TopKAggregator.topKPairs(10)
     q8.join(broadcast(qs), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotd(col("qq"), col("q")) * col("q_scale") * col("scale") /
           lit(16129.0)).as("score"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
+      .groupBy("q_id")
+      .agg(top(col("vec_id"), col("score")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
       .orderBy("q_id", "rn")
   }
 
@@ -427,8 +439,10 @@ object SimilarityOps {
     val codes = pqCodeTable(spark, sfDir)
     val dt = pqScored(spark, sfDir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("s"), col("c"), col("d").as("part"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id"))
+    // rank via the bounded aggregator (k rows per partition cross the
+    // exchange, see bruteForceTopK) instead of a window over all N·5
+    // approximate scores
+    val top = graft.functions.TopKAggregator.topKPairs(10)
     val pqTop = codes.join(broadcast(dt), Seq("s", "c"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
@@ -436,9 +450,9 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"),
         aggregate(col("ps"), lit(0.0),
           (a, p) => a + p.getField("part")).as("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select("q_id", "vec_id")
+      .groupBy("q_id")
+      .agg(top(col("vec_id"), col("score")).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"))
     val brute = bruteForceTopK(spark, sfDir).select("q_id", "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bTot = brute.agg(count(lit(1)).as("possible"))
