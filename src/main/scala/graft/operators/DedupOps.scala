@@ -192,17 +192,26 @@ object DedupOps {
     // recompute from the checkpointed edges beats a materialization job)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    var changed = 1L
-    while (changed > 0) {
-      // neighbor minimum per node, then keep the smaller of own/neighbor
-      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src").as("n2")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+    // fixpoint detection by the MONOTONE label sum: labels only ever
+    // decrease, so sum(label) is strictly decreasing until the fixpoint
+    // — one scalar aggregate per round instead of an old-vs-new compare
+    // join carrying both label columns through the checkpoint
+    var prevSum = Long.MaxValue
+    var converged = false
+    while (!converged) {
+      // per-node min over {own label} ∪ {neighbors' labels}: the self
+      // label rides the same hash aggregate as the neighbor labels, so
+      // a round is ONE equi-join + ONE map-side-combined agg (the old
+      // formulation spent a second join merging nbrMin back into labels)
+      val next = edges.join(labels, edges("dst") === labels("node"))
+        .select(col("src").as("node"), col("label"))
+        .unionAll(labels)
+        .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = next.filter(col("label") < col("old")).count()
-      labels = next.select("node", "label")
+      val s = next.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
     }
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("csize"))

@@ -436,20 +436,37 @@ object SimilarityOps {
     // pqScored, but its vec_id < 5 filter pushes below the explode, so
     // the "second pass" scores 5 vectors, not N — measured faster than
     // materializing the N·m·k scored table for one extra read
-    val codes = pqCodeTable(spark, sfDir)
+    //
+    // each vector's m codes fold to ONE narrow row (vec_id, codes[m]) —
+    // one map-side-combined agg of N·m scalar rows — and each query's
+    // distance table folds to a 128-slot array indexed by s·16+c,
+    // broadcast. The approximate score is then an ordered 8-term fold of
+    // array lookups per (vector, query) pair: N·|q| scoring rows total,
+    // instead of joining all N·m code rows against the distance table
+    // and re-shuffling N·|q| groups of m through a collect_list. Same
+    // parts summed in the same subspace order ⇒ bitwise-equal scores,
+    // oracle unchanged.
+    val codesW = pqCodeTable(spark, sfDir)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("c")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), p => p.getField("c")).as("codes"))
     val dt = pqScored(spark, sfDir).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("s"), col("c"), col("d").as("part"))
+      .groupBy(col("vec_id").as("q_id"))
+      .agg(array_sort(collect_list(struct(
+        (col("s") * 16 + col("c")).as("k"), col("d").as("part")))).as("kp"))
+      .select(col("q_id"),
+        transform(col("kp"), p => p.getField("part")).as("parts"))
     // rank via the bounded aggregator (k rows per partition cross the
     // exchange, see bruteForceTopK) instead of a window over all N·5
     // approximate scores
     val top = graft.functions.TopKAggregator.topKPairs(10)
-    val pqTop = codes.join(broadcast(dt), Seq("s", "c"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(array_sort(collect_list(struct(col("s"), col("part")))).as("ps"))
+    val pqTop = codesW.join(broadcast(dt), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        aggregate(col("ps"), lit(0.0),
-          (a, p) => a + p.getField("part")).as("score"))
+        aggregate(sequence(lit(0), lit(7)), lit(0.0), (a, s) =>
+          a + element_at(col("parts"),
+            (s * 16 + element_at(col("codes"), s + 1) + 1).cast("int")))
+          .as("score"))
       .groupBy("q_id")
       .agg(top(col("vec_id"), col("score")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("vec_id"))
