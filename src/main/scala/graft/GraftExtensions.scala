@@ -64,5 +64,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotDoubleExpr].getName, "dot_double"),
       arity("dot_double", 2)(children =>
         DotDoubleExpr(children.head, children(1)))))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime-filter rewrite but does not expose them in the public
+    // FunctionRegistry; surfacing them lets queries build an EXPLICIT
+    // broadcast bloom prefilter (dd_contamination_bloom) instead of
+    // relying on the optimizer to inject one
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      arity("graft_bloom_agg", 3)(children =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      arity("graft_bloom_contains", 2)(children =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1)))))
   }
 }

@@ -57,6 +57,7 @@ object SparkEntry {
     "art_search_negation"      -> ((s: SparkSession, d: String) => ArticleOps.searchNegation(s, d)),
     "art_search_stemmed"       -> ((s: SparkSession, d: String) => ArticleOps.searchStemmed(s, d)),
     "art_search_stemmed_idx"   -> ((s: SparkSession, d: String) => ArticleOps.searchStemmedIndexed(s, d)),
+    "art_search_stemmed_auto"  -> ((s: SparkSession, d: String) => ArticleOps.searchStemmedAuto(s, d)),
     "art_keywords_split"       -> ArticleOps.keywordsSplit _,
     "art_batch_report"         -> ArticleOps.batchReport _,
     "art_crawl_e2e"            -> ((s: SparkSession, d: String) => ArticleOps.crawlExtractSearch(s, d)),
@@ -102,6 +103,7 @@ object SparkEntry {
     "dd_simhash"               -> DedupOps.simhash _,
     "dd_simhash_pairs"         -> DedupOps.simhashPairs _,
     "dd_contamination"         -> DedupOps.contamination _,
+    "dd_contamination_bloom"   -> DedupOps.contaminationBloom _,
     "dd_dup_clusters"          -> DedupOps.dupClusters _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
@@ -109,10 +111,12 @@ object SparkEntry {
     "sim_ivf_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.ivfAnnTopK(s, d)),
     "sim_recall"               -> SimilarityOps.annRecall _,
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
+    "dd_semantic"              -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
     "sim_quantize_int8"        -> SimilarityOps.quantizeInt8 _,
     "sim_int8_topk"            -> SimilarityOps.int8TopK _,
     "sim_pq_codes"             -> SimilarityOps.pqCodes _,
     "sim_pq_recall"            -> SimilarityOps.pqRecall _,
+    "sim_ivf_pq"               -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqTopK(s, d)),
     // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
@@ -439,6 +443,31 @@ object SparkEntry {
     // S-stemmer applied to doc tokens and the query term ('merges' stems
     // to 'merge') — same three endsWith rules both engines, no regex
     "art_search_stemmed" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_transform(
+        |      list_filter(string_split(lower(text), ' '), x -> length(x) > 0),
+        |      x -> CASE
+        |        WHEN length(x) <= 2 THEN x
+        |        WHEN ends_with(x, 'ies') THEN
+        |          CASE WHEN NOT ends_with(x, 'eies') AND NOT ends_with(x, 'aies')
+        |            THEN substr(x, 1, length(x) - 3) || 'y' ELSE x END
+        |        WHEN ends_with(x, 'es') THEN
+        |          CASE WHEN NOT ends_with(x, 'aes') AND NOT ends_with(x, 'ees')
+        |            AND NOT ends_with(x, 'oes')
+        |            THEN substr(x, 1, length(x) - 1) ELSE x END
+        |        WHEN ends_with(x, 's') THEN
+        |          CASE WHEN NOT ends_with(x, 'us') AND NOT ends_with(x, 'ss')
+        |            THEN substr(x, 1, length(x) - 1) ELSE x END
+        |        ELSE x END) AS st
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM t
+        |WHERE list_contains(st, 'merge')
+        |ORDER BY doc_id""".stripMargin,
+    // transparent form: the SCAN-form query with the stemmed index
+    // registered — TextIndexRewrite swaps in the postings semi-join, the
+    // observable result (and so the oracle) is the scan form's
+    "art_search_stemmed_auto" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,
         |    list_transform(
@@ -941,6 +970,34 @@ object SparkEntry {
         |SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared
         |FROM tr JOIN ev ON tr.g = ev.g
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // Bloom prefilter is exact after verify (no false negatives; the
+    // equi-join removes false positives) => same oracle as the plain form
+    "dd_contamination_bloom" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(w, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(x, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |ev AS (
+        |  SELECT DISTINCT unnest(
+        |    [list_reduce(list_slice(ew, i, i + 7),
+        |       (a, b) -> (a * 31 + b) % 1000000000000000)
+        |     for i in range(1, len(ew) - 6)]) AS g
+        |  FROM (SELECT whs[6:15] AS ew FROM w2 WHERE doc_id % 50 = 0 AND len(whs) >= 15)),
+        |tr AS (
+        |  SELECT doc_id, unnest(
+        |    [list_reduce(list_slice(whs, i, i + 7),
+        |       (a, b) -> (a * 31 + b) % 1000000000000000)
+        |     for i in range(1, len(whs) - 6)]) AS g
+        |  FROM w2 WHERE len(whs) >= 8)
+        |SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared
+        |FROM tr JOIN ev ON tr.g = ev.g
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "txt_mixture_sample" ->
       """SELECT source, COUNT(*) AS n_sampled FROM documents
         |WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1292,6 +1349,40 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, bucket, cos FROM p WHERE cos >= 0.999
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // SemDeDup-style cluster-blocked dedup: 32-centroid coarse
+    // assignment (same deterministic sample family as sim_ivf_ann),
+    // within-cluster pairs only, drop when a lower-id cluster-mate has
+    // cosine >= 0.999
+    "dd_semantic" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(emb, x -> x * 2.0) FROM e0 WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000, list_transform(emb, x -> x * 0.5) FROM e0 WHERE vec_id % 10 = 5),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM corpus),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+        |      FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id LIMIT 32),
+        |a0 AS (SELECT n.vec_id, c.cent_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * cemb[i])), (x, y) -> x + y) / (nrm * cnrm) AS cscore
+        |  FROM n CROSS JOIN c),
+        |asg AS (SELECT vec_id, cent_id AS cluster_id FROM (
+        |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cscore DESC, cent_id) AS arn FROM a0) z WHERE arn = 1),
+        |w AS (SELECT asg.vec_id, cluster_id, emb, nrm
+        |  FROM asg JOIN n ON n.vec_id = asg.vec_id),
+        |dropped AS (SELECT DISTINCT wb.vec_id FROM w wa JOIN w wb
+        |  ON wa.cluster_id = wb.cluster_id AND wa.vec_id < wb.vec_id
+        |  AND list_reduce(list_prepend(0.0, list_transform(range(1, len(wa.emb)+1),
+        |      i -> wa.emb[i] * wb.emb[i])), (x, y) -> x + y) / (wa.nrm * wb.nrm) >= 0.999)
+        |SELECT w.vec_id, cluster_id,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        |FROM w LEFT JOIN dropped d ON d.vec_id = w.vec_id
+        |ORDER BY w.vec_id""".stripMargin,
     "sim_recall" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,
@@ -1475,6 +1566,62 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM bt JOIN pqt
         |     ON bt.q_id = pqt.q_id AND bt.vec_id = pqt.vec_id) AS hits,
         |  (SELECT COUNT(*) FROM bt) AS possible) z""".stripMargin,
+    // IVFADC serving: coarse IVF assignment picks candidate lists
+    // (nprobe=2), PQ asymmetric distance scores them — coarse cosine is
+    // the flat sequential dot (as sim_ivf_ann), ADC the subspace-ordered
+    // part sum (as sim_pq_recall)
+    "sim_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+        |      FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id LIMIT 16),
+        |a0 AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * cemb[i])), (x, y) -> x + y) / (nrm * cnrm) AS cscore
+        |  FROM n CROSS JOIN c),
+        |ar AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cscore DESC, cent_id) AS arn FROM a0),
+        |a AS (SELECT vec_id, cent_id FROM ar WHERE arn = 1),
+        |q AS (SELECT vec_id AS q_id, cent_id FROM ar WHERE vec_id < 5 AND arn <= 2),
+        |nu AS (SELECT vec_id,
+        |    list_transform(emb, x -> x / sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(emb, y -> y * y)), (x2, y2) -> x2 + y2))) AS u
+        |  FROM e),
+        |sub AS (SELECT vec_id, s, list_slice(u, s*8+1, s*8+8) AS vs
+        |  FROM nu, (SELECT unnest(range(0, 8)) AS s) g),
+        |samp AS (SELECT u, cc FROM (
+        |    SELECT u, row_number() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) - 1 AS cc
+        |    FROM nu) z WHERE cc < 16),
+        |csub AS (SELECT cc, s, list_slice(u, s*8+1, s*8+8) AS cs
+        |  FROM samp, (SELECT unnest(range(0, 8)) AS s) g),
+        |scored AS (SELECT vec_id, sub.s, cc,
+        |    list_reduce(list_prepend(0.0, [vs[i] * cs[i] for i in range(1, 9)]),
+        |      (x, y) -> x + y) AS d
+        |  FROM sub JOIN csub ON sub.s = csub.s),
+        |codes AS (SELECT vec_id, s, cc FROM (
+        |    SELECT vec_id, s, cc, row_number() OVER (
+        |      PARTITION BY vec_id, s ORDER BY d DESC, cc) AS rn
+        |    FROM scored) z WHERE rn = 1),
+        |dt AS (SELECT vec_id AS q_id, s, cc, d AS part FROM scored WHERE vec_id < 5),
+        |cand AS (SELECT q.q_id, a.vec_id FROM q JOIN a
+        |  ON q.cent_id = a.cent_id AND a.vec_id <> q.q_id),
+        |parts AS (SELECT cand.q_id, cand.vec_id, codes.s, dt.part
+        |  FROM cand
+        |  JOIN codes ON codes.vec_id = cand.vec_id
+        |  JOIN dt ON dt.q_id = cand.q_id AND dt.s = codes.s AND dt.cc = codes.cc),
+        |adc AS (SELECT q_id, vec_id,
+        |    list_reduce(list_prepend(0.0, list(part ORDER BY s)), (x, y) -> x + y) AS score
+        |  FROM parts GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+        |  FROM adc)
+        |SELECT q_id, vec_id, score, rn FROM r WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin,
     "mm_binary_stats" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -413,6 +413,18 @@ object ArticleOps {
     * term-bucketed postings + semi-join back — a plural-insensitive
     * search touches one term's row groups instead of re-stemming every
     * document per query. */
+  /** [[searchStemmed]] written as the SCAN form with the stemmed index
+    * merely REGISTERED — the transparent path: TextIndexRewrite
+    * recognizes the stem-lambda predicate (verified structurally against
+    * TextOps.stemToken), swaps in a semi-join against the stemmed
+    * postings, and the query text never mentions the index — Mongo's
+    * `$text` contract, where indexes are storage, not syntax. */
+  def searchStemmedAuto(spark: SparkSession, sfDir: String,
+                        keyword: String = "merges"): DataFrame = {
+    graft.plans.TextIndexCatalog.ensureStemmedIndex(spark, sfDir)
+    searchStemmed(spark, sfDir, keyword)
+  }
+
   def searchStemmedIndexed(spark: SparkSession, sfDir: String,
                            keyword: String = "merges"): DataFrame = {
     val idxDir = graft.plans.TextIndexCatalog.ensureStemmedIndex(spark, sfDir)

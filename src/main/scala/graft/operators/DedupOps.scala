@@ -275,6 +275,49 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** [[contamination]] with an EXPLICIT broadcast Bloom prefilter — the
+    * 100 TB form of the membership probe: when the eval-set gram list
+    * outgrows the broadcast-hash-join threshold, an m-bit Bloom filter
+    * (built by one aggregate over the eval grams, ~1.2 bytes/key at 1%
+    * FPR) still broadcasts, and the train-side scan drops ~99% of its
+    * grams BEFORE the shuffle equi-join. The join then verifies the
+    * survivors exactly — Bloom has no false negatives, so the result is
+    * identical to [[contamination]] and shares its oracle; the filter
+    * only moves work off the exchange. Uses Spark's own
+    * BloomFilterAggregate/MightContain (surfaced via GraftExtensions —
+    * the same machinery the optimizer's runtime-filter rewrite injects,
+    * here placed deliberately). */
+  def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val whs = expr("word_poly_hashes(lower(text))")
+    val ev = d.filter(col("doc_id") % 50 === 0)
+      .select(slice(whs, 6, 10).as("ew"))
+      .filter(size(col("ew")) === 10)
+      .select(explode(expr("shinglek_hashes(ew, 8)")).as("g"))
+      .distinct()
+    // might_contain demands its bloom input be a SCALAR SUBQUERY (the
+    // shape InjectRuntimeFilter builds), not a join column — so the
+    // one-row bloom aggregate plan is attached as ScalarSubquery and the
+    // probe is a plain Filter over the train-side gram scan
+    val bloomPlan = ev.agg(
+      expr("graft_bloom_agg(g, CAST(100000 AS BIGINT), CAST(800000 AS BIGINT))").as("bf"))
+      .queryExecution.analyzed
+    val grams = d.select(col("doc_id"),
+      explode(expr("shinglek_hashes(word_poly_hashes(lower(text)), 8)")).as("g"))
+    val gramsPlan = grams.queryExecution.analyzed
+    val gAttr = gramsPlan.output.find(_.name == "g").get
+    val probe = org.apache.spark.sql.catalyst.plans.logical.Filter(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(bloomPlan),
+        gAttr),
+      gramsPlan)
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, probe)
+      .join(ev, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc minhash signature (array of 8 mins over the permuted
     * shingle hashes) and the LSH band keys: 2 bands × 4 rows. Wide
     * bands matter on this corpus — the shared ~30-word vocabulary gives

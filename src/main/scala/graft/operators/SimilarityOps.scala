@@ -271,6 +271,52 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * 2023 — public-knowledge pipeline pattern): cluster the corpus with
+    * the deterministic k-centroid coarse quantizer, then compare pairs
+    * ONLY within a cluster; a vector is dropped when a lower-id
+    * cluster-mate sits above the cosine threshold (greedy keep-lowest
+    * representative). Emits the full corpus with (cluster_id, is_kept)
+    * — the curation decision a training pipeline joins back onto the
+    * document table.
+    *
+    * Scale shape: assignment is the narrow argmax aggregate (one 24-byte
+    * row per vector through the exchange, see [[ivfAnnTopK]]); the pair
+    * stage is an equi-join on cent_id, so pair volume is Σ|cluster|²
+    * ≈ N·(N/k) — k grows with the corpus in production (√N keeps
+    * per-cluster blocks constant), never all-pairs. The kept flag is a
+    * left-anti-shaped join on vec_id. Caller releases the persisted
+    * corpus scan via spark.catalog.clearCache(). */
+  def semanticDedup(spark: SparkSession, sfDir: String,
+                    k: Int = 32, tau: Double = 0.999): DataFrame = {
+    val e = embCorpus(spark, sfDir)
+      .withColumn("nrm", sqrt(dotd(col("emb"), col("emb"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = ivfCentroids(e, k)
+    val assign = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cscore").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster_id"))
+    val withC = e.select("vec_id", "emb", "nrm").join(assign, "vec_id")
+    val a = withC.select(col("cluster_id"), col("vec_id").as("va"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val b = withC.select(col("cluster_id"), col("vec_id").as("vb"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("va") < col("vb") &&
+        cosinePre(col("ea"), col("na"), col("eb"), col("nb")) >= tau)
+      .select(col("vb").as("vec_id")).distinct()
+      .withColumn("hit", lit(1L))
+    withC.select("vec_id", "cluster_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        col("hit").isNull.cast("long").as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   /** Spec-only reference model for [[embeddingNearDups]]: unblocked
     * all-pairs cosine over the dup-seeded corpus. O(n²) by definition —
     * never registered as a query; exists so tests can assert the
@@ -478,6 +524,75 @@ object SimilarityOps {
       .crossJoin(bTot) // 1-row × 1-row
       .select(lit("pq").as("method"), col("hits"), col("possible"),
         (col("hits").cast("double") / col("possible")).as("recall"))
+  }
+
+  /** IVF+PQ serving top-k (the IVFADC layout of Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 — the
+    * standard billion-scale ANN shape): the coarse IVF quantizer picks
+    * each query's `nprobe` nearest centroid lists, and candidates inside
+    * those lists are scored by PQ asymmetric distance — the query keeps
+    * its exact subvectors, corpus vectors contribute ONLY their m nibble
+    * codes. At 100 TB this is the layout that serves from compressed
+    * storage: the per-query scan touches the (vec_id, cent_id) assignment
+    * and the m-byte code rows, never the raw vector payload (128× the
+    * code footprint); the only full-width pass is the one-off index
+    * build.
+    *
+    * Plan shape: coarse assignment is the narrow argmax aggregate of
+    * [[ivfAnnTopK]] (≤ one 24-byte row per vector through the exchange);
+    * codes fold to one (vec_id, codes[m]) row each; each query's
+    * 128-entry distance table broadcasts; candidate selection is a
+    * broadcast equi-join on cent_id; ADC scores are an ordered 8-term
+    * array-lookup fold (bitwise-reproducible, see [[pqRecall]]); the
+    * top-k folds through the bounded aggregator. Caller releases the
+    * persisted corpus scan via spark.catalog.clearCache(). */
+  def ivfPqTopK(spark: SparkSession, sfDir: String,
+                k: Int = 16, nprobe: Int = 2): DataFrame = {
+    val e = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = ivfCentroids(e, k)
+    val cscored = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
+    val assignCent = cscored
+      .groupBy("vec_id")
+      .agg(max(struct(col("cscore").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cent_id"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cent_id"))
+    val qprobe = cscored.filter(col("vec_id") < 5)
+      .withColumn("arn", row_number().over(wProbe))
+      .filter(col("arn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    // PQ side: one narrow (vec_id, codes[8]) row per vector; per-query
+    // 128-slot distance-table array, broadcast (see pqRecall)
+    val codesW = pqCodeTableOf(pqScored(spark, sfDir))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("c")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), p => p.getField("c")).as("codes"))
+    val dt = pqScored(spark, sfDir).filter(col("vec_id") < 5)
+      .groupBy(col("vec_id").as("q_id"))
+      .agg(array_sort(collect_list(struct(
+        (col("s") * 16 + col("c")).as("k"), col("d").as("part")))).as("kp"))
+      .select(col("q_id"),
+        transform(col("kp"), p => p.getField("part")).as("parts"))
+    val top = graft.functions.TopKAggregator.topKPairs(10)
+    assignCent.join(broadcast(qprobe), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codesW, "vec_id")
+      .join(broadcast(dt), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(7)), lit(0.0), (a, s) =>
+          a + element_at(col("parts"),
+            (s * 16 + element_at(col("codes"), s + 1) + 1).cast("int")))
+          .as("score"))
+      .groupBy("q_id")
+      .agg(top(col("vec_id"), col("score")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("q_id", "rn")
   }
 
   /** ANN quality measurement: recall@10 of the LSH and IVF paths

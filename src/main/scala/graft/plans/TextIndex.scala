@@ -275,6 +275,46 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
+  /** STEMMED search spelling, as [[graft.operators.ArticleOps.searchStemmed]]
+    * plans it:
+    *
+    *   array_contains(transform(filter(split(lower(text),' ',-1),
+    *     w -> length(w) > 0), t -> <S-stemmer case-when>), 'stemmedkw')
+    *
+    * (the keyword-side stem constant-folds to a literal before this rule
+    * runs). The lambda is verified to BE the S-stemmer by building the
+    * reference tree — TextOps.stemToken applied to the plan's own lambda
+    * variable — and comparing canonicalized expressions; any other
+    * lambda is conservatively left alone. A hit rewrites against the
+    * STEMMED postings registry (terms are stemmed at index time, so the
+    * folded literal probes directly). */
+  private object StemmedTokenMatch {
+    private def isStemLambda(fn: Expression, lv: NamedLambdaVariable): Boolean = {
+      val expected = org.apache.spark.sql.GraftSqlBridge.expressionOf(
+        graft.operators.TextOps.stemToken(
+          org.apache.spark.sql.GraftSqlBridge.columnOf(lv)))
+      fn.canonicalized == expected.canonicalized
+    }
+    private def isNonEmptyLambda(fn: Expression): Boolean = fn match {
+      case GreaterThan(Length(_: NamedLambdaVariable), Literal(0, _)) => true
+      case _ => false
+    }
+    def unapply(e: Expression): Option[(Attribute, String)] = e match {
+      case ArrayContains(
+            ArrayTransform(
+              ArrayFilter(
+                StringSplit(Lower(a: Attribute),
+                  Literal(sep: UTF8String, StringType), Literal(-1, _)),
+                LambdaFunction(filterFn, _, _)),
+              LambdaFunction(stemFn, Seq(lv: NamedLambdaVariable), _)),
+            Literal(kw: UTF8String, StringType))
+          if sep.toString == " " && plainToken(kw.toString) &&
+            isNonEmptyLambda(filterFn) && isStemLambda(stemFn, lv) =>
+        Some((a, kw.toString))
+      case _ => None
+    }
+  }
+
   /** Phrase spelling: `locate(' p1 p2 ', ' ' || lower(text) || ' ') > 0`
     * with a MULTI-token needle (single tokens are TokenMatch's locate
     * case). The rewrite can't replace this predicate — postings carry no
@@ -310,16 +350,18 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * so rewriting a filter above it against the base table's postings
     * would be wrong (e.g. a dup-seeded union contains rows the postings
     * have never seen); those plans are conservatively refused. */
-  private def registeredScan(plan: LogicalPlan): Option[String] = plan match {
-    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      fs.location.rootPaths.collectFirst {
-        case p if TextIndexCatalog.lookup(p.toUri.getPath).isDefined =>
-          p.toUri.getPath
-      }
-    case org.apache.spark.sql.catalyst.plans.logical.Project(_, c) => registeredScan(c)
-    case Filter(_, c) => registeredScan(c)
-    case _ => None
-  }
+  private def registeredScan(plan: LogicalPlan,
+      lookup: String => Option[String] = TextIndexCatalog.lookup): Option[String] =
+    plan match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.collectFirst {
+          case p if lookup(p.toUri.getPath).isDefined => p.toUri.getPath
+        }
+      case org.apache.spark.sql.catalyst.plans.logical.Project(_, c) =>
+        registeredScan(c, lookup)
+      case Filter(_, c) => registeredScan(c, lookup)
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
@@ -348,6 +390,41 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           Join(base, probe, LeftSemi,
             Some(EqualTo(docId, idxDocId)), JoinHint.NONE)
         case None =>
+          // stemmed scan form against the stemmed-postings registry:
+          // terms were stemmed at index time and the keyword-side stem
+          // constant-folded, so the probe is a direct term equality
+          val stemmedHit = registeredScan(child, TextIndexCatalog.lookupStemmed)
+            .flatMap { docsPath =>
+              conjuncts.collectFirst {
+                case p @ StemmedTokenMatch(attr, kw)
+                    if attr.name == "text" && child.outputSet.contains(attr) &&
+                      child.output.exists(_.name == "doc_id") =>
+                  (p, kw, docsPath)
+              }
+            }
+          stemmedHit match {
+            case Some((pred, kw, docsPath)) =>
+              val idxPath = TextIndexCatalog.lookupStemmed(docsPath).get
+              val probe = spark.read.parquet(idxPath)
+                .filter(col("term") === kw).select("doc_id")
+                .queryExecution.analyzed
+              val docId = child.output.find(_.name == "doc_id").get
+              val idxDocId = probe.output.find(_.name == "doc_id").get
+              val rest = conjuncts.filterNot(_ eq pred)
+              val base = if (rest.isEmpty) child else Filter(rest.reduce(And), child)
+              return1(Join(base, probe, LeftSemi,
+                Some(EqualTo(docId, idxDocId)), JoinHint.NONE))
+            case None => phraseRewrite(f, conjuncts, child)
+          }
+      }
+  }
+
+  /** Identity helper so the stemmed branch reads as a plain expression
+    * (transform closures cannot `return`). */
+  private def return1(p: LogicalPlan): LogicalPlan = p
+
+  private def phraseRewrite(f: Filter, conjuncts: Seq[Expression],
+      child: LogicalPlan): LogicalPlan = {
           // phrase form: index prunes to docs containing ALL terms, the
           // adjacency verify stays above the join — RE-SPELLED as
           // locate >= 1 (same semantics: locate is 0 or a 1-based
@@ -386,6 +463,5 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
                 Some(EqualTo(docId, idxDocId)), JoinHint.NONE))
             case None => f
           }
-      }
   }
 }

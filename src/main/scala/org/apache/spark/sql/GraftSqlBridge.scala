@@ -11,4 +11,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column over a raw catalyst Expression (sql-package-private in
+    * Spark 4) — lets a Rule build a reference Column-API expression
+    * tree around an existing plan node (e.g. a lambda variable) for
+    * structural comparison. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Inverse of [[columnOf]]: the catalyst Expression behind a Column
+    * (Column.expr is sql-package-private in Spark 4). */
+  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

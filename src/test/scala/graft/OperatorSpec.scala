@@ -191,6 +191,38 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("TextIndexRewrite: stemmed scan form becomes a stemmed-postings semi-join") {
+    import spark.implicits._
+    graft.plans.TextIndexCatalog.clear()
+    // scan form with no index registered: the expected rows, and no join
+    val expected = ArticleOps.searchStemmed(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(!ArticleOps.searchStemmed(spark, sf0001)
+      .queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    // searchStemmedAuto registers the stemmed index then plans the SAME
+    // stem-lambda filter — the rule must recognize the lambda as the
+    // S-stemmer (canonicalized comparison) and swap in the index join
+    val df = ArticleOps.searchStemmedAuto(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), s"stemmed index join did not fire:\n$opt")
+    assert(opt.contains("Relation [term"), s"no postings scan:\n$opt")
+    // the STEMMED term (keyword 'merges' folds to 'merge') reaches the
+    // postings parquet scan as a pushed filter
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("EqualTo(term,merge)"), s"term not pushed:\n$phys")
+    assert(df.select("doc_id").as[Long].collect().toSeq == expected)
+    // a DIFFERENT lambda over the same shape must NOT be rewritten
+    // (the rule verifies the stemmer structurally, not just the shape)
+    val other = Tables.documents(spark, sf0001)
+      .filter(array_contains(
+        transform(graft.operators.TextOps.words(col("text")),
+          t => upper(t)),
+        lit("MERGE")))
+    assert(!other.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "non-stemmer lambda must stay a scan")
+    graft.plans.TextIndexCatalog.clear()
+  }
+
   test("TextIndexRewrite: multi-term OR search (arrays_overlap) uses the index too") {
     import spark.implicits._
     graft.plans.TextIndexCatalog.clear()
