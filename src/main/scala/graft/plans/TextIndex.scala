@@ -289,10 +289,31 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * STEMMED postings registry (terms are stemmed at index time, so the
     * folded literal probes directly). */
   private object StemmedTokenMatch {
+    /** The ANALYZED S-stemmer lambda (body, variable), built once by
+      * planning `transform(split('x', ' '), stemToken)` over a literal
+      * and extracting the lambda from the analyzed plan. The reference
+      * tree must come out of the same analyzer as the plan under
+      * rewrite: a raw Column-API tree is still UnresolvedFunction nodes
+      * (function resolution, implicit casts and collation typing all
+      * happen in analysis), so comparing it canonicalized against an
+      * analyzed lambda can never match. */
+    private lazy val stemRef: (Expression, NamedLambdaVariable) = {
+      import org.apache.spark.sql.functions.{lit, split, transform}
+      val probe = spark.range(1)
+        .select(transform(split(lit("x"), " "),
+          t => graft.operators.TextOps.stemToken(t)).as("v"))
+      probe.queryExecution.analyzed.expressions.flatMap(_.collect {
+        case ArrayTransform(_, LambdaFunction(body, Seq(v: NamedLambdaVariable), _)) =>
+          (body, v)
+      }).head
+    }
     private def isStemLambda(fn: Expression, lv: NamedLambdaVariable): Boolean = {
-      val expected = org.apache.spark.sql.GraftSqlBridge.expressionOf(
-        graft.operators.TextOps.stemToken(
-          org.apache.spark.sql.GraftSqlBridge.columnOf(lv)))
+      val (refBody, refVar) = stemRef
+      // substitute the plan's own lambda variable into the reference
+      // body so the comparison is purely structural (no exprId noise)
+      val expected = refBody.transformUp {
+        case v: NamedLambdaVariable if v.exprId == refVar.exprId => lv
+      }
       fn.canonicalized == expected.canonicalized
     }
     private def isNonEmptyLambda(fn: Expression): Boolean = fn match {
