@@ -1364,8 +1364,11 @@ object SparkEntry {
         |n AS (SELECT vec_id, emb,
         |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
         |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM corpus),
-        |c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
-        |      FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id LIMIT 32),
+        |kk AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*) * 1.0)) AS BIGINT)) AS k FROM corpus),
+        |c AS (SELECT vec_id AS cent_id, cemb, cnrm FROM (
+        |    SELECT vec_id, emb AS cemb, nrm AS cnrm, row_number() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) AS crn FROM n) z, kk
+        |  WHERE crn <= k),
         |a0 AS (SELECT n.vec_id, c.cent_id,
         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
         |      i -> emb[i] * cemb[i])), (x, y) -> x + y) / (nrm * cnrm) AS cscore
@@ -1373,10 +1376,14 @@ object SparkEntry {
         |asg AS (SELECT vec_id, cent_id AS cluster_id FROM (
         |    SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
         |      ORDER BY cscore DESC, cent_id) AS arn FROM a0) z WHERE arn = 1),
-        |w AS (SELECT asg.vec_id, cluster_id, emb, nrm
-        |  FROM asg JOIN n ON n.vec_id = asg.vec_id),
+        |csz AS (SELECT cluster_id, count(*) AS csz FROM asg GROUP BY cluster_id),
+        |w AS (SELECT asg.vec_id, asg.cluster_id,
+        |    ((asg.vec_id * 2654435761) % 1000000007) %
+        |      CAST(floor((csz + 255.0) / 256.0) AS BIGINT) AS sub, emb, nrm
+        |  FROM asg JOIN n ON n.vec_id = asg.vec_id
+        |  JOIN csz ON csz.cluster_id = asg.cluster_id),
         |dropped AS (SELECT DISTINCT wb.vec_id FROM w wa JOIN w wb
-        |  ON wa.cluster_id = wb.cluster_id AND wa.vec_id < wb.vec_id
+        |  ON wa.cluster_id = wb.cluster_id AND wa.sub = wb.sub AND wa.vec_id < wb.vec_id
         |  AND list_reduce(list_prepend(0.0, list_transform(range(1, len(wa.emb)+1),
         |      i -> wa.emb[i] * wb.emb[i])), (x, y) -> x + y) / (wa.nrm * wb.nrm) >= 0.999)
         |SELECT w.vec_id, cluster_id,

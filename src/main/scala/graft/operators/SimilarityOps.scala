@@ -281,31 +281,37 @@ object SimilarityOps {
     * — the curation decision a training pipeline joins back onto the
     * document table.
     *
-    * Scale shape: assignment is the narrow argmax aggregate (one 24-byte
-    * row per vector through the exchange, see [[ivfAnnTopK]]); the pair
-    * stage is an equi-join on cent_id, so pair volume is Σ|cluster|²
-    * ≈ N·(N/k) — k grows with the corpus in production (√N keeps
-    * per-cluster blocks constant), never all-pairs. The kept flag is a
+    * Scale shape, BY CONSTRUCTION (not configuration):
+    *
+    *  - k is derived from the corpus count as max(16, ⌈√N⌉)
+    *    ([[deriveK]]) — the codebook grows with the corpus, so the
+    *    expected cluster size is √N, never N/constant; passing k > 0
+    *    pins it (tests).
+    *  - clusters larger than `cap` rows are hash-split into
+    *    ⌈|cluster|/cap⌉ sub-buckets on a vec_id hash ([[subAssign]]),
+    *    so within-bucket pair volume is ≤ cap·|cluster| per cluster and
+    *    ≤ cap·N = O(N) in total even when one hot cluster swallows the
+    *    corpus — the bounded-work SemDeDup trade: a dup pair split
+    *    across sub-buckets of an OVERSIZED cluster is missed; clusters
+    *    at or under `cap` (all of them at the test scales) are exact.
+    *
+    * Assignment stays the narrow argmax aggregate (one 24-byte row per
+    * vector through the exchange, see [[ivfAnnTopK]]); the pair stage
+    * is an equi-join on (cluster_id, sub). The kept flag is a
     * left-anti-shaped join on vec_id. Caller releases the persisted
     * corpus scan via spark.catalog.clearCache(). */
   def semanticDedup(spark: SparkSession, sfDir: String,
-                    k: Int = 32, tau: Double = 0.999): DataFrame = {
+                    k: Int = 0, tau: Double = 0.999, cap: Int = 256): DataFrame = {
     val e = embCorpus(spark, sfDir)
       .withColumn("nrm", sqrt(dotd(col("emb"), col("emb"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = ivfCentroids(e, k)
-    val assign = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("cent_id"),
-        cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("cscore").as("s"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cluster_id"))
-    val withC = e.select("vec_id", "emb", "nrm").join(assign, "vec_id")
-    val a = withC.select(col("cluster_id"), col("vec_id").as("va"),
+    val kEff = if (k > 0) k else deriveK(e.count())
+    val withC = subAssign(e, kEff, cap)
+    val a = withC.select(col("cluster_id"), col("sub"), col("vec_id").as("va"),
       col("emb").as("ea"), col("nrm").as("na"))
-    val b = withC.select(col("cluster_id"), col("vec_id").as("vb"),
+    val b = withC.select(col("cluster_id"), col("sub"), col("vec_id").as("vb"),
       col("emb").as("eb"), col("nrm").as("nb"))
-    val dropped = a.join(b, Seq("cluster_id"))
+    val dropped = a.join(b, Seq("cluster_id", "sub"))
       .filter(col("va") < col("vb") &&
         cosinePre(col("ea"), col("na"), col("eb"), col("nb")) >= tau)
       .select(col("vb").as("vec_id")).distinct()
@@ -315,6 +321,40 @@ object SimilarityOps {
       .select(col("vec_id"), col("cluster_id"),
         col("hit").isNull.cast("long").as("is_kept"))
       .orderBy("vec_id")
+  }
+
+  /** √N codebook-size discipline for [[semanticDedup]]: expected
+    * cluster size and cluster count grow together, so neither the
+    * broadcast codebook nor the per-cluster pair blocks dominate. */
+  def deriveK(n: Long): Int =
+    math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).min(65536L).toInt
+
+  /** Cluster assignment + sub-bucket split for [[semanticDedup]],
+    * exposed for the pair-volume bound spec. Returns the corpus with
+    * (cluster_id, sub): `sub` is a vec_id-hash bucket in
+    * [0, ⌈|cluster|/cap⌉) — 0 for every cluster at or under `cap`.
+    * Integer-lattice hash and a divide-by-power-of-two size, so the
+    * same expression is bit-exact in any ANSI engine (the oracle
+    * replicates it verbatim); `cap` MUST be a power of two for the
+    * double division to stay IEEE-exact. Cluster sizes are a ≤k-row
+    * aggregate, broadcast back — no wide shuffle is added. */
+  private[graft] def subAssign(e: DataFrame, k: Int, cap: Int): DataFrame = {
+    require(cap > 0 && (cap & (cap - 1)) == 0, s"cap must be a power of two: $cap")
+    val cents = ivfCentroids(e, k)
+    val assign = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cscore").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster_id"))
+    val csz = assign.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+    e.select("vec_id", "emb", "nrm").join(assign, "vec_id")
+      .join(broadcast(csz), "cluster_id")
+      .withColumn("nsub",
+        floor((col("csz") + lit((cap - 1).toDouble)) / lit(cap.toDouble)).cast("long"))
+      .withColumn("sub",
+        col("vec_id") * lit(2654435761L) % lit(1000000007L) % col("nsub"))
+      .drop("csz", "nsub")
   }
 
   /** Spec-only reference model for [[embeddingNearDups]]: unblocked

@@ -908,6 +908,31 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semantic dedup pair volume stays O(N) under one hot cluster (sub-bucket cap)") {
+    import spark.implicits._
+    // adversarial corpus: every vector identical in direction, so the
+    // argmax assignment puts ALL of them in one cluster — the case the
+    // cap exists for (unsplit pair volume would be N·(N−1)/2)
+    val n = 2048L
+    val cap = 16
+    val e = spark.range(0, n).select(col("id").as("vec_id"),
+        array(lit(1.0), lit(0.0), lit(0.0)).as("emb"), lit(1.0).as("nrm"))
+    val withC = SimilarityOps.subAssign(e, SimilarityOps.deriveK(n), cap)
+      .groupBy("cluster_id", "sub").agg(count(lit(1)).as("c"))
+      .select(col("cluster_id"), (col("c") * (col("c") - 1) / 2).as("pairs"))
+      .collect()
+    assert(withC.map(_.getAs[Long]("cluster_id")).distinct.length == 1,
+      "identical vectors must land in one (hot) cluster")
+    assert(withC.length > 1, "an oversized cluster must be sub-split")
+    val pairVolume = withC.map(_.getAs[Double]("pairs")).sum
+    assert(pairVolume <= cap.toDouble * n,
+      s"pair volume $pairVolume exceeds cap*N = ${cap * n}")
+    // a cluster at or under cap is never split: sub is identically 0
+    val small = SimilarityOps.subAssign(e.limit(cap), 16, cap)
+      .select("sub").as[Long].collect()
+    assert(small.forall(_ == 0L))
+  }
+
   test("ANN recall report: hits bounded by possible, both methods present") {
     val rows = SimilarityOps.annRecall(spark, sf0001).collect()
     assert(rows.map(_.getAs[String]("method")).toSeq == Seq("ivf", "lsh"))
