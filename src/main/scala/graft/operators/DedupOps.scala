@@ -195,8 +195,12 @@ object DedupOps {
     // fixpoint detection by the MONOTONE label sum: labels only ever
     // decrease, so sum(label) is strictly decreasing until the fixpoint
     // — one scalar aggregate per round instead of an old-vs-new compare
-    // join carrying both label columns through the checkpoint
-    var prevSum = Long.MaxValue
+    // join carrying both label columns through the checkpoint. The sum
+    // accumulates in DECIMAL(38,0), which is exact up to ~1e19 nodes of
+    // Long.MaxValue labels — unlike Spark's non-ANSI Long sum, which
+    // wraps silently and could in principle alias two distinct label
+    // states into one value and end a round early
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     while (!converged) {
       // per-node min over {own label} ∪ {neighbors' labels}: the self
@@ -208,8 +212,11 @@ object DedupOps {
         .unionAll(labels)
         .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val s = next.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
-      converged = s == prevSum
+      val s = next
+        .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
     }
@@ -286,7 +293,15 @@ object DedupOps {
     * only moves work off the exchange. Uses Spark's own
     * BloomFilterAggregate/MightContain (surfaced via GraftExtensions —
     * the same machinery the optimizer's runtime-filter rewrite injects,
-    * here placed deliberately). */
+    * here placed deliberately).
+    *
+    * The filter is SIZED FROM THE DATA, not a constant: a cheap count
+    * of the (persisted, reused) distinct eval-gram set fixes the item
+    * estimate, and bits = 10×items holds the FPR near 0.8% no matter
+    * how the eval suite grows — a hardcoded estimate the corpus
+    * outgrows would silently degrade the prefilter to a pass-through
+    * (still correct, no longer pruning). Caller releases the persisted
+    * eval grams via spark.catalog.clearCache(). */
   def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
     val whs = expr("word_poly_hashes(lower(text))")
@@ -295,12 +310,17 @@ object DedupOps {
       .filter(size(col("ew")) === 10)
       .select(explode(expr("shinglek_hashes(ew, 8)")).as("g"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the eval side is read three times (count, bloom build, verify
+    // join) — the persist makes the sizing count effectively free
+    val nEval = math.max(ev.count(), 1024L)
+    val nBits = 10L * nEval
     // might_contain demands its bloom input be a SCALAR SUBQUERY (the
     // shape InjectRuntimeFilter builds), not a join column — so the
     // one-row bloom aggregate plan is attached as ScalarSubquery and the
     // probe is a plain Filter over the train-side gram scan
     val bloomPlan = ev.agg(
-      expr("graft_bloom_agg(g, CAST(100000 AS BIGINT), CAST(800000 AS BIGINT))").as("bf"))
+      expr(s"graft_bloom_agg(g, CAST($nEval AS BIGINT), CAST($nBits AS BIGINT))").as("bf"))
       .queryExecution.analyzed
     val grams = d.select(col("doc_id"),
       explode(expr("shinglek_hashes(word_poly_hashes(lower(text)), 8)")).as("g"))

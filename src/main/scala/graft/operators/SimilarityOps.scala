@@ -605,7 +605,16 @@ object SimilarityOps {
       .filter(col("arn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cent_id"))
     // PQ side: one narrow (vec_id, codes[8]) row per vector; per-query
-    // 128-slot distance-table array, broadcast (see pqRecall)
+    // 128-slot distance-table array, broadcast (see pqRecall).
+    // pqScored appears in BOTH branches but is deliberately NOT
+    // persisted/shared: the dt branch's vec_id < 5 filter pushes below
+    // the subvector explode, so its "recompute" scores 5 vectors, not
+    // N, while materializing the full N·m·k scored table for one extra
+    // narrow read measured SLOWER both here (2.10 s vs 1.75 s at sf0.1)
+    // and in pqRecall (3.37 s vs 2.69 s) — the broadcast codebook join
+    // is cheaper than the cache round-trip. The underlying vecs scan IS
+    // shared: `e` above is persisted and Spark's cache manager
+    // substitutes it into every identical sub-plan.
     val codesW = pqCodeTableOf(pqScored(spark, sfDir))
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("s"), col("c")))).as("sc"))
