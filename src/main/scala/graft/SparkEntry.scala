@@ -52,6 +52,7 @@ object SparkEntry {
     "art_search_via_index"     -> ((s: SparkSession, d: String) => ArticleOps.searchViaIndex(s, d)),
     "art_search_indexed"       -> ((s: SparkSession, d: String) => ArticleOps.searchIndexed(s, d)),
     "art_search_ranked"        -> ((s: SparkSession, d: String) => ArticleOps.searchRanked(s, d)),
+    "art_search_ranked_auto"   -> ((s: SparkSession, d: String) => ArticleOps.searchRankedAuto(s, d)),
     "art_search_bm25"          -> ((s: SparkSession, d: String) => ArticleOps.searchBm25(s, d)),
     "art_search_phrase"        -> ((s: SparkSession, d: String) => ArticleOps.searchPhrase(s, d)),
     "art_search_negation"      -> ((s: SparkSession, d: String) => ArticleOps.searchNegation(s, d)),
@@ -380,6 +381,18 @@ object SparkEntry {
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |ORDER BY doc_id""".stripMargin,
     "art_search_ranked" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, COUNT(*) AS score FROM w
+        |  WHERE term IN ('spark', 'merge') GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, d.source, h.score
+        |FROM documents d JOIN h ON d.doc_id = h.doc_id
+        |ORDER BY h.score DESC, d.doc_id""".stripMargin,
+    // same semantics as art_search_ranked (the ranked-TF index rewrite
+    // must not change results) — the Spark plan aggregates postings tf
+    "art_search_ranked_auto" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |  FROM documents),

@@ -263,6 +263,21 @@ object ArticleOps {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** [[searchRanked]] written as the SCAN spelling with the text index
+    * merely REGISTERED — the transparent textScore path: the query
+    * tokenizes and counts keyword occurrences, and
+    * graft.plans.TextIndexRewrite folds the whole explode→filter→count
+    * subtree into `SUM(tf)` over the materialized postings (which store
+    * the per-(term, doc) frequency), so scoring touches only the probed
+    * terms' row groups and the corpus is never tokenized at query time.
+    * Mongo's `$text` contract: indexes are storage, not syntax
+    * (api.py:22,26). A plan spec asserts the Generate is gone. */
+  def searchRankedAuto(spark: SparkSession, sfDir: String,
+                       keywords: Seq[String] = Seq("spark", "merge")): DataFrame = {
+    graft.plans.TextIndexCatalog.ensureIndex(spark, sfDir)
+    searchRanked(spark, sfDir, keywords)
+  }
+
   /** Mongo `$text` quoted-phrase search (api.py:26 accepts `"exact
     * phrase"` syntax): docs whose FILTERED token sequence contains the
     * phrase's tokens adjacently, in order. Textbook positional-index

@@ -23,12 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * transparently, for any query that plans the token-match pattern.
   *
   * Contract (what `register` asserts about the index): the postings
-  * parquet at `indexPath` holds DISTINCT (term, doc_id) rows built as
-  * `explode(split(lower(text), ' '))` over exactly the docs parquet at
-  * `docsPath`, whose `doc_id` uniquely keys its rows. Under that
-  * contract, `array_contains(split(lower(text),' '), kw)` ⟺
-  * `doc_id SEMI JOIN postings WHERE term = kw`, for any space-free
-  * non-empty literal keyword.
+  * parquet at `indexPath` holds one row per DISTINCT (term, doc_id)
+  * pair — with `tf`, the number of occurrences of `term` in that doc —
+  * built from `explode(split(lower(text), ' '))` over exactly the docs
+  * parquet at `docsPath`, whose `doc_id` uniquely keys its rows. Under
+  * that contract, `array_contains(split(lower(text),' '), kw)` ⟺
+  * `doc_id SEMI JOIN postings WHERE term = kw` for any space-free
+  * non-empty literal keyword, and a ranked-search TF aggregate over the
+  * exploded tokens ⟺ `SUM(tf)` over the postings (the textScore
+  * rewrite).
   */
 object TextIndexCatalog {
   /** absolute docs-parquet path -> postings directory */
@@ -52,16 +55,20 @@ object TextIndexCatalog {
   def lookupStemmed(docsPath: String): Option[String] =
     stemmedIndexes.get(docsPath)
 
-  /** Distinct (term, doc_id) postings over an arbitrary docs frame.
-    * Per-file distinct composes into a globally-distinct index because
+  /** (term, doc_id, tf) postings over an arbitrary docs frame — one row
+    * per distinct (term, doc_id) with the term's occurrence count, so
+    * the index answers BOTH membership probes (semi-join, tf ignored)
+    * and ranked-TF scoring (sum(tf)) without touching the corpus.
+    * Per-file aggregation composes into a globally-correct index because
     * `doc_id` uniquely keys the docs TABLE (the register contract):
-    * posting sets from disjoint doc_id ranges are themselves disjoint,
+    * posting groups from disjoint doc_id ranges are themselves disjoint,
     * which is what makes the append-delta build below sound. */
   def postingsOf(docs: DataFrame): DataFrame =
     docs
       .select(explode(split(lower(col("text")), " ")).as("term"), col("doc_id"))
       .filter(length(col("term")) > 0)
-      .distinct()
+      .groupBy("term", "doc_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("tf"))
 
   /** Stemmed postings: the same distinct (term, doc_id) contract with
     * every token passed through the S-stemmer at INDEX time — queries
@@ -150,8 +157,12 @@ object TextIndexCatalog {
     val dPath = new Path(docsPath)
     val fs = dPath.getFileSystem(hconf)
     val current = dataFileEntries(fs, dPath)
+    // "#tf1" versions the LAYOUT: adding the tf column changed the index
+    // schema, and an old directory served as-is off its manifest would
+    // otherwise feed the ranked rewrite a tf-less postings table
     val key = java.security.MessageDigest.getInstance("SHA-1")
-      .digest((docsPath + variant).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest((docsPath + variant + "#tf1").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-text-index/$key").getAbsolutePath
     val idxPath = new Path(idxDir)
@@ -365,6 +376,71 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
   }
 
+  /** Ranked-TF search aggregation, as
+    * [[graft.operators.ArticleOps.searchRanked]] plans it (modulo
+    * pruning Projects):
+    *
+    *   Aggregate [doc_id], [doc_id, count(1) AS score]
+    *     Filter term IN ('kw1', ...)
+    *       Generate explode(split(lower(text), ' ', -1)) AS term
+    *         <registered docs scan>
+    *
+    * The postings store tf per (term, doc_id), so the whole subtree is
+    * equivalent to `postings WHERE term IN (kws) GROUP BY doc_id →
+    * SUM(tf)` — the Mongo textScore contract (api.py:26) with the index
+    * as storage: the corpus is never tokenized at query time, and the
+    * term predicate is pushed to the term-bucketed postings scan. */
+  private object RankedTfMatch {
+    /** Pruning may interpose attribute-only Projects. */
+    private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+      case org.apache.spark.sql.catalyst.plans.logical.Project(pl, c)
+          if pl.forall(_.isInstanceOf[Attribute]) => stripProjects(c)
+      case _ => p
+    }
+    private def termLiterals(cond: Expression, term: Attribute): Option[Seq[String]] =
+      cond match {
+        case In(t: Attribute, lits) if t.exprId == term.exprId =>
+          val kws = lits.collect {
+            case Literal(kw: UTF8String, StringType) => kw.toString
+          }
+          if (kws.length == lits.length && kws.nonEmpty) Some(kws) else None
+        case InSet(t: Attribute, vals) if t.exprId == term.exprId =>
+          val kws = vals.toSeq.collect { case kw: UTF8String => kw.toString }
+          if (kws.length == vals.size && kws.nonEmpty) Some(kws) else None
+        case EqualTo(t: Attribute, Literal(kw: UTF8String, StringType))
+            if t.exprId == term.exprId => Some(Seq(kw.toString))
+        case _ => None
+      }
+    /** (docIdAttr, scoreAlias, keywords, docs scan under the Generate) */
+    def unapply(agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate)
+        : Option[(Attribute, Alias, Seq[String], LogicalPlan)] = agg match {
+      case org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+            Seq(gid: Attribute),
+            Seq(outId: Attribute, scoreAl @ Alias(ae:
+              org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression, _)),
+            aggChild, _)
+          if outId.exprId == gid.exprId && !ae.isDistinct &&
+            (ae.aggregateFunction match {
+              case org.apache.spark.sql.catalyst.expressions.aggregate
+                    .Count(Seq(Literal(_, _))) => true
+              case _ => false
+            }) =>
+        stripProjects(aggChild) match {
+          case Filter(cond,
+                org.apache.spark.sql.catalyst.plans.logical.Generate(
+                  Explode(StringSplit(Lower(a: Attribute),
+                    Literal(sep: UTF8String, StringType), Literal(-1, _))),
+                  _, false, _, Seq(term: Attribute), src))
+              if sep.toString == " " && a.name == "text" &&
+                src.output.exists(d => d.name == "doc_id" && d.exprId == gid.exprId) =>
+            termLiterals(cond, term).filter(_.forall(plainToken))
+              .map(kws => (gid, scoreAl, kws, src))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** The registered docs scan DIRECTLY under `plan` — only through
     * row-identity-preserving nodes (Project/Filter). Anything else
     * (union, join, generate, aggregate) changes or mixes row identity,
@@ -385,6 +461,29 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ RankedTfMatch(gid, scoreAl, kws, src)
+        if registeredScan(src).isDefined =>
+      val idxPath = TextIndexCatalog.lookup(registeredScan(src).get).get
+      val probe = spark.read.parquet(idxPath)
+        .filter(col("term").isin(kws: _*))
+        .queryExecution.analyzed
+      val pDoc = probe.output.find(_.name == "doc_id").get
+      val pTf = probe.output.find(_.name == "tf").get
+      // output attribute ids are preserved (doc_id and the score alias),
+      // so references above the aggregate stay valid; coalesce keeps the
+      // score non-nullable like the count it replaces (vacuously — every
+      // group has >= 1 posting row)
+      val sumTf = org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Sum(pTf),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false)
+      org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+        Seq(pDoc),
+        Seq(Alias(pDoc, gid.name)(exprId = gid.exprId),
+          Alias(Coalesce(Seq(sumTf, Literal(0L))), scoreAl.name)(
+            exprId = scoreAl.exprId)),
+        probe, None)
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val hit = registeredScan(child).flatMap { docsPath =>

@@ -223,6 +223,33 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("TextIndexRewrite: ranked-TF scan form becomes a postings SUM(tf) aggregation") {
+    import spark.implicits._
+    graft.plans.TextIndexCatalog.clear()
+    // scan form with no index registered: the expected rows, tokenizing
+    // the corpus with an explode
+    val scan = ArticleOps.searchRanked(spark, sf0001)
+    val expected = scan.select("doc_id", "score")
+      .as[(Long, Long)].collect().toSeq
+    assert(scan.queryExecution.optimizedPlan.toString.contains("Generate"),
+      "scan form should tokenize via explode")
+    // searchRankedAuto registers the index then plans the SAME
+    // explode→filter→count aggregate — the rule must fold it into a
+    // SUM(tf) over the postings, eliminating query-time tokenization
+    val df = ArticleOps.searchRankedAuto(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Generate"), s"explode survived the rewrite:\n$opt")
+    assert(opt.contains("Relation [term"), s"no postings scan:\n$opt")
+    assert(opt.contains("sum(tf"), s"score is not a tf aggregation:\n$opt")
+    // the keyword set reaches the postings parquet scan as a pushed filter
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("In(term, [merge,spark])") ||
+      phys.contains("In(term, [spark,merge])"), s"terms not pushed:\n$phys")
+    assert(df.select("doc_id", "score").as[(Long, Long)].collect().toSeq
+      == expected)
+    graft.plans.TextIndexCatalog.clear()
+  }
+
   test("TextIndexRewrite: multi-term OR search (arrays_overlap) uses the index too") {
     import spark.implicits._
     graft.plans.TextIndexCatalog.clear()
@@ -278,8 +305,13 @@ class OperatorSpec extends AnyFunSuite {
     def indexed(): Set[(String, Long)] = spark.read.parquet(idx)
       .select("term", "doc_id").as[(String, Long)].collect().toSet
     def scratch(): Set[(String, Long)] = TextIndexCatalog
-      .postings(spark, docsDir).as[(String, Long)].collect().toSet
+      .postings(spark, docsDir).select("term", "doc_id")
+      .as[(String, Long)].collect().toSet
     assert(indexed() == scratch() && indexed().contains(("delta", 3L)))
+    // the delta-appended index keeps the tf contract: one row per
+    // (term, doc_id) with its occurrence count
+    assert(spark.read.parquet(idx).groupBy("term", "doc_id")
+      .count().filter(col("count") > 1).count() == 0)
     // searches through the refreshed index still plan the semi-join and
     // see the appended doc
     val q = spark.read.parquet(docsDir)
