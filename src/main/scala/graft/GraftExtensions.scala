@@ -60,6 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("hyperplane_bucket", 3)(children =>
         HyperplaneBucketExpr(children.head, children(1), children(2)))))
     ext.injectFunction((
+      new FunctionIdentifier("porter_stem"),
+      new ExpressionInfo(classOf[graft.functions.PorterStemExpr].getName,
+        "porter_stem"),
+      arity("porter_stem", 1)(children =>
+        graft.functions.PorterStemExpr(children.head))))
+    ext.injectFunction((
       new FunctionIdentifier("dot_double"),
       new ExpressionInfo(classOf[DotDoubleExpr].getName, "dot_double"),
       arity("dot_double", 2)(children =>

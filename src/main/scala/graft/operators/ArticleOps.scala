@@ -440,6 +440,26 @@ object ArticleOps {
     searchStemmed(spark, sfDir, keyword)
   }
 
+  /** [[searchStemmed]] on the PORTER stemmer — the documented
+    * derivational option (VERDICT r5 #8) closing the Mongo `$text`
+    * fidelity gap the S-stemmer leaves (api.py:26: Mongo stems
+    * derivationally, so "generalizations" matches "general"). Same
+    * whole-(stemmed-)token shape: document tokens and the query keyword
+    * go through the SAME stem function, row-local over a narrow scan.
+    * NON-ORACLE: Porter is not reproducible in DuckDB SQL, so this
+    * variant is spec-covered (vocabulary pairs from the 1980 paper +
+    * search integration) rather than hash-gated, and is deliberately
+    * not registered in SparkEntry.queries. */
+  def searchStemmedPorter(spark: SparkSession, sfDir: String,
+                          keyword: String = "merges"): DataFrame =
+    docs(spark, sfDir)
+      .filter(array_contains(
+        transform(graft.operators.TextOps.words(col("text")),
+          t => graft.operators.TextOps.stemTokenPorter(t)),
+        graft.operators.TextOps.stemTokenPorter(lit(keyword.toLowerCase))))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   def searchStemmedIndexed(spark: SparkSession, sfDir: String,
                            keyword: String = "merges"): DataFrame = {
     val idxDir = graft.plans.TextIndexCatalog.ensureStemmedIndex(spark, sfDir)

@@ -79,6 +79,14 @@ object TextOps {
         t.substr(lit(1), length(t) - 1)).otherwise(t))
     .otherwise(t)
 
+  /** Porter-stemmed token — the DOCUMENTED derivational option
+    * (graft.functions.PorterStemmer; native codegen'd expression). Not
+    * oracle-checkable (DuckDB SQL can't replicate the full algorithm),
+    * so searches built on it are spec-covered, not hash-gated; the
+    * oracle search family stays on [[stemToken]]. */
+  def stemTokenPorter(t: Column): Column =
+    org.apache.spark.sql.functions.call_function("porter_stem", t)
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
 

@@ -223,6 +223,55 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("Porter stemmer: vocabulary pairs from the 1980 paper; search matches derivational forms") {
+    import spark.implicits._
+    // the paper's step examples run through the FULL algorithm (its
+    // listings are per-step, so e.g. step 1b's "agreed -> agree" then
+    // loses the final e to step 5a: agre), plus the paper's two worked
+    // multi-step flagships (generalizations -> gener, oscillators ->
+    // oscil, §"The algorithm")
+    val pairs = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl",
+      "sized" -> "size", "hopping" -> "hop", "tanned" -> "tan",
+      "falling" -> "fall", "hissing" -> "hiss", "fizzed" -> "fizz",
+      "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky",
+      "generalizations" -> "gener", "oscillators" -> "oscil")
+    pairs.foreach { case (in, want) =>
+      assert(graft.functions.PorterStemmer.stem(in) == want,
+        s"stem($in) = ${graft.functions.PorterStemmer.stem(in)}, want $want")
+    }
+    // the expression evaluates the same function (eval + codegen paths)
+    val viaExpr = pairs.map(_._1).toDF("w")
+      .select(expr("porter_stem(w)").as("s")).as[String].collect().toSeq
+    assert(viaExpr == pairs.map(_._2))
+    // search integration: a derivational query form matches its stem
+    // family — beyond what the S-stemmer folds (plurals only)
+    val docsDf = Seq(
+      (1L, "en", "a", "the generalizations held"),
+      (2L, "en", "a", "one general observation"),
+      (3L, "en", "a", "nothing related here")).toDF("doc_id", "lang", "source", "text")
+    val hits = docsDf.filter(array_contains(
+      transform(graft.operators.TextOps.words(col("text")),
+        t => graft.operators.TextOps.stemTokenPorter(t)),
+      graft.operators.TextOps.stemTokenPorter(lit("generalization"))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L),
+      s"derivational forms must meet at the Porter stem: $hits")
+    // the corpus-level scan form runs and is a superset of the
+    // S-stemmed plural fold for its default keyword
+    val porter = ArticleOps.searchStemmedPorter(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val harman = ArticleOps.searchStemmed(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(porter.nonEmpty && harman.subsetOf(porter),
+      "Porter folds at least the plural family the S-stemmer folds")
+  }
+
   test("TextIndexRewrite: ranked-TF scan form becomes a postings SUM(tf) aggregation") {
     import spark.implicits._
     graft.plans.TextIndexCatalog.clear()
