@@ -163,6 +163,47 @@ object SimilarityOps {
       .select(col("vec_id").as("cent_id"), col("emb").as("cemb"),
         col("nrm").as("cnrm"))
 
+  /** MAP-ONLY nearest-centroid assignment: the ≤k-row codebook folds to
+    * ONE array-of-structs row (a bounded aggregate), broadcasts, and the
+    * per-vector argmax is a row-local `aggregate` fold over it — the
+    * corpus is never exploded to N·k rows, the argmax needs NO exchange,
+    * and the 64-double payload never moves (the groupBy-argmax
+    * formulation this replaces shuffled N narrow score rows AND re-joined
+    * the payload through a second exchange; at 100 TB those are two full
+    * corpus barriers that simply disappear). Tie order is identical to
+    * the old `max(struct(cscore, -cent_id))`: `greatest` on a
+    * (s, nc) struct is the same lexicographic comparison over the same
+    * IEEE-exact scores, so assignments — and every oracle hash
+    * downstream — are unchanged. */
+  private[graft] def withNearestCentroid(e: DataFrame, cents: DataFrame): DataFrame = {
+    val carr = cents.agg(
+      collect_list(struct(col("cent_id"), col("cemb"), col("cnrm"))).as("carr"))
+    e.crossJoin(broadcast(carr))
+      .withColumn("m", aggregate(col("carr"),
+        struct(lit(Double.NegativeInfinity).as("s"), lit(Long.MinValue).as("nc")),
+        (acc, c) => greatest(acc, struct(
+          cosinePre(col("emb"), col("nrm"),
+            c.getField("cemb"), c.getField("cnrm")).as("s"),
+          (-c.getField("cent_id")).as("nc")))))
+      .withColumn("cent_id", -col("m.nc"))
+      .drop("m", "carr")
+  }
+
+  /** Per-query `nprobe` nearest centroids (score desc, cent_id asc) —
+    * the probe side of the IVF paths. The query set is tiny (vec_id <
+    * 5), so this is a 5·k-row rank window, never a scale term. */
+  private def queryProbes(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cent_id"))
+    e.filter(col("vec_id") < 5)
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"),
+        cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
+      .withColumn("arn", row_number().over(wProbe))
+      .filter(col("arn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+  }
+
   /** IVF-style ANN: the second scale path besides LSH. A fixed-k
     * deterministic codebook ([[ivfCentroids]]), each vector assigned to
     * its nearest centroid (one broadcast of the k-row centroid set
@@ -193,27 +234,19 @@ object SimilarityOps {
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = ivfCentroids(e, k)
-    // narrow centroid scores: payload is consumed map-side by the dot
-    // product and never projected past this select
-    val cscored = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("cent_id"),
-        cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
-    val assignCent = cscored
-      .groupBy("vec_id")
-      .agg(max(struct(col("cscore").as("s"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cent_id"))
-    val assigned = e.select("vec_id", "emb", "nrm").join(assignCent, "vec_id")
-    // query probe set: vec_id < 5 prunes the scored scan to 5·k rows
-    // before the rank window, so this side is trivially cheap
-    val wProbe = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("cent_id"))
-    val qprobe = cscored.filter(col("vec_id") < 5)
-      .withColumn("arn", row_number().over(wProbe))
-      .filter(col("arn") <= nprobe)
+    // map-only assignment: the argmax folds row-locally over the
+    // broadcast codebook array — no N·k explosion, no argmax exchange,
+    // no payload re-join (see withNearestCentroid)
+    val assigned = withNearestCentroid(e, cents)
+      .select("vec_id", "emb", "nrm", "cent_id")
+    // query probe set: 5 query rows × k centroids before the rank
+    // window, so this side is trivially cheap
+    val qprobe = queryProbes(e, cents, nprobe)
       .join(e.filter(col("vec_id") < 5)
-        .select(col("vec_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm")),
-        "vec_id")
-      .select(col("vec_id").as("q_id"), col("q_emb"), col("q_nrm"), col("cent_id"))
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm")),
+        "q_id")
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cent_id"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     assigned.join(broadcast(qprobe), Seq("cent_id"))
@@ -351,14 +384,14 @@ object SimilarityOps {
   private[graft] def subAssign(e: DataFrame, k: Int, cap: Int): DataFrame = {
     require(cap > 0 && (cap & (cap - 1)) == 0, s"cap must be a power of two: $cap")
     val cents = ivfCentroids(e, k)
-    val assign = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("cent_id"),
-        cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("cscore").as("s"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cluster_id"))
+    // map-only assignment (see withNearestCentroid): no N·k explosion,
+    // no argmax exchange, no payload re-join — the only shuffle this
+    // stage adds is the ≤k-row cluster-size aggregate below
+    val assign = withNearestCentroid(e, cents)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("cent_id").as("cluster_id"))
     val csz = assign.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
-    e.select("vec_id", "emb", "nrm").join(assign, "vec_id")
+    assign
       .join(broadcast(csz), "cluster_id")
       .withColumn("nsub",
         floor((col("csz") + lit((cap - 1).toDouble)) / lit(cap.toDouble)).cast("long"))
@@ -601,19 +634,13 @@ object SimilarityOps {
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = ivfCentroids(e, k)
-    val cscored = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("cent_id"),
-        cosinePre(col("emb"), col("nrm"), col("cemb"), col("cnrm")).as("cscore"))
-    val assignCent = cscored
-      .groupBy("vec_id")
-      .agg(max(struct(col("cscore").as("s"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cent_id"))
-    val wProbe = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("cent_id"))
-    val qprobe = cscored.filter(col("vec_id") < 5)
-      .withColumn("arn", row_number().over(wProbe))
-      .filter(col("arn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("cent_id"))
+    // map-only coarse assignment (see withNearestCentroid): the argmax
+    // folds row-locally over the broadcast codebook array, so the coarse
+    // stage contributes ZERO exchanges — only the narrow (vec_id,
+    // cent_id) projection continues into the candidate join
+    val assignCent = withNearestCentroid(e, cents)
+      .select("vec_id", "cent_id")
+    val qprobe = queryProbes(e, cents, nprobe)
     // PQ side: one narrow (vec_id, codes[8]) row per vector; per-query
     // 128-slot distance-table array, broadcast (see pqRecall).
     // pqScored appears in BOTH branches but is deliberately NOT

@@ -958,6 +958,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("map-only IVF assignment: argmax equals the groupBy model; corpus rows cross no exchange") {
+    import org.apache.spark.sql.functions._
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = graft.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", sqrt(SimilarityOps.dotd(col("emb"), col("emb"))))
+      val cents = SimilarityOps.ivfCentroids(e, 16)
+      val assigned = SimilarityOps.withNearestCentroid(e, cents)
+        .select("vec_id", "cent_id")
+      // independent groupBy-argmax model (the pre-round-7 formulation):
+      // max of a (cscore, -cent_id) struct over the N·k exploded scores
+      val dotOver = e.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("cent_id"),
+          (SimilarityOps.dotd(col("emb"), col("cemb")) /
+            (col("nrm") * col("cnrm"))).as("cscore"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cscore").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cent_id"))
+      assert(assigned.collect().toSet == dotOver.collect().toSet,
+        "map-only argmax diverges from the groupBy model")
+      // plan shape: the ONLY shuffles in the assignment plan are the
+      // bounded codebook build (TakeOrdered + ≤k-row collect agg) — no
+      // exchange whose child carries vec_id, i.e. the corpus never moves
+      val shuffles = assigned.queryExecution.executedPlan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      shuffles.foreach { s =>
+        assert(!s.child.output.exists(_.name == "vec_id"),
+          s"corpus rows cross an exchange:\n${assigned.queryExecution.executedPlan}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("IVF codebook size is constant in corpus size (fixed-k, O(N·k) assignment)") {
     import org.apache.spark.sql.functions.col
     def centroids(sfDir: String): Long = {
