@@ -377,6 +377,46 @@ object ArticleOps {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** [[searchBm25]] served ENTIRELY from the postings index — the
+    * "indexes are storage, not syntax" story for the full scoring path.
+    * Every BM25 input is already in the (term, doc_id, tf) postings:
+    * dl = SUM(tf) per doc, df = term's row count, n_docs/avgdl from the
+    * dl aggregate — so query time never tokenizes text (no split, no
+    * explode; the only corpus touch is the final output-column join).
+    * At 100 TB that converts each query from a full-text scan + explode
+    * shuffle into aggregates over the narrow term-bucketed postings with
+    * the query terms pushed to the scan. The score expression tree is
+    * byte-for-byte the scan form's — exact integer inputs (postings tf
+    * is the same COUNT the scan computes) through +,×,/,floor — so
+    * scores, and the oracle hash, match [[searchBm25]] bitwise. */
+  def searchBm25Indexed(spark: SparkSession, sfDir: String,
+                        keywords: Seq[String] = Seq("spark", "merge")): DataFrame = {
+    val kws = keywords.map(_.toLowerCase)
+    val idxPath = graft.plans.TextIndexCatalog.ensureIndex(spark, sfDir)
+    val post = spark.read.parquet(idxPath)
+    val dl = post.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tf = post.filter(col("term").isin(kws: _*))
+      .select("doc_id", "term", "tf")
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scores = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // 1-row stats
+      .select(col("doc_id"),
+        floor(lit(1000000.0) *
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("tot").cast("double") / col("n_docs").cast("double"))))))
+        ).cast("long").as("part"))
+      .groupBy("doc_id").agg(sum(col("part")).as("score"))
+    docs(spark, sfDir)
+      .join(scores, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** SURVEY §1.3 `keywords` CSV → array derivation: the extracted
     * comma-joined keywords string split into one row per keyword with
     * its position (arrays can't be output columns under the driver's

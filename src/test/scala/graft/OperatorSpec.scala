@@ -299,6 +299,26 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("indexed BM25 equals the scan form bitwise; the indexed plan never tokenizes") {
+    import spark.implicits._
+    graft.plans.TextIndexCatalog.clear()
+    val expected = ArticleOps.searchBm25(spark, sf0001)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSeq
+    val df = ArticleOps.searchBm25Indexed(spark, sf0001)
+    // every BM25 input (tf, dl, df, n_docs, avgdl) comes from the
+    // postings — query time must not split/explode the corpus text
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Generate"), s"indexed BM25 tokenized at query time:\n$opt")
+    assert(opt.contains("Relation [term"), s"no postings scan:\n$opt")
+    // the query terms reach the postings parquet scan as a pushed filter
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("In(term, [merge,spark])") ||
+      phys.contains("In(term, [spark,merge])"), s"terms not pushed:\n$phys")
+    assert(df.select("doc_id", "score").as[(Long, Long)].collect().toSeq
+      == expected, "indexed BM25 diverges from the scan form")
+    graft.plans.TextIndexCatalog.clear()
+  }
+
   test("TextIndexRewrite: multi-term OR search (arrays_overlap) uses the index too") {
     import spark.implicits._
     graft.plans.TextIndexCatalog.clear()
