@@ -58,18 +58,27 @@ object Bench {
       k -> (if (v < 0 || w < 0) -1.0 else math.min(v, w))
     }
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    // per-query seconds rounded to 1 ms in the PRINTED line only — at
+    // ~95 queries the full-precision line outgrew the driver's log-tail
+    // window (BENCH r5/r6 both record parsed:null); the file copy keeps
+    // full precision
+    def ms3(v: Double): String =
+      if (v < 0) "-1.0" else (math.rint(v * 1000) / 1000).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qs3 = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fs,"queries":$qs,"sf":"$sfDir"}"""
-    // total-first short line BEFORE the long per-query line, plus a file
-    // copy: the driver captures a log tail, and round 2's single long
-    // line got truncated into an unparseable BENCH json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     Files.writeString(Paths.get("bench_out.json"), json)
-    println(json)
+    // rounded per-query line FIRST, short total-only line LAST: the
+    // driver's tail window always contains the final short line whole,
+    // and usually the rounded long line too — round 2's full-precision
+    // single line got truncated into an unparseable BENCH json
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fs,"queries":$qs3,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     // listener bus is async; give it a moment to drain before snapshotting
     Thread.sleep(1000)
     Files.writeString(Paths.get("bench_journal.jsonl"), journal.toJsonLines)
