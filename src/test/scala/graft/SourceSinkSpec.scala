@@ -47,6 +47,21 @@ class SourceSinkSpec extends AnyFunSuite {
       Seq((1L, Some("x")), (2L, None)))
   }
 
+  test("ORC round-trip preserves schema and rows; predicate pushes to the ORC scan") {
+    import spark.implicits._
+    val dir = tmpDir("orc")
+    val df = Seq((1L, "a", 1.5), (2L, "b", -0.25), (3L, "c", 0.0))
+      .toDF("id", "s", "v")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // ORC is the second columnar source a warehouse migration brings —
+    // filters must reach the scan (min/max stripe skipping at scale)
+    val plan = back.filter(col("id") > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"filter not pushed to ORC scan:\n$plan")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmpDir("part")
     Tables.documents(spark, SparkFixture.sf0001)
