@@ -95,6 +95,8 @@ object SparkEntry {
     "txt_repetition"           -> TextOps.repetitionScore _,
     "pipe_curation"            -> TextOps.curateCorpus _,
     "pipe_shard_export"        -> ((s: SparkSession, d: String) => TextOps.shardExport(s, d)),
+    "pipe_split_groups"        -> ((s: SparkSession, d: String) => TextOps.trainValSplit(s, d)),
+    "txt_term_drift"           -> ((s: SparkSession, d: String) => TextOps.termDrift(s, d)),
     "txt_chunks"               -> ((s: SparkSession, d: String) => TextOps.chunkDocs(s, d)),
     "txt_cms_terms"            -> TextOps.cmsTermCounts _,
     "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
@@ -909,6 +911,50 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS pos,
         |  n_tokens
         |FROM sharded ORDER BY doc_id""".stripMargin,
+    // group-aware split: bucket = poly_hash(source) mod 100 (the shared
+    // rolling hash, replicated as the same char fold), train < 80,
+    // val < 90, else test
+    "pipe_split_groups" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(source, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // chi-square drift per source over the global top-50 terms: per-cell
+    // parts floored to BIGINT (1e6 scale) so the per-source sum is an
+    // exact integer fold — same no-ln discipline as art_search_bm25
+    "txt_term_drift" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |obs AS (SELECT source, term, COUNT(*) AS o FROM toks GROUP BY source, term),
+        |top AS (SELECT term, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY term
+        |  ORDER BY ct DESC, term LIMIT 50),
+        |obstop AS (SELECT o.source, o.term, o.o FROM obs o JOIN top t ON o.term = t.term),
+        |rowtot AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rs FROM obstop GROUP BY source),
+        |grand AS (SELECT CAST(SUM(rs) AS BIGINT) AS g FROM rowtot),
+        |grid AS (
+        |  SELECT r.source, t.term, r.rs, t.ct, COALESCE(ob.o, 0) AS o
+        |  FROM rowtot r CROSS JOIN top t
+        |  LEFT JOIN obstop ob ON ob.source = r.source AND ob.term = t.term),
+        |scored AS (
+        |  SELECT source, o,
+        |    CAST(rs AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(g AS DOUBLE) AS e
+        |  FROM grid CROSS JOIN grand),
+        |parts AS (
+        |  SELECT source,
+        |    CAST(floor(1000000.0 *
+        |      ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e)) AS BIGINT) AS part
+        |  FROM scored)
+        |SELECT source, CAST(SUM(part) AS BIGINT) AS drift
+        |FROM parts GROUP BY source ORDER BY drift DESC, source""".stripMargin,
     // overlapping token windows: chunk=64 advancing by stride=48;
     // DuckDB list_slice is 1-based inclusive-end (== Spark slice start/
     // length); chunk content compared via the shared polynomial hash

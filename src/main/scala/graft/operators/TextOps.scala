@@ -295,6 +295,76 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Group-aware train/val/test assignment — the leakage guard a
+    * training pipeline runs BEFORE any random split: the split key is
+    * the PROVENANCE group (`source`), so same-site documents — and the
+    * near-duplicates that cluster inside a site — land in the SAME
+    * split; a doc-level random split would leak train text into eval
+    * through those near-dups. Assignment is the deterministic
+    * `poly_hash(source) mod 100` bucket (no RNG: identical on any
+    * engine, any cluster size, and any re-run — resumable like
+    * [[mixtureSample]]); buckets below 100−val−test are train, then
+    * val, then test. Entirely row-local (the hash is a projection);
+    * at 100 TB this is a zero-shuffle map over the corpus. */
+  def trainValSplit(spark: SparkSession, sfDir: String,
+                    pctVal: Int = 10, pctTest: Int = 10): DataFrame = {
+    require(pctVal > 0 && pctTest > 0 && pctVal + pctTest < 100,
+      s"need positive val/test slices summing under 100: $pctVal/$pctTest")
+    val trainLt = 100 - pctVal - pctTest
+    docs(spark, sfDir)
+      .withColumn("bucket", (expr("poly_hash(source)") % lit(100L)).cast("long"))
+      .withColumn("split",
+        when(col("bucket") < trainLt, lit("train"))
+          .when(col("bucket") < 100 - pctTest, lit("val"))
+          .otherwise(lit("test")))
+      .select("doc_id", "source", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source term-distribution drift — the distribution-shift check
+    * a curation pipeline runs between corpus slices (which source is
+    * off-distribution vs the blend?). Chi-square statistic over the
+    * contingency table of the global top-`topM` terms × sources:
+    * expected count e = rowTotal·colTotal/grand, per-cell part =
+    * ⌊1e6·(o−e)²/e⌋ — floored to BIGINT so the per-source sum is an
+    * exact integer fold (order-independent, hash-stable), the same
+    * no-transcendentals discipline as [[ArticleOps.searchBm25]]; a
+    * chi-square needs only +,×,/ so nothing is lost vs a KL score,
+    * which would need ln.
+    *
+    * Scale shape: ONE tokenize pass over the corpus → narrow
+    * (source, term, count) aggregate; the top-M term list, the
+    * per-source totals and the 1-row grand total are all tiny
+    * broadcasts; the scored grid is |sources|×M rows. */
+  def termDrift(spark: SparkSession, sfDir: String, topM: Int = 50): DataFrame =
+    termDriftOf(docs(spark, sfDir), topM)
+
+  /** Injectable corpus form of [[termDrift]] (spec seeds a skewed
+    * source and asserts it ranks first). */
+  private[graft] def termDriftOf(corpus: DataFrame, topM: Int): DataFrame = {
+    val obs = corpus
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), " "),
+          t => length(t) > 0)).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("o"))
+    val top = obs.groupBy("term").agg(sum(col("o")).as("ct"))
+      .orderBy(col("ct").desc, col("term")).limit(topM)
+    val obsTop = obs.join(broadcast(top.select("term")), "term")
+    val rowTot = obsTop.groupBy("source").agg(sum(col("o")).as("rs"))
+    val grand = rowTot.agg(sum(col("rs")).as("g"))
+    rowTot.crossJoin(broadcast(top)) // |sources| × topM grid
+      .join(obsTop, Seq("source", "term"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(grand)) // 1-row grand total
+      .withColumn("e", col("rs").cast("double") * col("ct").cast("double") /
+        col("g").cast("double"))
+      .withColumn("part", floor(lit(1000000.0) *
+        ((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"))).cast("long"))
+      .groupBy("source").agg(sum(col("part")).as("drift"))
+      .orderBy(col("drift").desc, col("source"))
+  }
+
   /** Fixed-size overlapping token chunking — the RAG/embedding prep op:
     * each document's token stream is cut into windows of `chunk` tokens
     * advancing by `stride` (overlap = chunk - stride keeps boundary

@@ -933,6 +933,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Double]("dup_frac") > 0.0))
   }
 
+  test("group split: every source lands in exactly one split; assignment is total and stable") {
+    import spark.implicits._
+    val split = TextOps.trainValSplit(spark, sf0001)
+    // leakage guard: a source never straddles splits
+    val perSource = split.groupBy("source")
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .as[(String, Long)].collect()
+    assert(perSource.nonEmpty && perSource.forall(_._2 == 1L),
+      s"source straddles splits: ${perSource.filter(_._2 != 1L).take(3).mkString(",")}")
+    // total: one row per doc, every split label valid
+    val n = graft.Tables.documents(spark, sf0001).count()
+    assert(split.count() == n)
+    assert(split.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    // deterministic: identical assignment on re-run
+    assert(split.collect().toSeq == TextOps.trainValSplit(spark, sf0001).collect().toSeq)
+  }
+
+  test("term drift: non-negative, and a seeded off-distribution source ranks first") {
+    import spark.implicits._
+    val base = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // skewed source: same corpus-wide vocabulary plus one flooded token,
+    // so its top-term distribution diverges from every natural source
+    val skew = base.limit(40)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(lit(("drifted " * 50).trim + " "), col("text")).as("text"),
+        col("lang"), lit("src_drift").as("source"), col("n_chars"))
+    val drift = TextOps.termDriftOf(base.unionAll(skew), 50)
+      .as[(String, Long)].collect()
+    assert(drift.forall(_._2 >= 0L), "chi-square parts are non-negative by construction")
+    assert(drift.head._1 == "src_drift",
+      s"seeded drift source should rank first, got: ${drift.take(3).mkString(",")}")
+  }
+
   test("shard export: shards bounded, positions contiguous from 1 per shard") {
     val rows = TextOps.shardExport(spark, sf0001).collect()
     assert(rows.nonEmpty)
