@@ -55,6 +55,7 @@ object SparkEntry {
     "art_search_ranked_auto"   -> ((s: SparkSession, d: String) => ArticleOps.searchRankedAuto(s, d)),
     "art_search_bm25"          -> ((s: SparkSession, d: String) => ArticleOps.searchBm25(s, d)),
     "art_search_bm25_idx"      -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Indexed(s, d)),
+    "art_search_bm25_auto"     -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Auto(s, d)),
     "art_search_phrase"        -> ((s: SparkSession, d: String) => ArticleOps.searchPhrase(s, d)),
     "art_search_negation"      -> ((s: SparkSession, d: String) => ArticleOps.searchNegation(s, d)),
     "art_search_stemmed"       -> ((s: SparkSession, d: String) => ArticleOps.searchStemmed(s, d)),
@@ -911,6 +912,37 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS pos,
         |  n_tokens
         |FROM sharded ORDER BY doc_id""".stripMargin,
+    // same semantics as art_search_bm25 (the TRANSPARENT index rewrite
+    // must not change results) — the Spark plan folds both tokenize
+    // subtrees into the postings via DocLenMatch/TermTfMatch
+    "art_search_bm25_auto" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+        |  WHERE term IN ('spark', 'merge') GROUP BY term),
+        |parts AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(1000000.0 *
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |        (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(dl.dl AS DOUBLE) /
+        |            (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |    ) AS BIGINT) AS part
+        |  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats),
+        |scores AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score
+        |  FROM parts GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, d.source, s.score
+        |FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+        |ORDER BY s.score DESC, d.doc_id""".stripMargin,
     // group-aware split: bucket = poly_hash(source) mod 100 (the shared
     // rolling hash, replicated as the same char fold), train < 80,
     // val < 90, else test

@@ -377,6 +377,21 @@ object ArticleOps {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** [[searchBm25]] with the index registered — the TRANSPARENT form:
+    * the query is the SAME scan spelling, and TextIndexRewrite folds
+    * both tokenize subtrees into the postings (the dl aggregate becomes
+    * SUM(tf) over the full postings via DocLenMatch; the per-(doc,
+    * term) tf aggregate IS the term-pruned postings row set via
+    * TermTfMatch) — so the whole BM25 evaluation runs off the index
+    * with zero query-time tokenization, the Mongo index-transparent
+    * `$text` scoring contract (api.py:22,26). Results are bitwise equal
+    * to the scan form (same exact-integer inputs, same score tree). */
+  def searchBm25Auto(spark: SparkSession, sfDir: String,
+                     keywords: Seq[String] = Seq("spark", "merge")): DataFrame = {
+    graft.plans.TextIndexCatalog.ensureIndex(spark, sfDir)
+    searchBm25(spark, sfDir, keywords)
+  }
+
   /** [[searchBm25]] served ENTIRELY from the postings index — the
     * "indexes are storage, not syntax" story for the full scoring path.
     * Every BM25 input is already in the (term, doc_id, tf) postings:

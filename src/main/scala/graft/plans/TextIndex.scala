@@ -390,27 +390,62 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * SUM(tf)` — the Mongo textScore contract (api.py:26) with the index
     * as storage: the corpus is never tokenized at query time, and the
     * term predicate is pushed to the term-bucketed postings scan. */
-  private object RankedTfMatch {
-    /** Pruning may interpose attribute-only Projects. */
-    private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
-      case org.apache.spark.sql.catalyst.plans.logical.Project(pl, c)
-          if pl.forall(_.isInstanceOf[Attribute]) => stripProjects(c)
-      case _ => p
+  /** Pruning may interpose attribute-only Projects. */
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.Project(pl, c)
+        if pl.forall(_.isInstanceOf[Attribute]) => stripProjects(c)
+    case _ => p
+  }
+
+  /** The token-multiset Generate, as every scan-form search tokenizes:
+    * explode(split(lower(text), ' ', -1)) over the docs scan. Returns
+    * (term attribute, source under the Generate). */
+  private object TokenGen {
+    def unapply(p: LogicalPlan): Option[(Attribute, LogicalPlan)] = p match {
+      case org.apache.spark.sql.catalyst.plans.logical.Generate(
+            Explode(StringSplit(Lower(a: Attribute),
+              Literal(sep: UTF8String, StringType), Literal(-1, _))),
+            _, false, _, Seq(term: Attribute), src)
+          if sep.toString == " " && a.name == "text" => Some((term, src))
+      case _ => None
     }
-    private def termLiterals(cond: Expression, term: Attribute): Option[Seq[String]] =
-      cond match {
-        case In(t: Attribute, lits) if t.exprId == term.exprId =>
-          val kws = lits.collect {
-            case Literal(kw: UTF8String, StringType) => kw.toString
-          }
-          if (kws.length == lits.length && kws.nonEmpty) Some(kws) else None
-        case InSet(t: Attribute, vals) if t.exprId == term.exprId =>
-          val kws = vals.toSeq.collect { case kw: UTF8String => kw.toString }
-          if (kws.length == vals.size && kws.nonEmpty) Some(kws) else None
-        case EqualTo(t: Attribute, Literal(kw: UTF8String, StringType))
-            if t.exprId == term.exprId => Some(Seq(kw.toString))
-        case _ => None
-      }
+  }
+
+  /** A conjunct that is redundant over postings rows: `length(term) > 0`
+    * (postings store non-empty terms only) or the optimizer-inferred
+    * `isnotnull(term)`. */
+  private def vacuousOnPostings(e: Expression, term: Attribute): Boolean =
+    e match {
+      case GreaterThan(Length(t: Attribute), Literal(0, IntegerType)) =>
+        t.exprId == term.exprId
+      case IsNotNull(t: Attribute) => t.exprId == term.exprId
+      case _ => false
+    }
+
+  private def isCountLit(ae: org.apache.spark.sql.catalyst.expressions
+      .aggregate.AggregateExpression): Boolean =
+    !ae.isDistinct && (ae.aggregateFunction match {
+      case org.apache.spark.sql.catalyst.expressions.aggregate
+            .Count(Seq(Literal(_, _))) => true
+      case _ => false
+    })
+
+  private def termLiterals(cond: Expression, term: Attribute): Option[Seq[String]] =
+    cond match {
+      case In(t: Attribute, lits) if t.exprId == term.exprId =>
+        val kws = lits.collect {
+          case Literal(kw: UTF8String, StringType) => kw.toString
+        }
+        if (kws.length == lits.length && kws.nonEmpty) Some(kws) else None
+      case InSet(t: Attribute, vals) if t.exprId == term.exprId =>
+        val kws = vals.toSeq.collect { case kw: UTF8String => kw.toString }
+        if (kws.length == vals.size && kws.nonEmpty) Some(kws) else None
+      case EqualTo(t: Attribute, Literal(kw: UTF8String, StringType))
+          if t.exprId == term.exprId => Some(Seq(kw.toString))
+      case _ => None
+    }
+
+  private object RankedTfMatch {
     /** (docIdAttr, scoreAlias, keywords, docs scan under the Generate) */
     def unapply(agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate)
         : Option[(Attribute, Alias, Seq[String], LogicalPlan)] = agg match {
@@ -439,6 +474,94 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         }
       case _ => None
     }
+  }
+
+  /** Doc-length aggregate over the token multiset, as
+    * [[graft.operators.ArticleOps.searchBm25]] plans `dl`:
+    *
+    *   Aggregate [doc_id], [doc_id, count(1) AS dl]
+    *     Filter length(term) > 0   (± inferred isnotnull(term))
+    *       Generate explode(split(lower(text), ' ', -1)) AS term
+    *         <registered docs scan>
+    *
+    * The postings already aggregated exactly this multiset per (term,
+    * doc), so the subtree is `postings GROUP BY doc_id → SUM(tf)` — the
+    * document-length side of a BM25 evaluation served from the index.
+    * Docs with zero tokens produce no group in either form. */
+  /** Output shape shared by the BM25 aggregates after column pruning:
+    * any subset of the grouping attributes plus at most one count(1)
+    * alias (pruning drops doc_id from the stats-side dl aggregate and
+    * the count entirely from the df-side distinct-pair aggregate). */
+  private def groupedCountShape(aggExprs: Seq[NamedExpression],
+      groupIds: Set[ExprId]): Boolean =
+    aggExprs.nonEmpty && aggExprs.forall {
+      case a: Attribute => groupIds.contains(a.exprId)
+      case Alias(ae: org.apache.spark.sql.catalyst.expressions
+            .aggregate.AggregateExpression, _) => isCountLit(ae)
+      case _ => false
+    } && aggExprs.count(_.isInstanceOf[Alias]) <= 1
+
+  private object DocLenMatch {
+    def unapply(agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate)
+        : Option[(Attribute, Seq[NamedExpression], LogicalPlan)] = agg match {
+      case org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+            Seq(gid: Attribute), aggExprs, aggChild, _)
+          if groupedCountShape(aggExprs, Set(gid.exprId)) &&
+            aggExprs.exists(_.isInstanceOf[Alias]) =>
+        stripProjects(aggChild) match {
+          case Filter(cond, TokenGen(term, src))
+              if src.output.exists(d => d.name == "doc_id" && d.exprId == gid.exprId) => {
+            val conjuncts = splitConjunctivePredicates(cond)
+            if (conjuncts.nonEmpty &&
+                conjuncts.forall(vacuousOnPostings(_, term)) &&
+                conjuncts.exists {
+                  case GreaterThan(Length(_), _) => true; case _ => false
+                })
+              Some((gid, aggExprs, src))
+            else None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Per-(doc, term) tf aggregate over the term-filtered token multiset,
+    * as [[graft.operators.ArticleOps.searchBm25]] plans `tf`:
+    *
+    *   Aggregate [doc_id, term], [doc_id, term, count(1) AS tf]
+    *     Filter length(term) > 0 AND term IN (kws)
+    *       Generate explode(split(lower(text), ' ', -1)) AS term
+    *         <registered docs scan>
+    *
+    * This IS the postings row set restricted to the keywords — the
+    * aggregate disappears entirely: a projection of the term-pruned
+    * postings scan with the original output attribute ids. */
+  private object TermTfMatch {
+    def unapply(agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate)
+        : Option[(Attribute, Attribute, Seq[NamedExpression], Seq[String], LogicalPlan)] =
+      agg match {
+        case org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+              Seq(gd: Attribute, gt: Attribute), aggExprs, aggChild, _)
+            if groupedCountShape(aggExprs, Set(gd.exprId, gt.exprId)) =>
+          stripProjects(aggChild) match {
+            case Filter(cond, TokenGen(term, src))
+                if gt.exprId == term.exprId &&
+                  src.output.exists(d => d.name == "doc_id" && d.exprId == gd.exprId) => {
+              val conjuncts = splitConjunctivePredicates(cond)
+              val (termConjs, rest) =
+                conjuncts.partition(termLiterals(_, term).isDefined)
+              termConjs match {
+                case Seq(tc) if rest.forall(vacuousOnPostings(_, term)) =>
+                  termLiterals(tc, term).filter(_.forall(plainToken))
+                    .map(kws => (gd, gt, aggExprs, kws, src))
+                case _ => None
+              }
+            }
+            case _ => None
+          }
+        case _ => None
+      }
   }
 
   /** The registered docs scan DIRECTLY under `plan` — only through
@@ -484,6 +607,49 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           Alias(Coalesce(Seq(sumTf, Literal(0L))), scoreAl.name)(
             exprId = scoreAl.exprId)),
         probe, None)
+    case agg @ DocLenMatch(gid, aggExprs, src) if registeredScan(src).isDefined =>
+      // document length = SUM(tf) over the FULL postings — the narrow
+      // (term, doc_id, tf) columns replace a corpus tokenize
+      val idxPath = TextIndexCatalog.lookup(registeredScan(src).get).get
+      val probe = spark.read.parquet(idxPath).queryExecution.analyzed
+      val pDoc = probe.output.find(_.name == "doc_id").get
+      val pTf = probe.output.find(_.name == "tf").get
+      val sumTf = org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Sum(pTf),
+          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+          isDistinct = false)
+      org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+        Seq(pDoc),
+        aggExprs.map {
+          case a: Attribute => Alias(pDoc, a.name)(exprId = a.exprId)
+          case al: Alias =>
+            Alias(Coalesce(Seq(sumTf, Literal(0L))), al.name)(exprId = al.exprId)
+        },
+        probe, None)
+    case agg @ TermTfMatch(gd, gt, aggExprs, kws, src)
+        if registeredScan(src).isDefined =>
+      // the per-(doc, term) tf aggregate IS the postings row set for the
+      // keywords (postings are distinct per pair, so the pruned
+      // distinct-pair form maps to the same projection): the aggregate
+      // disappears, the term set is pushed to the term-bucketed scan
+      val idxPath = TextIndexCatalog.lookup(registeredScan(src).get).get
+      val probe = spark.read.parquet(idxPath)
+        .filter(col("term").isin(kws: _*))
+        .queryExecution.analyzed
+      val pDoc = probe.output.find(_.name == "doc_id").get
+      val pTerm = probe.output.find(_.name == "term").get
+      val pTf = probe.output.find(_.name == "tf").get
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        aggExprs.map {
+          case a: Attribute if a.exprId == gd.exprId =>
+            Alias(pDoc, a.name)(exprId = a.exprId)
+          case a: Attribute =>
+            Alias(pTerm, a.name)(exprId = a.exprId)
+          case al: Alias =>
+            Alias(Coalesce(Seq(pTf, Literal(0L))), al.name)(exprId = al.exprId)
+        },
+        probe)
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val hit = registeredScan(child).flatMap { docsPath =>

@@ -299,6 +299,31 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("TextIndexRewrite: the BM25 scan form folds BOTH tokenize subtrees into postings") {
+    import spark.implicits._
+    graft.plans.TextIndexCatalog.clear()
+    val scan = ArticleOps.searchBm25(spark, sf0001)
+    val expected = scan.select("doc_id", "score")
+      .as[(Long, Long)].collect().toSeq
+    assert(scan.queryExecution.optimizedPlan.toString.contains("Generate"),
+      "scan form should tokenize via explode")
+    // same scan spelling, index registered: DocLenMatch folds the dl
+    // aggregate to SUM(tf) over the full postings, TermTfMatch replaces
+    // the per-(doc,term) tf aggregate with the term-pruned postings rows
+    val df = ArticleOps.searchBm25Auto(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Generate"), s"a tokenize survived the rewrite:\n$opt")
+    assert(opt.contains("Relation [term"), s"no postings scan:\n$opt")
+    assert(opt.contains("sum(tf"), s"dl is not a tf aggregation:\n$opt")
+    // the keyword set reaches the postings parquet scan as a pushed filter
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("In(term, [merge,spark])") ||
+      phys.contains("In(term, [spark,merge])"), s"terms not pushed:\n$phys")
+    assert(df.select("doc_id", "score").as[(Long, Long)].collect().toSeq
+      == expected, "transparent BM25 diverges from the scan form")
+    graft.plans.TextIndexCatalog.clear()
+  }
+
   test("indexed BM25 equals the scan form bitwise; the indexed plan never tokenizes") {
     import spark.implicits._
     graft.plans.TextIndexCatalog.clear()
