@@ -346,6 +346,22 @@ object ArticleOps {
     * lengths, one narrow (doc_id, term) agg for tf, a broadcast df
     * table, a broadcast 1-row stats table, and the score join back —
     * the explode collapses map-side everywhere. */
+  /** The BM25 per-(doc, term) part — ONE expression tree shared by the
+    * scan, indexed and transparent forms, so their bitwise-equality
+    * contract is structural rather than a convention three copies must
+    * uphold. Inputs are exact integer counts; see [[searchBm25]] for
+    * the no-transcendentals argument. */
+  private def bm25Part(tf: Column, df: Column, dl: Column,
+                       nDocs: Column, tot: Column): Column =
+    floor(lit(1000000.0) *
+      ((nDocs.cast("double") - df.cast("double") + lit(0.5)) /
+        (df.cast("double") + lit(0.5))) *
+      ((tf.cast("double") * lit(2.2)) /
+        (tf.cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (dl.cast("double") /
+            (tot.cast("double") / nDocs.cast("double"))))))
+    ).cast("long")
+
   def searchBm25(spark: SparkSession, sfDir: String,
                  keywords: Seq[String] = Seq("spark", "merge")): DataFrame = {
     val kws = keywords.map(_.toLowerCase)
@@ -362,14 +378,8 @@ object ArticleOps {
     val scores = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
       .crossJoin(broadcast(stats)) // 1-row stats
       .select(col("doc_id"),
-        floor(lit(1000000.0) *
-          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))) *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
-              (col("dl").cast("double") /
-                (col("tot").cast("double") / col("n_docs").cast("double"))))))
-        ).cast("long").as("part"))
+        bm25Part(col("tf"), col("df"), col("dl"),
+          col("n_docs"), col("tot")).as("part"))
       .groupBy("doc_id").agg(sum(col("part")).as("score"))
     docs(spark, sfDir)
       .join(scores, "doc_id")
@@ -417,14 +427,8 @@ object ArticleOps {
     val scores = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
       .crossJoin(broadcast(stats)) // 1-row stats
       .select(col("doc_id"),
-        floor(lit(1000000.0) *
-          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))) *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
-              (col("dl").cast("double") /
-                (col("tot").cast("double") / col("n_docs").cast("double"))))))
-        ).cast("long").as("part"))
+        bm25Part(col("tf"), col("df"), col("dl"),
+          col("n_docs"), col("tot")).as("part"))
       .groupBy("doc_id").agg(sum(col("part")).as("score"))
     docs(spark, sfDir)
       .join(scores, "doc_id")

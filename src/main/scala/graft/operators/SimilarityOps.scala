@@ -174,7 +174,12 @@ object SimilarityOps {
     * the old `max(struct(cscore, -cent_id))`: `greatest` on a
     * (s, nc) struct is the same lexicographic comparison over the same
     * IEEE-exact scores, so assignments — and every oracle hash
-    * downstream — are unchanged. */
+    * downstream — are unchanged.
+    *
+    * Precondition (every call site satisfies it by construction): the
+    * codebook is non-empty and `emb`/`nrm` are non-null — a null score
+    * or an empty array would leave the -∞ seed in place and the negated
+    * Long.MinValue sentinel is not a meaningful cent_id. */
   private[graft] def withNearestCentroid(e: DataFrame, cents: DataFrame): DataFrame = {
     val carr = cents.agg(
       collect_list(struct(col("cent_id"), col("cemb"), col("cnrm"))).as("carr"))

@@ -157,11 +157,14 @@ object TextIndexCatalog {
     val dPath = new Path(docsPath)
     val fs = dPath.getFileSystem(hconf)
     val current = dataFileEntries(fs, dPath)
-    // "#tf1" versions the LAYOUT: adding the tf column changed the index
-    // schema, and an old directory served as-is off its manifest would
-    // otherwise feed the ranked rewrite a tf-less postings table
+    // "#tf1" versions the LAYOUT of the variant whose schema changed:
+    // adding the tf column to the BASE postings would otherwise serve an
+    // old tf-less directory off its manifest to the ranked rewrite. The
+    // stemmed layout is keyed separately so a base-layout bump does not
+    // needlessly invalidate (and orphan) existing stemmed directories.
+    val layoutVer = if (variant.isEmpty) "#tf1" else "#s1"
     val key = java.security.MessageDigest.getInstance("SHA-1")
-      .digest((docsPath + variant + "#tf1").getBytes("UTF-8"))
+      .digest((docsPath + variant + layoutVer).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-text-index/$key").getAbsolutePath
@@ -376,20 +379,6 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
   }
 
-  /** Ranked-TF search aggregation, as
-    * [[graft.operators.ArticleOps.searchRanked]] plans it (modulo
-    * pruning Projects):
-    *
-    *   Aggregate [doc_id], [doc_id, count(1) AS score]
-    *     Filter term IN ('kw1', ...)
-    *       Generate explode(split(lower(text), ' ', -1)) AS term
-    *         <registered docs scan>
-    *
-    * The postings store tf per (term, doc_id), so the whole subtree is
-    * equivalent to `postings WHERE term IN (kws) GROUP BY doc_id →
-    * SUM(tf)` — the Mongo textScore contract (api.py:26) with the index
-    * as storage: the corpus is never tokenized at query time, and the
-    * term predicate is pushed to the term-bucketed postings scan. */
   /** Pruning may interpose attribute-only Projects. */
   private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
     case org.apache.spark.sql.catalyst.plans.logical.Project(pl, c)
@@ -445,8 +434,22 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => None
     }
 
+  /** Ranked-TF search aggregation, as
+    * [[graft.operators.ArticleOps.searchRanked]] plans it (modulo
+    * pruning Projects):
+    *
+    *   Aggregate [doc_id], [doc_id, count(1) AS score]
+    *     Filter term IN ('kw1', ...)
+    *       Generate explode(split(lower(text), ' ', -1)) AS term
+    *         <registered docs scan>
+    *
+    * The postings store tf per (term, doc_id), so the whole subtree is
+    * equivalent to `postings WHERE term IN (kws) GROUP BY doc_id →
+    * SUM(tf)` — the Mongo textScore contract (api.py:26) with the index
+    * as storage: the corpus is never tokenized at query time, and the
+    * term predicate is pushed to the term-bucketed postings scan.
+    * Returns (docIdAttr, scoreAlias, keywords, docs scan). */
   private object RankedTfMatch {
-    /** (docIdAttr, scoreAlias, keywords, docs scan under the Generate) */
     def unapply(agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate)
         : Option[(Attribute, Alias, Seq[String], LogicalPlan)] = agg match {
       case org.apache.spark.sql.catalyst.plans.logical.Aggregate(
@@ -454,20 +457,10 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             Seq(outId: Attribute, scoreAl @ Alias(ae:
               org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression, _)),
             aggChild, _)
-          if outId.exprId == gid.exprId && !ae.isDistinct &&
-            (ae.aggregateFunction match {
-              case org.apache.spark.sql.catalyst.expressions.aggregate
-                    .Count(Seq(Literal(_, _))) => true
-              case _ => false
-            }) =>
+          if outId.exprId == gid.exprId && isCountLit(ae) =>
         stripProjects(aggChild) match {
-          case Filter(cond,
-                org.apache.spark.sql.catalyst.plans.logical.Generate(
-                  Explode(StringSplit(Lower(a: Attribute),
-                    Literal(sep: UTF8String, StringType), Literal(-1, _))),
-                  _, false, _, Seq(term: Attribute), src))
-              if sep.toString == " " && a.name == "text" &&
-                src.output.exists(d => d.name == "doc_id" && d.exprId == gid.exprId) =>
+          case Filter(cond, TokenGen(term, src))
+              if src.output.exists(d => d.name == "doc_id" && d.exprId == gid.exprId) =>
             termLiterals(cond, term).filter(_.forall(plainToken))
               .map(kws => (gid, scoreAl, kws, src))
           case _ => None
@@ -564,6 +557,33 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
   }
 
+  /** The registered docs scan under a tokenize Generate, reachable ONLY
+    * through attribute-only Projects and filters that cannot change the
+    * token multiset (`isnotnull(text)`, which the optimizer infers from
+    * the split and which is vacuous — a null text explodes to zero
+    * rows). The AGGREGATE rewrites REPLACE their whole subtree with a
+    * postings read, so a semantic Filter (`lang = 'en'`) or a computed
+    * projection between the Generate and the scan would be silently
+    * discarded if this walked through it the way [[registeredScan]]
+    * does; anything else therefore refuses the rewrite. The
+    * membership/stemmed/phrase rewrites keep their child plan intact
+    * and stay on the laxer [[registeredScan]]. */
+  private def bareRegisteredScan(plan: LogicalPlan): Option[String] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.collectFirst {
+        case p if TextIndexCatalog.lookup(p.toUri.getPath).isDefined =>
+          p.toUri.getPath
+      }
+    case org.apache.spark.sql.catalyst.plans.logical.Project(pl, c)
+        if pl.forall(_.isInstanceOf[Attribute]) => bareRegisteredScan(c)
+    case Filter(cond, c)
+        if splitConjunctivePredicates(cond).forall {
+          case IsNotNull(a: Attribute) => a.name == "text"
+          case _ => false
+        } => bareRegisteredScan(c)
+    case _ => None
+  }
+
   /** The registered docs scan DIRECTLY under `plan` — only through
     * row-identity-preserving nodes (Project/Filter). Anything else
     * (union, join, generate, aggregate) changes or mixes row identity,
@@ -585,8 +605,8 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ RankedTfMatch(gid, scoreAl, kws, src)
-        if registeredScan(src).isDefined =>
-      val idxPath = TextIndexCatalog.lookup(registeredScan(src).get).get
+        if bareRegisteredScan(src).isDefined =>
+      val idxPath = TextIndexCatalog.lookup(bareRegisteredScan(src).get).get
       val probe = spark.read.parquet(idxPath)
         .filter(col("term").isin(kws: _*))
         .queryExecution.analyzed
@@ -607,10 +627,10 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           Alias(Coalesce(Seq(sumTf, Literal(0L))), scoreAl.name)(
             exprId = scoreAl.exprId)),
         probe, None)
-    case agg @ DocLenMatch(gid, aggExprs, src) if registeredScan(src).isDefined =>
+    case agg @ DocLenMatch(gid, aggExprs, src) if bareRegisteredScan(src).isDefined =>
       // document length = SUM(tf) over the FULL postings — the narrow
       // (term, doc_id, tf) columns replace a corpus tokenize
-      val idxPath = TextIndexCatalog.lookup(registeredScan(src).get).get
+      val idxPath = TextIndexCatalog.lookup(bareRegisteredScan(src).get).get
       val probe = spark.read.parquet(idxPath).queryExecution.analyzed
       val pDoc = probe.output.find(_.name == "doc_id").get
       val pTf = probe.output.find(_.name == "tf").get
@@ -628,12 +648,12 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         },
         probe, None)
     case agg @ TermTfMatch(gd, gt, aggExprs, kws, src)
-        if registeredScan(src).isDefined =>
+        if bareRegisteredScan(src).isDefined =>
       // the per-(doc, term) tf aggregate IS the postings row set for the
       // keywords (postings are distinct per pair, so the pruned
       // distinct-pair form maps to the same projection): the aggregate
       // disappears, the term set is pushed to the term-bucketed scan
-      val idxPath = TextIndexCatalog.lookup(registeredScan(src).get).get
+      val idxPath = TextIndexCatalog.lookup(bareRegisteredScan(src).get).get
       val probe = spark.read.parquet(idxPath)
         .filter(col("term").isin(kws: _*))
         .queryExecution.analyzed

@@ -357,6 +357,27 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("TextIndexRewrite aggregate paths refuse a semantically filtered scan") {
+    import spark.implicits._
+    // the aggregate rewrites REPLACE their subtree with a postings read;
+    // a predicate between the tokenize and the scan (here lang = 'en')
+    // must refuse the fold — postings cover the WHOLE corpus and would
+    // silently count tokens of filtered-out docs
+    def q() = graft.Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    graft.plans.TextIndexCatalog.clear()
+    val expected = q().as[(Long, Long)].collect().toMap
+    graft.plans.TextIndexCatalog.ensureIndex(spark, sf0001)
+    val indexed = q()
+    assert(indexed.queryExecution.optimizedPlan.toString.contains("Generate"),
+      "a filtered scan must NOT fold into full-corpus postings")
+    assert(indexed.as[(Long, Long)].collect().toMap == expected)
+    graft.plans.TextIndexCatalog.clear()
+  }
+
   test("TextIndexRewrite is identity-safe: union over the docs scan keeps seeded rows") {
     import spark.implicits._
     // DedupOps.corpus unions the docs scan with seeded copies whose
