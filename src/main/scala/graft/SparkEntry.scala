@@ -84,6 +84,7 @@ object SparkEntry {
     "evt_retention"            -> EventOps.cohortRetention _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
+    "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
     // --- text analysis (LLM-pipeline EXT) ---
     "txt_token_stats"          -> TextOps.tokenStats _,
     "txt_quality"              -> TextOps.qualityScore _,
@@ -737,6 +738,40 @@ object SparkEntry {
         |  SELECT e.dst AS node, r.depth + 1 AS depth
         |  FROM reach r JOIN edges e ON e.src = r.node WHERE r.depth < 6)
         |SELECT node, MIN(depth) AS depth FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    // integer-scaled PageRank, 3 unrolled power iterations: ranks ×1e6,
+    // contribution = rank // outdeg, damping = 150000 + (85·Σ) // 100 —
+    // all-BIGINT floor arithmetic, identical in both engines
+    "graph_pagerank" ->
+      """WITH nodes AS (SELECT doc_id AS node FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 3) % n FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 3 + 5) % n FROM documents CROSS JOIN nn
+        |  WHERE doc_id % 2 = 0),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        |it1 AS (
+        |  SELECT n1.node, CAST(150000 + (85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n1 LEFT JOIN (
+        |    SELECT e.dst, SUM(p.pr // d.outdeg) AS cs
+        |    FROM edges e JOIN deg d ON e.src = d.src JOIN it0 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.dst = n1.node),
+        |it2 AS (
+        |  SELECT n1.node, CAST(150000 + (85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n1 LEFT JOIN (
+        |    SELECT e.dst, SUM(p.pr // d.outdeg) AS cs
+        |    FROM edges e JOIN deg d ON e.src = d.src JOIN it1 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.dst = n1.node),
+        |it3 AS (
+        |  SELECT n1.node, CAST(150000 + (85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n1 LEFT JOIN (
+        |    SELECT e.dst, SUM(p.pr // d.outdeg) AS cs
+        |    FROM edges e JOIN deg d ON e.src = d.src JOIN it2 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.dst = n1.node)
+        |SELECT node, pr FROM it3 ORDER BY node""".stripMargin,
     "txt_token_stats" ->
       """WITH w AS (
         |  SELECT doc_id, text,

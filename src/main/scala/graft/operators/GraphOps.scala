@@ -24,6 +24,59 @@ object GraphOps {
       ((col("doc_id") * 7 + 1) % n).as("dst"))
   }
 
+  /** Multi-out-edge deterministic link graph for rank iteration: every
+    * doc links to (id·7+1) % N and (id·13+3) % N, even docs additionally
+    * to (id·3+5) % N — out-degree 2–3, varied in-degree (the BFS graph's
+    * single out-edge is a near-permutation, which would make every
+    * PageRank uniform). Multi-edges/self-loops that fall out of formula
+    * collisions are kept on BOTH engines (outdeg counts them, each
+    * contributes), so the oracle is exact. */
+  def rankEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val n = docs.count() // metadata-scale action: one number on the driver
+    val e1 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 7 + 1) % n).as("dst"))
+    val e2 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 13 + 3) % n).as("dst"))
+    val e3 = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("src"), ((col("doc_id") * 3 + 5) % n).as("dst"))
+    e1.unionAll(e2).unionAll(e3)
+  }
+
+  /** PageRank in INTEGER arithmetic — the rank-iteration shape
+    * (power method with damping 0.85) with every operation an exact
+    * BIGINT op, so distributed sums are order-independent and the
+    * DuckDB oracle hash-matches bitwise: ranks are scaled by 1e6,
+    * per-edge contribution is `rank DIV outdeg`, damping is
+    * `150000 + (85 · Σcontrib) DIV 100` (floor division in both
+    * engines for these all-positive values; no doubles anywhere, the
+    * same no-rounding discipline as the BM25/chi-square scores).
+    *
+    * Scale shape: each iteration is ONE equi-join of the checkpointed
+    * (src, dst, outdeg) edge table with the narrow (node, rank) state
+    * plus ONE map-side-combined aggregate; `localCheckpoint` caps
+    * lineage per round exactly like [[frontierBfs]] and the CC loop —
+    * the standard iterate-with-checkpoint shape at 100 TB. Iteration
+    * count is fixed (power iteration converges geometrically; the
+    * oracle unrolls the same count). */
+  def pageRank(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("node"))
+    val deg = rankEdges(spark, sfDir)
+      .groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ej = rankEdges(spark, sfDir).join(deg, "src").localCheckpoint()
+    var r = nodes.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ej.join(r, ej("src") === r("node"))
+        .select(col("dst"), expr("pr DIV outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          expr("CAST(150000 + (85 * coalesce(cs, 0)) DIV 100 AS BIGINT)").as("pr"))
+        .localCheckpoint()
+    }
+    r.orderBy("node")
+  }
+
   /** BFS from doc 0, max depth 6: minimum-depth label per reachable node.
     * The loop is driver-side control flow only; all data stays
     * distributed. Oracle: recursive CTE with min(depth). */

@@ -1014,6 +1014,26 @@ class OperatorSpec extends AnyFunSuite {
       s"seeded drift source should rank first, got: ${drift.take(3).mkString(",")}")
   }
 
+  test("pagerank: integer ranks bounded, non-uniform, and more in-links means more rank") {
+    import spark.implicits._
+    val pr = GraphOps.pageRank(spark, sf0001).as[(Long, Long)].collect()
+    val n = graft.Tables.documents(spark, sf0001).count()
+    assert(pr.length == n, "one rank per node")
+    // every rank is at least the damping floor and the total never
+    // exceeds the initial mass (floor division only loses mass)
+    assert(pr.forall(_._2 >= 150000L))
+    assert(pr.map(_._2).sum <= n * 1000000L)
+    // varied in-degree must differentiate ranks (the rank-iteration
+    // point; a permutation graph would leave them uniform)
+    assert(pr.map(_._2).distinct.length > 1, "ranks unexpectedly uniform")
+    // in-degree 0 under the three formulas => exactly the damping floor
+    val inDeg = GraphOps.rankEdges(spark, sf0001)
+      .groupBy("dst").count().as[(Long, Long)].collect().toMap
+    pr.filter(p => !inDeg.contains(p._1)).foreach { case (_, r) =>
+      assert(r == 150000L, "a node with no in-edges keeps only the damping floor")
+    }
+  }
+
   test("shard export: shards bounded, positions contiguous from 1 per shard") {
     val rows = TextOps.shardExport(spark, sf0001).collect()
     assert(rows.nonEmpty)
