@@ -48,6 +48,8 @@ object SparkEntry {
     "art_search_keyword"       -> ((s: SparkSession, d: String) => ArticleOps.searchKeyword(s, d)),
     "art_search_json"          -> ArticleOps.searchKeywordJson _,
     "art_search_any"           -> ((s: SparkSession, d: String) => ArticleOps.searchAnyKeyword(s, d)),
+    "art_search_folded"        -> ((s: SparkSession, d: String) => ArticleOps.searchDiacriticFolded(s, d)),
+    "art_search_textq"         -> ((s: SparkSession, d: String) => ArticleOps.searchTextQuery(s, d)),
     "art_inverted_index"       -> ArticleOps.invertedIndex _,
     "art_search_via_index"     -> ((s: SparkSession, d: String) => ArticleOps.searchViaIndex(s, d)),
     "art_search_indexed"       -> ((s: SparkSession, d: String) => ArticleOps.searchIndexed(s, d)),
@@ -376,6 +378,28 @@ object SparkEntry {
         |WHERE list_contains(string_split(lower(text), ' '), 'spark')
         |ORDER BY doc_id""".stripMargin,
     "art_search_any" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE list_has_any(string_split(lower(text), ' '), ['spark', 'merge'])
+        |ORDER BY doc_id""".stripMargin,
+    // diacritic-insensitive search: the IDENTICAL translate fold table
+    // on both engines (not each engine's own strip-accents); every 7th
+    // doc gets accents injected so folding is genuinely exercised
+    "art_search_folded" ->
+      """WITH acc AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN translate(text, 'ae', 'áé')
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM acc
+        |WHERE list_contains(
+        |  string_split(translate(lower(text),
+        |    'áàâäãåéèêëíìîïóòôöõúùûüýñç', 'aaaaaaeeeeiiiiooooouuuuync'), ' '),
+        |  'merge')
+        |ORDER BY doc_id""".stripMargin,
+    // Mongo $text query-string semantics: stop words are dropped at
+    // query compile ("the spark and merge" -> spark OR merge); the data
+    // plane is exactly the art_search_any arrays_overlap
+    "art_search_textq" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE list_has_any(string_split(lower(text), ' '), ['spark', 'merge'])
         |ORDER BY doc_id""".stripMargin,

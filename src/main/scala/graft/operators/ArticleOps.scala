@@ -148,6 +148,56 @@ object ArticleOps {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Diacritic fold table — the Latin-1/Latin-Extended vowels +
+    * c/n common in the corpus languages (es/fr/de). BOTH engines apply
+    * the IDENTICAL translate mapping (rather than each engine's own
+    * strip-accents routine, whose tables differ), so folded text is
+    * byte-equal and the oracle hashes match. */
+  val DiacriticsFrom = "áàâäãåéèêëíìîïóòôöõúùûüýñç"
+  val DiacriticsTo   = "aaaaaaeeeeiiiiooooouuuuync"
+
+  /** Mongo `$text` diacritic insensitivity (api.py:26 — `$text` is
+    * diacritic-insensitive for Latin scripts): both the document tokens
+    * and the query keyword are folded through the same translate table,
+    * so `cafe` matches `café`. The query synthesizes diacritics onto
+    * every 7th doc (both engines identically) so folding is genuinely
+    * exercised against accented text. Row-local narrow projection —
+    * translate adds no shuffle. */
+  def searchDiacriticFolded(spark: SparkSession, sfDir: String,
+                            keyword: String = "merge"): DataFrame = {
+    val kwFolded = translate(lower(lit(keyword)),
+      DiacriticsFrom, DiacriticsTo)
+    val accented = docs(spark, sfDir)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, translate(col("text"), "ae", "áé"))
+          .otherwise(col("text")))
+    accented
+      .filter(array_contains(
+        split(translate(lower(col("text")), DiacriticsFrom, DiacriticsTo), " "),
+        kwFolded))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** English stop words Mongo's `$text` drops from a query string
+    * (api.py:26 — a search for "the spark and merge" matches on the
+    * content words only). Query-COMPILE-time behavior, like Mongo's
+    * query analyzer: the stop words never reach the data plane. */
+  val StopWords: Set[String] =
+    Set("the", "a", "an", "of", "and", "or", "to", "in", "is", "on")
+
+  /** Mongo `$text` query-string semantics end-to-end: tokenize the raw
+    * query, drop stop words, OR the surviving terms (api.py:26). The
+    * data-plane plan is exactly [[searchAnyKeyword]]'s arrays_overlap —
+    * and therefore index-rewritable — over the analyzed term set. */
+  def searchTextQuery(spark: SparkSession, sfDir: String,
+                      query: String = "the spark and merge"): DataFrame = {
+    val terms = query.toLowerCase.split(" ")
+      .filter(t => t.nonEmpty && !StopWords.contains(t)).toSeq
+    require(terms.nonEmpty, s"query is all stop words: '$query'")
+    searchAnyKeyword(spark, sfDir, terms)
+  }
+
   /** O20: search results serialized to JSON lines (api.py:38). */
   def searchKeywordJson(spark: SparkSession, sfDir: String): DataFrame =
     searchKeyword(spark, sfDir)

@@ -344,6 +344,40 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("diacritic-folded search recovers accented docs a plain token match misses") {
+    import spark.implicits._
+    val folded = ArticleOps.searchDiacriticFolded(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    // folding is lossless over the injected accents: same doc set as
+    // the plain keyword search on the unaccented corpus
+    val plain = ArticleOps.searchKeyword(spark, sf0001, "merge")
+      .select("doc_id").as[Long].collect().toSet
+    assert(folded == plain)
+    // and it genuinely does work: a plain token match against the
+    // ACCENTED corpus misses every doc_id % 7 == 0 hit the fold keeps
+    val accentedMiss = graft.Tables.documents(spark, sf0001)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, translate(col("text"), "ae", "áé"))
+          .otherwise(col("text")))
+      .filter(array_contains(split(lower(col("text")), " "), "merge"))
+      .select("doc_id").as[Long].collect().toSet
+    val recovered = folded.filter(_ % 7 == 0)
+    assert(recovered.nonEmpty, "need accented hits for the spec to mean anything")
+    assert(recovered.forall(!accentedMiss.contains(_)))
+  }
+
+  test("$text query compile drops stop words; all-stop-word query is rejected") {
+    import spark.implicits._
+    val viaQuery = ArticleOps.searchTextQuery(spark, sf0001, "the spark and merge")
+      .select("doc_id").as[Long].collect().toSeq
+    val direct = ArticleOps.searchAnyKeyword(spark, sf0001, Seq("spark", "merge"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(viaQuery == direct)
+    intercept[IllegalArgumentException] {
+      ArticleOps.searchTextQuery(spark, sf0001, "the of and")
+    }
+  }
+
   test("TextIndexRewrite: multi-term OR search (arrays_overlap) uses the index too") {
     import spark.implicits._
     graft.plans.TextIndexCatalog.clear()
