@@ -20,6 +20,24 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Input-split starvation guard for CPU-bound derivations (shingle /
+    * signature / token computation): the local test tables are tiny
+    * single-row-group parquet files, so their scans plan 1-3 tasks and a
+    * 32-core session idles through the heaviest narrow stage of a text
+    * query. When the plan's partition count is below the session's
+    * default parallelism, insert ONE round-robin exchange ahead of the
+    * expensive projection; when the scan already yields >= cores splits
+    * (any real table at cluster scale), this is the identity — no
+    * exchange is ever added, so nothing extra moves at 100 TB. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // hash-partition on a caller-named cheap key: plain round-robin
+    // repartition() sorts every row before distributing (Spark's
+    // retry-determinism guard, spark.sql.execution.sortBeforeRepartition)
+    // which is pure overhead on wide text rows
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
+
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")

@@ -74,7 +74,7 @@ object DedupOps {
     * chain is one tight loop per row. Same values, DuckDB oracle
     * unchanged (PropertySpec pins expression ≡ HOF ≡ JVM model). */
   private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("sh",
+    Tables.spread(df, col("doc_id")).withColumn("sh",
         sort_array(array_distinct(
           expr("shingle3_hashes(word_poly_hashes(lower(text)))"))))
       .filter(size(col("sh")) > 0)
@@ -185,8 +185,19 @@ object DedupOps {
     * (doc_a, doc_b) pair list. */
   def dupClustersOf(pairsDf: DataFrame): DataFrame = {
     val pairs = pairsDf.select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // undirect the pair list in ONE pass (explode of both orientations)
+    // — the union-of-two-selects form re-executed the whole upstream
+    // pair-generation plan once per branch. Then hash-partition the
+    // (static) edge list by the join key ONCE before checkpointing
+    // (localCheckpoint preserves the physical partitioning in the
+    // LogicalRDD), so every propagation round's equi-join reuses it and
+    // only the label side — one narrow (node, label) row per vertex —
+    // crosses an exchange
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
       .localCheckpoint()
     // not checkpointed: only round 1 reads it (twice — one distinct
     // recompute from the checkpointed edges beats a materialization job)
@@ -199,10 +210,16 @@ object DedupOps {
     // accumulates in DECIMAL(38,0), which is exact up to ~1e19 nodes of
     // Long.MaxValue labels — unlike Spark's non-ANSI Long sum, which
     // wraps silently and could in principle alias two distinct label
-    // states into one value and end a round early
+    // states into one value and end a round early. The sum rides the
+    // checkpoint's own materialization job as an `observe` metric
+    // (CollectMetrics accumulator), so a round is ONE action, not a
+    // checkpoint plus a separate scalar-aggregate job over it.
     var prevSum: java.math.BigDecimal = null
     var converged = false
+    var round = 0
     while (!converged) {
+      round += 1
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
       // per-node min over {own label} ∪ {neighbors' labels}: the self
       // label rides the same hash aggregate as the neighbor labels, so
       // a round is ONE equi-join + ONE map-side-combined agg (the old
@@ -211,19 +228,20 @@ object DedupOps {
         .select(col("src").as("node"), col("label"))
         .unionAll(labels)
         .groupBy("node").agg(min(col("label")).as("label"))
+        .observe(obs, coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("lsum"))
         .localCheckpoint()
-      val s = next
-        .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")))
-        .head.getDecimal(0)
+      val s = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
     }
-    val sizes = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("csize"))
+    // component size via a window over the label key — one exchange on
+    // cluster_id; the earlier groupBy+re-join form paid an aggregate
+    // exchange AND a join pass over the same data
+    val wCl = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .join(sizes, "cluster_id")
+      .withColumn("csize", count(lit(1)).over(wCl))
       .select(col("doc_id"), col("cluster_id"), col("csize"),
         (col("doc_id") === col("cluster_id")).cast("long").as("is_canonical"))
       .orderBy("doc_id")
