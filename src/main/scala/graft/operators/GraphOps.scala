@@ -60,10 +60,23 @@ object GraphOps {
     * count is fixed (power iteration converges geometrically; the
     * oracle unrolls the same count). */
   def pageRank(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    // node list checkpointed hash-partitioned on the join key: the
+    // per-iteration rank update joins contrib (already partitioned by
+    // dst, its groupBy key) against nodes — with both sides in place
+    // that join crosses NO exchange
     val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("node"))
-    val deg = rankEdges(spark, sfDir)
-      .groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ej = rankEdges(spark, sfDir).join(deg, "src").localCheckpoint()
+      .repartition(col("node")).localCheckpoint()
+    // out-degree via a window over src instead of agg + self-join: ONE
+    // pass over ONE edge build (the old form constructed rankEdges twice
+    // — two scans and two driver count() jobs — and joined them). The
+    // window's exchange doubles as pre-partitioning: the checkpointed
+    // (src, dst, outdeg) table is already hash-partitioned on src, so
+    // every iteration's contribution join moves only the narrow
+    // (node, rank) state
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val ej = rankEdges(spark, sfDir)
+      .withColumn("outdeg", count(lit(1)).over(wSrc))
+      .localCheckpoint()
     var r = nodes.select(col("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = ej.join(r, ej("src") === r("node"))
@@ -81,18 +94,27 @@ object GraphOps {
     * The loop is driver-side control flow only; all data stays
     * distributed. Oracle: recursive CTE with min(depth). */
   def frontierBfs(spark: SparkSession, sfDir: String, maxDepth: Int = 6): DataFrame = {
-    val edges = linkEdges(spark, sfDir).localCheckpoint()
+    // static edge table pre-partitioned on the expansion key: each
+    // round's frontier join moves only the (tiny) frontier side
+    val edges = linkEdges(spark, sfDir).repartition(col("src")).localCheckpoint()
     var frontier = spark.range(1).select(lit(0L).as("node"), lit(0).as("depth"))
     var visited = frontier
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    var exhausted = false
+    while (depth < maxDepth && !exhausted) {
       depth += 1
+      // the new-frontier size rides the checkpoint job as an observe
+      // metric — the old `frontier.isEmpty` probe was a second action
+      // per round
+      val obs = org.apache.spark.sql.Observation(s"bfs_depth_$depth")
       val next = frontier
         .join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node"), lit(depth).as("depth"))
         .distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint() // cap lineage: each round starts from materialized state
+      exhausted = obs.get("n").asInstanceOf[Long] == 0L
       // visited is a union of already-checkpointed frontiers — cheap
       // lineage, no second materialization per round
       visited = visited.union(next)
