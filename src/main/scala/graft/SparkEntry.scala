@@ -113,6 +113,7 @@ object SparkEntry {
     "dd_contamination"         -> DedupOps.contamination _,
     "dd_contamination_bloom"   -> DedupOps.contaminationBloom _,
     "dd_dup_clusters"          -> DedupOps.dupClusters _,
+    "dd_incremental"           -> DedupOps.incrementalDedup _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
     "sim_lsh_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.lshAnnTopK(s, d)),
@@ -1318,6 +1319,77 @@ object SparkEntry {
         |  CAST(l.doc_id = l.cluster_id AS BIGINT) AS is_canonical
         |FROM lab l JOIN sz USING (cluster_id)
         |ORDER BY doc_id""".stripMargin,
+    // incremental dedup: delta verdicts vs the documents snapshot —
+    // exact via md5 lookup, near via the two-sided prefix-filtered
+    // trigram-Jaccard join (df from the base only; delta-only shingles
+    // take df 0), else new
+    "dd_incremental" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, 'minor edit ' || text FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |    array_to_string(list_transform(range(len(string_split(text, ' ')), 0, -1),
+        |      i -> string_split(text, ' ')[i]), ' ')
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |ex AS (
+        |  SELECT d.doc_id, MIN(b.doc_id) AS exact_base
+        |  FROM delta d JOIN documents b ON md5(d.text) = md5(b.text)
+        |  GROUP BY d.doc_id),
+        |bt AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws FROM documents),
+        |bw AS (SELECT doc_id, list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(w, ''), c -> ascii(c))),
+        |    (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs FROM bt),
+        |bsg AS (SELECT doc_id, list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |    list_transform(range(1, len(whs) - 1),
+        |      i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |            + whs[i+2]) % 1000000000000000)
+        |  ELSE [] END) AS sh FROM bw),
+        |bf AS (SELECT doc_id, sh FROM bsg WHERE len(sh) > 0),
+        |dt AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws FROM delta),
+        |dw AS (SELECT doc_id, list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(w, ''), c -> ascii(c))),
+        |    (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs FROM dt),
+        |dsg AS (SELECT doc_id, list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |    list_transform(range(1, len(whs) - 1),
+        |      i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |            + whs[i+2]) % 1000000000000000)
+        |  ELSE [] END) AS sh FROM dw),
+        |df_ AS (SELECT doc_id, sh FROM dsg WHERE len(sh) > 0),
+        |bex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM bf),
+        |dex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM df_),
+        |dfq AS (SELECT s, COUNT(*) AS df FROM bex GROUP BY s),
+        |bpr AS (SELECT doc_id AS base_id, n AS nb, s FROM (
+        |    SELECT bex.doc_id, bex.s, bex.n,
+        |      row_number() OVER (PARTITION BY bex.doc_id ORDER BY dfq.df, bex.s) AS rn
+        |    FROM bex JOIN dfq USING (s)) z
+        |  WHERE rn <= n // 2 + 1),
+        |dpr AS (SELECT doc_id, n AS nd, s FROM (
+        |    SELECT dex.doc_id, dex.s, dex.n,
+        |      row_number() OVER (PARTITION BY dex.doc_id
+        |        ORDER BY coalesce(dfq.df, 0), dex.s) AS rn
+        |    FROM dex LEFT JOIN dfq USING (s)) z
+        |  WHERE rn <= n // 2 + 1),
+        |cand AS (SELECT DISTINCT d.doc_id, b.base_id
+        |  FROM dpr d JOIN bpr b ON d.s = b.s
+        |    AND 2 * LEAST(d.nd, b.nb) >= GREATEST(d.nd, b.nb)),
+        |nr AS (SELECT doc_id, MIN(base_id) AS near_base FROM (
+        |    SELECT c.doc_id, c.base_id
+        |    FROM cand c
+        |    JOIN df_ fd ON fd.doc_id = c.doc_id
+        |    JOIN bf fb ON fb.doc_id = c.base_id
+        |    WHERE CAST(len(list_intersect(fd.sh, fb.sh)) AS DOUBLE)
+        |        / (len(fd.sh) + len(fb.sh) - len(list_intersect(fd.sh, fb.sh))) >= 0.5) z
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(ex.exact_base, nr.near_base, -1) AS base_id,
+        |  CASE WHEN ex.exact_base IS NOT NULL THEN 'exact'
+        |       WHEN nr.near_base IS NOT NULL THEN 'near' ELSE 'new' END AS verdict
+        |FROM delta d
+        |LEFT JOIN ex ON ex.doc_id = d.doc_id
+        |LEFT JOIN nr ON nr.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

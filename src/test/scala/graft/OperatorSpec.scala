@@ -638,6 +638,25 @@ class OperatorSpec extends AnyFunSuite {
       (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
   }
 
+  test("incremental dedup: re-crawls verdict exact, prefix edits near, reversed docs new") {
+    import spark.implicits._
+    val got = DedupOps.incrementalDedup(spark, sf0001)
+      .as[(Long, Long, String)].collect().toSeq
+    val byKind = got.groupBy(_._1 / 100000)
+    // exact re-crawls (id+300000) must all hash-match their own base doc
+    assert(byKind(3L).nonEmpty &&
+      byKind(3L).forall { case (id, base, v) => v == "exact" && base == id - 300000 })
+    // prefix-edited re-crawls (id+400000) are near-dups of SOME base doc
+    // (usually their own ancestor, but min(base_id) may legitimately pick
+    // a different base doc that clears the 0.5 threshold too)
+    assert(byKind(4L).nonEmpty &&
+      byKind(4L).forall { case (_, base, v) => v == "near" && base >= 0L })
+    // word-reversed docs (id+500000) share vocabulary but no trigrams
+    assert(byKind(5L).nonEmpty &&
+      byKind(5L).forall { case (_, base, v) => v == "new" && base == -1L })
+    spark.catalog.clearCache()
+  }
+
   test("dupClusters on an empty pair graph returns empty; searchPhrase rejects empty phrases") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
