@@ -122,6 +122,7 @@ object SparkEntry {
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
     "dd_semantic"              -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
     "sim_quantize_int8"        -> SimilarityOps.quantizeInt8 _,
+    "sim_kmeans_step"          -> ((s: SparkSession, d: String) => SimilarityOps.kmeansStep(s, d)),
     "sim_int8_topk"            -> SimilarityOps.int8TopK _,
     "sim_pq_codes"             -> SimilarityOps.pqCodes _,
     "sim_pq_recall"            -> SimilarityOps.pqRecall _,
@@ -1719,6 +1720,37 @@ object SparkEntry {
         |  array_to_string(list_transform(emb,
         |    x -> CAST(CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q_csv
         |FROM s WHERE scale > 0 ORDER BY vec_id""".stripMargin,
+    // one integer-exact Lloyd step: IVF argmax assignment (same CTEs as
+    // sim_ivf_ann), then per-(centroid, dim) BIGINT sums of the int8
+    // codes — order-independent, so the mean estimate matches bitwise
+    "sim_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+        |      FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id LIMIT 16),
+        |a0 AS (
+        |  SELECT n.vec_id, n.emb, c.cent_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * cemb[i])), (x, y) -> x + y) / (nrm * cnrm) AS cscore
+        |  FROM n CROSS JOIN c),
+        |ar AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cscore DESC, cent_id) AS arn FROM a0),
+        |a AS (SELECT vec_id, emb, cent_id FROM ar WHERE arn = 1),
+        |qv AS (SELECT cent_id, emb,
+        |  list_max(list_transform(emb, x -> abs(x))) AS scale FROM a),
+        |qq AS (
+        |  SELECT cent_id, unnest(list_transform(range(0, len(emb)),
+        |    i -> {'dim': i,
+        |          'qc': CAST(floor(emb[i+1] * 127.0 / scale + 0.5) AS BIGINT)})) AS u
+        |  FROM qv WHERE scale > 0)
+        |SELECT cent_id, u.dim AS dim, COUNT(*) AS cnt,
+        |  CAST(SUM(u.qc) AS BIGINT) AS qsum,
+        |  CAST(SUM(u.qc) AS DOUBLE) / COUNT(*) AS qmean
+        |FROM qq GROUP BY cent_id, u.dim
+        |ORDER BY cent_id, dim""".stripMargin,
     // int8 MIPS serving: exact integer dot of the quantized vectors,
     // dequantized by both scale factors in the same expression order
     "sim_int8_topk" ->

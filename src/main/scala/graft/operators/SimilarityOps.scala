@@ -430,6 +430,39 @@ object SimilarityOps {
     * half-even vs half-away ambiguity). Row-local, zero shuffles; the
     * quantized vector is serialized to CSV because array columns can't
     * cross the driver's comparator. */
+  /** One Lloyd refinement step of the IVF codebook in integer-exact
+    * arithmetic — the periodic index-maintenance job of an ANN serving
+    * stack (re-estimate every centroid from its assigned vectors so the
+    * coarse quantizer tracks corpus drift). Assignment is the same
+    * map-only broadcast-codebook argmax as [[ivfAnnTopK]]; the update
+    * sums int8-quantized components ([[quantizeInt8]]'s grid) per
+    * (centroid, dimension): BIGINT sums of exact small integers are
+    * order-independent, so the refreshed estimate (qsum/cnt — one IEEE
+    * division of exact operands) hash-matches the oracle bitwise,
+    * where an all-double mean would depend on partition fold order.
+    *
+    * Scale shape: ONE corpus scan; quantization and the per-vector
+    * argmax are row-local; the only exchange carries (cent_id, dim)
+    * partial sums — map-side combine caps it at k·dims rows per
+    * partition regardless of N. */
+  def kmeansStep(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = ivfCentroids(e, k)
+    val quant = withNearestCentroid(e, cents)
+      .withColumn("scale", array_max(transform(col("emb"), x => abs(x))))
+      .filter(col("scale") > 0)
+      .select(col("cent_id"),
+        posexplode(transform(col("emb"),
+          x => floor(x * lit(127.0) / col("scale") + lit(0.5)))))
+      .toDF("cent_id", "dim", "qc")
+    quant.groupBy("cent_id", "dim")
+      .agg(count(lit(1)).as("cnt"), sum(col("qc")).as("qsum"))
+      .select(col("cent_id"), col("dim").cast("long").as("dim"),
+        col("cnt"), col("qsum"),
+        (col("qsum").cast("double") / col("cnt")).as("qmean"))
+      .orderBy("cent_id", "dim")
+  }
+
   def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),

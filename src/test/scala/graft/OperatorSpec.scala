@@ -638,6 +638,20 @@ class OperatorSpec extends AnyFunSuite {
       (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
   }
 
+  test("kmeans step: every vector counted once per dim, quantized means bounded") {
+    import spark.implicits._
+    val got = SimilarityOps.kmeansStep(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val nVecs = graft.Tables.embeddings(spark, sf0001).count()
+    // per dimension, the per-centroid counts partition the corpus
+    val byDim = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(byDim.values.toSet == Set(nVecs))
+    // int8 grid bounds the mean estimate
+    assert(got.forall { case (_, _, _, _, m) => m >= -127.0 && m <= 127.0 })
+    // a refinement step must produce a non-degenerate codebook (>1 cluster)
+    assert(got.map(_._1).distinct.size > 1)
+  }
+
   test("incremental dedup: re-crawls verdict exact, prefix edits near, reversed docs new") {
     import spark.implicits._
     val got = DedupOps.incrementalDedup(spark, sf0001)
