@@ -95,6 +95,7 @@ object SparkEntry {
     "txt_tfidf_top"            -> TextOps.tfidfTopTerms _,
     "txt_sql_fingerprint"      -> TextOps.sqlFingerprint _,
     "txt_mixture_sample"       -> TextOps.mixtureSample _,
+    "txt_stratified_sample"    -> TextOps.stratifiedSample _,
     "txt_redact_pii"           -> TextOps.redactPii _,
     "txt_repetition"           -> TextOps.repetitionScore _,
     "pipe_curation"            -> TextOps.curateCorpus _,
@@ -1189,6 +1190,23 @@ object SparkEntry {
         |    (h, c) -> (h * 31 + c) % 1000000000000000) % 100
         |  < CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 30 ELSE 10 END
         |GROUP BY source ORDER BY source""".stripMargin,
+    // exact per-stratum quota: rank by the portable content hash inside
+    // each source, keep the first ceil(n_s/5)
+    "txt_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    COUNT(*) OVER (PARTITION BY source) AS ns,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+        |FROM r WHERE rn <= (ns + 4) // 5
+        |ORDER BY source, sample_rank""".stripMargin,
     "txt_sql_fingerprint" ->
       """WITH wh AS (
         |  SELECT doc_id, text,

@@ -229,6 +229,34 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Exact stratified sampling — the quota-true companion to
+    * [[mixtureSample]]: hash-rate sampling hits each source's target
+    * only in expectation, but mixture rebalancing ("exactly 20% of
+    * every source") needs the quota EXACT per stratum. Rank each
+    * source's docs by the portable content hash (no RNG — reproducible
+    * on any engine, any cluster size, and under reruns, the property a
+    * resumable 100 TB sampling job needs) and keep the first
+    * ceil(n_s/5).
+    *
+    * Scale shape: ONE exchange keyed on source; the rank window and the
+    * stratum-size count window share its partitioning, so the quota
+    * costs no second pass over the data. A pathologically hot stratum
+    * is the standard skew case — sub-salt the rank key and merge
+    * per-salt quotas (the two-level pattern of [[shardExport]]); not
+    * needed at these corpus shapes. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), expr("poly_hash(text)").as("h"))
+      .withColumn("ns", count(lit(1)).over(wCnt))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= expr("(ns + 4) DIV 5"))
+      .select(col("doc_id"), col("source"), col("rn").as("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
+
   /** PII redaction — the scrub pass every training corpus runs before
     * export. The synthetic corpus carries no PII, so each doc gets a
     * deterministic email + phone appended (same construction both

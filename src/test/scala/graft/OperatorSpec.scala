@@ -638,6 +638,16 @@ class OperatorSpec extends AnyFunSuite {
       (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
   }
 
+  test("stratified sample: quota is exactly ceil(ns/5) per source") {
+    import spark.implicits._
+    val sizes = graft.Tables.documents(spark, sf0001)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val sampled = TextOps.stratifiedSample(spark, sf0001)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(sampled.keySet == sizes.keySet)
+    assert(sampled.forall { case (s, n) => n == (sizes(s) + 4) / 5 })
+  }
+
   test("kmeans step: every vector counted once per dim, quantized means bounded") {
     import spark.implicits._
     val got = SimilarityOps.kmeansStep(spark, sf0001)
