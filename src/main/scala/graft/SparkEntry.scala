@@ -117,6 +117,7 @@ object SparkEntry {
     "dd_incremental"           -> DedupOps.incrementalDedup _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
+    "sim_hard_negatives"       -> SimilarityOps.hardNegatives _,
     "sim_lsh_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.lshAnnTopK(s, d)),
     "sim_ivf_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.ivfAnnTopK(s, d)),
     "sim_recall"               -> SimilarityOps.annRecall _,
@@ -1535,6 +1536,25 @@ object SparkEntry {
         |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
         |      i -> emb[i] * emb[i])), (x, y) -> x + y))) AS score
         |  FROM q, e WHERE e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT q_id, vec_id, score, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // hard negatives: brute-force cosine rank restricted to vectors
+    // whose label differs from the anchor's
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q_id, vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * q_emb[i])), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * emb[i])), (x, y) -> x + y))) AS score
+        |  FROM q, e WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
         |r AS (
         |  SELECT q_id, vec_id, score,
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn

@@ -108,6 +108,35 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
+  /** Hard-negative mining — the contrastive-training curation op: for
+    * each query (anchor) vector, the top-k most-similar vectors whose
+    * `label` DIFFERS from the anchor's. High-similarity different-label
+    * examples are exactly the negatives a contrastive or reranker
+    * training run needs; easy (dissimilar) negatives teach nothing.
+    *
+    * Same scale shape as [[bruteForceTopK]] — tiny anchor batch
+    * broadcast against one corpus scan, label inequality fused into the
+    * join predicate so mismatched rows are dropped BEFORE any scoring
+    * or shuffle, top-k through the bounded aggregator (k rows per
+    * partition cross the exchange, never the scored corpus). */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val top = graft.functions.TopKAggregator.topKPairs(10)
+    e.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
+      .groupBy("q_id")
+      .agg(top(col("vec_id"), col("score")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Approximate top-10 via MULTI-TABLE hyperplane LSH (the standard
     * recall dial for top-k ANN): `tables` independent hash tables of
     * `bits` sign bits each; candidates are vectors sharing ANY table's

@@ -638,6 +638,17 @@ class OperatorSpec extends AnyFunSuite {
       (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
   }
 
+  test("hard negatives: no returned vector shares the anchor's label; 10 per anchor") {
+    import spark.implicits._
+    val labels = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).as[(Long, String)].collect().toMap
+    val got = SimilarityOps.hardNegatives(spark, sf0001)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Long)].collect().toSeq
+    assert(got.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted == (1L to 10L) })
+    assert(got.forall { case (q, v, _) => labels(v) != labels(q) })
+  }
+
   test("stratified sample: quota is exactly ceil(ns/5) per source") {
     import spark.implicits._
     val sizes = graft.Tables.documents(spark, sf0001)
