@@ -96,6 +96,7 @@ object SparkEntry {
     "txt_sql_fingerprint"      -> TextOps.sqlFingerprint _,
     "txt_mixture_sample"       -> TextOps.mixtureSample _,
     "txt_stratified_sample"    -> TextOps.stratifiedSample _,
+    "pipe_curriculum"          -> TextOps.curriculumMixture _,
     "txt_redact_pii"           -> TextOps.redactPii _,
     "txt_repetition"           -> TextOps.repetitionScore _,
     "pipe_curation"            -> TextOps.curateCorpus _,
@@ -1191,6 +1192,26 @@ object SparkEntry {
         |    (h, c) -> (h * 31 + c) % 1000000000000000) % 100
         |  < CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 30 ELSE 10 END
         |GROUP BY source ORDER BY source""".stripMargin,
+    // curriculum mixture: exact global quality rank -> decile x source
+    // contingency table (two-level numbering on the Spark side, plain
+    // global window here)
+    "pipe_curriculum" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.5
+        |    + (CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(ws)) * 0.3
+        |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.2 AS qs
+        |  FROM w),
+        |r AS (
+        |  SELECT source, row_number() OVER (ORDER BY qs, doc_id) AS rnk,
+        |    COUNT(*) OVER () AS n FROM m)
+        |SELECT CAST((rnk - 1) * 10 // n AS BIGINT) AS decile, source,
+        |  COUNT(*) AS n_docs
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact per-stratum quota: rank by the portable content hash inside
     // each source, keep the first ceil(n_s/5)
     "txt_stratified_sample" ->

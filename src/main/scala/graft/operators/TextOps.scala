@@ -229,6 +229,51 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Curriculum mixture table — the quality-ordered scheduling pass of
+    * curriculum training: decile-bucket the corpus by [[qualityScore]]'s
+    * composite score and emit the (decile, source) contingency table a
+    * scheduler samples from (low deciles early, high deciles late).
+    *
+    * The global quality rank is computed WITHOUT a global window (a
+    * single-task sort at 100 TB): scores are range-bucketed by the
+    * DETERMINISTIC key floor(qs·64) — monotone in the score, so bucket
+    * order is rank order — numbered per bucket in parallel, and each
+    * bucket adds the running count of the buckets before it (the
+    * two-level numbering of [[graft.operators.ArticleOps.batchReport]];
+    * the only serial step is the O(#buckets) offset scan, and the offset
+    * table broadcasts). Deciles follow from the exact rank, so the
+    * result is identical to `ntile`-style ranking while every data-size
+    * stage stays partition-parallel. */
+  def curriculumMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nTok = size(ws)
+    val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    val nStop = size(filter(ws, w => array_contains(stop, w)))
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val ttr = size(array_distinct(ws)).cast("double") / nTok
+    val qs = ttr * 0.5 + (nStop.cast("double") / nTok) * 0.3 +
+      (lit(1.0) - nPunct.cast("double") / length(col("text"))) * 0.2
+    val scored = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), qs.as("qs"))
+      .withColumn("qb", least(floor(col("qs") * 64).cast("long"), lit(63L)))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("qb").orderBy("qs", "doc_id")
+    val offsets = scored.groupBy("qb").agg(count(lit(1)).as("bn"))
+      .withColumn("offset", coalesce(sum(col("bn")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("qb")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("qb", "offset")
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    scored.join(broadcast(offsets), "qb")
+      .withColumn("rnk", col("offset") + row_number().over(wIn))
+      .crossJoin(broadcast(total))
+      .withColumn("decile", expr("((rnk - 1) * 10) DIV n_total"))
+      .groupBy("decile", "source").agg(count(lit(1)).as("n_docs"))
+      .orderBy("decile", "source")
+  }
+
   /** Exact stratified sampling — the quota-true companion to
     * [[mixtureSample]]: hash-rate sampling hits each source's target
     * only in expectation, but mixture rebalancing ("exactly 20% of

@@ -638,6 +638,18 @@ class OperatorSpec extends AnyFunSuite {
       (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
   }
 
+  test("curriculum mixture: deciles partition the corpus with near-equal mass") {
+    import spark.implicits._
+    val got = TextOps.curriculumMixture(spark, sf0001)
+      .as[(Long, String, Long)].collect().toSeq
+    val n = graft.Tables.documents(spark, sf0001).count()
+    val perDecile = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDecile.keySet == (0L to 9L).toSet)
+    assert(perDecile.values.sum == n)
+    // exact-rank deciles differ by at most one doc
+    assert(perDecile.values.max - perDecile.values.min <= 1)
+  }
+
   test("hard negatives: no returned vector shares the anchor's label; 10 per anchor") {
     import spark.implicits._
     val labels = graft.Tables.embeddings(spark, sf0001)
