@@ -35,4 +35,20 @@ object DocStreamOps {
         size(filter(split(lower(col("text")), " "), t => length(t) > 0)))
       .filter(col("n_tokens") >= minTokens)
       .select("doc_id", "source", "n_tokens", "text_md5")
+
+  /** Streaming restatement of the exact path of
+    * [[graft.operators.DedupOps.incrementalDedup]]: the doc firehose is
+    * anti-joined per micro-batch against the STATIC snapshot hash table
+    * — only docs the lake has never seen pass. Stream-static joins are
+    * stateless on the stream side (no watermark state; the static side
+    * is broadcast or re-scanned per batch), so this composes with
+    * [[curateDocStream]]: `dropDuplicatesWithinWatermark` dedups the
+    * stream against itself inside the horizon, this join dedups it
+    * against the corpus at rest. At 100 TB the snapshot side is the
+    * narrow (md5, id) projection of the lake — a bucketed lookup table,
+    * never the text. */
+  def novelAgainstSnapshot(docs: DataFrame, snapshotMd5: DataFrame): DataFrame =
+    docs.withColumn("text_md5", md5(col("text").cast("binary")))
+      .join(snapshotMd5.select("text_md5"), Seq("text_md5"), "left_anti")
+      .select("doc_id", "source", "text_md5")
 }

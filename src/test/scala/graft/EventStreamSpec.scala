@@ -212,6 +212,35 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming novel-vs-snapshot filter drops every doc the static snapshot holds") {
+    import spark.implicits._
+    import graft.streaming.DocStreamOps
+    import graft.streaming.DocStreamOps.DocRow
+    implicit val sql = spark.sqlContext
+    // static side: the lake snapshot's (md5, id) lookup projection
+    val snapshot = Seq("the quick brown fox", "an archived document")
+      .toDF("text")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")
+          .cast("binary")).as("text_md5"))
+    val mem = MemoryStream[DocRow]
+    val q = DocStreamOps.novelAgainstSnapshot(mem.toDF(), snapshot)
+      .writeStream.format("memory").queryName("novel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        DocRow(1L, ts(0), "a", "the quick brown fox"),      // in snapshot: dropped
+        DocRow(2L, ts(1), "a", "a brand new document"),     // novel: passes
+        DocRow(3L, ts(2), "b", "an archived document"))     // in snapshot: dropped
+      q.processAllAvailable()
+      mem.addData(
+        DocRow(4L, ts(3), "c", "another novel document"))   // novel: passes
+      q.processAllAvailable()
+      val got = spark.table("novel").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
