@@ -428,7 +428,7 @@ object DedupOps {
     * Contract: the caller releases the persisted blocks via
     * spark.catalog.clearCache() after the consuming action. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = corpus(spark, sfDir)
+    val sh = Tables.spread(corpus(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), simhashValue.as("simhash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = sh.select(col("doc_id"), col("simhash"),
