@@ -22,6 +22,7 @@ object SparkEntry {
     // --- relational core ---
     "rel_pricing_summary"      -> RelationalOps.pricingSummary _,
     "rel_shipping_priority"    -> RelationalOps.shippingPriority _,
+    "rel_sql_returned_items"   -> RelationalOps.sqlReturnedItems _,
     "rel_region_revenue"       -> RelationalOps.regionRevenue _,
     "rel_semi_join_open_orders" -> RelationalOps.customersWithOpenOrders _,
     "rel_anti_join_no_orders"  -> RelationalOps.customersWithoutOrders _,
@@ -122,6 +123,7 @@ object SparkEntry {
     "sim_lsh_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.lshAnnTopK(s, d)),
     "sim_ivf_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.ivfAnnTopK(s, d)),
     "sim_recall"               -> SimilarityOps.annRecall _,
+    "sim_mrr"                  -> SimilarityOps.annMrr _,
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
     "dd_semantic"              -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
     "sim_quantize_int8"        -> SimilarityOps.quantizeInt8 _,
@@ -162,6 +164,20 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // SQL-entry Q10 shape: same decimal discipline as rel_region_revenue
+    "rel_sql_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "rel_region_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
@@ -1704,6 +1720,47 @@ object SparkEntry {
         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
         |FROM w LEFT JOIN dropped d ON d.vec_id = w.vec_id
         |ORDER BY w.vec_id""".stripMargin,
+    // integer-scaled MRR: per-anchor reciprocal-rank contribution of the
+    // LSH index against the brute-force true NN, scaled by lcm(1..10)
+    "sim_mrr" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e0),
+        |bq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 5),
+        |bs AS (
+        |  SELECT q_id, n.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
+        |  FROM bq, n WHERE n.vec_id <> bq.q_id),
+        |brr AS (SELECT q_id, vec_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM bs),
+        |tn AS (SELECT q_id, vec_id AS true_nn FROM brr WHERE rn = 1),
+        |ltb AS (
+        |  SELECT vec_id, t,
+        |    CAST(list_sum(list_transform(range(0, 4), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |          j -> emb[j] * CAST((1 + (t*4+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          (x, y) -> x + y) >= 0
+        |      THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+        |  FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
+        |lcand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+        |  FROM ltb q JOIN ltb c ON q.t = c.t AND q.bkt = c.bkt
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |ls AS (SELECT q_id, lcand.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(qe.emb)+1),
+        |      i -> qe.emb[i] * ce.emb[i])), (x, y) -> x + y) / (qe.nrm * ce.nrm) AS score
+        |  FROM lcand
+        |  JOIN n qe ON qe.vec_id = lcand.q_id
+        |  JOIN n ce ON ce.vec_id = lcand.vec_id),
+        |lr AS (SELECT q_id, vec_id, rn FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM ls) t
+        |  WHERE rn <= 10)
+        |SELECT tn.q_id, tn.true_nn,
+        |  CAST(coalesce(lr.rn, -1) AS BIGINT) AS ann_rank,
+        |  CAST(CASE WHEN lr.rn IS NOT NULL THEN 2520 // lr.rn ELSE 0 END AS BIGINT) AS contrib_scaled
+        |FROM tn LEFT JOIN lr ON lr.q_id = tn.q_id AND lr.vec_id = tn.true_nn
+        |ORDER BY tn.q_id""".stripMargin,
     "sim_recall" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,

@@ -314,4 +314,33 @@ object RelationalOps {
       .select("p_partkey", "p_brand", "p_retailprice")
       .orderBy("p_partkey")
   }
+
+  /** TPC-H Q10 shape (returned-item reporting) through the SQL ENTRY
+    * PATH — the relational analogue of TextOps' fingerprint-via-SQL:
+    * registered temp views over the same parquet loaders, the whole
+    * query handed to `spark.sql`. Same Catalyst plan space as the
+    * DataFrame suite (the optimizer sees identical logical plans), so
+    * this pins API parity: a user arriving with SQL gets the same
+    * broadcast-dim join and decimal-exact aggregation discipline
+    * (DECIMAL(12,2) partials, double only at the edge) the DataFrame
+    * spellings use. */
+  def sqlReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT c_custkey, c_name, n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM lineitem_v
+      JOIN orders_v ON l_orderkey = o_orderkey
+      JOIN customer_v ON o_custkey = c_custkey
+      JOIN nation_v ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-10-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""")
+  }
 }

@@ -768,4 +768,27 @@ object SimilarityOps {
       .unionAll(one(lshAnnTopK(spark, sfDir), "lsh"))
       .orderBy("method")
   }
+
+  /** ANN ranking-quality measurement in EXACT integer arithmetic — MRR
+    * (mean reciprocal rank) is the standard "did the index put the true
+    * neighbor near the top" companion to recall@k ([[annRecall]]).
+    * Reciprocal ranks are fractions and a double Σ 1/rank depends on
+    * partition fold order, so each query's contribution is scaled by
+    * 2520 = lcm(1..10): `2520 DIV ann_rank` is an exact integer for
+    * every rank in the k=10 window, sums are order-independent, and
+    * MRR = Σcontrib / (2520·|Q|) is one exact division left to the
+    * consumer. Per-query rows keep the measurement debuggable (WHICH
+    * anchor the index failed is the actionable part). */
+  def annMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    val trueNn = bruteForceTopK(spark, sfDir).filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id").as("true_nn"))
+    val ann = lshAnnTopK(spark, sfDir)
+      .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"), col("rn"))
+    trueNn.join(ann,
+        col("q_id") === col("a_qid") && col("true_nn") === col("a_vid"), "left")
+      .select(col("q_id"), col("true_nn"),
+        coalesce(col("rn"), lit(-1L)).as("ann_rank"),
+        coalesce(expr("2520 DIV rn"), lit(0L)).as("contrib_scaled"))
+      .orderBy("q_id")
+  }
 }
