@@ -98,6 +98,7 @@ object SparkEntry {
     "txt_mixture_sample"       -> TextOps.mixtureSample _,
     "txt_stratified_sample"    -> TextOps.stratifiedSample _,
     "pipe_curriculum"          -> TextOps.curriculumMixture _,
+    "txt_rarity"               -> TextOps.rarityScore _,
     "txt_redact_pii"           -> TextOps.redactPii _,
     "txt_repetition"           -> TextOps.repetitionScore _,
     "pipe_curation"            -> TextOps.curateCorpus _,
@@ -1208,6 +1209,19 @@ object SparkEntry {
         |    (h, c) -> (h * 31 + c) % 1000000000000000) % 100
         |  < CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 30 ELSE 10 END
         |GROUP BY source ORDER BY source""".stripMargin,
+    // unigram rarity: integer inverse-frequency surprisal proxy
+    "txt_rarity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |cnts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnts)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(n_total // cnt) AS BIGINT) AS rarity_sum,
+        |  CAST(SUM(n_total // cnt) // COUNT(*) AS BIGINT) AS rarity_per_token
+        |FROM tok JOIN cnts USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // curriculum mixture: exact global quality rank -> decile x source
     // contingency table (two-level numbering on the Spark side, plain
     // global window here)

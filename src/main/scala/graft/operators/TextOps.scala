@@ -229,6 +229,35 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Unigram rarity score — the corpus-statistics quality signal of the
+    * CCNet/Gopher LM-filter family, in EXACT integer arithmetic: a
+    * document full of rare terms scores high, boilerplate scores low.
+    * Each token contributes `N DIV cnt(term)` (N = total corpus tokens)
+    * — an integer inverse-frequency surprisal proxy, so distributed
+    * sums are order-independent and the oracle hash-matches bitwise
+    * where a float Σ -log p(w) would drift with both fold order and
+    * libm (log is not correctly rounded in either engine).
+    *
+    * Scale shape: tokenize is row-local; term counts are one map-side-
+    * combined aggregate over a vocabulary-sized table (broadcast at
+    * bench scale, shuffle equi-join beyond — the dedup-ladder shape);
+    * the per-doc fold is a second combined aggregate. Nothing touches
+    * N·vocab. */
+  def rarityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val cnts = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("n_total"))
+    tok.join(broadcast(cnts), "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("n_total DIV cnt")).as("rarity_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("rarity_sum"),
+        expr("rarity_sum DIV n_tokens").as("rarity_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** Curriculum mixture table — the quality-ordered scheduling pass of
     * curriculum training: decile-bucket the corpus by [[qualityScore]]'s
     * composite score and emit the (decile, source) contingency table a
