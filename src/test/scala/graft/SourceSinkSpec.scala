@@ -60,6 +60,36 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,"))
   }
 
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact scan") {
+    // The star-join mechanism a 100 TB fact table lives on: the fact is
+    // written hive-partitioned on the join key; joining a FILTERED tiny
+    // dimension must inject a runtime DynamicPruning subquery into the
+    // fact scan's partition filters, so only the surviving partitions'
+    // files are read — without the writer or the query naming them.
+    val dir = tmpDir("dpp")
+    graft.Tables.orders(spark, SparkFixture.sf0001)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val aMonth = fact.select("o_month").orderBy("o_month").limit(1)
+      .collect().head.getString(0)
+    import spark.implicits._
+    // the dim must be a real scan: a filter over an in-memory Seq
+    // constant-folds away and DPP sees no selective predicate
+    val dimDir = tmpDir("dpp_dim")
+    Seq((aMonth, "keep"), ("9999-12", "drop")).toDF("m", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("tag") === "keep"),
+      fact("o_month") === dim("m"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruning in plan:\n${plan.take(2000)}")
+    // semantics: only the kept month's rows flow
+    val got = joined.select("o_month").distinct().collect().map(_.getString(0)).toSeq
+    assert(got == Seq(aMonth))
+  }
+
   test("CSV round-trip preserves schema and rows") {
     import spark.implicits._
     val dir = tmpDir("csv")
