@@ -41,13 +41,23 @@ object DedupOps {
     * both engines: the documents plus an exact copy of every 10th doc and
     * a prefix-perturbed near-copy of every (10k+5)th doc. */
   def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE scan: each row emits itself plus (conditionally) its seeded
+    // copy via explode — the union-of-three-filtered-scans spelling
+    // re-read and re-decoded the table once per branch, and every
+    // consumer in the dedup family paid it (same rows either way, so
+    // the oracles' UNION ALL spelling is unchanged)
     val d = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
-    val exact = d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text"))
-    val near = d.filter(col("doc_id") % 10 === 5)
-      .select((col("doc_id") + 200000).as("doc_id"), col("source"),
-        concat(lit("extra words added "), col("text")).as("text"))
-    d.unionAll(exact).unionAll(near)
+    val self = struct(col("doc_id"), col("source"), col("text"))
+    val m = col("doc_id") % 10
+    d.select(explode(
+        when(m === 0, array(self, struct((col("doc_id") + 100000).as("doc_id"),
+          col("source"), col("text"))))
+        .when(m === 5, array(self, struct((col("doc_id") + 200000).as("doc_id"),
+          col("source"),
+          concat(lit("extra words added "), col("text")).as("text"))))
+        .otherwise(array(self))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.source").as("source"),
+        col("e.text").as("text"))
   }
 
   /** Exact dedup: group by content hash, keep groups with >1 copy.
@@ -456,15 +466,18 @@ object DedupOps {
     * — same vocabulary, different content: genuinely new). Deterministic
     * on both engines at every scale factor. */
   def incrementalDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    // one scan, one conditional projection — the branches are disjoint
+    // (doc_id mod 10 ∈ {0, 3, 7}), so no explode is even needed
     val d = Tables.documents(spark, sfDir).select("doc_id", "text")
-    d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 300000).as("doc_id"), col("text"))
-      .unionAll(d.filter(col("doc_id") % 10 === 3)
-        .select((col("doc_id") + 400000).as("doc_id"),
-          concat(lit("minor edit "), col("text")).as("text")))
-      .unionAll(d.filter(col("doc_id") % 10 === 7)
-        .select((col("doc_id") + 500000).as("doc_id"),
-          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+    val m = col("doc_id") % 10
+    d.filter(m.isin(0, 3, 7))
+      .select(
+        (col("doc_id") + when(m === 0, 300000)
+          .when(m === 3, 400000).otherwise(500000)).as("doc_id"),
+        when(m === 0, col("text"))
+          .when(m === 3, concat(lit("minor edit "), col("text")))
+          .otherwise(array_join(reverse(split(col("text"), " ")), " "))
+          .as("text"))
   }
 
   /** Incremental (snapshot ⟂ delta) dedup — the nightly shape of a crawl
