@@ -301,16 +301,22 @@ object SimilarityOps {
     * bit-for-bit) — LSH recall on the seeded dups is exact by
     * construction, not probabilistically. */
   def embCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE scan: each row emits itself plus (conditionally) its scaled
+    // copy via explode, instead of a union re-reading the table per
+    // seeded branch (same rows, oracles' UNION ALL spelling unchanged)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
-    val x2 = e.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
-        transform(col("emb"), x => x * lit(2.0)).as("emb"))
-    val half = e.filter(col("vec_id") % 10 === 5)
-      .select((col("vec_id") + 200000).as("vec_id"), col("label"),
-        transform(col("emb"), x => x * lit(0.5)).as("emb"))
-    e.unionAll(x2).unionAll(half)
+    val self = struct(col("vec_id"), col("label"), col("emb"))
+    val m = col("vec_id") % 10
+    e.select(explode(
+        when(m === 0, array(self, struct((col("vec_id") + 100000).as("vec_id"),
+          col("label"), transform(col("emb"), x => x * lit(2.0)).as("emb"))))
+        .when(m === 5, array(self, struct((col("vec_id") + 200000).as("vec_id"),
+          col("label"), transform(col("emb"), x => x * lit(0.5)).as("emb"))))
+        .otherwise(array(self))).as("e"))
+      .select(col("e.vec_id").as("vec_id"), col("e.label").as("label"),
+        col("e.emb").as("emb"))
   }
 
   /** Embedding near-dup pairs over the dup-seeded corpus via
