@@ -34,13 +34,14 @@ object GraphOps {
   def rankEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id")
     val n = docs.count() // metadata-scale action: one number on the driver
-    val e1 = docs.select(col("doc_id").as("src"),
-      ((col("doc_id") * 7 + 1) % n).as("dst"))
-    val e2 = docs.select(col("doc_id").as("src"),
-      ((col("doc_id") * 13 + 3) % n).as("dst"))
-    val e3 = docs.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id").as("src"), ((col("doc_id") * 3 + 5) % n).as("dst"))
-    e1.unionAll(e2).unionAll(e3)
+    // one scan: each doc emits its 2-3 out-edges via explode (the
+    // union-of-three-selects spelling scanned the table per branch)
+    def edge(mul: Int, add: Int) =
+      struct(col("doc_id").as("src"), ((col("doc_id") * mul + add) % n).as("dst"))
+    docs.select(explode(
+        when(col("doc_id") % 2 === 0, array(edge(7, 1), edge(13, 3), edge(3, 5)))
+          .otherwise(array(edge(7, 1), edge(13, 3)))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** PageRank in INTEGER arithmetic — the rank-iteration shape
