@@ -844,9 +844,10 @@ object SparkEntry {
         |  CAST(n_distinct AS DOUBLE) / n_tok AS type_token_ratio,
         |  CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
         |  CAST(n_punct AS DOUBLE) / length(text) AS punct_ratio,
-        |  (CAST(n_distinct AS DOUBLE) / n_tok) * 0.5
+        |  CASE WHEN n_tok = 0 OR length(text) = 0 THEN 0.0 ELSE
+        |    (CAST(n_distinct AS DOUBLE) / n_tok) * 0.5
         |    + (CAST(n_stop AS DOUBLE) / n_tok) * 0.3
-        |    + (1.0 - CAST(n_punct AS DOUBLE) / length(text)) * 0.2 AS quality_score
+        |    + (1.0 - CAST(n_punct AS DOUBLE) / length(text)) * 0.2 END AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
     "txt_langid" ->
       """WITH w AS (
@@ -1232,9 +1233,10 @@ object SparkEntry {
         |  FROM documents),
         |m AS (
         |  SELECT doc_id, source,
+        |    CASE WHEN len(ws) = 0 OR length(text) = 0 THEN 0.0 ELSE
         |    (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.5
         |    + (CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(ws)) * 0.3
-        |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.2 AS qs
+        |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.2 END AS qs
         |  FROM w),
         |r AS (
         |  SELECT source, row_number() OVER (ORDER BY qs, doc_id) AS rnk,

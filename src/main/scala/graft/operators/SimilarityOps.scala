@@ -91,13 +91,14 @@ object SimilarityOps {
     * at 100 TB that is the difference between shuffling k rows and
     * shuffling the corpus. Ordering (score desc, vec_id asc) matches
     * the window formulation exactly, so the oracle is unchanged. */
-  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir)
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"))
+  /** Shared broadcast-query × corpus-scan cosine top-10 pipeline of
+    * [[bruteForceTopK]] and [[hardNegatives]]: one definition so the
+    * tiebreak, top-k shaping, and aggregator bound can never drift
+    * between the exact ranker and the ops measured against it. */
+  private def cosineTopK(e: DataFrame, q: DataFrame,
+                         pred: Column): DataFrame = {
     val top = graft.functions.TopKAggregator.topKPairs(10)
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    e.join(broadcast(q), pred)
       .select(col("q_id"), col("vec_id"),
         cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
       .groupBy("q_id")
@@ -106,6 +107,14 @@ object SimilarityOps {
       .select(col("q_id"), col("col.id").as("vec_id"),
         col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
       .orderBy("q_id", "rn")
+  }
+
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    cosineTopK(e, q, col("vec_id") =!= col("q_id"))
   }
 
   /** Hard-negative mining — the contrastive-training curation op: for
@@ -124,17 +133,8 @@ object SimilarityOps {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    val top = graft.functions.TopKAggregator.topKPairs(10)
-    e.join(broadcast(q),
-        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
-      .select(col("q_id"), col("vec_id"),
-        cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
-      .groupBy("q_id")
-      .agg(top(col("vec_id"), col("score")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), col("col.id").as("vec_id"),
-        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
-      .orderBy("q_id", "rn")
+    cosineTopK(e, q,
+      col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
   }
 
   /** Approximate top-10 via MULTI-TABLE hyperplane LSH (the standard

@@ -106,10 +106,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Composite quality score over `text` — ONE definition shared by
+    * [[qualityScore]] and [[curriculumMixture]], so the curriculum
+    * buckets by exactly the published score. Degenerate docs (no tokens
+    * or empty text) take 0.0 EXPLICITLY: Spark's 0.0/0 is NaN while
+    * DuckDB's is NULL, and the two engines rank those differently —
+    * without the guard a single empty doc would shift every global
+    * quality rank and break the curriculum oracle. */
+  private[graft] def compositeQuality: Column = {
+    val ws = words(col("text"))
+    val nTok = size(ws)
+    val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    val nStop = size(filter(ws, w => array_contains(stop, w)))
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val ttr = size(array_distinct(ws)).cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    val punctRatio = nPunct.cast("double") / length(col("text"))
+    when(nTok === 0 || length(col("text")) === 0, lit(0.0))
+      .otherwise(ttr * 0.5 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2)
+  }
+
   /** Quality-score columns (the heuristics LLM-corpus filters apply:
     * length, lexical diversity, stopword share, punctuation share), plus
-    * a single combined score. All ratios are double divisions of exact
-    * ints — bitwise-reproducible on both engines. */
+    * the combined [[compositeQuality]] score. All ratios are double
+    * divisions of exact ints — bitwise-reproducible on both engines. */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val ws = words(col("text"))
     val nTok = size(ws)
@@ -127,8 +148,7 @@ object TextOps {
         ttr.as("type_token_ratio"),
         stopRatio.as("stopword_ratio"),
         punctRatio.as("punct_ratio"),
-        (ttr * 0.5 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2)
-          .as("quality_score"))
+        compositeQuality.as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -246,9 +266,16 @@ object TextOps {
   def rarityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    // persisted: the vocabulary-sized count table feeds both the total
+    // and the term join — without it the tokenize explode AND the count
+    // shuffle re-execute per consumer. NO broadcast hint: a hint pins
+    // the join side unconditionally, while letting AQE decide keeps the
+    // documented scale contract (broadcast while the vocabulary fits,
+    // shuffle equi-join beyond)
     val cnts = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = cnts.agg(sum(col("cnt")).as("n_total"))
-    tok.join(broadcast(cnts), "term")
+    tok.join(cnts, "term")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -274,18 +301,15 @@ object TextOps {
     * result is identical to `ntile`-style ranking while every data-size
     * stage stays partition-parallel. */
   def curriculumMixture(spark: SparkSession, sfDir: String): DataFrame = {
-    val ws = words(col("text"))
-    val nTok = size(ws)
-    val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
-    val nStop = size(filter(ws, w => array_contains(stop, w)))
-    val nPunct = length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val ttr = size(array_distinct(ws)).cast("double") / nTok
-    val qs = ttr * 0.5 + (nStop.cast("double") / nTok) * 0.3 +
-      (lit(1.0) - nPunct.cast("double") / length(col("text"))) * 0.2
+    // persisted: both the bucket-offset aggregate and the rank join read
+    // it, and the quality expression (tokenize + two regex passes per
+    // doc) is the dominant cost — recomputing it per consumer would
+    // double the query (caller releases via clearCache, the suite-wide
+    // contract)
     val scored = docs(spark, sfDir)
-      .select(col("doc_id"), col("source"), qs.as("qs"))
+      .select(col("doc_id"), col("source"), compositeQuality.as("qs"))
       .withColumn("qb", least(floor(col("qs") * 64).cast("long"), lit(63L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy("qb").orderBy("qs", "doc_id")
     val offsets = scored.groupBy("qb").agg(count(lit(1)).as("bn"))

@@ -638,6 +638,17 @@ class OperatorSpec extends AnyFunSuite {
       (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
   }
 
+  test("composite quality score is 0.0 (not NaN/NULL) for degenerate docs") {
+    import spark.implicits._
+    // Spark's 0.0/0 is NaN while DuckDB's is NULL, and the engines rank
+    // those differently — the explicit guard is what keeps curriculum's
+    // bucketed global rank equivalent to the oracle's ORDER BY
+    val got = Seq("", "   ", "real words here").toDF("text")
+      .select(TextOps.compositeQuality.as("qs")).as[Double].collect().toSeq
+    assert(got(0) == 0.0 && got(1) == 0.0)
+    assert(!got(2).isNaN && got(2) > 0.0)
+  }
+
   test("curriculum mixture: deciles partition the corpus with near-equal mass") {
     import spark.implicits._
     val got = TextOps.curriculumMixture(spark, sf0001)
