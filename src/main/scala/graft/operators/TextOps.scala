@@ -219,12 +219,18 @@ object TextOps {
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val terms = docs(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    // persisted: tf feeds both the document-frequency aggregate and the
+    // scoring join — without it the tokenize explode and the (doc, term)
+    // shuffle re-execute per consumer. dfreq carries NO broadcast hint:
+    // AQE broadcasts the vocabulary-sized table while it fits and
+    // degrades to a shuffle equi-join beyond (a hint would pin it)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs(spark, sfDir).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
