@@ -57,10 +57,12 @@ object RelationalOps {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** Shipping-priority top-k (TPC-H Q3 shape): filtered fact-fact join +
-    * broadcast of the filtered customer side, agg, top 10.
-    * customer is small after the segment filter -> broadcast, so the only
-    * shuffle is orders⋈lineitem (co-partitioned on orderkey) + final agg.
+  /** Shipping-priority top-k (TPC-H Q3 shape): filtered fact-fact join,
+    * customer side reduced to a one-column key list by the segment
+    * filter. NO broadcast hint on it: AQE broadcasts the filtered keys
+    * while they fit (they do at bench scale, keeping orders⋈lineitem the
+    * only shuffle) and degrades to a shuffle equi-join when a 100 TB
+    * customer segment outgrows the driver — a hint would pin it.
     */
   def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
@@ -73,7 +75,7 @@ object RelationalOps {
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
         .cast("double").as("revenue"))
@@ -81,8 +83,11 @@ object RelationalOps {
       .limit(10)
   }
 
-  /** Revenue by region/nation (TPC-H Q5 shape). All dims broadcast; the
-    * fact side is never shuffled except for the final small agg. */
+  /** Revenue by region/nation (TPC-H Q5 shape). nation/region (25/5
+    * rows) broadcast by hint; the customer side carries NO hint — AQE
+    * broadcasts the narrow (custkey, names) projection while it fits and
+    * shuffle-joins beyond, so the plan survives a customer table that
+    * outgrows the driver. */
   def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val dims = Tables.customer(spark, sfDir)
       .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
@@ -95,7 +100,7 @@ object RelationalOps {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
         .cast("double").as("revenue"))
