@@ -27,6 +27,18 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(seeds == Seq("https://www.example.com/a", "https://www.example.com/b"))
   }
 
+  test("Tables.spread is the identity when the scan already has >= cores partitions") {
+    // the split-starvation guard must never add an exchange at cluster
+    // scale, where scans produce at least as many splits as cores
+    val wide = spark.range(1000).toDF("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism + 4)
+    assert(graft.Tables.spread(wide, col("doc_id")).rdd.getNumPartitions
+      == spark.sparkContext.defaultParallelism + 4)
+    val narrow = spark.range(1000).toDF("doc_id").coalesce(1)
+    assert(graft.Tables.spread(narrow, col("doc_id")).rdd.getNumPartitions
+      == spark.sparkContext.defaultParallelism)
+  }
+
   test("range-sorted write lays out disjoint per-file key ranges (file-skipping layout)") {
     // The write-side layout discipline of SURVEY §8.1: a table written
     // with repartitionByRange + sortWithinPartitions on its lookup key
