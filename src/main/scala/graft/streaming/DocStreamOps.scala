@@ -51,4 +51,25 @@ object DocStreamOps {
     docs.withColumn("text_md5", md5(col("text").cast("binary")))
       .join(snapshotMd5.select("text_md5"), Seq("text_md5"), "left_anti")
       .select("doc_id", "source", "text_md5")
+
+  /** Trending terms on the firehose — windowed term frequencies with a
+    * watermark, the streaming face of the batch term-statistics family
+    * (TF-IDF / term drift / CMS): each tumbling window's counts emit
+    * once, when the watermark passes the window end (append mode), so a
+    * downstream batch rank or drift check reads complete windows only.
+    *
+    * Scale shape: tokenize is row-local; state is one counter per live
+    * (window, term) — vocabulary-bounded, reclaimed as event time
+    * advances. The explode happens BEFORE the shuffle but each shuffled
+    * row is a (term, window) pair with a partial count (map-side
+    * combine), never the text. */
+  def trendingTerms(docs: DataFrame, watermark: String = "10 minutes",
+                    windowLen: String = "10 minutes"): DataFrame =
+    docs.withWatermark("ingest_ts", watermark)
+      .select(col("ingest_ts"),
+        explode(filter(split(lower(col("text")), " "),
+          t => length(t) > 0)).as("term"))
+      .groupBy(window(col("ingest_ts"), windowLen), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("term"), col("n"))
 }

@@ -241,6 +241,30 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming trending terms: windowed counts emit complete windows after the watermark") {
+    import spark.implicits._
+    import graft.streaming.DocStreamOps
+    import graft.streaming.DocStreamOps.DocRow
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[DocRow]
+    val q = DocStreamOps.trendingTerms(mem.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [12:00, 12:10): "spark" x3, "joins" x1
+      mem.addData(
+        DocRow(1L, ts(1), "a", "spark joins spark"),
+        DocRow(2L, ts(5), "b", "spark"))
+      q.processAllAvailable()
+      // advance the watermark past 12:10 -> the first window finalizes
+      mem.addData(DocRow(3L, Timestamp.valueOf("2026-01-01 12:30:00"), "c", "later doc"))
+      q.processAllAvailable()
+      val got = spark.table("trending")
+        .select("term", "n").as[(String, Long)].collect().toMap
+      assert(got("spark") == 3L && got("joins") == 1L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
