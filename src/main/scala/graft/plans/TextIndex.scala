@@ -186,19 +186,35 @@ object TextIndexCatalog {
     def bucketedWrite(df: DataFrame, mode: String): Unit =
       df.repartition(col("term")).sortWithinPartitions("term")
         .write.mode(mode).parquet(idxDir)
+    // crash-safety marker for the delta-append path: the append parquet
+    // job and the manifest write are two non-atomic steps, and a crash
+    // between them would leave committed delta rows the manifest does
+    // not record — the next call would re-append the same delta and
+    // every tf-based rewrite would silently double-count. The intent
+    // marker is written BEFORE the append and removed only after the
+    // manifest commits; a surviving marker therefore means "an append
+    // may have partially happened" and forces a full overwrite rebuild
+    // (idempotent — overwrite + manifest can be retried any number of
+    // times).
+    val intentPath = new Path(idxPath, "_delta_intent")
+    val pendingDelta = ifs.exists(intentPath)
     val prevSet = prev.toSet
-    if (prev.nonEmpty && prevSet == current.toSet) {
+    if (prev.nonEmpty && prevSet == current.toSet && !pendingDelta) {
       lastBuild = Seq.empty // up to date
-    } else if (prev.nonEmpty && prevSet.subsetOf(current.toSet)) {
+    } else if (prev.nonEmpty && prevSet.subsetOf(current.toSet) && !pendingDelta) {
       val delta = current.filterNot(prevSet)
       val deltaFiles = delta.map(e =>
         new Path(dPath, e.substring(0, e.indexOf(':'))).toString)
+      val out = ifs.create(intentPath, true)
+      out.close()
       bucketedWrite(build(spark.read.parquet(deltaFiles: _*)), "append")
       writeManifest()
+      ifs.delete(intentPath, false)
       lastBuild = delta.map(e => e.substring(0, e.indexOf(':')))
     } else {
       bucketedWrite(build(spark.read.parquet(docsPath)), "overwrite")
       writeManifest()
+      if (pendingDelta) ifs.delete(intentPath, false)
       lastBuild = current.map(e => e.substring(0, e.indexOf(':')))
     }
     registerFn(docsPath, idxDir)
@@ -284,7 +300,11 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             n.length > 2 && n.startsWith(" ") && n.endsWith(" ") &&
               plainToken(n.substring(1, n.length - 1))
           } =>
-        Some((a, Seq(needle.toString.trim)))
+        // strip exactly the one framing space each side — String.trim
+        // would also eat \t/\n/\r, which plainToken permits inside a
+        // token, and the index would be probed for the WRONG term
+        val n = needle.toString
+        Some((a, Seq(n.substring(1, n.length - 1))))
       case _ => None
     }
   }
@@ -370,7 +390,8 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             if s1.toString == " " && s2.toString == " " =>
           val n = needle.toString
           if (n.length > 2 && n.startsWith(" ") && n.endsWith(" ")) {
-            val terms = n.trim.split(" ").toSeq
+            // one framing space each side, not trim (see TokenMatch)
+            val terms = n.substring(1, n.length - 1).split(" ").toSeq
             if (terms.length >= 2 && terms.forall(plainToken))
               Some((a, terms, loc))
             else None
@@ -589,7 +610,15 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * (union, join, generate, aggregate) changes or mixes row identity,
     * so rewriting a filter above it against the base table's postings
     * would be wrong (e.g. a dup-seeded union contains rows the postings
-    * have never seen); those plans are conservatively refused. */
+    * have never seen); those plans are conservatively refused.
+    *
+    * A Project may compute arbitrary OTHER columns (they ride the
+    * semi-join untouched), but any projection item named `text` or
+    * `doc_id` must be a bare pass-through attribute: an alias or
+    * computation rebinding either name would make the rewrite probe the
+    * indexed text of DIFFERENT rows (e.g. `withColumn("doc_id",
+    * monotonically_increasing_id())` above the scan — the semi-join
+    * would match synthetic ids against real posting ids). */
   private def registeredScan(plan: LogicalPlan,
       lookup: String => Option[String] = TextIndexCatalog.lookup): Option[String] =
     plan match {
@@ -597,16 +626,26 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         fs.location.rootPaths.collectFirst {
           case p if lookup(p.toUri.getPath).isDefined => p.toUri.getPath
         }
-      case org.apache.spark.sql.catalyst.plans.logical.Project(_, c) =>
+      case org.apache.spark.sql.catalyst.plans.logical.Project(pl, c)
+          if pl.forall {
+            case _: Attribute => true
+            case ne => ne.name != "text" && ne.name != "doc_id"
+          } =>
         registeredScan(c, lookup)
       case Filter(_, c) => registeredScan(c, lookup)
       case _ => None
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ RankedTfMatch(gid, scoreAl, kws, src)
-        if bareRegisteredScan(src).isDefined =>
-      val idxPath = TextIndexCatalog.lookup(bareRegisteredScan(src).get).get
+    // each aggregate case evaluates the bareRegisteredScan walk ONCE
+    // (match on the result, original node returned on None) — the
+    // guard-and-body spelling ran the recursive plan walk twice per
+    // firing. All three cases consult the same registry, so an
+    // unregistered scan falls through every branch identically.
+    case agg @ RankedTfMatch(gid, scoreAl, kws, src) =>
+      bareRegisteredScan(src).flatMap(TextIndexCatalog.lookup) match {
+        case None => agg
+        case Some(idxPath) =>
       val probe = spark.read.parquet(idxPath)
         .filter(col("term").isin(kws: _*))
         .queryExecution.analyzed
@@ -627,10 +666,13 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           Alias(Coalesce(Seq(sumTf, Literal(0L))), scoreAl.name)(
             exprId = scoreAl.exprId)),
         probe, None)
-    case agg @ DocLenMatch(gid, aggExprs, src) if bareRegisteredScan(src).isDefined =>
+      }
+    case agg @ DocLenMatch(gid, aggExprs, src) =>
+      bareRegisteredScan(src).flatMap(TextIndexCatalog.lookup) match {
+        case None => agg
+        case Some(idxPath) =>
       // document length = SUM(tf) over the FULL postings — the narrow
       // (term, doc_id, tf) columns replace a corpus tokenize
-      val idxPath = TextIndexCatalog.lookup(bareRegisteredScan(src).get).get
       val probe = spark.read.parquet(idxPath).queryExecution.analyzed
       val pDoc = probe.output.find(_.name == "doc_id").get
       val pTf = probe.output.find(_.name == "tf").get
@@ -647,13 +689,15 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             Alias(Coalesce(Seq(sumTf, Literal(0L))), al.name)(exprId = al.exprId)
         },
         probe, None)
-    case agg @ TermTfMatch(gd, gt, aggExprs, kws, src)
-        if bareRegisteredScan(src).isDefined =>
+      }
+    case agg @ TermTfMatch(gd, gt, aggExprs, kws, src) =>
+      bareRegisteredScan(src).flatMap(TextIndexCatalog.lookup) match {
+        case None => agg
+        case Some(idxPath) =>
       // the per-(doc, term) tf aggregate IS the postings row set for the
       // keywords (postings are distinct per pair, so the pruned
       // distinct-pair form maps to the same projection): the aggregate
       // disappears, the term set is pushed to the term-bucketed scan
-      val idxPath = TextIndexCatalog.lookup(bareRegisteredScan(src).get).get
       val probe = spark.read.parquet(idxPath)
         .filter(col("term").isin(kws: _*))
         .queryExecution.analyzed
@@ -670,6 +714,7 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             Alias(Coalesce(Seq(pTf, Literal(0L))), al.name)(exprId = al.exprId)
         },
         probe)
+      }
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val hit = registeredScan(child).flatMap { docsPath =>
@@ -682,19 +727,11 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
       hit match {
         case Some((pred, kws, docsPath)) =>
-          val idxPath = TextIndexCatalog.lookup(docsPath).get
           // postings are distinct per (term, doc_id); a doc matching
           // several OR terms yields several matches, which LeftSemi
           // collapses — no distinct needed
-          val probe = spark.read.parquet(idxPath)
-            .filter(col("term").isin(kws: _*)).select("doc_id")
-            .queryExecution.analyzed
-          val docId = child.output.find(_.name == "doc_id").get
-          val idxDocId = probe.output.find(_.name == "doc_id").get
-          val rest = conjuncts.filterNot(_ eq pred)
-          val base = if (rest.isEmpty) child else Filter(rest.reduce(And), child)
-          Join(base, probe, LeftSemi,
-            Some(EqualTo(docId, idxDocId)), JoinHint.NONE)
+          semiJoinOnPostings(child, conjuncts, pred,
+            TextIndexCatalog.lookup(docsPath).get, col("term").isin(kws: _*))
         case None =>
           // stemmed scan form against the stemmed-postings registry:
           // terms were stemmed at index time and the keyword-side stem
@@ -710,24 +747,33 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             }
           stemmedHit match {
             case Some((pred, kw, docsPath)) =>
-              val idxPath = TextIndexCatalog.lookupStemmed(docsPath).get
-              val probe = spark.read.parquet(idxPath)
-                .filter(col("term") === kw).select("doc_id")
-                .queryExecution.analyzed
-              val docId = child.output.find(_.name == "doc_id").get
-              val idxDocId = probe.output.find(_.name == "doc_id").get
-              val rest = conjuncts.filterNot(_ eq pred)
-              val base = if (rest.isEmpty) child else Filter(rest.reduce(And), child)
-              return1(Join(base, probe, LeftSemi,
-                Some(EqualTo(docId, idxDocId)), JoinHint.NONE))
+              semiJoinOnPostings(child, conjuncts, pred,
+                TextIndexCatalog.lookupStemmed(docsPath).get, col("term") === kw)
             case None => phraseRewrite(f, conjuncts, child)
           }
       }
   }
 
-  /** Identity helper so the stemmed branch reads as a plain expression
-    * (transform closures cannot `return`). */
-  private def return1(p: LogicalPlan): LogicalPlan = p
+  /** The shared tail of the token and stemmed Filter rewrites: replace
+    * `pred` (one conjunct of the filter) with a LeftSemi join of the
+    * intact child plan against the postings rows selected by
+    * `termFilter`. One definition so the probe build, doc_id
+    * resolution, and residual-predicate handling cannot drift between
+    * the two branches. */
+  private def semiJoinOnPostings(child: LogicalPlan,
+      conjuncts: Seq[Expression], pred: Expression,
+      idxPath: String,
+      termFilter: org.apache.spark.sql.Column): LogicalPlan = {
+    val probe = spark.read.parquet(idxPath)
+      .filter(termFilter).select("doc_id")
+      .queryExecution.analyzed
+    val docId = child.output.find(_.name == "doc_id").get
+    val idxDocId = probe.output.find(_.name == "doc_id").get
+    val rest = conjuncts.filterNot(_ eq pred)
+    val base = if (rest.isEmpty) child else Filter(rest.reduce(And), child)
+    Join(base, probe, LeftSemi,
+      Some(EqualTo(docId, idxDocId)), JoinHint.NONE)
+  }
 
   private def phraseRewrite(f: Filter, conjuncts: Seq[Expression],
       child: LogicalPlan): LogicalPlan = {

@@ -412,6 +412,38 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("TextIndexRewrite refuses a scan whose doc_id or text was rebound") {
+    import spark.implicits._
+    // a NON-DETERMINISTIC projection that rebinds doc_id between the
+    // filter and the registered scan breaks row identity and cannot be
+    // normalized away by predicate pushdown (deterministic rebinds get
+    // pushed below the filter, which keeps the rewrite sound): the
+    // semi-join would match synthetic ids against real posting ids.
+    // The rewrite must refuse; a computed column on OTHER names stays
+    // rewritable.
+    def rebound() = graft.Tables.documents(spark, sf0001)
+      .withColumn("doc_id", monotonically_increasing_id())
+      .filter(array_contains(split(lower(col("text")), " "), "spark"))
+      .select("doc_id")
+    def passThrough() = graft.Tables.documents(spark, sf0001)
+      .withColumn("extra", col("n_chars") * 2)
+      .filter(array_contains(split(lower(col("text")), " "), "spark"))
+      .select("doc_id")
+    graft.plans.TextIndexCatalog.clear()
+    val expectedRebound = rebound().count()
+    val expectedPass = passThrough().as[Long].collect().toSet
+    graft.plans.TextIndexCatalog.ensureIndex(spark, sf0001)
+    val rb = rebound()
+    assert(!rb.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "rebound doc_id must refuse the postings semi-join")
+    assert(rb.count() == expectedRebound)
+    val pt = passThrough()
+    assert(pt.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "a computed column on another name must not block the rewrite")
+    assert(pt.as[Long].collect().toSet == expectedPass)
+    graft.plans.TextIndexCatalog.clear()
+  }
+
   test("TextIndexRewrite is identity-safe: union over the docs scan keeps seeded rows") {
     import spark.implicits._
     // DedupOps.corpus unions the docs scan with seeded copies whose
