@@ -107,6 +107,8 @@ object SparkEntry {
     "txt_term_drift"           -> ((s: SparkSession, d: String) => TextOps.termDrift(s, d)),
     "txt_chunks"               -> ((s: SparkSession, d: String) => TextOps.chunkDocs(s, d)),
     "txt_cms_terms"            -> TextOps.cmsTermCounts _,
+    "txt_bpe_pairs"            -> ((s: SparkSession, d: String) => TextOps.bpePairStats(s, d)),
+    "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
@@ -118,6 +120,7 @@ object SparkEntry {
     "dd_contamination_bloom"   -> DedupOps.contaminationBloom _,
     "dd_dup_clusters"          -> DedupOps.dupClusters _,
     "dd_incremental"           -> DedupOps.incrementalDedup _,
+    "dd_exact_substr"          -> DedupOps.exactSubstrDedup _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
     "sim_hard_negatives"       -> SimilarityOps.hardNegatives _,
@@ -1203,6 +1206,33 @@ object SparkEntry {
         |SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared
         |FROM tr JOIN ev ON tr.g = ev.g
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // one BPE-training statistics pass: char-pair frequencies over the
+    // word vocabulary, weighted by word occurrence count
+    "txt_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+        |p AS (
+        |  SELECT unnest([substr(word, i, 2) for i in range(1, length(word))]) AS pair,
+        |    cnt
+        |  FROM wc WHERE length(word) >= 2)
+        |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq
+        |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+    // KN-ingredient bigram LM counts: c(w1,w2) + continuation count of w2
+    "txt_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)),
+        |bgc AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2),
+        |cont AS (SELECT w2, COUNT(*) AS cont_w2 FROM bgc GROUP BY w2)
+        |SELECT w1, w2, cnt, cont_w2 FROM bgc JOIN cont USING (w2)
+        |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
     "txt_mixture_sample" ->
       """SELECT source, COUNT(*) AS n_sampled FROM documents
         |WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1279,6 +1309,52 @@ object SparkEntry {
         |        h -> CAST(floor(h / pow(2, j)) AS BIGINT) % 2 = 1)) >= len(whs)
         |      THEN CAST(floor(pow(2, j)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS fp_simhash
         |FROM wh ORDER BY doc_id""".stripMargin,
+    // ExactSubstr span dedup: every non-canonical occurrence of a
+    // duplicated word-8-gram (canonical = min (doc_id, pos)) marks its 8
+    // covered words removed; survivors re-join into dedup_text. Gram
+    // keys are the same 60-bit polynomial shingle hashes as
+    // dd_contamination (shinglek_hashes spelling, copied verbatim).
+    "dd_exact_substr" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, source, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id, w,
+        |    list_transform(w, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(x, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, u.p AS gpos, u.g AS gh FROM (
+        |    SELECT doc_id, unnest([{'p': i, 'g': list_reduce(list_slice(whs, i, i + 7),
+        |        (a, b) -> (a * 31 + b) % 1000000000000000)}
+        |      for i in range(1, len(whs) - 6)]) AS u
+        |    FROM w2 WHERE len(whs) >= 8)),
+        |gs AS (
+        |  SELECT doc_id, gpos,
+        |    COUNT(*) OVER (PARTITION BY gh) AS cnt,
+        |    MIN(doc_id * 1000000000 + gpos) OVER (PARTITION BY gh) AS firstk
+        |  FROM g),
+        |rm AS (
+        |  SELECT DISTINCT doc_id, wpos FROM (
+        |    SELECT doc_id, unnest([gpos + o for o in range(0, 8)]) AS wpos
+        |    FROM gs WHERE cnt >= 2 AND doc_id * 1000000000 + gpos <> firstk)),
+        |tok AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS wpos FROM t)
+        |SELECT tok.doc_id,
+        |  COUNT(*) AS n_words,
+        |  CAST(COUNT(*) FILTER (WHERE rm.wpos IS NULL) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(tok.word, ' ' ORDER BY tok.wpos)
+        |    FILTER (WHERE rm.wpos IS NULL), '') AS dedup_text
+        |FROM tok LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.wpos = rm.wpos
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
     "dd_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents

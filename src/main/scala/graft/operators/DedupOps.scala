@@ -556,4 +556,56 @@ object DedupOps {
           .otherwise("new").as("verdict"))
       .orderBy("doc_id")
   }
+
+  /** ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * public): any word-8-gram that occurs more than once in the corpus
+    * keeps only its FIRST occurrence (minimum (doc_id, position));
+    * every word covered by a non-canonical occurrence is cut, and the
+    * surviving words are re-joined into the deduplicated text. This is
+    * the span-level dedup that exact-doc and near-doc dedup both miss
+    * (boilerplate shared between otherwise-distinct documents), run on
+    * the seeded [[corpus]] so dd_exact's planted copies demonstrably
+    * collapse to their canonical doc.
+    *
+    * Scale shape (the paper's suffix-array pass re-expressed as
+    * dataflow): grams travel as 8-byte polynomial hashes
+    * (shinglek_hashes — never the 8-word strings), so the ONE wide
+    * exchange — the per-gram count/min window — carries
+    * (doc_id, gpos, hash) rows. Removed positions come back as a
+    * per-doc int set via one doc-keyed aggregation, and reassembly is
+    * row-local array surgery on the original scan. First-occurrence
+    * choice is the deterministic min over doc_id·1e9+pos — stable under
+    * any partitioning or cluster size. (Production note: at 100 TB the
+    * 60-bit hash space starts to see birthday collisions on ~1e12
+    * grams; widen to 128-bit keys there — the plan shape is unchanged.) */
+  def exactSubstrDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 8
+    val c = corpus(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = c.select(col("doc_id"),
+        posexplode(expr("shinglek_hashes(word_poly_hashes(lower(text)), 8)")))
+      .select(col("doc_id"), (col("pos") + 1).as("gpos"), col("col").as("gh"))
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val rm = grams
+      .withColumn("okey", col("doc_id") * lit(1000000000L) + col("gpos"))
+      .withColumn("cnt", count(lit(1)).over(wGram))
+      .withColumn("firstk", min(col("okey")).over(wGram))
+      .filter(col("cnt") >= 2 && col("okey") =!= col("firstk"))
+      .select(col("doc_id"),
+        explode(sequence(col("gpos").cast("long"),
+          (col("gpos") + (n - 1)).cast("long"))).as("wpos"))
+      .groupBy("doc_id").agg(collect_set(col("wpos")).as("rm"))
+    val ws = TextOps.words(col("text"))
+    val kept = filter(
+      transform(ws, (wd, i) => struct((i + 1).cast("long").as("p"), wd.as("wd"))),
+      s => !array_contains(col("rmv"), s.getField("p")))
+    c.join(rm, Seq("doc_id"), "left")
+      .withColumn("rmv",
+        coalesce(col("rm"), array().cast("array<long>")))
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws(" ", transform(kept, s => s.getField("wd"))).as("dedup_text"))
+      .orderBy("doc_id")
+  }
 }

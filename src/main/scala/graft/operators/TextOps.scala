@@ -654,4 +654,57 @@ object TextOps {
         array_min(shingleHashes).as("fp_min_shingle"))
       .orderBy("doc_id")
   }
+
+  /** One statistics pass of BPE vocabulary training (Sennrich 2016,
+    * public): adjacent symbol-pair frequencies over the corpus — the
+    * quantity whose argmax IS the next merge rule. Symbols here are
+    * characters (the first BPE iteration); the op is the inner loop a
+    * tokenizer-training job runs over a 100 TB corpus.
+    *
+    * Scale shape: pair statistics are computed on the VOCABULARY, not
+    * the token stream — `groupBy(word)` first collapses the corpus to
+    * distinct words with counts (the standard BPE-training layout), so
+    * the per-word char-pair explode touches |vocab| rows, not |corpus|
+    * tokens. Two shuffles total (word count, pair sum), both map-side
+    * combined; everything between is row-local. */
+  def bpePairStats(spark: SparkSession, sfDir: String, topN: Int = 20): DataFrame = {
+    val wc = docs(spark, sfDir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    wc.select(col("cnt"), explode(
+        when(length(col("word")) >= 2,
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(sum(col("cnt")).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(topN)
+  }
+
+  /** Bigram language-model count table — the Kneser–Ney ingredient pass:
+    * raw bigram counts c(w1,w2) plus the continuation count of w2
+    * (|{w1 : c(w1,w2) > 0}|, the numerator of the KN lower-order
+    * distribution). What an n-gram-LM quality filter (CCNet-style)
+    * precomputes corpus-wide before scoring documents.
+    *
+    * Scale shape: bigrams derive row-local from the existing shingle
+    * machinery ([[wordShingles]] n=2 — no self-join on position). The
+    * bigram count is one map-side-combined shuffle on (w1,w2); the
+    * continuation count reuses those SAME grouped rows (count of
+    * distinct w1 per w2 = plain count over the bigram-count table), so
+    * it adds one narrow shuffle on w2, and the final join is
+    * vocabulary-sized on w2 (AQE broadcasts while it fits — no pin). */
+  def bigramLmCounts(spark: SparkSession, sfDir: String, topN: Int = 20): DataFrame = {
+    val bg = docs(spark, sfDir)
+      .select(explode(wordShingles(words(col("text")), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cont = bg.groupBy("w2").agg(count(lit(1)).as("cont_w2"))
+    bg.join(cont, "w2")
+      .select(col("w1"), col("w2"), col("cnt"), col("cont_w2"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
 }

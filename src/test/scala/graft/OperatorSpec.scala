@@ -1403,4 +1403,64 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("node")).distinct.length == out.length)
     assert(out.exists(r => r.getAs[Long]("node") == 0L && r.getAs[Int]("depth") == 0))
   }
+
+  test("ExactSubstr dedup: seeded copies collapse to canonical; near-copies keep only their novel prefix") {
+    val rows = DedupOps.exactSubstrDedup(spark, sf0001).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.forall { r =>
+      val k = r.getAs[Long]("n_kept"); k >= 0 && k <= r.getAs[Long]("n_words") })
+    // exact copy (+100000): every 8-gram is a non-canonical duplicate of
+    // the original's, so every word of a >=8-word copy is covered
+    val exactCopies = rows.filter { r =>
+      val id = r.getAs[Long]("doc_id")
+      id >= 100000 && id < 200000 && r.getAs[Long]("n_words") >= 8 }
+    assert(exactCopies.nonEmpty)
+    assert(exactCopies.forall(r => r.getAs[Long]("n_kept") == 0L &&
+      r.getAs[String]("dedup_text") == ""))
+    // ... while canonical originals mostly keep every word. Not ALL:
+    // the synthetic corpus plants natural cross-doc boilerplate spans
+    // (e.g. docs 8 and 360 share whole phrases), and a later original
+    // correctly loses its non-canonical occurrences of those too.
+    val origKeepAll = exactCopies.count { r =>
+      val orig = byId(r.getAs[Long]("doc_id") - 100000)
+      orig.getAs[Long]("n_kept") == orig.getAs[Long]("n_words") }
+    assert(origKeepAll * 2 > exactCopies.length,
+      s"only $origKeepAll/${exactCopies.length} originals kept every word")
+    // near copy (+200000, 'extra words added ' prefix): grams from
+    // position 4 on duplicate the original, covering all but the prefix
+    val nearCopies = rows.filter { r =>
+      val id = r.getAs[Long]("doc_id")
+      id >= 200000 && r.getAs[Long]("n_words") >= 11 }
+    assert(nearCopies.nonEmpty)
+    assert(nearCopies.forall(r => r.getAs[Long]("n_kept") == 3L &&
+      r.getAs[String]("dedup_text") == "extra words added"))
+  }
+
+  test("BPE pair statistics equal the brute-force vocabulary model") {
+    val toks = Tables.documents(spark, sf0001).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    val wc = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = wc.toSeq.flatMap { case (w, c) =>
+      (0 until w.length - 1).map(i => w.substring(i, i + 2) -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(20)
+    val got = TextOps.bpePairStats(spark, sf0001).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("freq")).toSeq
+    assert(got == expected)
+  }
+
+  test("bigram LM counts: c(w1,w2) and continuation counts equal the brute-force model") {
+    val docTokens = Tables.documents(spark, sf0001).select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
+    val bigrams = docTokens.flatMap(ws => ws.zip(ws.drop(1)))
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cont = cnt.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = cnt.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(20)
+      .map { case ((w1, w2), c) => (w1, w2, c, cont(w2)) }
+    val got = TextOps.bigramLmCounts(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("cont_w2"))).toSeq
+    assert(got == expected)
+  }
 }
