@@ -72,6 +72,47 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,"))
   }
 
+  test("z-order write tiles two dimensions: either-column point filter prunes most files") {
+    // Morton-curve layout vs the single-key range sort above: the
+    // range sort prunes perfectly on its sort key and not at all on any
+    // other column (every file spans the full b extent); the z-ordered
+    // layout tiles the (a, b) plane into near-square blocks, so a point
+    // predicate on EITHER column intersects only the tile row/column
+    // that touches it. Verified from the same per-file min/max stats
+    // file pruning itself uses.
+    val dir = tmpDir("zorder")
+    val dirA = tmpDir("asorted")
+    val grid = spark.range(4096).selectExpr(
+      "CAST(id % 64 AS INT) AS a", "CAST(id DIV 64 AS INT) AS b")
+    graft.sources.ZOrderLayout.writeZOrdered(
+      grid, col("a"), col("b"), bits = 6, numFiles = 16, dir = dir)
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(dirA)
+    def boxes(d: String): Array[(Int, Int, Int, Int)] =
+      new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b"))).head
+          (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+        }
+    val zb = boxes(dir)
+    val ab = boxes(dirA)
+    assert(zb.length >= 8 && ab.length >= 8,
+      s"expected >=8 files, got z=${zb.length} a=${ab.length}")
+    def hitsA(bs: Array[(Int, Int, Int, Int)], v: Int) =
+      bs.count(x => x._1 <= v && v <= x._2)
+    def hitsB(bs: Array[(Int, Int, Int, Int)], v: Int) =
+      bs.count(x => x._3 <= v && v <= x._4)
+    // z-order: a point filter on EITHER dimension touches <= half the files
+    assert(hitsA(zb, 17) * 2 <= zb.length, s"a-filter hits ${hitsA(zb, 17)}/${zb.length}")
+    assert(hitsB(zb, 17) * 2 <= zb.length, s"b-filter hits ${hitsB(zb, 17)}/${zb.length}")
+    // single-key layout: sharp on a, USELESS on b — every file spans all of b
+    assert(hitsA(ab, 17) * 4 <= ab.length)
+    assert(hitsB(ab, 17) == ab.length)
+    // same rows either way
+    assert(spark.read.parquet(dir).count() == 4096L)
+  }
+
   test("dynamic partition pruning: a dim filter prunes the partitioned fact scan") {
     // The star-join mechanism a 100 TB fact table lives on: the fact is
     // written hive-partitioned on the join key; joining a FILTERED tiny
