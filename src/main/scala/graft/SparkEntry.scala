@@ -88,6 +88,7 @@ object SparkEntry {
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
+    "graph_triangles"          -> ((s: SparkSession, d: String) => GraphOps.triangleCounts(s, d)),
     // --- text analysis (LLM-pipeline EXT) ---
     "txt_token_stats"          -> TextOps.tokenStats _,
     "txt_quality"              -> TextOps.qualityScore _,
@@ -109,6 +110,7 @@ object SparkEntry {
     "txt_cms_terms"            -> TextOps.cmsTermCounts _,
     "txt_bpe_pairs"            -> ((s: SparkSession, d: String) => TextOps.bpePairStats(s, d)),
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
+    "txt_temperature_mix"      -> TextOps.temperatureMixture _,
     "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
@@ -775,6 +777,34 @@ object SparkEntry {
         |  COUNT(DISTINCT a.user_id) AS active_users
         |FROM a JOIN u USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // degree-oriented triangle counting over the block-clique formula
+    // graph: orient edges from the (degree, id)-smaller endpoint, wedge
+    // self-join on the low endpoint, close against the undirected edges
+    "graph_triangles" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |n AS (SELECT COUNT(*) AS c FROM d),
+        |und AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM d, n
+        |  WHERE doc_id % 4 < 3 AND doc_id + 1 < c
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 FROM d, n
+        |  WHERE doc_id % 4 < 2 AND doc_id + 2 < c),
+        |deg AS (SELECT x, COUNT(*) AS dg FROM (
+        |  SELECT a AS x FROM und UNION ALL SELECT b FROM und) GROUP BY x),
+        |o AS (
+        |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+        |           THEN u.a ELSE u.b END AS lo,
+        |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+        |           THEN u.b ELSE u.a END AS hi
+        |  FROM und u JOIN deg da ON da.x = u.a JOIN deg db ON db.x = u.b),
+        |tri AS (
+        |  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+        |  JOIN und t ON t.a = LEAST(e1.hi, e2.hi) AND t.b = GREATEST(e1.hi, e2.hi))
+        |SELECT node, COUNT(*) AS n_tri FROM (
+        |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
     "graph_frontier_bfs" ->
       """WITH RECURSIVE
         |edges AS (
@@ -1220,6 +1250,26 @@ object SparkEntry {
         |  FROM wc WHERE length(word) >= 2)
         |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq
         |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+    // temperature-weighted mixture (alpha = 1/2): rates from
+    // floor(sqrt(per-source token mass)), membership by content hash
+    "txt_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS nt,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) % 100 AS h
+        |  FROM documents),
+        |m AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS tok_s,
+        |        CAST(FLOOR(SQRT(CAST(SUM(nt) AS DOUBLE))) AS BIGINT) AS w
+        |      FROM d GROUP BY source),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM m),
+        |r AS (SELECT source, tok_s, w,
+        |        CAST((100 * w) // wsum AS BIGINT) AS rate FROM m CROSS JOIN t)
+        |SELECT d.source, MAX(r.tok_s) AS tok_s, MAX(r.w) AS w, MAX(r.rate) AS rate,
+        |  CAST(SUM(CASE WHEN d.h < r.rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM d JOIN r ON d.source = r.source
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // KN-ingredient bigram LM counts: c(w1,w2) + continuation count of w2
     "txt_bigram_lm" ->
       """WITH t AS (

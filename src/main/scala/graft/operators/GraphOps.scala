@@ -91,6 +91,67 @@ object GraphOps {
     r.orderBy("node")
   }
 
+  /** Deterministic synthetic graph WITH triangles for [[triangleCounts]]:
+    * within each block of 4 consecutive ids, doc i links to i+1 (unless
+    * i%4 == 3) and to i+2 (when i%4 < 2) — every full block contributes
+    * the triangles (4k, 4k+1, 4k+2) and (4k+1, 4k+2, 4k+3). Edges are
+    * emitted once with a < b by construction; the BFS/rank graphs are
+    * near-permutations and triangle-free, hence the separate formula. */
+  def triEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val n = docs.count() // metadata-scale action: one number on the driver
+    def edge(off: Int, maxMod: Int) =
+      when(col("doc_id") % 4 < maxMod && col("doc_id") + off < n,
+        struct(col("doc_id").as("a"), (col("doc_id") + off).as("b")))
+    docs.select(explode(filter(array(edge(1, 3), edge(2, 2)),
+        e => e.isNotNull)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+  }
+
+  /** Per-node triangle counts by degree-ordered edge orientation — the
+    * standard distributed triangle algorithm (Schank–Wagner ordering;
+    * the MapReduce form is Suri–Vassilvitskii 2011, public): orient each
+    * undirected edge from its (degree, id)-smaller endpoint, build
+    * wedges by self-joining oriented edges on their low endpoint, and
+    * close each wedge against the undirected edge set. Orientation
+    * bounds every node's out-list by O(√m) on skew-free graphs, so the
+    * wedge join — the only quadratic-looking step — generates
+    * Σ outdeg² = O(m^1.5) candidates instead of Σ deg² (which a hub
+    * node would otherwise blow up); this is exactly the reason the
+    * oriented form, not the naive three-way join, is the 100 TB shape.
+    * Each triangle is enumerated exactly once (lo < mid < hi in
+    * orientation order); per-node counts explode the three corners and
+    * aggregate map-side. */
+  def triangleCounts(spark: SparkSession, sfDir: String, topN: Int = 20): DataFrame = {
+    val und = triEdges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // degree table is node-sized: AQE broadcasts while it fits, shuffle
+    // equi-join beyond (no pin — the graft broadcast-discipline default)
+    val o = und
+      .join(deg.select(col("x").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("x").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"))
+    val e1 = o.select(col("lo"), col("hi").as("y"))
+    val e2 = o.select(col("lo"), col("hi").as("z"))
+    val wedges = e1.join(e2, Seq("lo")).filter(col("y") < col("z"))
+    val tri = wedges.join(und,
+        least(col("y"), col("z")) === col("a") &&
+        greatest(col("y"), col("z")) === col("b"))
+      .select(col("lo").as("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(topN)
+  }
+
   /** BFS from doc 0, max depth 6: minimum-depth label per reachable node.
     * The loop is driver-side control flow only; all data stays
     * distributed. Oracle: recursive CTE with min(depth). */

@@ -681,24 +681,69 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Temperature-weighted mixture sampling (α = 1/2) — the pretraining
+    * source-balancing op (public: multilingual sampling in the T5/mBERT
+    * papers, p(s) ∝ mass(s)^α): sampling rates derive from per-source
+    * TOKEN mass raised to α = 0.5, flattening the source distribution so
+    * small sources are not drowned by large ones. Everything integer-
+    * deterministic: the weight is floor(sqrt(tokens)) — IEEE sqrt of an
+    * integer-valued double is correctly rounded, so floor is the same
+    * number on any engine — the percent rate is floor division, and
+    * membership is the portable content hash (same discipline as
+    * [[mixtureSample]]'s fixed rates: no RNG, reproducible on any
+    * cluster size, resumable).
+    *
+    * Scale shape: one map-side-combined aggregate to source-level mass
+    * (|sources| rows), the weight/rate arithmetic on that tiny table, a
+    * broadcast join back, and one final aggregate — the corpus is
+    * scanned once and never shuffled row-wise. */
+  def temperatureMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("source"),
+        size(words(col("text"))).cast("long").as("nt"),
+        (polyHash(col("text")) % 100).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mass = d.groupBy("source").agg(sum(col("nt")).as("tok_s"))
+      .withColumn("w", floor(sqrt(col("tok_s").cast("double"))).cast("long"))
+    val tot = mass.agg(sum(col("w")).as("wsum"))
+    val rates = mass.crossJoin(broadcast(tot))
+      .withColumn("rate", expr("(100 * w) DIV wsum"))
+      .select("source", "tok_s", "w", "rate")
+    d.join(broadcast(rates), "source")
+      .groupBy("source")
+      .agg(max(col("tok_s")).as("tok_s"), max(col("w")).as("w"),
+        max(col("rate")).as("rate"),
+        sum(when(col("h") < col("rate"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("source")
+  }
+
   /** Bigram language-model count table — the Kneser–Ney ingredient pass:
     * raw bigram counts c(w1,w2) plus the continuation count of w2
     * (|{w1 : c(w1,w2) > 0}|, the numerator of the KN lower-order
     * distribution). What an n-gram-LM quality filter (CCNet-style)
     * precomputes corpus-wide before scoring documents.
     *
-    * Scale shape: bigrams derive row-local from the existing shingle
-    * machinery ([[wordShingles]] n=2 — no self-join on position). The
-    * bigram count is one map-side-combined shuffle on (w1,w2); the
-    * continuation count reuses those SAME grouped rows (count of
-    * distinct w1 per w2 = plain count over the bigram-count table), so
-    * it adds one narrow shuffle on w2, and the final join is
+    * Scale shape: bigrams derive row-local as (w1,w2) struct pairs
+    * straight off the token array — no self-join on position, and no
+    * build-a-string-then-resplit round trip (the wordShingles spelling
+    * cost 10× in CPU: concat_ws + split per bigram). The scan is
+    * [[graft.Tables.spread]] across cores first — the tokenize+explode
+    * stage is the CPU hot spot and a single small parquet split would
+    * otherwise run it on one task (a no-op on a real multi-split
+    * 100 TB scan). The bigram count is one map-side-combined shuffle on
+    * (w1,w2); the continuation count reuses those SAME grouped rows
+    * (count of distinct w1 per w2 = plain count over the bigram-count
+    * table), so it adds one narrow shuffle on w2, and the final join is
     * vocabulary-sized on w2 (AQE broadcasts while it fits — no pin). */
   def bigramLmCounts(spark: SparkSession, sfDir: String, topN: Int = 20): DataFrame = {
-    val bg = docs(spark, sfDir)
-      .select(explode(wordShingles(words(col("text")), 2)).as("bg"))
-      .select(split(col("bg"), " ").getItem(0).as("w1"),
-        split(col("bg"), " ").getItem(1).as("w2"))
+    val ws = words(col("text"))
+    val pairs = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = graft.Tables.spread(docs(spark, sfDir), col("doc_id"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cont = bg.groupBy("w2").agg(count(lit(1)).as("cont_w2"))

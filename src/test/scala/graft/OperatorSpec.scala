@@ -1436,6 +1436,51 @@ class OperatorSpec extends AnyFunSuite {
       r.getAs[String]("dedup_text") == "extra words added"))
   }
 
+  test("triangle counts equal the brute-force enumeration of the block-clique graph") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0))
+    val n = docs.length
+    val edges = docs.flatMap { i =>
+      Seq(1 -> 3, 2 -> 2).collect {
+        case (off, maxMod) if i % 4 < maxMod && i + off < n => (i, i + off) }
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triangles = for {
+      a <- nodes; b <- nodes if b > a && edges((a, b))
+      c <- nodes if c > b && edges((b, c)) && edges((a, c))
+    } yield (a, b, c)
+    assert(triangles.nonEmpty, "test graph must contain triangles")
+    val expected = triangles.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (node, c) => (-c, node) }.take(20)
+    val got = GraphOps.triangleCounts(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toSeq
+    assert(got == expected)
+  }
+
+  test("temperature mixture: weights are isqrt of token mass, sampling matches the hash model") {
+    val rows = TextOps.temperatureMixture(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf0001).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % TextOps.HashMod)
+    val mass = docs.groupBy(_._1).view.mapValues(
+      _.map(_._2.toLowerCase.split(" ").count(_.nonEmpty).toLong).sum).toMap
+    val w = mass.view.mapValues(t => math.sqrt(t.toDouble).floor.toLong).toMap
+    val wsum = w.values.sum
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("tok_s") == mass(s))
+      assert(r.getAs[Long]("w") == w(s))
+      val rate = 100L * w(s) / wsum
+      assert(r.getAs[Long]("rate") == rate)
+      val expSampled = docs.count { case (src, txt) =>
+        src == s && polyHash(txt) % 100 < rate }
+      assert(r.getAs[Long]("n_sampled") == expSampled.toLong)
+    }
+  }
+
   test("BPE pair statistics equal the brute-force vocabulary model") {
     val toks = Tables.documents(spark, sf0001).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
