@@ -60,6 +60,8 @@ object SparkEntry {
     "art_search_bm25_idx"      -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Indexed(s, d)),
     "art_search_bm25_auto"     -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Auto(s, d)),
     "art_search_phrase"        -> ((s: SparkSession, d: String) => ArticleOps.searchPhrase(s, d)),
+    "art_search_phrase_idx"    -> ((s: SparkSession, d: String) => ArticleOps.searchPhraseIndexed(s, d)),
+    "art_search_fuzzy"         -> ((s: SparkSession, d: String) => ArticleOps.searchFuzzy(s, d)),
     "art_search_negation"      -> ((s: SparkSession, d: String) => ArticleOps.searchNegation(s, d)),
     "art_search_stemmed"       -> ((s: SparkSession, d: String) => ArticleOps.searchStemmed(s, d)),
     "art_search_stemmed_idx"   -> ((s: SparkSession, d: String) => ArticleOps.searchStemmedIndexed(s, d)),
@@ -522,6 +524,29 @@ object SparkEntry {
         |ORDER BY s.score DESC, d.doc_id""".stripMargin,
     // phrase = adjacent positions in the empty-filtered token sequence;
     // the position base (0 vs 1) cancels in the +1 adjacency join
+    // fuzzy search: a doc matches iff any token is within edit distance
+    // 1 of the query ('soft' reaches docs via 'sort' etc.) — plain
+    // Levenshtein in both engines, so the scan spelling IS the oracle
+    "art_search_fuzzy" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE len(list_filter(string_split(lower(text), ' '),
+        |  t -> length(t) > 0 AND levenshtein(t, 'soft') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
+    // positional-postings phrase serving: same result as the scan-verify
+    // phrase form, hence the same oracle
+    "art_search_phrase_idx" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS l
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM t),
+        |a AS (SELECT doc_id, pos FROM tok WHERE term = 'merge'),
+        |b AS (SELECT doc_id, pos FROM tok WHERE term = 'group'),
+        |hits AS (SELECT DISTINCT a.doc_id FROM a
+        |  JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin,
     "art_search_phrase" ->
       """WITH t AS (
         |  SELECT doc_id,

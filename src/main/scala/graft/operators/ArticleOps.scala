@@ -365,6 +365,62 @@ object ArticleOps {
       .orderBy("doc_id")
   }
 
+  /** [[searchPhrase]] served ENTIRELY from the positional postings —
+    * the adjacency verify never re-tokenizes a document: each phrase
+    * term's sorted position list comes out of the index (pushed
+    * term-equality probe on the term-bucketed layout), positions shift
+    * by their phrase offset, and the phrase is the (doc_id, pos)
+    * equi-join AND-merge of the per-term lists — the classic positional
+    * intersection of an IR engine, as dataflow. The corpus is touched
+    * exactly once, by the final 3-column projection semi-join.
+    *
+    * Scale shape: per term the index contributes only that term's
+    * postings rows (row-group-pruned by the sort-on-term write); the
+    * merge joins carry narrow (doc_id, pos) pairs; nothing re-reads
+    * text. Same output contract and oracle as [[searchPhrase]]. */
+  def searchPhraseIndexed(spark: SparkSession, sfDir: String,
+                          phrase: String = "merge group"): DataFrame = {
+    val terms = phrase.toLowerCase.split(" ").filter(_.nonEmpty)
+    require(terms.nonEmpty,
+      "phrase search needs at least one non-space token")
+    val idxPath = graft.plans.TextIndexCatalog.ensureIndex(spark, sfDir)
+    val post = spark.read.parquet(idxPath)
+    def positionsOf(t: String, shift: Int) =
+      post.filter(col("term") === t)
+        .select(col("doc_id"), explode(col("positions")).as("p"))
+        .select(col("doc_id"), (col("p") - shift).as("pos"))
+    val hits = terms.zipWithIndex.drop(1)
+      .foldLeft(positionsOf(terms(0), 0)) { case (acc, (t, i)) =>
+        acc.join(positionsOf(t, i), Seq("doc_id", "pos"))
+      }.select("doc_id").distinct()
+    docs(spark, sfDir).join(hits, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Fuzzy keyword search (edit distance <= maxDist) resolved against
+    * the TERM DICTIONARY, never the corpus — the way a search engine
+    * runs fuzzy queries (Lucene walks its term dict with a Levenshtein
+    * automaton; the dataflow analogue filters the vocabulary): the
+    * distinct-term side of the postings index is vocabulary-sized, the
+    * `levenshtein` probe runs there, matching terms semi-join back into
+    * the postings for doc ids, and the corpus is touched exactly once by
+    * the final projection. Both engines ship the same plain Levenshtein
+    * (Spark `levenshtein`, DuckDB `levenshtein`), so the oracle is the
+    * scan spelling over tokens — identical result by definition of the
+    * distance. */
+  def searchFuzzy(spark: SparkSession, sfDir: String,
+                  keyword: String = "soft", maxDist: Int = 1): DataFrame = {
+    val idxPath = graft.plans.TextIndexCatalog.ensureIndex(spark, sfDir)
+    val post = spark.read.parquet(idxPath)
+    val cand = post.select("term").distinct()
+      .filter(levenshtein(col("term"), lit(keyword.toLowerCase)) <= maxDist)
+    val hits = post.join(cand, "term").select("doc_id").distinct()
+    docs(spark, sfDir).join(hits, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** Mongo `$text` negation (api.py:26 accepts `-term` exclusions):
     * `"spark -merge"` matches docs containing `spark` but not `merge`.
     * The positive conjunct is the rewrite-matchable token pattern, so

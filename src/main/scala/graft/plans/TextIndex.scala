@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, countDistinct, explode, length, lit, lower, split}
+import org.apache.spark.sql.functions.{col, collect_list, countDistinct, explode, length, lit, lower, posexplode, sort_array, split}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -55,20 +55,28 @@ object TextIndexCatalog {
   def lookupStemmed(docsPath: String): Option[String] =
     stemmedIndexes.get(docsPath)
 
-  /** (term, doc_id, tf) postings over an arbitrary docs frame — one row
-    * per distinct (term, doc_id) with the term's occurrence count, so
-    * the index answers BOTH membership probes (semi-join, tf ignored)
-    * and ranked-TF scoring (sum(tf)) without touching the corpus.
-    * Per-file aggregation composes into a globally-correct index because
-    * `doc_id` uniquely keys the docs TABLE (the register contract):
-    * posting groups from disjoint doc_id ranges are themselves disjoint,
-    * which is what makes the append-delta build below sound. */
+  /** (term, doc_id, tf, positions) postings over an arbitrary docs
+    * frame — one row per distinct (term, doc_id) with the term's
+    * occurrence count AND its sorted occurrence positions (indices into
+    * the empty-filtered token sequence, the same coordinates every
+    * search uses), so ONE index answers membership probes (semi-join;
+    * tf and positions never read), ranked-TF/BM25 scoring (sum(tf);
+    * positions never read), and positional phrase merges — parquet
+    * column pruning means each query class pays only for the columns it
+    * projects. Per-file aggregation composes into a globally-correct
+    * index because `doc_id` uniquely keys the docs TABLE (the register
+    * contract): posting groups from disjoint doc_id ranges are
+    * themselves disjoint, which is what makes the append-delta build
+    * below sound (positions are WITHIN-doc, so they too are file-local
+    * facts). */
   def postingsOf(docs: DataFrame): DataFrame =
     docs
-      .select(explode(split(lower(col("text")), " ")).as("term"), col("doc_id"))
-      .filter(length(col("term")) > 0)
+      .select(col("doc_id"), posexplode(org.apache.spark.sql.functions.filter(
+        split(lower(col("text")), " "), t => length(t) > 0)))
+      .toDF("doc_id", "pos", "term")
       .groupBy("term", "doc_id")
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("tf"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
 
   /** Stemmed postings: the same distinct (term, doc_id) contract with
     * every token passed through the S-stemmer at INDEX time — queries
@@ -157,12 +165,13 @@ object TextIndexCatalog {
     val dPath = new Path(docsPath)
     val fs = dPath.getFileSystem(hconf)
     val current = dataFileEntries(fs, dPath)
-    // "#tf1" versions the LAYOUT of the variant whose schema changed:
-    // adding the tf column to the BASE postings would otherwise serve an
-    // old tf-less directory off its manifest to the ranked rewrite. The
-    // stemmed layout is keyed separately so a base-layout bump does not
-    // needlessly invalidate (and orphan) existing stemmed directories.
-    val layoutVer = if (variant.isEmpty) "#tf1" else "#s1"
+    // "#p1" versions the LAYOUT of the variant whose schema changed:
+    // adding the tf (then positions) column to the BASE postings would
+    // otherwise serve an old narrower directory off its manifest to the
+    // ranked/positional paths. The stemmed layout is keyed separately so
+    // a base-layout bump does not needlessly invalidate (and orphan)
+    // existing stemmed directories.
+    val layoutVer = if (variant.isEmpty) "#p1" else "#s1"
     val key = java.security.MessageDigest.getInstance("SHA-1")
       .digest((docsPath + variant + layoutVer).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

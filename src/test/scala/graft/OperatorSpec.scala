@@ -567,6 +567,48 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("positional-postings phrase serving equals the scan-verify form; one corpus touch; pushed term probes") {
+    import spark.implicits._
+    graft.plans.TextIndexCatalog.clear()
+    val scanForm = ArticleOps.searchPhrase(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSeq
+    val df = ArticleOps.searchPhraseIndexed(spark, sf0001)
+    val idxForm = df.select("doc_id").as[Long].collect().toSeq
+    assert(idxForm == scanForm && idxForm.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // the adjacency merge runs off the index: the corpus parquet is
+    // scanned exactly once (the final 3-column projection semi-join)
+    val docScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(docScans == 1, s"expected 1 corpus scan, got $docScans:\n${plan.take(1500)}")
+    // each per-term probe reaches the postings scan as a pushed equality
+    assert(plan.contains("EqualTo(term,merge)") && plan.contains("EqualTo(term,group)"),
+      s"term probes not pushed:\n${plan.take(1500)}")
+    graft.plans.TextIndexCatalog.clear()
+  }
+
+  test("fuzzy search equals the token-scan Levenshtein model and finds docs without the literal term") {
+    import spark.implicits._
+    graft.plans.TextIndexCatalog.clear()
+    val model = graft.Tables.documents(spark, sf0001)
+      .filter(exists(filter(split(lower(col("text")), " "), t => length(t) > 0),
+        t => levenshtein(t, lit("soft")) <= 1))
+      .select("doc_id").as[Long].collect().toSet
+    val df = ArticleOps.searchFuzzy(spark, sf0001)
+    val got = df.select("doc_id").as[Long].collect().toSet
+    assert(got == model && got.nonEmpty)
+    // the corpus has no literal 'soft' — every hit arrives via a
+    // distance-1 neighbour ('sort'), which is the point of the operator
+    val literal = ArticleOps.searchKeyword(spark, sf0001, "soft")
+      .select("doc_id").as[Long].collect().toSet
+    assert(literal.isEmpty && got.nonEmpty,
+      "fixture drift: 'soft' now appears literally; pick another probe")
+    // the Levenshtein probe runs on the vocabulary side: one corpus scan
+    val plan = df.queryExecution.executedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(docScans == 1, s"expected 1 corpus scan, got $docScans")
+    graft.plans.TextIndexCatalog.clear()
+  }
+
   test("negation search: index rewrite takes the positive term, exclusion stays residual") {
     import spark.implicits._
     graft.plans.TextIndexCatalog.clear()
