@@ -84,6 +84,7 @@ object SparkEntry {
     "evt_topk_udaf"            -> EventOps.topEventsPerType _,
     "evt_salted_totals"        -> EventOps.saltedUserTotals _,
     "evt_value_histogram"      -> EventOps.valueHistogram _,
+    "evt_kmv_distinct"         -> ((s: SparkSession, d: String) => EventOps.kmvDistinct(s, d)),
     "evt_pivot_types"          -> EventOps.userTypePivot _,
     "evt_funnel"               -> EventOps.funnel _,
     "evt_retention"            -> EventOps.cohortRetention _,
@@ -653,6 +654,23 @@ object SparkEntry {
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // KMV distinct sketch: deterministic k-minima of the portable hash,
+    // est = (k-1)*M // h_k — exactly reproducible, unlike engine HLL
+    "evt_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(CAST(user_id AS VARCHAR) || '-kmv-sketch-salt', ''),
+        |      c -> ascii(c))),
+        |    (h, c) -> (h * 31 + c) % 1000000000000000) AS h
+        |  FROM events),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+        |SELECT
+        |  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact,
+        |  CAST(COUNT(*) AS BIGINT) AS k_seen,
+        |  MAX(h) AS kth_hash,
+        |  CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+        |    ELSE 63000000000000000 // MAX(h) END AS BIGINT) AS est_kmv
+        |FROM k""".stripMargin,
     "art_inverted_index" ->
       """SELECT term, COUNT(DISTINCT doc_id) AS doc_count, COUNT(*) AS total_count,
         |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids

@@ -221,6 +221,47 @@ object EventOps {
     * on user_id; week arithmetic is exact integer day math on
     * week-truncated timestamps (both engines truncate to Monday, the
     * session is pinned UTC). */
+  /** KMV (k-minimum-values) distinct sketch next to its exact answer —
+    * the MERGEABLE distinct estimator (Bar-Yossef 2002, public; the
+    * theta-sketch family): keep the k smallest hash values of the key
+    * domain; the kth smallest h_k estimates distinct ≈ (k-1)·M/h_k for
+    * hash space [0, M). Unlike RNG-seeded sampling the sketch is
+    * DETERMINISTIC — the k minima of the portable polynomial hash are
+    * the same values on any engine, any partitioning, any cluster size
+    * — so this one is oracle-checkable where engine-native HLL is
+    * spec-only (the approx-distinct spec keeps covering that).
+    *
+    * Scale shape: the k-minima aggregate is bounded state per partition
+    * (TakeOrdered: each partition surfaces at most k candidates, k rows
+    * cross the exchange) and UNIONS of sketches are sketches of unions —
+    * the property that lets a 100 TB scan sketch per-partition and merge
+    * on the driver-free path. Estimate arithmetic is BIGINT floor ops. */
+  def kmvDistinct(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    // the 16-char constant SUFFIX is what makes the polynomial hash
+    // usable as a KMV key: ids hash left-to-right, so the salt applies
+    // a further x -> 31^16·x + K mod M to every id's partial hash —
+    // 31^16 ≈ 3e23 wraps the modulus ~1e8 times, spreading the short
+    // near-consecutive id strings (whose raw hashes are tiny and
+    // clustered, uselessly biasing the k-th minimum) into an
+    // equidistributed sequence over [0, M)
+    val hashes = ev
+      .select(graft.operators.TextOps.polyHash(
+        concat(col("user_id").cast("string"), lit("-kmv-sketch-salt"))).as("h"))
+      .distinct()
+    val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    hashes.orderBy("h").limit(k)
+      .agg(count(lit(1)).cast("long").as("k_seen"), max(col("h")).as("kth_hash"))
+      .crossJoin(broadcast(exact))
+      .select(col("n_exact"), col("k_seen"), col("kth_hash"),
+        // fewer than k distinct values = the sketch holds them ALL and
+        // knows the count exactly (standard KMV small-cardinality case)
+        when(col("k_seen") < k, col("k_seen"))
+          .otherwise(
+            expr(s"CAST(${(k - 1).toLong * TextOps.HashMod} DIV kth_hash AS BIGINT)"))
+          .as("est_kmv"))
+  }
+
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val cohort = ev.groupBy("user_id")

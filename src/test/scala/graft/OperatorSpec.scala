@@ -1523,6 +1523,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch: exact below k, within 2x of exact above k, kth hash is a real k-minimum") {
+    // sf0.001 has 15 distinct users (< k=64): the sketch holds them all
+    // and must report the exact count
+    val small = EventOps.kmvDistinct(spark, sf0001).collect().head
+    assert(small.getAs[Long]("k_seen") == small.getAs[Long]("n_exact"))
+    assert(small.getAs[Long]("est_kmv") == small.getAs[Long]("n_exact"))
+    // sf0.01 has 150 (> k): the (k-1)·M/h_k estimate applies; with k=64
+    // the standard error is ~12.6%, so 2x bounds are generous and stable
+    val big = EventOps.kmvDistinct(spark, "/root/testdata/sf0.01").collect().head
+    val exact = big.getAs[Long]("n_exact")
+    val est = big.getAs[Long]("est_kmv")
+    assert(big.getAs[Long]("k_seen") == 64L)
+    assert(est >= exact / 2 && est <= exact * 2, s"est $est vs exact $exact")
+    assert(big.getAs[Long]("kth_hash") > 0L &&
+      big.getAs[Long]("kth_hash") < graft.operators.TextOps.HashMod)
+  }
+
   test("BPE pair statistics equal the brute-force vocabulary model") {
     val toks = Tables.documents(spark, sf0001).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))

@@ -21,6 +21,29 @@ class PropertySpec extends AnyFunSuite {
     Gen.const("<img src=\"x\">"), Gen.const("plain text")))
     .map(_.mkString(" "))
 
+  test("positional postings invariants: positions sorted, len == tf, and re-derivable from the tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "merge group merge  the merge"),
+      (2L, ""),
+      (3L, "a a a a"),
+      (4L, "Group MERGE group")).toDF("doc_id", "text")
+    val post = graft.plans.TextIndexCatalog.postingsOf(docs).collect()
+    assert(post.nonEmpty)
+    post.foreach { r =>
+      val tf = r.getAs[Long]("tf")
+      val ps = r.getAs[scala.collection.Seq[Int]]("positions")
+      assert(ps.length == tf.toInt, s"len(positions) != tf in $r")
+      assert(ps == ps.sorted, s"positions unsorted in $r")
+    }
+    // positions index into the empty-filtered lower-cased token stream
+    val m = post.map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->
+      r.getAs[scala.collection.Seq[Int]]("positions")).toMap
+    assert(m(("merge", 1L)) == Seq(0, 2, 4)) // double space dropped
+    assert(m(("a", 3L)) == Seq(0, 1, 2, 3))
+    assert(m(("group", 4L)) == Seq(0, 2) && m(("merge", 4L)) == Seq(1))
+  }
+
   test("tag-strip leaves no tags and is idempotent") {
     holds(Prop.forAll(htmlish) { s =>
       val once = s.replaceAll(ArticleOps.TagRe, "")
