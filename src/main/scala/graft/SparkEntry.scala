@@ -85,6 +85,8 @@ object SparkEntry {
     "evt_salted_totals"        -> EventOps.saltedUserTotals _,
     "evt_value_histogram"      -> EventOps.valueHistogram _,
     "evt_kmv_distinct"         -> ((s: SparkSession, d: String) => EventOps.kmvDistinct(s, d)),
+    "evt_gapfill"              -> EventOps.hourlyGapFill _,
+    "rel_large_orders"         -> ((s: SparkSession, d: String) => RelationalOps.largeOrders(s, d)),
     "evt_pivot_types"          -> EventOps.userTypePivot _,
     "evt_funnel"               -> EventOps.funnel _,
     "evt_retention"            -> EventOps.cohortRetention _,
@@ -654,6 +656,36 @@ object SparkEntry {
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // hourly date-spine gap fill: every (hour, type) cell of the
+    // observed range, zero-filled where no events landed
+    "evt_gapfill" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    date_trunc('hour', (SELECT MIN(ts) FROM events)),
+        |    date_trunc('hour', (SELECT MAX(ts) FROM events)),
+        |    INTERVAL 1 HOUR)) AS hr),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |counts AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT s.hr, t.event_type, COALESCE(c.n, 0) AS n,
+        |  COALESCE(c.sum_value, 0.0) AS sum_value
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN counts c ON c.hr = s.hr AND c.event_type = t.event_type
+        |ORDER BY s.hr, t.event_type""".stripMargin,
+    // Q18 shape: aggregate lineitem first, HAVING-filter, join survivors
+    "rel_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_price, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
     // KMV distinct sketch: deterministic k-minima of the portable hash,
     // est = (k-1)*M // h_k — exactly reproducible, unlike engine HLL
     "evt_kmv_distinct" ->

@@ -221,6 +221,34 @@ object EventOps {
     * on user_id; week arithmetic is exact integer day math on
     * week-truncated timestamps (both engines truncate to Monday, the
     * session is pinned UTC). */
+  /** Hourly gap-fill (the "date spine" pattern): every (hour, type)
+    * cell of the full observation range gets a row, zero-filled where no
+    * events landed — what downstream time-series models and dashboards
+    * need (a missing bucket and an empty bucket are different facts).
+    * The spine derives from the data's own min/max hour: a 2-value
+    * aggregate explodes into the hour sequence (spine length = range
+    * hours, independent of event count), cross-joins the distinct type
+    * dimension, and LEFT-joins the pre-aggregated counts — the fact
+    * table is aggregated BEFORE the join, so the spine join touches
+    * (hours × types) rows, never raw events. */
+  def hourlyGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val spine = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hr"))
+    val types = ev.select("event_type").distinct()
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+    spine.crossJoin(types)
+      .join(counts, Seq("hr", "event_type"), "left")
+      .select(col("hr"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("hr", "event_type")
+  }
+
   /** KMV (k-minimum-values) distinct sketch next to its exact answer —
     * the MERGEABLE distinct estimator (Bar-Yossef 2002, public; the
     * theta-sketch family): keep the k smallest hash values of the key

@@ -348,4 +348,25 @@ object RelationalOps {
       ORDER BY revenue DESC, c_custkey
       LIMIT 20""")
   }
+
+  /** TPC-H Q18 shape (large-volume orders): aggregate the fact table
+    * FIRST (sum quantity per order, map-side combined), filter the
+    * aggregate (HAVING), and only then join the ~0.1%-selective
+    * survivor keys to orders and customers — the group-filter-join
+    * discipline that keeps the join input at |qualifying orders|, not
+    * |lineitem|. AQE broadcasts the survivor side while it fits. */
+  def largeOrders(spark: SparkSession, sfDir: String,
+                  minQty: Double = 250.0): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(sum(money(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(spark, sfDir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        money(col("o_totalprice")).cast("double").as("o_price"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
 }

@@ -1523,6 +1523,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("hourly gap fill: complete (hour x type) grid, zero-filled cells, counts match the windowed aggregate") {
+    import spark.implicits._
+    val rows = EventOps.hourlyGapFill(spark, sf0001).collect()
+    val hours = rows.map(_.getAs[java.sql.Timestamp]("hr")).distinct.sorted
+    val types = rows.map(_.getAs[String]("event_type")).distinct.sorted
+    // complete grid: every (hour, type) cell present exactly once
+    assert(rows.length == hours.length * types.length)
+    // consecutive spine hours are exactly 1h apart (no holes, no dups)
+    hours.sliding(2).foreach {
+      case Array(a, b) => assert(b.getTime - a.getTime == 3600000L)
+      case _ =>
+    }
+    // gap-filling actually fired and zero cells are really zero
+    val zeros = rows.filter(_.getAs[Long]("n") == 0L)
+    assert(zeros.nonEmpty, "fixture has no empty (hour, type) cells")
+    assert(zeros.forall(_.getAs[Double]("sum_value") == 0.0))
+    // non-zero cells agree with the plain windowed aggregate
+    val agg = EventOps.tumblingWindowStats(spark, sf0001).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+    rows.filter(_.getAs[Long]("n") > 0).foreach { r =>
+      val k = (r.getAs[java.sql.Timestamp]("hr"), r.getAs[String]("event_type"))
+      assert(agg.get(k).contains(r.getAs[Long]("n")), s"cell $k disagrees")
+    }
+  }
+
+  test("large orders (Q18 shape): every row exceeds the quantity floor and matches the per-order sum") {
+    import spark.implicits._
+    val rows = RelationalOps.largeOrders(spark, sf0001, minQty = 100.0).collect()
+    assert(rows.nonEmpty)
+    val qtys = rows.map(_.getAs[Double]("total_qty"))
+    assert(qtys.forall(_ > 100.0))
+    assert(qtys.sameElements(qtys.sortBy(-_)), "not sorted by total_qty desc")
+    val perOrder = Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("q"))
+      .collect().map(r => r.getAs[Long]("l_orderkey") -> r.getAs[Double]("q")).toMap
+    rows.foreach { r =>
+      val ok = r.getAs[Long]("o_orderkey")
+      assert(math.abs(perOrder(ok) - r.getAs[Double]("total_qty")) < 1e-9)
+    }
+  }
+
   test("KMV sketch: exact below k, within 2x of exact above k, kth hash is a real k-minimum") {
     // sf0.001 has 15 distinct users (< k=64): the sketch holds them all
     // and must report the exact count
