@@ -124,7 +124,8 @@ object EventStreamOps {
     * is reclaimable — the two requirements for unbounded stream-stream
     * joins. (Batch analogue: the as-of window in EventOps.) */
   def purchasesAfterSignup(events: DataFrame,
-                           watermark: String = "10 minutes"): DataFrame = {
+                           watermark: String = "10 minutes",
+                           joinType: String = "inner"): DataFrame = {
     val signups = events.filter(col("event_type") === "signup")
       .withWatermark("ts", watermark)
       .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
@@ -132,8 +133,14 @@ object EventStreamOps {
       .withWatermark("ts", watermark)
       .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
+    // joinType "leftOuter" = the attribution-with-misses form: an
+    // unmatched purchase emits (s_ts NULL) once the watermark passes the
+    // end of its join window and no signup can still arrive — same
+    // bounded-state argument, plus a completeness guarantee the inner
+    // form cannot give (every purchase appears exactly once)
     purchases.join(signups,
-      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR"))
+      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR"),
+      joinType)
       .select(col("p_event"), col("p_user").as("user_id"),
         col("p_ts"), col("s_ts"))
   }

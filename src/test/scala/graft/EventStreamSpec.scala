@@ -186,6 +186,42 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched purchases emit with null signup after the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreamOps.purchasesAfterSignup(mem.toDF(), joinType = "leftOuter")
+      .writeStream.format("memory").queryName("ssouter")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        EventRow(1L, ts(0), 1L, "signup", 0.0),
+        EventRow(2L, ts(30), 1L, "purchase", 9.0),  // matches the signup
+        EventRow(3L, ts(10), 2L, "purchase", 5.0))  // user 2 never signs up
+      q.processAllAvailable()
+      // push the watermark far past event 3's join window so the outer
+      // row can be finalized. BOTH inputs must advance: the global
+      // watermark is the MIN over the two withWatermark nodes
+      // (multipleWatermarkPolicy=min), so a signup-side stall would pin
+      // it at the first batch forever. Then run one more batch — state
+      // evictions emit in the batch AFTER the watermark moves.
+      mem.addData(
+        EventRow(90L, Timestamp.valueOf("2026-01-01 18:00:00"), 9L, "purchase", 1.0),
+        EventRow(91L, Timestamp.valueOf("2026-01-01 18:00:00"), 8L, "signup", 0.0))
+      q.processAllAvailable()
+      mem.addData(
+        EventRow(92L, Timestamp.valueOf("2026-01-01 19:00:00"), 9L, "purchase", 1.0),
+        EventRow(93L, Timestamp.valueOf("2026-01-01 19:00:00"), 8L, "signup", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssouter")
+        .select("p_event", "s_ts").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(rows(2L).nonEmpty, "matched purchase must carry its signup ts")
+      assert(rows.get(3L).exists(_.isEmpty),
+        s"unmatched purchase must emit with null signup, got $rows")
+    } finally q.stop()
+  }
+
   test("streaming doc curation: content dedup across batches + quality gate") {
     import spark.implicits._
     import graft.streaming.DocStreamOps

@@ -239,6 +239,35 @@ class SourceSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket pruning: a bucket-key point filter reads 1 of N buckets") {
+    // the read-side payoff of bucketBy beyond shuffle-free joins: a
+    // point predicate on the bucket key hashes to ONE bucket, and the
+    // scan skips the other N-1 entirely — visible as SelectedBucketsCount
+    // in the scan node, the bucketed analogue of partition pruning
+    Tables.orders(spark, SparkFixture.sf0001)
+      .write.mode("overwrite").bucketBy(8, "o_custkey")
+      .saveAsTable("orders_bucket_prune")
+    // the planner DISABLES bucketed scans when no join/agg wants the
+    // distribution (autoBucketedScan) — which also forfeits filter-time
+    // bucket pruning; a lone point lookup must opt back in, exactly as a
+    // production point-lookup service over a bucketed 100 TB table would
+    val prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val aKey = spark.table("orders_bucket_prune")
+        .select("o_custkey").head.getLong(0)
+      val df = spark.table("orders_bucket_prune")
+        .filter(col("o_custkey") === aKey)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning absent:\n${plan.take(1200)}")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_bucket_prune")
+    }
+  }
+
   test("AsOfMergeExec over bucketed tables: declared distribution satisfied, no exchange") {
     import org.apache.spark.sql.functions.unix_micros
     // the payoff of requiredChildDistribution being a planner contract:
