@@ -48,3 +48,32 @@ object ZOrderLayout {
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
 }
+
+/** Small-file compaction (the lakehouse OPTIMIZE maintenance op,
+  * public: Delta/Iceberg `OPTIMIZE`/`rewrite_data_files`): streaming
+  * ingest and fine-grained upserts leave thousands of undersized files
+  * per partition; every later scan then pays per-file open/footer/task
+  * overhead that dwarfs the data read. Compaction rewrites a directory
+  * into ~target-size files while PRESERVING the sort-derived layout
+  * property the readers rely on (disjoint per-file key ranges →
+  * min/max file skipping keeps working after the rewrite).
+  *
+  * One exchange (the range partitioner) — the same cost the original
+  * sorted write paid. Output goes to a fresh directory: in production
+  * the swap is a transaction-log commit (Delta/Iceberg) or an atomic
+  * rename; rewriting in place would leave readers a torn directory. */
+object Compaction {
+
+  /** Rewrite the parquet at `srcDir` into `targetFiles` range-sorted
+    * files at `dstDir`; returns the row count written (action runs the
+    * job — callers assert it matches the source). */
+  def compactRangeSorted(spark: org.apache.spark.sql.SparkSession,
+                         srcDir: String, key: String, targetFiles: Int,
+                         dstDir: String): Long = {
+    val src = spark.read.parquet(srcDir)
+    src.repartitionByRange(targetFiles, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(dstDir)
+    spark.read.parquet(dstDir).count()
+  }
+}

@@ -113,6 +113,55 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 4096L)
   }
 
+  test("compaction: 32 small files become 4, rows identical, per-file ranges stay disjoint") {
+    val srcDir = tmpDir("compact_src")
+    val dstDir = tmpDir("compact_dst")
+    graft.Tables.documents(spark, SparkFixture.sf0001)
+      .repartitionByRange(32, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(srcDir)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files(srcDir).length > 8, "fixture must start fragmented")
+    val n = graft.sources.Compaction.compactRangeSorted(
+      spark, srcDir, "doc_id", targetFiles = 4, dstDir = dstDir)
+    assert(n == spark.read.parquet(srcDir).count())
+    assert(files(dstDir).length <= 4)
+    // content identical (both directions of EXCEPT ALL empty)
+    val a = spark.read.parquet(srcDir)
+    val b = spark.read.parquet(dstDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the file-skipping property survived the rewrite
+    val ranges = files(dstDir).map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("doc_id")), max(col("doc_id"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax < bMin)
+      case _ =>
+    }
+  }
+
+  test("schema evolution: mergeSchema reads old and new parquet files as one table") {
+    // the ingest-lifecycle reality of a long-lived 100 TB table: files
+    // written before a column existed sit next to files written after;
+    // mergeSchema unions the footers and back-fills nulls, so readers
+    // never need a rewrite of the old data
+    import spark.implicits._
+    val dir = tmpDir("evolve")
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "gamma", 0.9), (4L, "delta", 0.1)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 4)
+    // old files surface the new column as null, new files carry values
+    assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("score"))))
+    assert(rows.drop(2).forall(!_.isNullAt(rows.head.fieldIndex("score"))))
+  }
+
   test("dynamic partition pruning: a dim filter prunes the partitioned fact scan") {
     // The star-join mechanism a 100 TB fact table lives on: the fact is
     // written hive-partitioned on the join key; joining a FILTERED tiny
