@@ -41,6 +41,7 @@ object SparkEntry {
     "rel_median_price"         -> RelationalOps.medianPricePerBrand _,
     "rel_full_outer"           -> RelationalOps.fullOuterSegments _,
     "rel_rank_family"          -> RelationalOps.rankFamilyParts _,
+    "rel_dist_family"          -> RelationalOps.distFamilyParts _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -307,6 +308,14 @@ object SparkEntry {
         |  COALESCE(n_pending, 0) AS n_pending
         |FROM b FULL OUTER JOIN p ON b_custkey = p_custkey
         |ORDER BY custkey""".stripMargin,
+    // distribution ranks: exact small-integer divisions, bit-identical
+    "rel_dist_family" ->
+      """SELECT p_brand, p_partkey, pr, cd FROM (
+        |  SELECT p_brand, p_partkey,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd
+        |  FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)) t
+        |WHERE pr <= 0.1 ORDER BY p_brand, p_partkey""".stripMargin,
     "rel_rank_family" ->
       """SELECT p_brand, p_partkey, rnk, drnk, quartile FROM (
         |  SELECT p_brand, p_partkey,

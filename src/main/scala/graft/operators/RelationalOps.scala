@@ -308,6 +308,24 @@ object RelationalOps {
       .orderBy("p_brand", "rnk", "p_partkey")
   }
 
+  /** Distribution-rank window family: percent_rank and cume_dist over
+    * brand-partitioned prices — the quantile-position analytics that
+    * complete the ranking family ([[rankFamilyParts]] covers the
+    * ordinal ranks). Both are exact small-integer divisions
+    * ((rank-1)/(n-1), rows<=/n) so the doubles are bit-identical across
+    * engines; ties in price take equal values, deterministic regardless
+    * of tie order. One shuffle (the brand window). */
+  def distFamilyParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc)
+    Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_partkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .filter(col("pr") <= 0.1)
+      .orderBy("p_brand", "p_partkey")
+  }
+
   /** Correlated-scalar shape: parts priced above their brand average.
     * Expressed as window avg (one shuffle) instead of a self-join. */
   def partsAboveBrandAvg(spark: SparkSession, sfDir: String): DataFrame = {

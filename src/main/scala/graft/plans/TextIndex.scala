@@ -381,11 +381,21 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   /** Phrase spelling: `locate(' p1 p2 ', ' ' || lower(text) || ' ') > 0`
     * with a MULTI-token needle (single tokens are TokenMatch's locate
-    * case). The rewrite can't replace this predicate — postings carry no
-    * positions — but it can prune: docs lacking ANY phrase term can
-    * never match, so candidates come from the index and the original
-    * predicate survives above the join as the adjacency verify,
-    * evaluated on candidates only. */
+    * case). The rewrite deliberately does NOT replace this predicate
+    * with a positional-postings merge even though the index now carries
+    * positions (ArticleOps.searchPhraseIndexed): the two spellings use
+    * DIFFERENT coordinate systems. `locate` means adjacency in the RAW
+    * space-split — a double space breaks the phrase — while the index
+    * stores positions in the empty-FILTERED token sequence (the
+    * whole-token semantics every other search and the phrase oracle
+    * use), where a double space does not. Substituting one for the
+    * other would silently change results on multi-space text, so the
+    * rewrite only PRUNES: docs lacking ANY phrase term can never match,
+    * candidates come from the index, and the original predicate
+    * survives above the join as the adjacency verify, evaluated on
+    * candidates only. Positional serving is the explicit
+    * `art_search_phrase_idx` spelling, whose contract is the filtered
+    * coordinates end to end. */
   private object PhraseMatch {
     def unapply(e: Expression): Option[(Attribute, Seq[String], Expression)] =
       e match {
