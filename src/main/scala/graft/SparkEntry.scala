@@ -42,6 +42,7 @@ object SparkEntry {
     "rel_full_outer"           -> RelationalOps.fullOuterSegments _,
     "rel_rank_family"          -> RelationalOps.rankFamilyParts _,
     "rel_dist_family"          -> RelationalOps.distFamilyParts _,
+    "rel_unpivot"              -> RelationalOps.unpivotPartMeasures _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -81,6 +82,7 @@ object SparkEntry {
     "evt_gaps"                 -> EventOps.eventGaps _,
     "evt_dedup_first"          -> EventOps.earliestEventPerUserType _,
     "evt_lead_next"            -> EventOps.nextEvent _,
+    "evt_first_last"           -> EventOps.firstLastPerUser _,
     "evt_range_frame"          -> EventOps.rolling1hSum _,
     "evt_topk_udaf"            -> EventOps.topEventsPerType _,
     "evt_salted_totals"        -> EventOps.saltedUserTotals _,
@@ -299,6 +301,22 @@ object SparkEntry {
         |  (epoch_ms(lead(ts) OVER w) - epoch_ms(ts)) / 1000.0 AS secs_to_next
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    // full-frame boundary picks; (ts, event_id) order makes ties deterministic
+    "evt_first_last" ->
+      """SELECT user_id, event_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // UNION ALL is the oracle's model of the single-Expand unpivot
+    "rel_unpivot" ->
+      """SELECT p_partkey, measure, val FROM (
+        |  SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val FROM part)
+        |ORDER BY p_partkey, measure""".stripMargin,
     "rel_full_outer" ->
       """WITH b AS (SELECT c_custkey AS b_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
         |p AS (SELECT o_custkey AS p_custkey, COUNT(*) AS n_pending

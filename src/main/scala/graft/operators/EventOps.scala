@@ -146,6 +146,27 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Boundary-value windows: each user's first, last, and second event
+    * type alongside every event — first_value / last_value / nth_value
+    * over the FULL partition frame (rows between unbounded preceding
+    * and unbounded following; the default last_value frame stops at the
+    * current row and would echo each row back at itself). Ordering is
+    * (ts, event_id) — the event_id tiebreak makes all three picks
+    * deterministic when timestamps collide. One shuffle (the user
+    * window); the full-frame functions are evaluated in the same pass
+    * as any other window over this partitioning. */
+  def firstLastPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Deterministic dedup: earliest event per (user_id, event_type) — the
     * batch analogue of streaming dropDuplicatesWithinWatermark (O7). */
   def earliestEventPerUserType(spark: SparkSession, sfDir: String): DataFrame =

@@ -326,6 +326,29 @@ object RelationalOps {
       .orderBy("p_brand", "p_partkey")
   }
 
+  /** Wide→long reshape (melt / UNPIVOT): one row per (part, measure)
+    * from the columnar measures, via Dataset.unpivot — a single
+    * Expand node, row-local and zero-shuffle, where the naive spelling
+    * is k self-UNIONs that scan the table k times. Measures are cast
+    * to double up front so the value column has one type (unpivot
+    * requires it, and the oracle's UNION ALL model matches bitwise —
+    * int-valued doubles are exact). At 100 TB this is the shape used
+    * to feed per-feature statistics: the Expand multiplies rows
+    * map-side, so downstream (measure)-keyed aggs see k·N rows but
+    * the table itself is scanned once. */
+  def unpivotPartMeasures(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      .unpivot(
+        ids = Array(col("p_partkey")),
+        values = Array(col("p_size"), col("p_retailprice")),
+        variableColumnName = "measure",
+        valueColumnName = "val")
+      .orderBy("p_partkey", "measure")
+  }
+
   /** Correlated-scalar shape: parts priced above their brand average.
     * Expressed as window avg (one shuffle) instead of a self-join. */
   def partsAboveBrandAvg(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1610,4 +1610,38 @@ class OperatorSpec extends AnyFunSuite {
         r.getAs[Long]("cnt"), r.getAs[Long]("cont_w2"))).toSeq
     assert(got == expected)
   }
+
+  test("full-frame boundary windows: first/last/second match the sorted-events model") {
+    val events = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.sql.Timestamp](2).getTime, r.getString(3)))
+    val byUser = events.groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2)).map(_._4).toSeq).toMap
+    val got = EventOps.firstLastPerUser(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val seq = byUser(r.getAs[Long]("user_id"))
+      assert(r.getAs[String]("first_type") == seq.head)
+      assert(r.getAs[String]("last_type") == seq.last)
+      val second = if (seq.size >= 2) seq(1) else null
+      assert(r.getAs[String]("second_type") == second)
+    }
+  }
+
+  test("unpivot is a single-scan Expand, not k self-unions") {
+    val df = RelationalOps.unpivotPartMeasures(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, s"expected one part scan:\n$plan")
+    val nParts = Tables.part(spark, sf0001).count()
+    assert(df.count() == 2 * nParts)
+    // the long rows carry the original wide values
+    val wide = Tables.part(spark, sf0001)
+      .select("p_partkey", "p_size", "p_retailprice").collect()
+      .map(r => (r.getLong(0), (r.getInt(1).toDouble, r.getDouble(2)))).toMap
+    RelationalOps.unpivotPartMeasures(spark, sf0001).collect().foreach { r =>
+      val (sz, price) = wide(r.getAs[Long]("p_partkey"))
+      val expect = if (r.getAs[String]("measure") == "p_size") sz else price
+      assert(r.getAs[Double]("val") == expect)
+    }
+  }
 }
