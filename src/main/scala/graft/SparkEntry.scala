@@ -110,6 +110,7 @@ object SparkEntry {
     "txt_rarity"               -> TextOps.rarityScore _,
     "txt_redact_pii"           -> TextOps.redactPii _,
     "txt_repetition"           -> TextOps.repetitionScore _,
+    "txt_classifier_score"     -> TextOps.classifierScore _,
     "pipe_curation"            -> TextOps.curateCorpus _,
     "pipe_shard_export"        -> ((s: SparkSession, d: String) => TextOps.shardExport(s, d)),
     "pipe_split_groups"        -> ((s: SparkSession, d: String) => TextOps.trainValSplit(s, d)),
@@ -1056,6 +1057,24 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(r, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
         |  md5(regexp_replace(regexp_replace(r, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
         |FROM raw ORDER BY doc_id""".stripMargin,
+    // hashed linear classifier: same word-hash pipeline, weight = PRF(bucket)
+    "txt_classifier_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(w, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(x, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(whs,
+        |    h -> ((h % 1048576) * 2654435761 + 13) % 2001 - 1000)), 0) AS BIGINT) AS score,
+        |  CAST(COALESCE(list_sum(list_transform(whs,
+        |    h -> ((h % 1048576) * 2654435761 + 13) % 2001 - 1000)), 0) AS BIGINT) > 0 AS kept
+        |FROM w2 ORDER BY doc_id""".stripMargin,
     "txt_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,

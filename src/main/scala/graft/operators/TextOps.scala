@@ -407,6 +407,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Learned quality filter: hashed linear-model inference, the
+    * fastText-style classifier gate (CCNet / GPT-3-era pipelines score
+    * every document with a cheap linear model over hashed word
+    * features and keep what clears a threshold). Each word hashes to
+    * one of 2^20 feature buckets; the bucket's integer weight comes
+    * from a fixed multiplicative PRF of the bucket id — standing in
+    * for trained weights with the same shape while staying
+    * engine-exact. The whole model is an ARITHMETIC EXPRESSION, so
+    * inference is one `aggregate` fold per row inside whole-stage
+    * codegen: no weight table is materialized, broadcast, or joined —
+    * at 100 TB the gate is a single scan with zero shuffle and zero
+    * driver state, and swapping in real trained weights means
+    * substituting a 4 MiB broadcast array lookup for the PRF with the
+    * identical plan shape. */
+  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val score = expr(
+      """aggregate(word_poly_hashes(lower(text)), 0L,
+        |  (acc, h) -> acc + ((h % 1048576) * 2654435761 + 13) % 2001 - 1000)"""
+        .stripMargin)
+    docs(spark, sfDir)
+      .select(col("doc_id"), score.as("score"))
+      .withColumn("kept", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Training-shard export assignment — the last step of a curation
     * pipeline: every curated doc gets a deterministic shard (fixed
     * multiplicative hash of doc_id — no RNG, identical on any engine

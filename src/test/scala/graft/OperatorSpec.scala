@@ -1611,6 +1611,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("hashed linear classifier matches the brute-force model; inference is map-only") {
+    val Mod = 1000000000000000L
+    def wh(w: String): Long = {
+      var h = 0L
+      w.codePoints().forEach(cp => h = (h * 31 + cp) % Mod)
+      h
+    }
+    def weight(h: Long): Long = ((h % 1048576) * 2654435761L + 13) % 2001 - 1000
+    val expected = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).map(w => weight(wh(w))).sum)
+      .toMap
+    val df = TextOps.classifierScore(spark, sf0001)
+    val got = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (s, kept)) =>
+      assert(s == expected(id), s"doc $id")
+      assert(kept == (s > 0))
+    }
+    // mixed labels — the PRF weights actually discriminate
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+    // map-only inference: the only exchange is the presentation sort
+    // (AQE echoes the initial plan below the final one — count the final only)
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(finalPlan).size
+    assert(exchanges == 1, s"expected only the final range sort exchange, got $exchanges")
+  }
+
   test("full-frame boundary windows: first/last/second match the sorted-events model") {
     val events = Tables.events(spark, sf0001)
       .select("user_id", "event_id", "ts", "event_type").collect()
