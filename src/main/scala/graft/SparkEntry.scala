@@ -111,6 +111,7 @@ object SparkEntry {
     "txt_redact_pii"           -> TextOps.redactPii _,
     "txt_repetition"           -> TextOps.repetitionScore _,
     "txt_classifier_score"     -> TextOps.classifierScore _,
+    "txt_epoch_repeat"         -> TextOps.epochRepeat _,
     "pipe_curation"            -> TextOps.curateCorpus _,
     "pipe_shard_export"        -> ((s: SparkSession, d: String) => TextOps.shardExport(s, d)),
     "pipe_split_groups"        -> ((s: SparkSession, d: String) => TextOps.trainValSplit(s, d)),
@@ -1404,6 +1405,22 @@ object SparkEntry {
         |cont AS (SELECT w2, COUNT(*) AS cont_w2 FROM bgc GROUP BY w2)
         |SELECT w1, w2, cnt, cont_w2 FROM bgc JOIN cont USING (w2)
         |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
+    // epoch repeat: integer part unconditional, fraction by content hash
+    "txt_epoch_repeat" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS ph,
+        |    CASE WHEN source IN ('src0','src1','src2') THEN 25
+        |         WHEN source IN ('src3','src4') THEN 16 ELSE 10 END AS tenths
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    tenths // 10 + CASE WHEN ph % 10 < tenths % 10 THEN 1 ELSE 0 END AS n
+        |  FROM h)
+        |SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy_nb
+        |FROM c ORDER BY doc_id, copy_nb""".stripMargin,
     "txt_mixture_sample" ->
       """SELECT source, COUNT(*) AS n_sampled FROM documents
         |WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -255,6 +255,31 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Epoch-repeat expansion: materialize the per-source repeat factors
+    * of a training-data recipe (LLaMA-style mixes run high-quality
+    * sources for >1 epoch — e.g. 1.6 epochs = every doc twice with
+    * probability 0.6, once otherwise). Integer part = unconditional
+    * copies; fractional part = one extra copy for docs whose content
+    * hash falls under the fraction (deterministic, resumable, engine-
+    * independent — same discipline as [[mixtureSample]]). Emitted as
+    * (doc_id, copy_nb) via a row-local `explode(sequence(...))` — ONE
+    * scan, zero shuffle, where the naive spelling unions the corpus
+    * per epoch and re-scans 100 TB per copy. copy_nb gives downstream
+    * shuffling/sharding distinct rows to key on. */
+  def epochRepeat(spark: SparkSession, sfDir: String): DataFrame = {
+    // repeats in tenths: src0-src2 = 2.5 epochs, src3/src4 = 1.6, rest 1.0
+    val tenths = when(col("source").isin("src0", "src1", "src2"), 25)
+      .when(col("source").isin("src3", "src4"), 16)
+      .otherwise(10)
+    docs(spark, sfDir)
+      .withColumn("tenths", tenths)
+      .withColumn("n_copies", expr(
+        "CAST(tenths DIV 10 + IF(pmod(poly_hash(text), 10) < tenths % 10, 1, 0) AS BIGINT)"))
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1L, n_copies)")).as("copy_nb"))
+      .orderBy("doc_id", "copy_nb")
+  }
+
   /** Unigram rarity score — the corpus-statistics quality signal of the
     * CCNet/Gopher LM-filter family, in EXACT integer arithmetic: a
     * document full of rare terms scores high, boilerplate scores low.

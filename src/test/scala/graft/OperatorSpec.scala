@@ -1641,6 +1641,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the final range sort exchange, got $exchanges")
   }
 
+  test("epoch repeat matches the hash model: int part unconditional, fraction by content hash") {
+    val Mod = 1000000000000000L
+    def ph(s: String): Long = {
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 31 + cp) % Mod)
+      h
+    }
+    val expected = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val tenths = r.getString(1) match {
+          case "src0" | "src1" | "src2" => 25
+          case "src3" | "src4"          => 16
+          case _                        => 10
+        }
+        val n = tenths / 10 + (if (ph(r.getString(2)) % 10 < tenths % 10) 1 else 0)
+        r.getLong(0) -> n.toLong
+      }.toMap
+    val got = TextOps.epochRepeat(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(got.keySet == expected.keySet) // every doc survives (>= 1 copy)
+    got.foreach { case (id, rows) =>
+      assert(rows.length.toLong == expected(id), s"doc $id")
+      // copy_nb is the dense 1..n sequence the sharder keys on
+      assert(rows.map(_.getAs[Long]("copy_nb")).sorted.toSeq == (1L to expected(id)))
+    }
+  }
+
   test("full-frame boundary windows: first/last/second match the sorted-events model") {
     val events = Tables.events(spark, sf0001)
       .select("user_id", "event_id", "ts", "event_type").collect()
