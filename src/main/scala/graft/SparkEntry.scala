@@ -43,6 +43,8 @@ object SparkEntry {
     "rel_rank_family"          -> RelationalOps.rankFamilyParts _,
     "rel_dist_family"          -> RelationalOps.distFamilyParts _,
     "rel_unpivot"              -> RelationalOps.unpivotPartMeasures _,
+    "rel_revenue_share"        -> RelationalOps.revenueShareByPriority _,
+    "rel_window_distinct"      -> RelationalOps.runningDistinctTypes _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -312,6 +314,31 @@ object SparkEntry {
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+    // percent-of-total in integer basis points (cents*10000 // total_cents)
+    "rel_revenue_share" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders GROUP BY o_orderpriority),
+        |tot AS (SELECT SUM(rev) AS t FROM per)
+        |SELECT o_orderpriority,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(CAST(rev * 100 AS BIGINT) * 10000 // CAST(t * 100 AS BIGINT) AS BIGINT)
+        |    AS share_bps
+        |FROM per, tot ORDER BY o_orderpriority""".stripMargin,
+    // COUNT(DISTINCT) OVER rewrite: first-occurrence flags, running sum
+    "rel_window_distinct" ->
+      """SELECT p_brand, p_partkey,
+        |  CAST(SUM(first_occ) OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS distinct_types_so_far
+        |FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CASE WHEN row_number() OVER (PARTITION BY p_brand, p_type
+        |      ORDER BY p_retailprice DESC, p_partkey) = 1
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS first_occ
+        |  FROM part)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
     // UNION ALL is the oracle's model of the single-Expand unpivot
     "rel_unpivot" ->
       """SELECT p_partkey, measure, val FROM (

@@ -349,6 +349,52 @@ object RelationalOps {
       .orderBy("p_partkey", "measure")
   }
 
+  /** Percent-of-total contribution: each order priority's revenue share
+    * of the whole book. The scale-correct spelling is a 1-row total
+    * aggregate BROADCAST back over the per-group rows — never
+    * `sum() OVER ()`, whose empty partitioning funnels every row
+    * through a single task. Shares are integer BASIS POINTS from exact
+    * cent arithmetic (cents·10000 DIV total_cents): decimal division
+    * would pit Spark's scale/rounding rules against the oracle's,
+    * integer division is bit-identical. (Both engines CAST the
+    * integral-valued cent decimals, so round-vs-truncate never
+    * differs.) */
+  def revenueShareByPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val tot = per.agg(sum(col("rev")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("o_orderpriority"),
+        col("rev").cast("double").as("revenue"),
+        expr("CAST(CAST(rev * 100 AS BIGINT) * 10000 DIV CAST(tot * 100 AS BIGINT) AS BIGINT)")
+          .as("share_bps"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Running distinct count over a window — COUNT(DISTINCT) OVER is
+    * illegal in both engines, so this is the standard rewrite: flag
+    * each (brand, type)'s FIRST row by price rank, then running-sum
+    * the flags over the brand window. Distinct-so-far state never
+    * materializes as a per-row set; it's two ordinary window passes.
+    * The first window partitions by (brand, type) — a refinement of
+    * the second's (brand) — so at scale AQE plans two exchanges of
+    * the same narrow projection, or one when the input is already
+    * brand-bucketed. */
+  def runningDistinctTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    val perType = Window.partitionBy(col("p_brand"), col("p_type"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    val perBrand = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.part(spark, sfDir)
+      .withColumn("first_occ",
+        when(row_number().over(perType) === 1, 1L).otherwise(0L))
+      .select(col("p_brand"), col("p_partkey"),
+        sum(col("first_occ")).over(perBrand).as("distinct_types_so_far"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
   /** Correlated-scalar shape: parts priced above their brand average.
     * Expressed as window avg (one shuffle) instead of a self-join. */
   def partsAboveBrandAvg(spark: SparkSession, sfDir: String): DataFrame = {

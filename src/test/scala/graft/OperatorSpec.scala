@@ -1641,6 +1641,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the final range sort exchange, got $exchanges")
   }
 
+  test("revenue share: bps sum to ~10000, total is broadcast not a global window") {
+    val df = RelationalOps.revenueShareByPriority(spark, sf0001)
+    val rows = df.collect()
+    val bps = rows.map(_.getAs[Long]("share_bps"))
+    // floor division loses < 1 bp per group
+    assert(bps.sum <= 10000L && bps.sum > 10000L - rows.length)
+    val rev = rows.map(_.getAs[Double]("revenue"))
+    bps.zip(rev).foreach { case (b, r) =>
+      assert(math.abs(b - r / rev.sum * 10000) < 1.5)
+    }
+    // the 1-row total joins back as a broadcast — no single-partition window
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
+           finalPlan.contains("BroadcastExchange"), finalPlan)
+    assert(!finalPlan.contains("Window"), "must not use a global window")
+  }
+
+  test("running distinct count equals the per-prefix set-size model") {
+    val parts = Tables.part(spark, sf0001)
+      .select("p_brand", "p_partkey", "p_type", "p_retailprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val model = parts.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(r => (-r._4, r._2)).toSeq
+      ordered.zipWithIndex.map { case (r, i) =>
+        (r._2, ordered.take(i + 1).map(_._3).distinct.length.toLong)
+      }
+    }.toMap
+    RelationalOps.runningDistinctTypes(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("distinct_types_so_far") == model(r.getAs[Long]("p_partkey")))
+    }
+  }
+
   test("epoch repeat matches the hash model: int part unconditional, fraction by content hash") {
     val Mod = 1000000000000000L
     def ph(s: String): Long = {
