@@ -320,4 +320,48 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(last == Map(1L -> 3L, 2L -> 2L))
     } finally q.stop()
   }
+
+  test("restart from checkpoint: aggregation state survives, already-read files are not reprocessed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count}
+    val in = java.nio.file.Files.createTempDirectory("graft_restart_in").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt").toFile
+    val schema = "user_id LONG, event_type STRING"
+    // memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable programmable sink (the production upsert path)
+    def startQuery(sink: scala.collection.mutable.Map[Long, Long]) =
+      spark.readStream.schema(schema).json(in.getAbsolutePath)
+        .groupBy(col("user_id")).agg(count("*").as("n"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = batch.collect()
+          sink.synchronized { rows.foreach(r => sink(r.getLong(0)) = r.getLong(1)) }
+          ()
+        }
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .start()
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      java.nio.file.Files.write(f.toPath, lines.mkString("\n").getBytes)
+      ()
+    }
+    // epoch 1: user 1 twice, user 2 once
+    writeFile("a.json", Seq(
+      """{"user_id":1,"event_type":"click"}""",
+      """{"user_id":1,"event_type":"view"}""",
+      """{"user_id":2,"event_type":"click"}"""))
+    val sink1 = scala.collection.mutable.Map.empty[Long, Long]
+    val q1 = startQuery(sink1)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(sink1.toMap == Map(1L -> 2L, 2L -> 1L))
+    // epoch 2: a NEW query from the same checkpoint; only user 1 gets data
+    writeFile("b.json", Seq("""{"user_id":1,"event_type":"click"}"""))
+    val sink2 = scala.collection.mutable.Map.empty[Long, Long]
+    val q2 = startQuery(sink2)
+    try { q2.processAllAvailable() } finally q2.stop()
+    // user 1's count carries the checkpointed state (2 + 1 = 3), and user 2
+    // is absent from the update — file a.json was NOT read again
+    assert(sink2.toMap == Map(1L -> 3L), s"got ${sink2.toMap}")
+  }
 }
