@@ -45,6 +45,8 @@ object SparkEntry {
     "rel_unpivot"              -> RelationalOps.unpivotPartMeasures _,
     "rel_revenue_share"        -> RelationalOps.revenueShareByPriority _,
     "rel_window_distinct"      -> RelationalOps.runningDistinctTypes _,
+    "pipe_data_quality"        -> RelationalOps.dataQualityReport _,
+    "evt_cdc_apply"            -> EventOps.cdcApply _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -314,6 +316,43 @@ object SparkEntry {
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+    // DQ gate: one conditional-aggregate pass per table, FK as anti count
+    "pipe_data_quality" ->
+      """WITH o AS (SELECT COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('P','O','F') THEN 1 ELSE 0 END) AS status_dom,
+        |    SUM(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) AS stale
+        |  FROM orders),
+        |fk AS (SELECT COUNT(*) AS v FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |li AS (SELECT COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 40 THEN 1 ELSE 0 END) AS qty_range
+        |  FROM lineitem),
+        |ev AS (SELECT COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS neg_value,
+        |    SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props
+        |  FROM events),
+        |u AS (
+        |  SELECT 'orders_pk_unique' AS check_name, n_rows, pk_dup AS n_violations FROM o
+        |  UNION ALL SELECT 'orders_status_domain', n_rows, status_dom FROM o
+        |  UNION ALL SELECT 'orders_fresh_before_2000', n_rows, stale FROM o
+        |  UNION ALL SELECT 'orders_fk_customer', o.n_rows, fk.v FROM o, fk
+        |  UNION ALL SELECT 'lineitem_qty_1_40', n_rows, qty_range FROM li
+        |  UNION ALL SELECT 'events_value_nonneg', n_rows, neg_value FROM ev
+        |  UNION ALL SELECT 'events_props_complete', n_rows, null_props FROM ev)
+        |SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS ok
+        |FROM u ORDER BY check_name""".stripMargin,
+    // CDC apply: last write wins per key, tombstones delete
+    "evt_cdc_apply" ->
+      """SELECT user_id, value AS current_value, n_changes FROM (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    CASE WHEN event_type = 'view' THEN 'D' ELSE 'U' END AS op,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
     // percent-of-total in integer basis points (cents*10000 // total_cents)
     "rel_revenue_share" ->
       """WITH per AS (

@@ -167,6 +167,30 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** CDC changelog apply (Debezium/Delta-CDF shape): reduce a keyed
+    * change stream to its current snapshot — LAST write wins per key,
+    * tombstones delete. The events table plays the changelog: per
+    * user, ops ordered by (ts, event_id); 'view' rows are deletes,
+    * everything else upserts its value. One window shuffle on the key;
+    * the snapshot is row_number()=1 over the DESCENDING sequence, so
+    * each key's state is decided by its latest entry no matter how
+    * many precede it — the batch form of mapGroupsWithState's
+    * last-value state, and the apply step of [[upsertMerge]] when the
+    * changelog carries multiple generations per key. Keys whose final
+    * op is a delete vanish from the snapshot (the semantic exact-merge
+    * MERGE WHEN MATCHED AND op='D' THEN DELETE). */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("op", when(col("event_type") === "view", "D").otherwise("U"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("value").as("current_value"), col("n_changes"))
+      .orderBy("user_id")
+  }
+
   /** Deterministic dedup: earliest event per (user_id, event_type) — the
     * batch analogue of streaming dropDuplicatesWithinWatermark (O7). */
   def earliestEventPerUserType(spark: SparkSession, sfDir: String): DataFrame =

@@ -395,6 +395,61 @@ object RelationalOps {
       .orderBy("p_brand", "p_partkey")
   }
 
+  /** Data-quality constraint suite (Deequ-style gate): uniqueness,
+    * referential integrity, domain membership, freshness, and range
+    * checks emitted as one (check, n_rows, n_violations, ok) report —
+    * the go/no-go table a pipeline consults before publishing a
+    * dataset. Scale shape: ALL of a table's row-local checks fold into
+    * ONE conditional-aggregate pass over one scan (never one scan per
+    * check); the lone join-shaped check (FK) is a broadcast-dim
+    * left-anti count. The result is k tiny 1-row aggregates unioned —
+    * driver-side size k, data-side one pass per table. Freshness and
+    * quantity thresholds are set tight enough to flag rows in this
+    * corpus: a report that can only ever say "ok" tests nothing. */
+  def dataQualityReport(spark: SparkSession, sfDir: String): DataFrame = {
+    def longSum(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val o = Tables.orders(spark, sfDir)
+    val ordersAgg = o.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
+      longSum(!col("o_orderstatus").isin("P", "O", "F")).as("status_dom"),
+      longSum(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .as("stale"))
+    val fkViolations = o.join(
+        Tables.customer(spark, sfDir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val li = Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      longSum(!col("l_quantity").between(1, 40)).as("qty_range"))
+    val ev = Tables.events(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      longSum(col("value") < 0).as("neg_value"),
+      longSum(col("props").isNull).as("null_props"))
+    // stack() the wide 1-row aggregates into long rows: referencing the
+    // same DataFrame from k union branches would RE-EXECUTE the
+    // aggregate (and its scan) k times — Catalyst does not materialize
+    // shared subplans; an Expand over the single 1-row result does.
+    val ordersRows = ordersAgg.crossJoin(fkViolations).selectExpr(
+      "n_rows",
+      """stack(4,
+        |  'orders_pk_unique', pk_dup,
+        |  'orders_status_domain', status_dom,
+        |  'orders_fresh_before_2000', stale,
+        |  'orders_fk_customer', v) AS (check_name, n_violations)""".stripMargin)
+    val liRows = li.selectExpr("n_rows",
+      "stack(1, 'lineitem_qty_1_40', qty_range) AS (check_name, n_violations)")
+    val evRows = ev.selectExpr("n_rows",
+      """stack(2,
+        |  'events_value_nonneg', neg_value,
+        |  'events_props_complete', null_props) AS (check_name, n_violations)"""
+        .stripMargin)
+    ordersRows.unionAll(liRows).unionAll(evRows)
+      .select(col("check_name"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("ok"))
+      .orderBy("check_name")
+  }
+
   /** Correlated-scalar shape: parts priced above their brand average.
     * Expressed as window avg (one shuffle) instead of a self-join. */
   def partsAboveBrandAvg(spark: SparkSession, sfDir: String): DataFrame = {

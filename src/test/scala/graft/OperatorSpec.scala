@@ -1674,6 +1674,44 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("data-quality report: tight checks flag rows, clean checks pass, one agg pass per table") {
+    val df = RelationalOps.dataQualityReport(spark, sf0001)
+    val rows = df.collect().map(r => r.getAs[String]("check_name") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"), r.getAs[Boolean]("ok"))).toMap
+    assert(rows.size == 7)
+    // deliberately tight thresholds flag real rows in this corpus
+    assert(rows("orders_fresh_before_2000")._2 > 0 && !rows("orders_fresh_before_2000")._3)
+    assert(rows("lineitem_qty_1_40")._2 > 0)
+    // structurally clean constraints hold
+    Seq("orders_pk_unique", "orders_fk_customer", "events_value_nonneg",
+        "events_props_complete", "orders_status_domain").foreach { c =>
+      assert(rows(c)._2 == 0L && rows(c)._3, c)
+    }
+    rows.values.foreach { case (n, v, _) => assert(v <= n) }
+    // one aggregate pass per table: orders 2x (agg + FK anti-join),
+    // customer/lineitem/events 1x — NOT one scan per check
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 5, s"expected 5 table scans, got $scans")
+  }
+
+  test("CDC apply: last write wins, tombstoned keys vanish, n_changes counts the full log") {
+    val log = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.sql.Timestamp](2).getTime,
+        r.getString(3), r.getDouble(4)))
+    val model = log.groupBy(_._1).flatMap { case (uid, rs) =>
+      val last = rs.maxBy(r => (r._3, r._2))
+      if (last._4 == "view") None else Some(uid -> (last._5, rs.length.toLong))
+    }.toMap
+    val got = EventOps.cdcApply(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == model)
+    // at least one user is tombstoned (its key absent from the snapshot)
+    assert(got.size < log.map(_._1).distinct.length)
+  }
+
   test("epoch repeat matches the hash model: int part unconditional, fraction by content hash") {
     val Mod = 1000000000000000L
     def ph(s: String): Long = {
