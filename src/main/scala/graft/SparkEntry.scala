@@ -47,6 +47,9 @@ object SparkEntry {
     "rel_window_distinct"      -> RelationalOps.runningDistinctTypes _,
     "pipe_data_quality"        -> RelationalOps.dataQualityReport _,
     "evt_cdc_apply"            -> EventOps.cdcApply _,
+    "evt_scd2_history"         -> EventOps.scd2History _,
+    "evt_time_weighted_avg"    -> EventOps.timeWeightedAvg _,
+    "rel_universe_sample"      -> RelationalOps.universeSampleSpend _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -344,6 +347,38 @@ object SparkEntry {
         |  CAST(n_violations AS BIGINT) AS n_violations,
         |  n_violations = 0 AS ok
         |FROM u ORDER BY check_name""".stripMargin,
+    // SCD2: each change opens [valid_from, valid_to) closed by the next
+    "evt_scd2_history" ->
+      """SELECT user_id, event_id, value,
+        |  epoch_ms(ts) AS valid_from_ms,
+        |  epoch_ms(lead(ts) OVER w) AS valid_to_ms,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // duration-weighted mean in exact cents*ms decimals, one final division
+    "evt_time_weighted_avg" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0)) AS cents,
+        |    epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_ms(ts) AS dur_ms
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(cents * dur_ms) AS DOUBLE) / CAST(SUM(dur_ms) AS DOUBLE)
+        |    / 100.0 AS tw_avg,
+        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms
+        |FROM d WHERE dur_ms IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // key-hash universe: both sides filtered by the same predicate
+    "rel_universe_sample" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  COUNT(o_custkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0)
+        |    AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  AND (o_custkey * 2654435761) % 1000000007 % 100 < 20
+        |WHERE (c_custkey * 2654435761) % 1000000007 % 100 < 20
+        |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
     // CDC apply: last write wins per key, tombstones delete
     "evt_cdc_apply" ->
       """SELECT user_id, value AS current_value, n_changes FROM (

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.operators.RelationalOps.{money, moneySum}
 
@@ -188,6 +189,51 @@ object EventOps {
       .withColumn("n_changes", count(lit(1)).over(Window.partitionBy(col("user_id"))))
       .filter(col("rn") === 1 && col("op") === "U")
       .select(col("user_id"), col("value").as("current_value"), col("n_changes"))
+      .orderBy("user_id")
+  }
+
+  /** SCD2 history build: turn a keyed change stream into versioned
+    * dimension rows — each change opens an interval [valid_from,
+    * valid_to) closed by the NEXT change's timestamp; the open
+    * (current) version has NULL valid_to. The standard warehouse
+    * slowly-changing-dimension type-2 load, and the interval-form twin
+    * of [[cdcApply]]'s point-in-time snapshot: joining a fact to this
+    * table on key + ts BETWEEN valid_from AND valid_to is time-travel.
+    * One window shuffle on the key; intervals derive from lead() so no
+    * self-join touches the log. Millis columns for oracle parity. */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("valid_from_ms", unix_millis(col("ts")))
+      .withColumn("valid_to_ms", unix_millis(lead(col("ts"), 1).over(w)))
+      .withColumn("is_current", lead(col("ts"), 1).over(w).isNull)
+      .select("user_id", "event_id", "value",
+        "valid_from_ms", "valid_to_ms", "is_current")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Time-weighted average: each observation holds until the next one,
+    * so its weight is its interval's duration — the correct mean for
+    * irregularly-sampled gauges (sensor readings, account balances),
+    * where the arithmetic mean over-counts bursts. Exact arithmetic:
+    * cent-scaled values × millisecond durations accumulate in
+    * DECIMAL(38,0) (cents·ms products overflow BIGINT at corpus
+    * scale), one division at the end. The last observation per key has
+    * no successor and drops out, standard left-closed convention. One
+    * window shuffle shared by lead() and the final per-key aggregate's
+    * groupBy — same key, so AQE plans one exchange. */
+  def timeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("dur_ms",
+        unix_millis(lead(col("ts"), 1).over(w)) - unix_millis(col("ts")))
+      .filter(col("dur_ms").isNotNull)
+      .withColumn("cents", (money(col("value")) * 100).cast(DecimalType(38, 0)))
+      .groupBy("user_id")
+      .agg(
+        (sum(col("cents") * col("dur_ms")).cast(DecimalType(38, 0)).cast("double") /
+          sum(col("dur_ms")).cast("double") / 100.0).as("tw_avg"),
+        sum(col("dur_ms")).as("total_ms"))
       .orderBy("user_id")
   }
 

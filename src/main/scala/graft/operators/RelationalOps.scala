@@ -450,6 +450,33 @@ object RelationalOps {
       .orderBy("check_name")
   }
 
+  /** Universe sampling: sample by HASH OF THE JOIN KEY, not per-row —
+    * every table filtered by the same key predicate keeps a CONSISTENT
+    * 20% universe of customers, so joins, funnels, and per-key
+    * aggregates computed on the sample are exact for the sampled keys
+    * (per-row Bernoulli would break referential integrity: a kept
+    * order whose customer was dropped). The fixed multiplicative hash
+    * is engine-portable and cluster-size-independent — reruns and
+    * resumes see the same universe, and at 100 TB the predicate pushes
+    * to both scans BEFORE the join, shrinking the shuffle to the
+    * sample rate. Left join keeps zero-order customers: the sample
+    * must preserve the key population, not just matched pairs. */
+  def universeSampleSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    def inUniverse(key: Column): Column =
+      (key * lit(2654435761L)) % lit(1000000007L) % 100 < 20
+    val cust = Tables.customer(spark, sfDir)
+      .filter(inUniverse(col("c_custkey")))
+      .select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(inUniverse(col("o_custkey")))
+      .select("o_custkey", "o_totalprice")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(col("o_custkey")).as("n_orders"),
+        coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
   /** Correlated-scalar shape: parts priced above their brand average.
     * Expressed as window avg (one shuffle) instead of a self-join. */
   def partsAboveBrandAvg(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1712,6 +1712,62 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.size < log.map(_._1).distinct.length)
   }
 
+  test("SCD2 intervals tile each key's timeline; exactly one open version per key") {
+    val byUser = EventOps.scd2History(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      .groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (uid, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // adjacent versions chain: this valid_to == next valid_from
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2), s"user $uid gap")
+        case _           =>
+      }
+      assert(ordered.count(_._4) == 1 && ordered.last._4, s"user $uid current")
+      assert(ordered.init.forall(_._3.isDefined))
+    }
+  }
+
+  test("time-weighted average equals the interval model; bursts don't over-count") {
+    val events = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.sql.Timestamp](2).getTime,
+        BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val model = events.groupBy(_._1).flatMap { case (uid, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._2))
+      val durs = ordered.zip(ordered.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      if (durs.isEmpty) None else {
+        val num = durs.map { case (v, d) => v * 100 * d }.sum
+        val den = durs.map(_._2).sum
+        Some(uid -> ((num.toDouble / den.toDouble) / 100.0, den))
+      }
+    }
+    EventOps.timeWeightedAvg(spark, sf0001).collect().foreach { r =>
+      val (exp, ms) = model(r.getLong(0))
+      assert(math.abs(r.getDouble(1) - exp) < 1e-9 && r.getLong(2) == ms)
+    }
+  }
+
+  test("universe sample keeps joins exact: sampled keys' aggregates equal the full-data values") {
+    val sample = RelationalOps.universeSampleSpend(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // ~20% of customers, loose binomial bounds
+    val nCust = Tables.customer(spark, sf0001).count()
+    assert(sample.size > nCust * 0.1 && sample.size < nCust * 0.3)
+    // for every sampled customer the per-key aggregate is EXACT vs full data
+    val full = Tables.orders(spark, sf0001)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1)
+    sample.foreach { case (ck, (n, spend)) =>
+      val orders = full.getOrElse(ck, Array.empty[(Long, BigDecimal)])
+      assert(n == orders.length.toLong, s"cust $ck")
+      assert(math.abs(spend - orders.map(_._2).sum.toDouble) < 1e-6, s"cust $ck")
+    }
+  }
+
   test("epoch repeat matches the hash model: int part unconditional, fraction by content hash") {
     val Mod = 1000000000000000L
     def ph(s: String): Long = {
