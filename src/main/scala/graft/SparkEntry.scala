@@ -49,6 +49,7 @@ object SparkEntry {
     "evt_cdc_apply"            -> EventOps.cdcApply _,
     "evt_scd2_history"         -> EventOps.scd2History _,
     "evt_time_weighted_avg"    -> EventOps.timeWeightedAvg _,
+    "evt_anomaly_2sigma"       -> EventOps.anomalyFlags2Sigma _,
     "rel_universe_sample"      -> RelationalOps.universeSampleSpend _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
@@ -128,6 +129,7 @@ object SparkEntry {
     "txt_bpe_pairs"            -> ((s: SparkSession, d: String) => TextOps.bpePairStats(s, d)),
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "txt_temperature_mix"      -> TextOps.temperatureMixture _,
+    "txt_domain_cap"           -> ((s: SparkSession, d: String) => TextOps.domainCap(s, d)),
     "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
@@ -379,6 +381,21 @@ object SparkEntry {
         |  AND (o_custkey * 2654435761) % 1000000007 % 100 < 20
         |WHERE (c_custkey * 2654435761) % 1000000007 % 100 < 20
         |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
+    // 2-sigma flags scale-free in HUGEINT: (n*x-S)^2 > 4*(n*Sxx-S^2)
+    "evt_anomaly_2sigma" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS c
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, c,
+        |    CAST(COUNT(*) OVER u AS HUGEINT) AS n,
+        |    CAST(SUM(c) OVER u AS HUGEINT) AS s,
+        |    CAST(SUM(c * c) OVER u AS HUGEINT) AS sxx
+        |  FROM b WINDOW u AS (PARTITION BY user_id))
+        |SELECT user_id, event_id,
+        |  (n*c - s) * (n*c - s) > 4 * (n*sxx - s*s) AS is_anomaly
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
     // CDC apply: last write wins per key, tombstones delete
     "evt_cdc_apply" ->
       """SELECT user_id, value AS current_value, n_changes FROM (
@@ -1529,6 +1546,14 @@ object SparkEntry {
         |    (h, c) -> (h * 31 + c) % 1000000000000000) % 100
         |  < CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 30 ELSE 10 END
         |GROUP BY source ORDER BY source""".stripMargin,
+    // per-domain document cap: keep each domain's k longest docs
+    "txt_domain_cap" ->
+      """SELECT source, rnk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 15 ORDER BY source, rnk""".stripMargin,
     // unigram rarity: integer inverse-frequency surprisal proxy
     "txt_rarity" ->
       """WITH tok AS (

@@ -237,6 +237,32 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Per-key 2σ anomaly flags in EXACT integer arithmetic: |x−μ| > 2σ
+    * rewritten scale-free as (n·x−S)² > 4·(n·Sxx−S²) over cent-scaled
+    * values, so no mean, variance, or square root is ever computed in
+    * floating point — the flags are bit-identical across engines and
+    * fold orders, where the float z-score would waver for points near
+    * the boundary. Sums accumulate in DECIMAL(38,0) (the products
+    * overflow BIGINT once a key holds ~1e9 rows of 5-digit cents).
+    * One window shuffle on the key carries count, sum, and
+    * sum-of-squares together; the comparison is row-local. The same
+    * shape serves any sigma multiple — the literal 4 is (2σ)². */
+  def anomalyFlags2Sigma(spark: SparkSession, sfDir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    val d38 = DecimalType(38, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("c", (money(col("value")) * 100).cast(d38))
+      .withColumn("n", count(lit(1)).over(wu).cast(d38))
+      .withColumn("s", sum(col("c")).over(wu).cast(d38))
+      .withColumn("sxx", sum(col("c") * col("c")).over(wu).cast(d38))
+      .withColumn("dev", col("n") * col("c") - col("s"))
+      .select(col("user_id"), col("event_id"),
+        (col("dev") * col("dev") >
+          lit(4) * (col("n") * col("sxx") - col("s") * col("s")))
+          .as("is_anomaly"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Deterministic dedup: earliest event per (user_id, event_type) — the
     * batch analogue of streaming dropDuplicatesWithinWatermark (O7). */
   def earliestEventPerUserType(spark: SparkSession, sfDir: String): DataFrame =

@@ -767,6 +767,31 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-domain document cap — the C4/RefinedWeb curation rule "keep at
+    * most k documents per domain" (a single site must not dominate the
+    * training mixture), keeping each domain's LONGEST documents
+    * (n_chars as the quality proxy; ties broken by doc_id so the
+    * selection is deterministic).
+    *
+    * Scale shape: the selection runs through the bounded
+    * [[graft.functions.TopKAggregator.TopKPairs]] aggregator, so the
+    * exchange on `source` carries at most k rows per (partition, domain)
+    * and per-domain state is O(k) — a `row_number() OVER (PARTITION BY
+    * source ORDER BY …)` window would instead ship EVERY row of a hot
+    * domain into one task and sort it there before the filter discards
+    * all but k, exactly the skew a domain cap exists to defend against.
+    * One shuffle total; output is |domains|·k rows. */
+  def domainCap(spark: SparkSession, sfDir: String, k: Int = 15): DataFrame = {
+    val top = graft.functions.TopKAggregator.topKPairs(k)
+    docs(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(top(col("doc_id"), col("n_chars").cast("double")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("n_chars"))
+      .orderBy("source", "rnk")
+  }
+
   /** Bigram language-model count table — the Kneser–Ney ingredient pass:
     * raw bigram counts c(w1,w2) plus the continuation count of w2
     * (|{w1 : c(w1,w2) > 0}|, the numerator of the KN lower-order

@@ -1768,6 +1768,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("2-sigma anomaly flags equal the exact BigInt model; flags exist and are rare") {
+    val events = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigInt((BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt.toString)))
+    val model = events.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val n = BigInt(rs.length)
+      val s = rs.map(_._3).sum
+      val sxx = rs.map(r => r._3 * r._3).sum
+      rs.toSeq.map { r =>
+        val dev = n * r._3 - s
+        r._2 -> (dev * dev > 4 * (n * sxx - s * s))
+      }
+    }.toMap
+    val got = EventOps.anomalyFlags2Sigma(spark, sf0001).collect()
+      .map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(got == model)
+    val flagged = got.values.count(identity)
+    assert(flagged > 0 && flagged < got.size / 10)
+  }
+
+  test("domain cap keeps each domain's k longest docs in rank order via the bounded aggregator") {
+    val rows = Tables.documents(spark, sf0001)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val model = rows.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(d => (-d._3, d._2)).take(15).zipWithIndex
+        .map { case ((_, id, nc), i) => (src, (i + 1).toLong, id, nc) }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextOps.domainCap(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model)
+    assert(got.groupBy(_._1).values.forall(_.size <= 15))
+  }
+
   test("epoch repeat matches the hash model: int part unconditional, fraction by content hash") {
     val Mod = 1000000000000000L
     def ph(s: String): Long = {
