@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Codegen across a 134-query suite loads thousands of Janino classes:
+  // the default 21 MB metaspace high-water mark forces repeated induced
+  // GCs while it ratchets up. Start the threshold high (this is NOT a
+  // cap — metaspace stays unbounded) and drop soft references eagerly
+  // so evicted codegen classloaders don't linger a full LRU window.
+  "-XX:MetaspaceSize=512m",
+  "-XX:SoftRefLRUPolicyMSPerMB=0",
 )

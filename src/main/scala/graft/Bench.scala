@@ -12,6 +12,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // r7 driver-sweep inflation suspect: the whole-stage-codegen cache
+      // (static conf, default 100 entries) thrashes across 134 queries ×
+      // ~10 codegen stages × 3 sweeps — every sweep recompiles every
+      // stage (Janino compile + classload, tens of ms each, plus the
+      // metaspace/GC churn of the dead classloaders). Sized to hold
+      // every stage of the full suite so sweeps 2/3 compile nothing.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // O23 journal: per-query task metrics (input/shuffle/output volume)

@@ -24,18 +24,56 @@ object Tables {
     * signature / token computation): the local test tables are tiny
     * single-row-group parquet files, so their scans plan 1-3 tasks and a
     * 32-core session idles through the heaviest narrow stage of a text
-    * query. When the plan's partition count is below the session's
-    * default parallelism, insert ONE round-robin exchange ahead of the
+    * query. When the scan's estimated split count is below the session's
+    * default parallelism, insert ONE hash exchange ahead of the
     * expensive projection; when the scan already yields >= cores splits
     * (any real table at cluster scale), this is the identity — no
-    * exchange is ever added, so nothing extra moves at 100 TB. */
+    * exchange is ever added, so nothing extra moves at 100 TB.
+    *
+    * The split count is ESTIMATED from the scan's file metadata with the
+    * same packing math Spark itself uses (`FilePartition.maxSplitBytes`:
+    * bytes-per-core vs open cost vs maxPartitionBytes) — the earlier
+    * `df.rdd.getNumPartitions` probe forced full physical planning and
+    * RDD lineage instantiation per call (and reported the pre-AQE count).
+    * File listings come from the relation's FileIndex, which caches them,
+    * so the estimate is a driver-side arithmetic pass over cached
+    * metadata. Plans with no file-scan leaves (in-memory test fixtures)
+    * get the identity: the starvation guard exists for file scans. */
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val est = estimatedScanSplits(df)
     // hash-partition on a caller-named cheap key: plain round-robin
     // repartition() sorts every row before distributing (Spark's
     // retry-determinism guard, spark.sql.execution.sortBeforeRepartition)
     // which is pure overhead on wide text rows
-    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+    if (est.exists(_ < target)) df.repartition(target, key) else df
+  }
+
+  /** Estimated number of scan splits Spark would plan for `df`'s file
+    * leaves, from file sizes only (no physical planning). Mirrors
+    * `FilePartition.maxSplitBytes`: splits are at most
+    * `maxPartitionBytes`, at least `openCostInBytes`, targeting
+    * total/defaultParallelism bytes per core. None when the plan has no
+    * file-scan leaf. */
+  private[graft] def estimatedScanSplits(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val openCost = conf.filesOpenCostInBytes
+    val maxPB = conf.filesMaxPartitionBytes
+    val rels = df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: LogicalRelation => lr.relation
+    }.collect { case fs: HadoopFsRelation => fs }
+    if (rels.isEmpty) None
+    else Some(rels.map { fs =>
+      val sizes = fs.location.listFiles(Nil, Nil)
+        .flatMap(_.files).map(_.getLen).filter(_ > 0)
+      val bytesPerCore =
+        sizes.map(_ + openCost).sum / math.max(1L, parallelism)
+      val maxSplit = math.min(maxPB, math.max(openCost, bytesPerCore))
+      math.max(1L, sizes.map(s => (s + maxSplit - 1) / maxSplit).sum)
+    }.max)
   }
 
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")

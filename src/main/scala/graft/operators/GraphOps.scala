@@ -60,12 +60,33 @@ object GraphOps {
     * the standard iterate-with-checkpoint shape at 100 TB. Iteration
     * count is fixed (power iteration converges geometrically; the
     * oracle unrolls the same count). */
-  def pageRank(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+  def pageRank(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame =
+    pageRankOf(
+      Tables.documents(spark, sfDir).select(col("doc_id").as("node")),
+      rankEdges(spark, sfDir), iters)._1
+
+  /** Injectable form of [[pageRank]]: rank iteration over an arbitrary
+    * (node) list and (src, dst) edge list. Returns (ranks, rounds run).
+    *
+    * CONVERGENCE TERMINATION: each round observes the integer-rank
+    * delta sum Σ|pr' − pr| riding the round's own checkpoint job
+    * (CollectMetrics accumulator — same one-action-per-round shape as
+    * [[frontierBfs]] and the CC loop). Delta 0 means the power
+    * iteration hit its exact integer fixpoint: every later round is
+    * the identity, so stopping early is indistinguishable from running
+    * all `iters` rounds — the fixed-unroll oracle still hash-matches
+    * bitwise. The delta accumulates in DECIMAL(38,0) (exact at any
+    * node count; a Long sum could in principle wrap). `iters` stays
+    * the hard cap: geometric convergence in DOUBLE arithmetic never
+    * reaches an exact integer fixpoint on most graphs, so the floor
+    * only fires when it is provably safe. */
+  def pageRankOf(nodesDf: DataFrame, edgesDf: DataFrame,
+                 iters: Int = 3): (DataFrame, Int) = {
     // node list checkpointed hash-partitioned on the join key: the
     // per-iteration rank update joins contrib (already partitioned by
-    // dst, its groupBy key) against nodes — with both sides in place
-    // that join crosses NO exchange
-    val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("node"))
+    // dst, its groupBy key) against the rank state — with both sides in
+    // place that join crosses NO exchange
+    val nodes = nodesDf.select(col("node"))
       .repartition(col("node")).localCheckpoint()
     // out-degree via a window over src instead of agg + self-join: ONE
     // pass over ONE edge build (the old form constructed rankEdges twice
@@ -75,20 +96,34 @@ object GraphOps {
     // every iteration's contribution join moves only the narrow
     // (node, rank) state
     val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
-    val ej = rankEdges(spark, sfDir)
+    val ej = edgesDf.select("src", "dst")
       .withColumn("outdeg", count(lit(1)).over(wSrc))
       .localCheckpoint()
     var r = nodes.select(col("node"), lit(1000000L).as("pr"))
-    for (_ <- 1 to iters) {
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
+      rounds += 1
+      val obs = org.apache.spark.sql.Observation(s"pr_round_$rounds")
       val contrib = ej.join(r, ej("src") === r("node"))
         .select(col("dst"), expr("pr DIV outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("cs"))
-      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
+      // join contrib against the CURRENT rank state (same key set as
+      // the node list) so the old rank is in scope for the delta metric
+      val next = r.select(col("node"), col("pr").as("pr_old"))
+        .join(contrib, col("node") === contrib("dst"), "left")
+        .select(col("node"), col("pr_old"),
           expr("CAST(150000 + (85 * coalesce(cs, 0)) DIV 100 AS BIGINT)").as("pr"))
+        .observe(obs, coalesce(
+          sum(abs(col("pr") - col("pr_old")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("delta"))
+        .select(col("node"), col("pr"))
         .localCheckpoint()
+      converged = obs.get("delta").asInstanceOf[java.math.BigDecimal]
+        .signum == 0
+      r = next
     }
-    r.orderBy("node")
+    (r.orderBy("node"), rounds)
   }
 
   /** Deterministic synthetic graph WITH triangles for [[triangleCounts]]:

@@ -648,7 +648,13 @@ class TextIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case org.apache.spark.sql.catalyst.plans.logical.Project(pl, c)
           if pl.forall {
             case _: Attribute => true
-            case ne => ne.name != "text" && ne.name != "doc_id"
+            // case-INSENSITIVE compare: Spark resolution is
+            // case-insensitive by default, so a computed column aliased
+            // "DOC_ID"/"Text" rebinds the name just as surely as the
+            // exact-case spelling — a != compare let it slip past and
+            // the rewrite would semi-join postings against rebound rows
+            case ne => !ne.name.equalsIgnoreCase("text") &&
+              !ne.name.equalsIgnoreCase("doc_id")
           } =>
         registeredScan(c, lookup)
       case Filter(_, c) => registeredScan(c, lookup)

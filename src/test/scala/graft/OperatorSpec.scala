@@ -1219,6 +1219,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: exact integer fixpoint terminates the loop early") {
+    import spark.implicits._
+    // directed 8-cycle: out-degree 1 and in-degree 1 everywhere, so the
+    // uniform start is already the exact integer fixpoint (contrib =
+    // 1000000, damped = 150000 + 850000) — round 1 observes delta 0 and
+    // the loop stops after ONE round of the cap 3
+    val nodes = (0L until 8L).toDF("node")
+    val edges = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("src", "dst")
+    val (ranks, rounds) = GraphOps.pageRankOf(nodes, edges, iters = 3)
+    assert(rounds == 1, s"expected early stop after 1 round, ran $rounds")
+    assert(ranks.as[(Long, Long)].collect().toSeq
+      == (0L until 8L).map(n => (n, 1000000L)))
+    // a non-converged star graph runs to the cap (delta stays nonzero
+    // until the last permitted round)
+    val starNodes = (0L until 4L).toDF("node")
+    val star = Seq((0L, 1L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val (_, starRounds) = GraphOps.pageRankOf(starNodes, star, iters = 3)
+    assert(starRounds == 3)
+  }
+
   test("shard export: shards bounded, positions contiguous from 1 per shard") {
     val rows = TextOps.shardExport(spark, sf0001).collect()
     assert(rows.nonEmpty)
@@ -1429,14 +1449,21 @@ class OperatorSpec extends AnyFunSuite {
       graft.Tables.documents(spark, sf0001).count()
       // listener bus is async — poll until the metrics land
       val deadline = System.currentTimeMillis() + 15000
-      var snap = journal.snapshot.getOrElse("spec_query", (0L, 0L, 0L, 0L, 0L, 0L))
-      while (snap._2 == 0L && System.currentTimeMillis() < deadline) {
+      def snap = journal.snapshot.get("spec_query")
+      while (!snap.exists(_.inputRecords > 0L)
+          && System.currentTimeMillis() < deadline) {
         Thread.sleep(100)
-        snap = journal.snapshot.getOrElse("spec_query", (0L, 0L, 0L, 0L, 0L, 0L))
       }
-      assert(snap._1 > 0L, "no tasks recorded")
-      assert(snap._2 >= 500L, s"expected >=500 input records, got ${snap._2}")
+      val e = snap.get
+      assert(e.tasks > 0L, "no tasks recorded")
+      assert(e.inputRecords >= 500L,
+        s"expected >=500 input records, got ${e.inputRecords}")
+      // environment-adjudication metrics: a real query burned CPU and
+      // started under a recorded (non-negative) driver heap
+      assert(e.cpuTimeMs >= 0L && e.runTimeMs > 0L)
+      assert(e.driverHeapStartMb > 0L)
       assert(journal.toJsonLines.contains("\"query\":\"spec_query\""))
+      assert(journal.toJsonLines.contains("\"gc_time_ms\":"))
     } finally spark.sparkContext.removeSparkListener(journal)
   }
 

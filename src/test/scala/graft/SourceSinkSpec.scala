@@ -27,16 +27,31 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(seeds == Seq("https://www.example.com/a", "https://www.example.com/b"))
   }
 
-  test("Tables.spread is the identity when the scan already has >= cores partitions") {
+  test("Tables.spread is the identity when the scan already has >= cores splits") {
     // the split-starvation guard must never add an exchange at cluster
-    // scale, where scans produce at least as many splits as cores
-    val wide = spark.range(1000).toDF("doc_id")
-      .repartition(spark.sparkContext.defaultParallelism + 4)
-    assert(graft.Tables.spread(wide, col("doc_id")).rdd.getNumPartitions
-      == spark.sparkContext.defaultParallelism + 4)
-    val narrow = spark.range(1000).toDF("doc_id").coalesce(1)
+    // scale, where scans produce at least as many splits as cores. The
+    // decision now comes from file metadata (no RDD materialization), so
+    // the fixtures are real parquet layouts: one file per partition.
+    val cores = spark.sparkContext.defaultParallelism
+    val wideDir = tmpDir("spread-wide")
+    spark.range(10000).toDF("doc_id")
+      .repartition(cores + 4).write.mode("overwrite").parquet(wideDir)
+    val wide = spark.read.parquet(wideDir)
+    // each non-empty file estimates to >= 1 split, so the estimate is
+    // >= cores + 4 and spread returns the SAME DataFrame (no exchange)
+    assert(graft.Tables.spread(wide, col("doc_id")) eq wide)
+    val narrowDir = tmpDir("spread-narrow")
+    spark.range(1000).toDF("doc_id")
+      .coalesce(1).write.mode("overwrite").parquet(narrowDir)
+    val narrow = spark.read.parquet(narrowDir)
+    assert(graft.Tables.estimatedScanSplits(narrow).exists(_ < cores))
     assert(graft.Tables.spread(narrow, col("doc_id")).rdd.getNumPartitions
-      == spark.sparkContext.defaultParallelism)
+      == cores)
+    // no file-scan leaf (in-memory fixture): identity — the guard's
+    // domain is file scans; adding exchanges to composed in-memory
+    // plans is never load-bearing
+    val mem = spark.range(100).toDF("doc_id").coalesce(1)
+    assert(graft.Tables.spread(mem, col("doc_id")) eq mem)
   }
 
   test("range-sorted write lays out disjoint per-file key ranges (file-skipping layout)") {
