@@ -51,6 +51,8 @@ object SparkEntry {
     "evt_time_weighted_avg"    -> EventOps.timeWeightedAvg _,
     "evt_anomaly_2sigma"       -> EventOps.anomalyFlags2Sigma _,
     "rel_universe_sample"      -> RelationalOps.universeSampleSpend _,
+    "rel_sql_waiting_suppliers" -> RelationalOps.sqlWaitingSuppliers _,
+    "rel_sql_min_price_part"   -> RelationalOps.sqlMinPricePerPart _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -119,6 +121,7 @@ object SparkEntry {
     "txt_redact_pii"           -> TextOps.redactPii _,
     "txt_repetition"           -> TextOps.repetitionScore _,
     "txt_classifier_score"     -> TextOps.classifierScore _,
+    "txt_classifier_trained"   -> TextOps.classifierScoreTrained _,
     "txt_epoch_repeat"         -> TextOps.epochRepeat _,
     "pipe_curation"            -> TextOps.curateCorpus _,
     "pipe_shard_export"        -> ((s: SparkSession, d: String) => TextOps.shardExport(s, d)),
@@ -160,6 +163,7 @@ object SparkEntry {
     // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
+    "mm_png_ihdr"              -> MultimodalOps.pngIhdrDecode _,
     "mm_frame_sample"          -> MultimodalOps.frameSample _,
   )
 
@@ -203,6 +207,39 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    // Q21-shape: correlated EXISTS + NOT EXISTS, decorrelated to
+    // semi/anti joins on l_orderkey with the <> residual
+    "rel_sql_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+    // Q2-shape: correlated scalar MIN, decorrelated to a per-key
+    // aggregate + equi-join
+    "rel_sql_min_price_part" ->
+      """SELECT p_partkey, p_brand, l_suppkey, l_orderkey, l_linenumber,
+        |       l_extendedprice AS min_price
+        |FROM part, lineitem
+        |WHERE l_partkey = p_partkey
+        |  AND p_size >= 45
+        |  AND l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "rel_region_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
@@ -1177,6 +1214,26 @@ object SparkEntry {
         |  md5(regexp_replace(regexp_replace(r, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
         |FROM raw ORDER BY doc_id""".stripMargin,
     // hashed linear classifier: same word-hash pipeline, weight = PRF(bucket)
+    // trained-weights variant: same hashed-bucket inference, weight =
+    // ((bucket · 1103515245 + 12345) mod 4001) − 2000 — the oracle
+    // recomputes the materialized weight array's generating formula
+    "txt_classifier_trained" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(w, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(x, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(whs,
+        |    h -> ((h % 1048576) * 1103515245 + 12345) % 4001 - 2000)), 0) AS BIGINT) AS score,
+        |  CAST(COALESCE(list_sum(list_transform(whs,
+        |    h -> ((h % 1048576) * 1103515245 + 12345) % 4001 - 2000)), 0) AS BIGINT) > 0 AS kept
+        |FROM w2 ORDER BY doc_id""".stripMargin,
     "txt_classifier_score" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2454,6 +2511,32 @@ object SparkEntry {
         |  CAST(32 + (ascii(substr(text, 1, 1)) * 7) % 256 AS BIGINT) AS height,
         |  CAST(1 + (octet_length(encode(text)) * 31 + ascii(substr(text, 1, 1))) % 3 AS BIGINT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_png_ihdr: rebuild the byte-identical PNG blobs, then parse
+    // them with the SAME byte offsets in hex-string space — the oracle
+    // decodes the container, it does not shortcut via the generation
+    // formula
+    "mm_png_ihdr" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
+        |      || lpad(to_hex(16 + doc_id % 2033), 8, '0')
+        |      || lpad(to_hex(16 + (doc_id * 7) % 1017), 8, '0')
+        |      || lpad(to_hex(([1,8,8,8,16])[CAST(doc_id % 5 + 1 AS INT)]), 2, '0')
+        |      || lpad(to_hex(([0,0,2,3,6])[CAST(doc_id % 5 + 1 AS INT)]), 2, '0')
+        |      || '000000' || 'DEADBEEF') || encode(text) AS payload
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |hx AS (SELECT doc_id, upper(hex(payload)) AS h,
+        |         octet_length(payload) AS n FROM m)
+        |SELECT doc_id,
+        |  substr(h, 1, 16) = '89504E470D0A1A0A' AS sig_ok,
+        |  substr(h, 25, 8) = '49484452' AS ihdr_ok,
+        |  ('0x' || substr(h, 17, 8))::BIGINT AS ihdr_len,
+        |  ('0x' || substr(h, 33, 8))::BIGINT AS width,
+        |  ('0x' || substr(h, 41, 8))::BIGINT AS height,
+        |  ('0x' || substr(h, 49, 2))::BIGINT AS bit_depth,
+        |  ('0x' || substr(h, 51, 2))::BIGINT AS color_type,
+        |  CAST(n - 33 AS BIGINT) AS n_body_bytes
+        |FROM hx ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, text, octet_length(encode(text)) // 16 AS n_frames

@@ -83,6 +83,73 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Valid PNG (bit depth, color type) pairs, cycled by doc_id — the
+    * synthesis stays inside the PNG spec's permitted combinations
+    * (grayscale 1/8/16-bit, truecolor, palette, truecolor+alpha). */
+  private val pngDepthColor =
+    Seq((1L, 0L), (8L, 0L), (8L, 2L), (8L, 3L), (16L, 6L))
+
+  /** Synthesized image table whose payloads carry a REAL PNG container
+    * prefix: 8-byte signature, then a structurally-exact IHDR chunk
+    * (length 13, type "IHDR", big-endian uint32 width and height, bit
+    * depth, color type, compression 0, filter 0, interlace 0), then
+    * the document text as stand-in body bytes. Width/height/depth vary
+    * per row. The chunk CRC is a fixed placeholder (a real encoder
+    * writes CRC32 of type+data; decoding does not require verifying
+    * it). Built from pure hex/lpad/unhex expressions, so the oracle
+    * can rebuild byte-identical blobs. */
+  def pngTable(spark: SparkSession, sfDir: String): DataFrame = {
+    def hex2(c: org.apache.spark.sql.Column, w: Int) = lpad(hex(c), w, "0")
+    val depth = element_at(
+      array(pngDepthColor.map(p => lit(p._1)): _*),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val color = element_at(
+      array(pngDepthColor.map(p => lit(p._2)): _*),
+      (col("doc_id") % 5 + 1).cast("int"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0) // the mediaTable "image" rows
+      .select(col("doc_id"),
+        concat(
+          unhex(concat(
+            lit("89504E470D0A1A0A"),              // PNG signature
+            lit("0000000D"),                      // IHDR data length = 13
+            lit("49484452"),                      // chunk type "IHDR"
+            hex2(lit(16) + col("doc_id") % 2033, 8),       // width  (BE u32)
+            hex2(lit(16) + (col("doc_id") * 7) % 1017, 8), // height (BE u32)
+            hex2(depth, 2), hex2(color, 2),
+            lit("000000"),                        // compression/filter/interlace
+            lit("DEADBEEF"))),                    // placeholder chunk CRC
+          col("text").cast("binary")).as("payload"))
+  }
+
+  /** REAL container-header decode (replaces the stub as the thinnest
+    * point of the multimodal family): parse PNG signature + IHDR
+    * geometry out of the binary column with pure substring/hex/conv
+    * expressions — row-local, codegen'd, zero shuffle; the same parse a
+    * 100 TB image-corpus curation pass runs before routing payloads to
+    * a heavyweight decoder. Slicing happens in hex-string space (2
+    * chars per byte) because both engines slice and integer-parse hex
+    * strings exactly; the oracle rebuilds the same blobs and parses
+    * them with the same byte offsets. */
+  def pngIhdrDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = hex(col("payload")) // uppercase, 2 chars/byte
+    def bytes(startByte: Int, nBytes: Int) =
+      substring(h, (startByte - 1) * 2 + 1, nBytes * 2)
+    def be(startByte: Int, nBytes: Int) =
+      conv(bytes(startByte, nBytes), 16, 10).cast("long")
+    pngTable(spark, sfDir).select(
+      col("doc_id"),
+      (bytes(1, 8) === lit("89504E470D0A1A0A")).as("sig_ok"),
+      (bytes(13, 4) === lit("49484452")).as("ihdr_ok"),
+      be(9, 4).as("ihdr_len"),
+      be(17, 4).as("width"),
+      be(21, 4).as("height"),
+      be(25, 1).as("bit_depth"),
+      be(26, 1).as("color_type"),
+      (length(col("payload")) - 33).cast("long").as("n_body_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling: treat the payload as n/16-byte "frames", emit every
     * ceil(n_frames/4)-th frame with its offset and content hash — the
     * generator shape of video keyframe extraction (1 row → ~4 rows,

@@ -518,6 +518,70 @@ object RelationalOps {
       LIMIT 20""")
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting) — the
+    * MULTI-CORRELATED-EXISTS decorrelation exercise: one EXISTS and one
+    * NOT EXISTS, both correlated to the outer lineitem row by order key
+    * AND by a supplier INEQUALITY. (The local lineitem has no
+    * receipt/commit dates; `l_returnflag = 'R'` stands in as the
+    * per-line "failure" predicate with the same shape.) Catalyst
+    * decorrelates EXISTS into a LEFT SEMI and NOT EXISTS into a LEFT
+    * ANTI join on the equi-key with the `<>` as residual join
+    * condition — three co-partitioned passes over lineitem on
+    * l_orderkey, never a cartesian; at 100 TB all three sides shuffle
+    * once on the same key (or ride bucketed layout with no exchange at
+    * all). Deterministic under LIMIT: s_name is unique per supplier. */
+  def sqlWaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier_v, lineitem_v l1, orders_v
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (
+          SELECT 1 FROM lineitem_v l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem_v l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20""")
+  }
+
+  /** TPC-H Q2 shape (minimum-cost supplier) — the CORRELATED SCALAR
+    * subquery exercise: the outer predicate compares a lineitem price
+    * to `(SELECT min(price) ... WHERE l2.l_partkey = p_partkey)`.
+    * Catalyst's RewriteCorrelatedScalarSubquery turns the subquery
+    * into a per-partkey aggregate LEFT-OUTER-joined on the correlation
+    * key and rewrites the comparison against the joined column — an
+    * aggregate + two equi-joins, no per-row re-execution and no
+    * cartesian; exactly the group-then-join discipline
+    * [[largeOrders]] hand-writes, here produced by the decorrelator
+    * from declarative SQL. Ties on the min price all survive (same in
+    * DuckDB); the full ORDER BY makes the output deterministic. */
+  def sqlMinPricePerPart(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "lineitem").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT p_partkey, p_brand, l_suppkey, l_orderkey, l_linenumber,
+             l_extendedprice AS min_price
+      FROM part_v, lineitem_v
+      WHERE l_partkey = p_partkey
+        AND p_size >= 45
+        AND l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice) FROM lineitem_v l2
+          WHERE l2.l_partkey = p_partkey)
+      ORDER BY p_partkey, l_suppkey, l_orderkey, l_linenumber""")
+  }
+
   /** TPC-H Q18 shape (large-volume orders): aggregate the fact table
     * FIRST (sum quantity per order, map-side combined), filter the
     * aggregate (HAVING), and only then join the ~0.1%-selective

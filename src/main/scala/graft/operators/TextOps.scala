@@ -457,6 +457,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[classifierScore]] with REAL (materialized) weights — proof of
+    * the scaladoc'd claim that trained weights swap in as a ~4 MiB
+    * broadcast array with the identical plan: the weight table is an
+    * actual `Array[Int]` (one per 2^20 buckets), shipped once per
+    * executor as a Spark Broadcast and indexed inside the same
+    * whole-stage-codegen fold (see
+    * [[graft.functions.BucketWeightScoreExpr]]). Still one narrow
+    * scan-side projection — zero shuffle, zero joins, no weight-table
+    * join materialized anywhere in the plan. At 100 TB the model rides
+    * executor memory (4 MiB), not the shuffle fabric. */
+  def classifierScoreTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val bc = graft.functions.ModelExpressions.broadcastWeights(spark.sparkContext)
+    val score = org.apache.spark.sql.GraftSqlBridge.columnOf(
+      graft.functions.BucketWeightScoreExpr(
+        org.apache.spark.sql.GraftSqlBridge.expressionOf(
+          expr("word_poly_hashes(lower(text))")), bc))
+    docs(spark, sfDir)
+      .select(col("doc_id"), score.as("score"))
+      .withColumn("kept", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Training-shard export assignment — the last step of a curation
     * pipeline: every curated doc gets a deterministic shard (fixed
     * multiplicative hash of doc_id — no RNG, identical on any engine

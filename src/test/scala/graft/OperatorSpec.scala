@@ -1219,6 +1219,66 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("trained-weights classifier: broadcast-array inference stays map-only, matches an independent model") {
+    import spark.implicits._
+    val df = TextOps.classifierScoreTrained(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the promised plan: one narrow projection over the scan — no
+    // weight-table join, no aggregate; the only exchange is the
+    // presentation sort's range partitioner
+    assert(!plan.contains("Join"), "weight lookup must not become a join")
+    assert(!plan.contains("HashAggregate"), "inference must not aggregate")
+    assert("Exchange".r.findAllIn(plan).length <= 1,
+      "only the final sort may exchange")
+    assert(plan.contains("bucket_weight_score"),
+      "native broadcast-weight expression missing from the plan")
+    // independent driver-side model: same hash, same weight formula
+    val got = df.select("doc_id", "score").as[(Long, Long)]
+      .collect().toMap
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def wordHash(w: String): Long = {
+      var h = 0L; var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        h = (h * 31 + cp) % 1000000000000000L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    texts.take(25).foreach { case (id, text) =>
+      val expected = text.toLowerCase.split(' ').filter(_.nonEmpty).map { w =>
+        val b = wordHash(w) % 1048576L
+        (b * 1103515245L + 12345L) % 4001L - 2000L
+      }.sum
+      assert(got(id) == expected, s"doc $id: got ${got(id)}, want $expected")
+    }
+  }
+
+  test("PNG IHDR decode: real container parse — signature verified, geometry round-trips, plan narrow") {
+    val df = MultimodalOps.pngIhdrDecode(spark, sf0001)
+    // row-local parse: no join/agg; only the presentation sort exchanges
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sig_ok"), "PNG signature must verify")
+      assert(r.getAs[Boolean]("ihdr_ok"), "IHDR chunk type must verify")
+      assert(r.getAs[Long]("ihdr_len") == 13L)
+      val id = r.getAs[Long]("doc_id")
+      // the parsed geometry equals what the synthesizer encoded — the
+      // decode recovers it from BYTES, not from the formula
+      assert(r.getAs[Long]("width") == 16 + id % 2033)
+      assert(r.getAs[Long]("height") == 16 + (id * 7) % 1017)
+      val depth = r.getAs[Long]("bit_depth")
+      val color = r.getAs[Long]("color_type")
+      assert(Seq((1L, 0L), (8L, 0L), (8L, 2L), (8L, 3L), (16L, 6L))
+        .contains((depth, color)), s"invalid PNG depth/color pair ($depth, $color)")
+      assert(r.getAs[Long]("n_body_bytes") >= 0L)
+    }
+  }
+
   test("pagerank: exact integer fixpoint terminates the loop early") {
     import spark.implicits._
     // directed 8-cycle: out-degree 1 and in-degree 1 everywhere, so the
