@@ -66,6 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("porter_stem", 1)(children =>
         graft.functions.PorterStemExpr(children.head))))
     ext.injectFunction((
+      new FunctionIdentifier("snowball_stem"),
+      new ExpressionInfo(classOf[graft.functions.SnowballStemExpr].getName,
+        "snowball_stem"),
+      arity("snowball_stem", 1)(children =>
+        graft.functions.SnowballStemExpr(children.head))))
+    ext.injectFunction((
       new FunctionIdentifier("dot_double"),
       new ExpressionInfo(classOf[DotDoubleExpr].getName, "dot_double"),
       arity("dot_double", 2)(children =>

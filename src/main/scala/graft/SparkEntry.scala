@@ -53,6 +53,7 @@ object SparkEntry {
     "rel_universe_sample"      -> RelationalOps.universeSampleSpend _,
     "rel_sql_waiting_suppliers" -> RelationalOps.sqlWaitingSuppliers _,
     "rel_sql_min_price_part"   -> RelationalOps.sqlMinPricePerPart _,
+    "rel_sql_top_supplier"     -> RelationalOps.sqlTopSupplier _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -164,6 +165,7 @@ object SparkEntry {
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
     "mm_png_ihdr"              -> MultimodalOps.pngIhdrDecode _,
+    "mm_wav_header"            -> MultimodalOps.wavHeaderDecode _,
     "mm_frame_sample"          -> MultimodalOps.frameSample _,
   )
 
@@ -240,6 +242,19 @@ object SparkEntry {
         |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
         |    WHERE l2.l_partkey = p_partkey)
         |ORDER BY p_partkey, l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    // Q15-shape: uncorrelated scalar MAX over a derived aggregate view
+    "rel_sql_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     "rel_region_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
@@ -2537,6 +2552,58 @@ object SparkEntry {
         |  ('0x' || substr(h, 51, 2))::BIGINT AS color_type,
         |  CAST(n - 33 AS BIGINT) AS n_body_bytes
         |FROM hx ORDER BY doc_id""".stripMargin,
+    // mm_wav_header: rebuild the byte-identical 44-byte PCM WAV
+    // headers (little-endian fields synthesized by byte-swapping the
+    // big-endian hex), then parse them back at the SAME fixed byte
+    // offsets — duration derives from the PARSED byte-rate and data
+    // size, never the generation formulas
+    "mm_wav_header" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    1 + doc_id % 2 AS channels,
+        |    ([8000,16000,22050,44100,48000])[CAST(doc_id % 5 + 1 AS INT)] AS rate,
+        |    ([8,16,24])[CAST(doc_id % 3 + 1 AS INT)] AS bits,
+        |    octet_length(encode(text)) AS data_size
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |g AS (
+        |  SELECT doc_id, text, data_size,
+        |    lpad(to_hex(data_size + 36), 8, '0') AS cs,
+        |    lpad(to_hex(channels), 4, '0') AS ch,
+        |    lpad(to_hex(rate), 8, '0') AS ra,
+        |    lpad(to_hex(rate * channels * (bits // 8)), 8, '0') AS br,
+        |    lpad(to_hex(channels * (bits // 8)), 4, '0') AS ba,
+        |    lpad(to_hex(bits), 4, '0') AS bi,
+        |    lpad(to_hex(data_size), 8, '0') AS ds
+        |  FROM f),
+        |m AS (
+        |  SELECT doc_id,
+        |    from_hex(upper('52494646'
+        |      || substr(cs,7,2) || substr(cs,5,2) || substr(cs,3,2) || substr(cs,1,2)
+        |      || '57415645' || '666D7420' || '10000000' || '0100'
+        |      || substr(ch,3,2) || substr(ch,1,2)
+        |      || substr(ra,7,2) || substr(ra,5,2) || substr(ra,3,2) || substr(ra,1,2)
+        |      || substr(br,7,2) || substr(br,5,2) || substr(br,3,2) || substr(br,1,2)
+        |      || substr(ba,3,2) || substr(ba,1,2)
+        |      || substr(bi,3,2) || substr(bi,1,2)
+        |      || '64617461'
+        |      || substr(ds,7,2) || substr(ds,5,2) || substr(ds,3,2) || substr(ds,1,2)))
+        |      || encode(text) AS payload
+        |  FROM g),
+        |p AS (SELECT doc_id, upper(hex(payload)) AS h FROM m)
+        |SELECT doc_id,
+        |  substr(h, 1, 8) = '52494646' AS riff_ok,
+        |  substr(h, 17, 8) = '57415645' AS wave_ok,
+        |  substr(h, 73, 8) = '64617461' AS data_ok,
+        |  ('0x' || substr(h,43,2) || substr(h,41,2))::BIGINT = 1 AS pcm_ok,
+        |  ('0x' || substr(h,47,2) || substr(h,45,2))::BIGINT AS channels,
+        |  ('0x' || substr(h,55,2) || substr(h,53,2) || substr(h,51,2) || substr(h,49,2))::BIGINT AS sample_rate,
+        |  ('0x' || substr(h,63,2) || substr(h,61,2) || substr(h,59,2) || substr(h,57,2))::BIGINT AS byte_rate,
+        |  ('0x' || substr(h,67,2) || substr(h,65,2))::BIGINT AS block_align,
+        |  ('0x' || substr(h,71,2) || substr(h,69,2))::BIGINT AS bits_per_sample,
+        |  ('0x' || substr(h,87,2) || substr(h,85,2) || substr(h,83,2) || substr(h,81,2))::BIGINT AS data_size,
+        |  ('0x' || substr(h,87,2) || substr(h,85,2) || substr(h,83,2) || substr(h,81,2))::BIGINT * 1000
+        |    // ('0x' || substr(h,63,2) || substr(h,61,2) || substr(h,59,2) || substr(h,57,2))::BIGINT AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, text, octet_length(encode(text)) // 16 AS n_frames

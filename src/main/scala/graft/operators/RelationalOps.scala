@@ -582,6 +582,34 @@ object RelationalOps {
       ORDER BY p_partkey, l_suppkey, l_orderkey, l_linenumber""")
   }
 
+  /** TPC-H Q15 shape (top supplier by revenue) — the UNCORRELATED
+    * scalar-aggregate-over-a-view exercise completing the subquery
+    * family ([[sqlWaitingSuppliers]] EXISTS / [[sqlMinPricePerPart]]
+    * correlated scalar): the same derived revenue view is consumed
+    * twice, once as the join input and once reduced to a 1-row MAX that
+    * Catalyst plans as a scalar subquery broadcast into the filter —
+    * the revenue aggregation shuffles lineitem once per consumer and
+    * nothing ever re-executes per row. Exact DECIMAL revenue makes the
+    * MAX-equality deterministic; the output casts to double only at the
+    * edge. Ties on the max all survive (same in DuckDB). */
+  def sqlTopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+        FROM lineitem_v GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+             CAST(total_revenue AS DOUBLE) AS total_revenue
+      FROM supplier_v, revenue
+      WHERE s_suppkey = supplier_no
+        AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""")
+  }
+
   /** TPC-H Q18 shape (large-volume orders): aggregate the fact table
     * FIRST (sum quantity per order, map-side combined), filter the
     * aggregate (HAVING), and only then join the ~0.1%-selective

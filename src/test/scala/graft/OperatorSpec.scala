@@ -272,6 +272,81 @@ class OperatorSpec extends AnyFunSuite {
       "Porter folds at least the plural family the S-stemmer folds")
   }
 
+  test("snowball stemmer: vocabulary vectors, expression parity, search integration") {
+    import spark.implicits._
+    // hand-derived by executing the published Snowball English
+    // ("Porter2") definition step by step — exceptional forms, R1/R2
+    // prefixes, 1a/1b fix-ups, longest-match-no-backtrack in steps 2-4,
+    // and the step-5 short-syllable guard all represented
+    val pairs = Seq(
+      // exceptional forms + post-1a invariants
+      "skis" -> "ski", "skies" -> "sky", "dying" -> "die",
+      "lying" -> "lie", "tying" -> "tie", "idly" -> "idl",
+      "gently" -> "gentl", "ugly" -> "ugli", "early" -> "earli",
+      "only" -> "onli", "singly" -> "singl", "sky" -> "sky",
+      "news" -> "news", "bias" -> "bias",
+      "inning" -> "inning", "outing" -> "outing", "innings" -> "inning",
+      "proceed" -> "proceed", "exceed" -> "exceed", "succeed" -> "succeed",
+      // step 1a plural forms
+      "ties" -> "tie", "dies" -> "die", "cries" -> "cri",
+      "flies" -> "fli", "studied" -> "studi",
+      "gas" -> "gas", "this" -> "this", "gaps" -> "gap",
+      "kiwis" -> "kiwi", "dogs" -> "dog",
+      // step 1b with fix-ups (double letter, at/bl/iz, short word)
+      "running" -> "run", "hopping" -> "hop", "hoping" -> "hope",
+      "knitting" -> "knit", "meeting" -> "meet", "rating" -> "rate",
+      "agreed" -> "agre", "feed" -> "feed",
+      "controlling" -> "control", "controlled" -> "control",
+      // step 1c y->i (not after vowel, not at position 0)
+      "cry" -> "cri", "by" -> "by", "say" -> "say", "boy" -> "boy",
+      "enjoy" -> "enjoy", "play" -> "play", "beauty" -> "beauti",
+      "happy" -> "happi",
+      // steps 2-4 suffix chains, R1/R2 gates, gener- prefix override
+      "conditional" -> "condit", "rational" -> "ration",
+      "sensational" -> "sensat", "communication" -> "communic",
+      "generously" -> "generous", "generalizations" -> "general",
+      "generalization" -> "general", "general" -> "general",
+      "abilities" -> "abil", "ability" -> "abil",
+      "happiness" -> "happi", "happily" -> "happili",
+      "argument" -> "argument", "replacement" -> "replac",
+      "quickly" -> "quick", "fortunately" -> "fortun",
+      "consign" -> "consign", "consigned" -> "consign",
+      "consigning" -> "consign", "consignment" -> "consign",
+      "consolingly" -> "consol", "luxuriating" -> "luxuri")
+    pairs.foreach { case (in, want) =>
+      assert(graft.functions.SnowballStemmer.stem(in) == want,
+        s"stem($in) = ${graft.functions.SnowballStemmer.stem(in)}, want $want")
+    }
+    // the expression evaluates the same function (eval + codegen paths)
+    val viaExpr = pairs.map(_._1).toDF("w")
+      .select(expr("snowball_stem(w)").as("s")).as[String].collect().toSeq
+    assert(viaExpr == pairs.map(_._2))
+    // the divergence this stemmer exists to close: Snowball keeps the
+    // -al in "generalizations" (-> general) where 1980 Porter strips
+    // through to "gener" — Mongo's recall family is Snowball's
+    assert(graft.functions.PorterStemmer.stem("generalizations") == "gener")
+    // search integration: derivational query forms meet at the stem
+    val docsDf = Seq(
+      (1L, "en", "a", "the generalizations held"),
+      (2L, "en", "a", "one general observation"),
+      (3L, "en", "a", "nothing related here")).toDF("doc_id", "lang", "source", "text")
+    val hits = docsDf.filter(array_contains(
+      transform(graft.operators.TextOps.words(col("text")),
+        t => graft.operators.TextOps.stemTokenSnowball(t)),
+      graft.operators.TextOps.stemTokenSnowball(lit("generalization"))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L),
+      s"derivational forms must meet at the Snowball stem: $hits")
+    // corpus-level scan form runs and folds at least the plural family
+    // the oracle-gated S-stemmer folds for its default keyword
+    val snowball = ArticleOps.searchStemmedSnowball(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val harman = ArticleOps.searchStemmed(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(snowball.nonEmpty && harman.subsetOf(snowball),
+      "Snowball folds at least the plural family the S-stemmer folds")
+  }
+
   test("TextIndexRewrite: ranked-TF scan form becomes a postings SUM(tf) aggregation") {
     import spark.implicits._
     graft.plans.TextIndexCatalog.clear()
@@ -1276,6 +1351,31 @@ class OperatorSpec extends AnyFunSuite {
       assert(Seq((1L, 0L), (8L, 0L), (8L, 2L), (8L, 3L), (16L, 6L))
         .contains((depth, color)), s"invalid PNG depth/color pair ($depth, $color)")
       assert(r.getAs[Long]("n_body_bytes") >= 0L)
+    }
+  }
+
+  test("WAV header decode: RIFF structure verifies, little-endian geometry round-trips, derived fields consistent") {
+    val df = MultimodalOps.wavHeaderDecode(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("riff_ok") && r.getAs[Boolean]("wave_ok") &&
+        r.getAs[Boolean]("data_ok") && r.getAs[Boolean]("pcm_ok"))
+      val id = r.getAs[Long]("doc_id")
+      // parsed little-endian fields equal what the synthesizer encoded
+      assert(r.getAs[Long]("channels") == 1 + id % 2)
+      assert(Seq(8000L, 16000L, 22050L, 44100L, 48000L)
+        .contains(r.getAs[Long]("sample_rate")))
+      assert(Seq(8L, 16L, 24L).contains(r.getAs[Long]("bits_per_sample")))
+      // encoder invariants hold between PARSED fields
+      val expectAlign = r.getAs[Long]("channels") * r.getAs[Long]("bits_per_sample") / 8
+      assert(r.getAs[Long]("block_align") == expectAlign)
+      assert(r.getAs[Long]("byte_rate") ==
+        r.getAs[Long]("sample_rate") * expectAlign)
+      assert(r.getAs[Long]("duration_ms") ==
+        r.getAs[Long]("data_size") * 1000 / r.getAs[Long]("byte_rate"))
     }
   }
 
