@@ -91,12 +91,26 @@ object Tables {
     * (it would leak into later reads and race under concurrency).
     * Nanos read as long are floor-divided to microseconds — the same
     * truncation DuckDB applies when it coerces nanos to its
-    * micro-precision TIMESTAMP, so oracle values match. */
+    * micro-precision TIMESTAMP, so oracle values match.
+    *
+    * Newer driver data instead writes `ts` as parquet TIMESTAMP(MICROS)
+    * without a timezone annotation, which Spark 4 reads as
+    * TIMESTAMP_NTZ; every entry point pins the session timezone to UTC,
+    * so casting that wall-clock to the session-zoned TIMESTAMP is
+    * value-identical to the old nanos path (and to DuckDB, whose naive
+    * TIMESTAMP is the same wall-clock). Normalizing here keeps the whole
+    * engine — and its `unix_micros`/window arithmetic — on one
+    * timestamp type regardless of which generation of data it reads. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
