@@ -79,6 +79,8 @@ object SparkEntry {
     "art_search_stemmed"       -> ((s: SparkSession, d: String) => ArticleOps.searchStemmed(s, d)),
     "art_search_stemmed_idx"   -> ((s: SparkSession, d: String) => ArticleOps.searchStemmedIndexed(s, d)),
     "art_search_stemmed_auto"  -> ((s: SparkSession, d: String) => ArticleOps.searchStemmedAuto(s, d)),
+    "art_search_porter"        -> ((s: SparkSession, d: String) => ArticleOps.searchStemmedPorter(s, d)),
+    "art_search_snowball"      -> ((s: SparkSession, d: String) => ArticleOps.searchStemmedSnowball(s, d)),
     "art_keywords_split"       -> ArticleOps.keywordsSplit _,
     "art_batch_report"         -> ArticleOps.batchReport _,
     "art_crawl_e2e"            -> ((s: SparkSession, d: String) => ArticleOps.crawlExtractSearch(s, d)),
@@ -841,6 +843,19 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM t
         |WHERE list_contains(st, 'merge')
         |ORDER BY doc_id""".stripMargin,
+    // Porter-stemmed search: the oracle renders the 1980 algorithm in
+    // DuckDB SQL from the SAME step tables the JVM stemmer runs
+    // (functions/PorterSql.scala — CV-pattern scan per token, suffix
+    // conditions as slices of it; the keyword rides the pipeline as
+    // sentinel doc_id -1)
+    "art_search_porter" ->
+      graft.functions.PorterSql.searchOracle("merges"),
+    // Snowball-stemmed search: same contract, rendered from the
+    // published Porter2 definition (functions/SnowballSql.scala —
+    // prelude y-marking scan, R1/R2 as carried positions, fin column
+    // for the exception lists)
+    "art_search_snowball" ->
+      graft.functions.SnowballSql.searchOracle("merges"),
     // keywords CSV -> array derivation (SURVEY §1.3): the synthetic
     // keywords meta field is lang,source; posexplode is 0-based and
     // generate_subscripts 1-based, hence the -1

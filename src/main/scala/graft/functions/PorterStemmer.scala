@@ -70,7 +70,7 @@ object PorterStemmer {
     }
   }
 
-  private val Step2: Seq[(String, String)] = Seq(
+  private[graft] val step2: Seq[(String, String)] = Seq(
     "ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
     "anci" -> "ance", "izer" -> "ize", "abli" -> "able", "alli" -> "al",
     "entli" -> "ent", "eli" -> "e", "ousli" -> "ous", "ization" -> "ize",
@@ -78,13 +78,13 @@ object PorterStemmer {
     "iveness" -> "ive", "fulness" -> "ful", "ousness" -> "ous",
     "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
 
-  private val Step3: Seq[(String, String)] = Seq(
+  private[graft] val step3: Seq[(String, String)] = Seq(
     "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
     "ical" -> "ic", "ful" -> "", "ness" -> "")
 
   /** Step-4 suffixes, longest-first where one ends another, so a linear
     * first-match scan agrees with the paper's longest-match switch. */
-  private val Step4: Seq[String] = Seq(
+  private[graft] val step4: Seq[String] = Seq(
     "ement", "ment", "ent", "ance", "ence", "able", "ible", "ant",
     "ion", "ism", "ate", "iti", "ous", "ive", "ize", "ou", "al", "er",
     "ic")
@@ -130,10 +130,10 @@ object PorterStemmer {
     if (w.endsWith("y") && containsVowel(w.dropRight(1)))
       w = w.dropRight(1) + "i"
     // steps 2-3
-    w = mapSuffix(w, Step2)
-    w = mapSuffix(w, Step3)
+    w = mapSuffix(w, step2)
+    w = mapSuffix(w, step3)
     // step 4
-    Step4.find(w.endsWith) match {
+    step4.find(w.endsWith) match {
       case Some(suf) =>
         val stem = w.substring(0, w.length - suf.length)
         val ok = measure(stem) > 1 &&

@@ -16,11 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * S-stemmer (oracle-gated) and the 1980 Porter stemmer; Mongo stems
   * with Snowball, whose suffix tables differ from both. DuckDB's
   * `stem()` lives in the fts extension, which is absent in this
-  * offline environment — so like [[PorterStemmer]] this is a
-  * SPEC-GATED component: correctness is pinned by vocabulary-pair
-  * vectors hand-derived by executing the published algorithm
-  * (OperatorSpec "snowball stemmer"), plus the structural guarantee
-  * that query and document terms flow through the SAME function.
+  * offline environment — so the oracle ([[SnowballSql]], gating
+  * `art_search_snowball`) renders this same algorithm to DuckDB SQL
+  * from the same step tables, on top of the vocabulary-pair vectors
+  * hand-derived from the published definition (OperatorSpec "snowball
+  * stemmer") and the structural guarantee that query and document
+  * terms flow through the SAME function.
   *
   * Implementation follows the published definition exactly:
   * exceptional word list; `gener/commun/arsen` R1 overrides; prelude
@@ -71,7 +72,7 @@ object SnowballStemmer {
   }
 
   /** Whole-word exceptions applied before the steps. */
-  private val Exceptions1: Map[String, String] = Map(
+  private[graft] val exceptions1: Map[String, String] = Map(
     "skis" -> "ski", "skies" -> "sky", "dying" -> "die",
     "lying" -> "lie", "tying" -> "tie", "idly" -> "idl",
     "gently" -> "gentl", "ugly" -> "ugli", "early" -> "earli",
@@ -80,7 +81,7 @@ object SnowballStemmer {
     "cosmos" -> "cosmos", "bias" -> "bias", "andes" -> "andes")
 
   /** Invariant forms after step 1a. */
-  private val Exceptions2: Set[String] = Set(
+  private[graft] val exceptions2: Set[String] = Set(
     "inning", "outing", "canning", "herring", "earring",
     "proceed", "exceed", "succeed")
 
@@ -89,7 +90,7 @@ object SnowballStemmer {
     * the following suffixes" switch). The Boolean-condition entries
     * (`ogi` after l, bare `li` after a valid li-ending) are handled
     * inline below. */
-  private val Step2: Seq[(String, String)] = Seq(
+  private[graft] val step2: Seq[(String, String)] = Seq(
     "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
     "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
     "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
@@ -99,7 +100,7 @@ object SnowballStemmer {
     "izer" -> "ize", "ator" -> "ate", "alli" -> "al",
     "bli" -> "ble", "ogi" -> "og", "li" -> "")
 
-  private val Step3: Seq[(String, String)] = Seq(
+  private[graft] val step3: Seq[(String, String)] = Seq(
     "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
     "icate" -> "ic", "iciti" -> "ic", "ative" -> "",
     "ical" -> "ic", "ness" -> "", "ful" -> "")
@@ -107,7 +108,7 @@ object SnowballStemmer {
   /** Step 4 suffixes, longest-first where one suffix ends another
     * (ement ⊃ ment ⊃ ent; ance/ence before their substrings never
     * collide otherwise). */
-  private val Step4: Seq[String] = Seq(
+  private[graft] val step4: Seq[String] = Seq(
     "ement", "ance", "ence", "able", "ible", "ment", "ent", "ant",
     "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic")
 
@@ -115,7 +116,7 @@ object SnowballStemmer {
     var s = word.toLowerCase
     if (s.startsWith("'")) s = s.substring(1)
     if (s.length <= 2) return s
-    Exceptions1.get(s) match {
+    exceptions1.get(s) match {
       case Some(out) => return out
       case None =>
     }
@@ -176,7 +177,7 @@ object SnowballStemmer {
     } else if (ends("us") || ends("ss")) ()
     else if (ends("s") && containsVowelBefore(w.length - 2)) drop(1)
 
-    if (Exceptions2.contains(w.toString)) return w.toString
+    if (exceptions2.contains(w.toString)) return w.toString
 
     // step 1b
     if (ends("eedly")) { if (inR1(5)) drop(3) }
@@ -201,7 +202,7 @@ object SnowballStemmer {
     }
 
     // step 2 (longest match; condition checked once on the match)
-    Step2.find { case (suf, _) => ends(suf) } match {
+    step2.find { case (suf, _) => ends(suf) } match {
       case Some((suf, rep)) if inR1(suf.length) =>
         val okExtra = suf match {
           case "ogi" => w.length >= 4 && w.charAt(w.length - 4) == 'l'
@@ -213,14 +214,14 @@ object SnowballStemmer {
     }
 
     // step 3
-    Step3.find { case (suf, _) => ends(suf) } match {
+    step3.find { case (suf, _) => ends(suf) } match {
       case Some((suf, rep)) if inR1(suf.length) =>
         if (suf != "ative" || inR2(5)) { drop(suf.length); w.append(rep) }
       case _ =>
     }
 
     // step 4
-    Step4.find(ends) match {
+    step4.find(ends) match {
       case Some(suf) if inR2(suf.length) =>
         if (suf != "ion" || (w.length >= 4 && {
           val c = w.charAt(w.length - 4); c == 's' || c == 't'

@@ -611,10 +611,11 @@ object ArticleOps {
     * derivationally, so "generalizations" matches "general"). Same
     * whole-(stemmed-)token shape: document tokens and the query keyword
     * go through the SAME stem function, row-local over a narrow scan.
-    * NON-ORACLE: Porter is not reproducible in DuckDB SQL, so this
-    * variant is spec-covered (vocabulary pairs from the 1980 paper +
-    * search integration) rather than hash-gated, and is deliberately
-    * not registered in SparkEntry.queries. */
+    * ORACLE-GATED since r8 (`art_search_porter`): the DuckDB side runs
+    * the same algorithm rendered to SQL from the same step tables
+    * (functions/PorterSql.scala), so the full derivational behavior —
+    * "merges"/"merged"/"merging" all stem to "merg" — is hash-checked,
+    * not just spec-covered. */
   def searchStemmedPorter(spark: SparkSession, sfDir: String,
                           keyword: String = "merges"): DataFrame =
     docs(spark, sfDir)
@@ -632,10 +633,12 @@ object ArticleOps {
     * the S-stemmer (oracle-gated) and 1980 Porter, whose suffix tables
     * differ from Snowball's. Same whole-(stemmed-)token shape: document
     * tokens and the query keyword go through the SAME stem function,
-    * row-local over a narrow scan. NON-ORACLE like the Porter variant
-    * (DuckDB's stem() needs the fts extension, absent offline): spec
-    * covered by hand-derived vocabulary vectors and the search
-    * integration test, deliberately not in SparkEntry.queries. */
+    * row-local over a narrow scan. ORACLE-GATED since r8
+    * (`art_search_snowball`): DuckDB's own stem() needs the absent fts
+    * extension, so the oracle renders the published algorithm itself
+    * from the same step tables (functions/SnowballSql.scala) — the full
+    * Mongo-fidelity stemming behavior is hash-checked, on top of the
+    * hand-derived vocabulary-vector specs. */
   def searchStemmedSnowball(spark: SparkSession, sfDir: String,
                             keyword: String = "merges"): DataFrame =
     docs(spark, sfDir)

@@ -347,6 +347,34 @@ class OperatorSpec extends AnyFunSuite {
       "Snowball folds at least the plural family the S-stemmer folds")
   }
 
+  test("stemmer SQL renderers: keyword validation, step tables fully rendered") {
+    // the DuckDB oracles render from the SAME Seqs the JVM stemmers
+    // run — every suffix must survive into the SQL text, so an edit to
+    // one side cannot silently diverge from the other
+    val porterSql = graft.functions.PorterSql.searchOracle("merges")
+    (graft.functions.PorterStemmer.step2.map(_._1) ++
+      graft.functions.PorterStemmer.step3.map(_._1) ++
+      graft.functions.PorterStemmer.step4).foreach { suf =>
+      assert(porterSql.contains(s"'$suf'"), s"porter SQL lost suffix $suf")
+    }
+    val snowballSql = graft.functions.SnowballSql.searchOracle("merges")
+    (graft.functions.SnowballStemmer.step2.map(_._1) ++
+      graft.functions.SnowballStemmer.step3.map(_._1) ++
+      graft.functions.SnowballStemmer.step4 ++
+      graft.functions.SnowballStemmer.exceptions1.keys ++
+      graft.functions.SnowballStemmer.exceptions2).foreach { suf =>
+      assert(snowballSql.contains(s"'$suf'"), s"snowball SQL lost $suf")
+    }
+    // uppercase or quoted keywords would break SQL-vs-JVM parity (the
+    // JVM side lowercases; a quote would escape the SQL literal)
+    intercept[IllegalArgumentException] {
+      graft.functions.PorterSql.searchOracle("Merges")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.SnowballSql.searchOracle("o'brien")
+    }
+  }
+
   test("TextIndexRewrite: ranked-TF scan form becomes a postings SUM(tf) aggregation") {
     import spark.implicits._
     graft.plans.TextIndexCatalog.clear()
