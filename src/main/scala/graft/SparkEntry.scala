@@ -148,6 +148,7 @@ object SparkEntry {
     "dd_dup_clusters"          -> DedupOps.dupClusters _,
     "dd_incremental"           -> DedupOps.incrementalDedup _,
     "dd_exact_substr"          -> DedupOps.exactSubstrDedup _,
+    "dd_pipeline_survivors"    -> DedupOps.dedupSurvivors _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
     "sim_hard_negatives"       -> SimilarityOps.hardNegatives _,
@@ -1995,6 +1996,75 @@ object SparkEntry {
         |  JOIN f sb ON sb.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // end-to-end dedup decision: the dd_minhash_lsh pair pipeline, then
+    // the recursive reachability closure (as in dd_dup_clusters) over
+    // those pairs, then keep = min reachable id; unclustered docs keep
+    // themselves
+    "dd_pipeline_survivors" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END) AS sh
+        |  FROM w2),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |m AS (
+        |  SELECT doc_id, sh,
+        |    list_min(list_transform(sh, h -> (2*h + 1) % 999999999999989)) AS mh0,
+        |    list_min(list_transform(sh, h -> (3*h + 7) % 999999999999989)) AS mh1,
+        |    list_min(list_transform(sh, h -> (5*h + 13) % 999999999999989)) AS mh2,
+        |    list_min(list_transform(sh, h -> (7*h + 31) % 999999999999989)) AS mh3,
+        |    list_min(list_transform(sh, h -> (11*h + 101) % 999999999999989)) AS mh4,
+        |    list_min(list_transform(sh, h -> (13*h + 1009) % 999999999999989)) AS mh5,
+        |    list_min(list_transform(sh, h -> (17*h + 10007) % 999999999999989)) AS mh6,
+        |    list_min(list_transform(sh, h -> (19*h + 100003) % 999999999999989)) AS mh7
+        |  FROM f),
+        |bands AS (
+        |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+        |    || '_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bkey FROM m
+        |  UNION ALL
+        |  SELECT doc_id, '1_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+        |    || '_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM m),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN f sa ON sa.doc_id = doc_a
+        |  JOIN f sb ON sb.doc_id = doc_b),
+        |pairs AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |r AS (
+        |  SELECT src AS node, src AS reach FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.reach),
+        |lab AS (SELECT node AS doc_id, MIN(reach) AS keep FROM r GROUP BY node)
+        |SELECT c.doc_id, coalesce(l.keep, c.doc_id) AS keep_id,
+        |  CAST(c.doc_id = coalesce(l.keep, c.doc_id) AS BIGINT) AS is_kept
+        |FROM corpus c LEFT JOIN lab l ON l.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     "dd_simhash" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -194,6 +194,22 @@ object DedupOps {
   /** Injectable form of [[dupClusters]]: components of an arbitrary
     * (doc_a, doc_b) pair list. */
   def dupClustersOf(pairsDf: DataFrame): DataFrame = {
+    // component size via a window over the label key — one exchange on
+    // cluster_id; the earlier groupBy+re-join form paid an aggregate
+    // exchange AND a join pass over the same data
+    val wCl = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    ccLabels(pairsDf)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("csize", count(lit(1)).over(wCl))
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        (col("doc_id") === col("cluster_id")).cast("long").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label connected components of a (doc_a, doc_b) pair list:
+    * (node, label) with label = the component's minimum doc_id. The
+    * shared engine under [[dupClustersOf]] and [[dedupSurvivors]]. */
+  private[graft] def ccLabels(pairsDf: DataFrame): DataFrame = {
     val pairs = pairsDf.select("doc_a", "doc_b")
     // undirect the pair list in ONE pass (explode of both orientations)
     // — the union-of-two-selects form re-executed the whole upstream
@@ -258,15 +274,7 @@ object DedupOps {
       converged = s1.compareTo(s2) == 0
       labels = next
     }
-    // component size via a window over the label key — one exchange on
-    // cluster_id; the earlier groupBy+re-join form paid an aggregate
-    // exchange AND a join pass over the same data
-    val wCl = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("csize", count(lit(1)).over(wCl))
-      .select(col("doc_id"), col("cluster_id"), col("csize"),
-        (col("doc_id") === col("cluster_id")).cast("long").as("is_canonical"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** Spec-only reference model for [[ngramJaccardPairs]]: unblocked
@@ -405,7 +413,13 @@ object DedupOps {
     * tripled the query's cost at sf0.1. Contract: the caller releases
     * the persisted blocks via spark.catalog.clearCache() after the
     * consuming action (Verify/Bench/specs do). */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshPairs(spark, sfDir).orderBy("doc_a", "doc_b")
+
+  /** [[minhashLsh]] without the presentation sort — the composable form
+    * ([[dedupSurvivors]] feeds it straight into the CC loop, where a
+    * pre-sort would be a wasted range exchange). */
+  private[graft] def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = withMinhashBands(corpus(spark, sfDir))
       .select("doc_id", "sh", "bands")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -420,7 +434,34 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The production dedup pipeline END-TO-END, answering the question a
+    * training-data curation run actually asks: which documents SURVIVE,
+    * and which retained representative replaced each dropped one.
+    * Composes the scale-safe pieces in sequence — MinHash-LSH banded
+    * candidates (never all-pairs) → exact Jaccard verify (≥ 0.5) →
+    * min-label connected components over the verified pair graph →
+    * keep the minimum doc_id of each cluster, everything unclustered
+    * survives untouched.
+    *
+    * 100 TB shape: the pair generation is the banded bucket equi-join
+    * ([[minhashLsh]]); the CC loop is O(component diameter) rounds of
+    * one equi-join + one map-side-combined agg over EDGES, not corpus
+    * rows ([[dupClustersOf]]); and the final decision join brings one
+    * narrow (doc_id, label) row per clustered doc back to the corpus —
+    * dup-cluster membership is a small fraction of any real corpus, so
+    * the label side broadcasts and the corpus is never re-shuffled. */
+  def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = ccLabels(minhashLshPairs(spark, sfDir))
+      .select(col("node").as("doc_id"), col("label"))
+    corpus(spark, sfDir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("keep_id"),
+        (col("doc_id") === coalesce(col("label"), col("doc_id")))
+          .cast("long").as("is_kept"))
+      .orderBy("doc_id")
   }
 
   /** 48-bit SimHash over the word-hash multiset: bit j is set when at

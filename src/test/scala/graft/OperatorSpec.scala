@@ -815,6 +815,34 @@ class OperatorSpec extends AnyFunSuite {
       (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
   }
 
+  test("dedup survivors: total function over the corpus, keeps agree with CC labels") {
+    import spark.implicits._
+    val surv = DedupOps.dedupSurvivors(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    // a dedup decision is TOTAL: one verdict per corpus doc, no doc
+    // invented or dropped
+    val corpusIds = DedupOps.corpus(spark, sf0001)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(surv.map(_._1) == corpusIds)
+    // survivors keep themselves; dropped docs point at a surviving doc
+    // with a smaller id (min-label canonical)
+    val kept = surv.collect { case (id, k, 1L) => assert(k == id); id }.toSet
+    surv.foreach { case (id, k, f) =>
+      if (f == 0L) assert(kept(k) && k < id, s"doc $id keeps at non-survivor $k")
+    }
+    // verdicts equal the clustered view: every doc in a dup cluster
+    // keeps at its cluster's min id, everything else survives untouched
+    val labels = DedupOps.dupClustersOf(DedupOps.minhashLshPairs(spark, sf0001))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    surv.foreach { case (id, k, _) =>
+      assert(k == labels.getOrElse(id, id), s"doc $id: keep $k vs cluster view")
+    }
+    // the seeded exact copies (id+100000 of every 10th doc) never survive
+    assert(surv.collect { case (id, _, f) if id >= 100000 && id < 200000 => f }
+      .forall(_ == 0L))
+    spark.catalog.clearCache()
+  }
+
   test("composite quality score is 0.0 (not NaN/NULL) for degenerate docs") {
     import spark.implicits._
     // Spark's 0.0/0 is NaN while DuckDB's is NULL, and the engines rank
