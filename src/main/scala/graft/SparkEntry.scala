@@ -101,6 +101,7 @@ object SparkEntry {
     "evt_salted_totals"        -> EventOps.saltedUserTotals _,
     "evt_value_histogram"      -> EventOps.valueHistogram _,
     "evt_kmv_distinct"         -> ((s: SparkSession, d: String) => EventOps.kmvDistinct(s, d)),
+    "evt_quantile_sketch"      -> EventOps.quantileSketch _,
     "evt_gapfill"              -> EventOps.hourlyGapFill _,
     "rel_large_orders"         -> ((s: SparkSession, d: String) => RelationalOps.largeOrders(s, d)),
     "evt_pivot_types"          -> EventOps.userTypePivot _,
@@ -918,6 +919,30 @@ object SparkEntry {
         |  CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
         |    ELSE 63000000000000000 // MAX(h) END AS BIGINT) AS est_kmv
         |FROM k""".stripMargin,
+    // fixed-grid histogram quantile sketch: deterministic (grid pinned
+    // by min/max/1024), so estimates reproduce exactly on both engines;
+    // linear interpolation inside the quantile's bin
+    "evt_quantile_sketch" ->
+      """WITH stats AS (
+        |  SELECT min(value) AS mn, max(value) AS mx, COUNT(*) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |bins AS (
+        |  SELECT CASE WHEN s.mx = s.mn THEN 0
+        |    ELSE LEAST(CAST(floor((e.value - s.mn) / ((s.mx - s.mn) / 1024)) AS BIGINT), 1023)
+        |    END AS bin, COUNT(*) AS cnt
+        |  FROM events e, stats s WHERE e.value IS NOT NULL GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, cnt,
+        |    SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bins),
+        |ps AS (SELECT CAST(unnest([0.5, 0.9, 0.95, 0.99]) AS DOUBLE) AS p)
+        |SELECT p.p AS p,
+        |  CASE WHEN s.mx = s.mn THEN s.mn
+        |    ELSE s.mn + ((s.mx - s.mn) / 1024) *
+        |      (c.bin + (p.p * s.n - (c.cum - c.cnt)) / c.cnt) END AS est
+        |FROM ps p, cum c, stats s
+        |WHERE c.cum >= p.p * s.n AND c.cum - c.cnt < p.p * s.n
+        |ORDER BY p""".stripMargin,
     "art_inverted_index" ->
       """SELECT term, COUNT(DISTINCT doc_id) AS doc_count, COUNT(*) AS total_count,
         |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids

@@ -407,6 +407,58 @@ object EventOps {
           .as("est_kmv"))
   }
 
+  /** Mergeable fixed-grid quantile sketch over event values — the
+    * histogram member of the sketch family (alongside CMS terms and KMV
+    * distinct): p50/p90/p95/p99 estimated from a 1024-bin equi-width
+    * histogram with linear interpolation inside the quantile's bin.
+    *
+    * Like KMV (and unlike t-digest/KLL, whose centroid placement is
+    * order-dependent), the sketch is DETERMINISTIC: the grid is fixed
+    * by (min, max, 1024), so the bin counts — and therefore the
+    * estimates — are identical on any engine and any partitioning,
+    * which is what makes it oracle-checkable.
+    *
+    * Scale shape: one scalar agg (min/max/count, broadcast back), then
+    * one map-side-combined agg into ≤1024 bins — partial histograms
+    * merge by bin-wise addition, so each partition ships at most 1024
+    * rows. The cumulative window and the quantile probe join run over
+    * the BOUNDED bin table (≤1024 rows), never data rows; the probe
+    * side is 4 literal quantiles. Two passes over the data, constant
+    * sketch state — the classic scalable approx-quantile. */
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val nb = 1024
+    // null values carry no quantile information and their bin would sort
+    // differently across engines — excluded symmetrically on both sides
+    val ev = Tables.events(spark, sfDir).select(col("value"))
+      .filter(col("value").isNotNull)
+    val stats = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+      count(lit(1)).as("n"))
+    // degenerate single-value distributions take bin 0 (width would be 0)
+    val bins = ev.crossJoin(broadcast(stats))
+      .select(when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(floor((col("value") - col("mn")) /
+          ((col("mx") - col("mn")) / nb)).cast("long"), lit(nb - 1L)))
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    // cumulative counts over the bounded bin table (single partition by
+    // construction: <= 1024 rows regardless of data volume)
+    val wb = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(wb))
+    import spark.implicits._
+    val ps = Seq(0.5, 0.9, 0.95, 0.99).toDF("p")
+    ps.crossJoin(cum).crossJoin(broadcast(stats))
+      .filter(col("cum") >= col("p") * col("n") &&
+        col("cum") - col("cnt") < col("p") * col("n"))
+      .select(col("p"),
+        when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") +
+            ((col("mx") - col("mn")) / nb) * (col("bin") +
+              (col("p") * col("n") - (col("cum") - col("cnt"))) / col("cnt")))
+          .as("est"))
+      .orderBy("p")
+  }
+
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val cohort = ev.groupBy("user_id")

@@ -843,6 +843,28 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("quantile sketch: estimates within one bin width of the exact order statistic") {
+    import spark.implicits._
+    val got = EventOps.quantileSketch(spark, sf0001)
+      .as[(Double, Double)].collect().toMap
+    assert(got.keySet == Set(0.5, 0.9, 0.95, 0.99))
+    val vals = graft.Tables.events(spark, sf0001)
+      .select("value").as[Double].collect().sorted
+    val width = (vals.last - vals.head) / 1024
+    got.foreach { case (p, est) =>
+      // the interpolated estimate and the rank-ceil(p*n) order statistic
+      // both live in the quantile's histogram bin, so they can differ by
+      // at most one grid cell — the sketch's accuracy contract
+      val exact = vals(math.ceil(p * vals.length).toInt - 1)
+      assert(math.abs(est - exact) <= width,
+        s"p=$p est=$est exact=$exact width=$width")
+      assert(est >= vals.head && est <= vals.last)
+    }
+    // estimates are monotone in p
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered == ordered.sorted)
+  }
+
   test("composite quality score is 0.0 (not NaN/NULL) for degenerate docs") {
     import spark.implicits._
     // Spark's 0.0/0 is NaN while DuckDB's is NULL, and the engines rank
