@@ -54,6 +54,9 @@ object SparkEntry {
     "rel_sql_waiting_suppliers" -> RelationalOps.sqlWaitingSuppliers _,
     "rel_sql_min_price_part"   -> RelationalOps.sqlMinPricePerPart _,
     "rel_sql_top_supplier"     -> RelationalOps.sqlTopSupplier _,
+    "rel_sql_nation_volume"    -> RelationalOps.sqlNationVolume _,
+    "rel_sql_mkt_share"        -> RelationalOps.sqlMarketShare _,
+    "rel_sql_product_profit"   -> RelationalOps.sqlProductProfit _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -259,6 +262,55 @@ object SparkEntry {
         |WHERE s_suppkey = supplier_no
         |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+    // Q7-shape: six-relation join with the bidirectional nation OR
+    "rel_sql_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // Q8-shape: eight-relation join + conditional-aggregate ratio
+    "rel_sql_mkt_share" ->
+      """SELECT o_year,
+        |  CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part, supplier, lineitem, orders, customer,
+        |    nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+        |    AND p_type = 'PROMO') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Q9-shape: part-name fan-through profit (0.1*retailprice stands in
+    // for the absent ps_supplycost; the join structure is the exercise)
+    "rel_sql_product_profit" ->
+      """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |      - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(3,1))
+        |        * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+        |  FROM part, supplier, lineitem, orders, nation
+        |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year ORDER BY nation, o_year""".stripMargin,
     "rel_region_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue

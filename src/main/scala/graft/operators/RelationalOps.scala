@@ -610,6 +610,93 @@ object RelationalOps {
       ORDER BY s_suppkey""")
   }
 
+  /** TPC-H Q7 shape (volume shipping between two nations) via the SQL
+    * entry path — the classic JOIN-REORDER exercise: six relations with
+    * the selective disjunctive nation predicate spanning BOTH nation
+    * references. Catalyst prunes each nation side to one row behind a
+    * broadcast, and the lineitem→orders→customer chain shuffles on its
+    * join keys once each; the bidirectional OR survives as a join-level
+    * filter, never a cartesian. Money math in DECIMAL(12,2) partials,
+    * double only at the edge (driver-hash discipline). */
+  def sqlNationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "customer", "nation").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+        FROM supplier_v, lineitem_v, orders_v, customer_v, nation_v n1, nation_v n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) shipping
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""")
+  }
+
+  /** TPC-H Q8 shape (national market share) — the EIGHT-relation join
+    * with a conditional-aggregate ratio: share of one supplier nation in
+    * a region's PROMO-part import volume, by order year. The region and
+    * both nation sides broadcast (dimension tables), part's type filter
+    * prunes before the join, and the fact chain shuffles once per key —
+    * the plan Catalyst should and does pick without hints. The ratio
+    * divides two exactly-summed DECIMAL volumes only after the DOUBLE
+    * cast, so both engines stringify identical bits. */
+  def sqlMarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "customer", "nation",
+      "region").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT o_year,
+        CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+          n2.n_name AS nation
+        FROM part_v, supplier_v, lineitem_v, orders_v, customer_v,
+          nation_v n1, nation_v n2, region_v
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+          AND p_type = 'PROMO') all_nations
+      GROUP BY o_year ORDER BY o_year""")
+  }
+
+  /** TPC-H Q9 shape (product-type profit by nation and year). The local
+    * schema has no partsupp, so ps_supplycost is stood in by
+    * 0.1·p_retailprice per unit — the JOIN STRUCTURE (part's name
+    * filter fanning through lineitem to supplier nation and order year)
+    * and the mixed-sign DECIMAL profit aggregation are what the shape
+    * exercises. Scales as one shuffle per fact join key; part prunes on
+    * the LIKE before joining. */
+  def sqlProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "nation").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      FROM (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(12,2)))
+            - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(3,1))
+              * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+        FROM part_v, supplier_v, lineitem_v, orders_v, nation_v
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%') profit
+      GROUP BY nation, o_year ORDER BY nation, o_year""")
+  }
+
   /** TPC-H Q18 shape (large-volume orders): aggregate the fact table
     * FIRST (sum quantity per order, map-side combined), filter the
     * aggregate (HAVING), and only then join the ~0.1%-selective
