@@ -66,6 +66,7 @@ object SparkEntry {
     "art_search_json"          -> ArticleOps.searchKeywordJson _,
     "art_search_any"           -> ((s: SparkSession, d: String) => ArticleOps.searchAnyKeyword(s, d)),
     "art_search_folded"        -> ((s: SparkSession, d: String) => ArticleOps.searchDiacriticFolded(s, d)),
+    "art_search_folded_full"   -> ((s: SparkSession, d: String) => ArticleOps.searchFoldedFull(s, d)),
     "art_search_textq"         -> ((s: SparkSession, d: String) => ArticleOps.searchTextQuery(s, d)),
     "art_inverted_index"       -> ArticleOps.invertedIndex _,
     "art_search_via_index"     -> ((s: SparkSession, d: String) => ArticleOps.searchViaIndex(s, d)),
@@ -683,6 +684,32 @@ object SparkEntry {
         |    'áàâäãåéèêëíìîïóòôöõúùûüýñç', 'aaaaaaeeeeiiiiooooouuuuync'), ' '),
         |  'merge')
         |ORDER BY doc_id""".stripMargin,
+    // full Latin fold: the SQL is RENDERED from the same
+    // LatinFoldFrom/To + LigatureFolds tables the engine folds with
+    // (ArticleOps.foldLatin), so the two sides cannot drift; Extended-A
+    // accents synthesized on every 7th doc fold back, the ß docs' tokens
+    // expand to 'ss' forms and correctly stop matching
+    "art_search_folded_full" -> {
+      def foldSql(e: String): String = {
+        val rep = ArticleOps.LigatureFolds.foldLeft(s"lower($e)") {
+          case (acc, (f, t)) => s"replace($acc, '$f', '$t')"
+        }
+        s"translate($rep, '${ArticleOps.LatinFoldFrom}', '${ArticleOps.LatinFoldTo}')"
+      }
+      s"""WITH acc AS (
+         |  SELECT doc_id, lang, source,
+         |    CASE WHEN doc_id % 11 = 0 THEN replace(t1, 's', 'ß')
+         |         ELSE t1 END AS text
+         |  FROM (
+         |    SELECT doc_id, lang, source,
+         |      CASE WHEN doc_id % 7 = 0 THEN translate(text, 'ae', 'āě')
+         |           ELSE text END AS t1
+         |    FROM documents) z)
+         |SELECT doc_id, lang, source FROM acc
+         |WHERE list_contains(string_split(${foldSql("text")}, ' '),
+         |  ${foldSql("'spark'")})
+         |ORDER BY doc_id""".stripMargin
+    },
     // Mongo $text query-string semantics: stop words are dropped at
     // query compile ("the spark and merge" -> spark OR merge); the data
     // plane is exactly the art_search_any arrays_overlap

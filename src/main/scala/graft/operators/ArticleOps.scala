@@ -156,6 +156,38 @@ object ArticleOps {
   val DiacriticsFrom = "áàâäãåéèêëíìîïóòôöõúùûüýñç"
   val DiacriticsTo   = "aaaaaaeeeeiiiiooooouuuuync"
 
+  /** FULL Latin fold — closes SURVEY §7.5's "full Unicode fold
+    * coverage" residual for the scripts Mongo's `$text` actually folds:
+    * every foldable letter of Latin-1 Supplement and Latin Extended-A,
+    * grouped by base letter, plus the ligature/special letters that
+    * EXPAND (æ→ae, œ→oe, ß→ss, ĳ→ij, þ→th) and therefore can't ride a
+    * 1:1 translate. Lowercase only — `lower()` runs first, and both the
+    * corpus and the synthesized accents are lowercase, so JVM-vs-utf8proc
+    * case-mapping divergence never enters. The From/To strings and the
+    * oracle's SQL are all rendered from THIS table, so the two engines
+    * cannot drift. */
+  private val LatinFoldGroups: Seq[(Char, String)] = Seq(
+    'a' -> "áàâäãåāăą", 'c' -> "çćĉċč", 'd' -> "ďđð", 'e' -> "éèêëēĕėęě",
+    'g' -> "ĝğġģ", 'h' -> "ĥħ", 'i' -> "íìîïĩīĭįı", 'j' -> "ĵ",
+    'k' -> "ķĸ", 'l' -> "ĺļľŀł", 'n' -> "ñńņňŉŋ", 'o' -> "óòôöõøōŏő",
+    'r' -> "ŕŗř", 's' -> "śŝşšſ", 't' -> "ţťŧ", 'u' -> "úùûüũūŭůűų",
+    'w' -> "ŵ", 'y' -> "ýÿŷ", 'z' -> "źżž")
+  val LatinFoldFrom: String = LatinFoldGroups.map(_._2).mkString
+  val LatinFoldTo: String =
+    LatinFoldGroups.map { case (b, s) => b.toString * s.length }.mkString
+  /** Multi-char expansions, applied before the translate. */
+  val LigatureFolds: Seq[(String, String)] = Seq(
+    "æ" -> "ae", "œ" -> "oe", "ß" -> "ss", "ĳ" -> "ij", "þ" -> "th")
+
+  /** The shared fold: lower → ligature expansions → base-letter
+    * translate. Row-local; both engines evaluate the same mapping. */
+  def foldLatin(c: Column): Column = {
+    val replaced = LigatureFolds.foldLeft(lower(c)) { case (acc, (f, t)) =>
+      call_function("replace", acc, lit(f), lit(t))
+    }
+    translate(replaced, LatinFoldFrom, LatinFoldTo)
+  }
+
   /** Mongo `$text` diacritic insensitivity (api.py:26 — `$text` is
     * diacritic-insensitive for Latin scripts): both the document tokens
     * and the query keyword are folded through the same translate table,
@@ -175,6 +207,30 @@ object ArticleOps {
       .filter(array_contains(
         split(translate(lower(col("text")), DiacriticsFrom, DiacriticsTo), " "),
         kwFolded))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** [[searchDiacriticFolded]] over the FULL Latin fold ([[foldLatin]]):
+    * synthesizes Latin-Extended-A accents onto every 7th doc
+    * (a→ā, e→ě — folded back by the extended translate) and the German
+    * ß onto every 11th (s→ß — its tokens fold to 'ss' forms, so they
+    * correctly STOP matching an unligatured keyword; the expansion path
+    * is exercised in both engines identically). Same row-local shape;
+    * the oracle's fold SQL is rendered from the same tables. */
+  def searchFoldedFull(spark: SparkSession, sfDir: String,
+                       keyword: String = "spark"): DataFrame = {
+    val accented = docs(spark, sfDir)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, translate(col("text"), "ae", "āě"))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          call_function("replace", col("text"), lit("s"), lit("ß")))
+          .otherwise(col("text")))
+    accented
+      .filter(array_contains(split(foldLatin(col("text")), " "),
+        foldLatin(lit(keyword))))
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }

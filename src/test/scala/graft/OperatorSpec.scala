@@ -347,6 +347,26 @@ class OperatorSpec extends AnyFunSuite {
       "Snowball folds at least the plural family the S-stemmer folds")
   }
 
+  test("full Latin fold: table well-formed, ligatures expand, ß docs drop out") {
+    import spark.implicits._
+    // 1:1 translate table: aligned lengths, no duplicate sources, every
+    // target a plain ASCII letter
+    assert(ArticleOps.LatinFoldFrom.length == ArticleOps.LatinFoldTo.length)
+    assert(ArticleOps.LatinFoldFrom.distinct.length == ArticleOps.LatinFoldFrom.length)
+    assert(ArticleOps.LatinFoldTo.forall(c => c >= 'a' && c <= 'z'))
+    val folded = Seq("café", "großē", "ĳsberg", "þorn", "ŒUVRE", "naïve")
+      .toDF("w").select(ArticleOps.foldLatin(col("w"))).as[String].collect().toSeq
+    assert(folded == Seq("cafe", "grosse", "ijsberg", "thorn", "oeuvre", "naive"))
+    // behavior: results are exactly the keyword matches whose doc kept a
+    // foldable 'spark' token — ß-synthesis (every 11th doc) expands its
+    // tokens to 'ss' forms, so those ids must vanish; everything else stays
+    val base = ArticleOps.searchKeyword(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val full = ArticleOps.searchFoldedFull(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(full == base.filter(_ % 11 != 0))
+  }
+
   test("stemmer SQL renderers: keyword validation, step tables fully rendered") {
     // the DuckDB oracles render from the SAME Seqs the JVM stemmers
     // run — every suffix must survive into the SQL text, so an edit to
