@@ -161,6 +161,7 @@ object SparkEntry {
     "sim_ivf_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.ivfAnnTopK(s, d)),
     "sim_recall"               -> SimilarityOps.annRecall _,
     "sim_mrr"                  -> SimilarityOps.annMrr _,
+    "sim_matryoshka_recall"    -> ((s: SparkSession, d: String) => SimilarityOps.matryoshkaRecall(s, d)),
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
     "dd_semantic"              -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
     "sim_quantize_int8"        -> SimilarityOps.quantizeInt8 _,
@@ -2389,6 +2390,48 @@ object SparkEntry {
         |ORDER BY w.vec_id""".stripMargin,
     // integer-scaled MRR: per-anchor reciprocal-rank contribution of the
     // LSH index against the brute-force true NN, scaled by lcm(1..10)
+    // matryoshka truncation recall: per tier, the brute-force ranking
+    // re-run on prefix-sliced renormalized embeddings, semi-joined
+    // against the full-dim top-10 (tier CTEs generated from one template
+    // so the three tiers cannot drift)
+    "sim_matryoshka_recall" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
+          s"i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      def tier(d: Int): String =
+        s"""e$d AS (SELECT vec_id, emb[1:$d] AS emb FROM e0),
+           |n$d AS (SELECT vec_id, emb, sqrt(${dot("emb", "emb")}) AS nrm FROM e$d),
+           |q$d AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n$d WHERE vec_id < 5),
+           |s$d AS (
+           |  SELECT q_id, n$d.vec_id,
+           |    ${dot("q_emb", "emb")} / (q_nrm * nrm) AS score
+           |  FROM q$d, n$d WHERE n$d.vec_id <> q$d.q_id),
+           |r$d AS (SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+           |    FROM s$d) z
+           |  WHERE rn <= 10),
+           |h$d AS (SELECT COUNT(*) AS hits FROM rf JOIN r$d USING (q_id, vec_id))""".stripMargin
+      def row(d: Int): String =
+        s"""SELECT CAST($d AS BIGINT) AS dims_kept, hits, possible,
+           |  CAST(hits AS DOUBLE) / possible AS recall FROM h$d, pt""".stripMargin
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |nf AS (SELECT vec_id, emb, sqrt(${dot("emb", "emb")}) AS nrm FROM e0),
+         |qf AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM nf WHERE vec_id < 5),
+         |sf AS (
+         |  SELECT q_id, nf.vec_id,
+         |    ${dot("q_emb", "emb")} / (q_nrm * nrm) AS score
+         |  FROM qf, nf WHERE nf.vec_id <> qf.q_id),
+         |rf AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM sf) z
+         |  WHERE rn <= 10),
+         |pt AS (SELECT COUNT(*) AS possible FROM rf),
+         |${Seq(8, 16, 32).map(tier).mkString(",\n")}
+         |${Seq(8, 16, 32).map(row).mkString("\nUNION ALL\n")}
+         |ORDER BY dims_kept""".stripMargin
+    },
     "sim_mrr" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,

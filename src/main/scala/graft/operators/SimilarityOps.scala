@@ -775,6 +775,44 @@ object SimilarityOps {
       .orderBy("method")
   }
 
+  /** Matryoshka-truncation retrieval quality (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning" — public): recall@10 of
+    * exact retrieval run on PREFIX-TRUNCATED embeddings (first 8/16/32
+    * of 64 dims, renormalized) against the full-dim exact top-10 on the
+    * same query set. This is the measurement a pipeline runs before
+    * committing to a truncated index tier — how much retrieval quality
+    * do the first m dimensions carry, and where is the knee?
+    *
+    * Scale shape: truncation is a row-local slice() feeding the SAME
+    * broadcast-query corpus-scan bounded-top-k ranking as
+    * [[bruteForceTopK]] (k rows per partition cross the exchange); each
+    * tier's comparison is one semi-join + count against the persisted
+    * full-dim baseline. hits/possible are exact integers; recall is
+    * their single division — bitwise-stable for the oracle. Caller
+    * releases the persisted baseline via clearCache(). */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String,
+                       tiers: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val full = bruteForceTopK(spark, sfDir).select("q_id", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bTot = full.agg(count(lit(1)).as("possible"))
+    def one(d: Int): DataFrame = {
+      val t = vecs(spark, sfDir)
+        .withColumn("emb", slice(col("emb"), 1, d))
+        .withColumn("nrm", sqrt(dotd(col("emb"), col("emb"))))
+      val q = t.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      full.join(cosineTopK(t, q, col("vec_id") =!= col("q_id"))
+          .select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(bTot) // 1-row × 1-row
+        .select(lit(d).cast("long").as("dims_kept"), col("hits"),
+          col("possible"),
+          (col("hits").cast("double") / col("possible")).as("recall"))
+    }
+    tiers.map(one).reduce(_.unionAll(_)).orderBy("dims_kept")
+  }
+
   /** ANN ranking-quality measurement in EXACT integer arithmetic — MRR
     * (mean reciprocal rank) is the standard "did the index put the true
     * neighbor near the top" companion to recall@k ([[annRecall]]).

@@ -59,6 +59,29 @@ object EventStreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming twin of EventOps.quantileSketch's histogram stage: per
+    * tumbling window, fixed-grid bin counts over `value`. A streaming
+    * job cannot two-pass for min/max, so the grid bounds are pinned up
+    * front (from history or config) — the same fixed-grid property that
+    * makes the batch sketch deterministic; out-of-range values clamp to
+    * the edge bins instead of being dropped, so window mass is
+    * conserved. State per window is ≤ nb bin rows regardless of volume,
+    * partial histograms merge by bin-wise addition inside the windowed
+    * agg (map-side combine) — the mergeable-sketch shape running
+    * continuously. Quantile extraction stays the bounded probe of the
+    * batch sketch, applied per emitted window downstream. */
+  def windowedHistogram(events: DataFrame, lo: Double, hi: Double,
+                        nb: Int = 64,
+                        watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .filter(col("value").isNotNull)
+      .select(col("ts"),
+        least(greatest(floor((col("value") - lo) / ((hi - lo) / nb)), lit(0L)),
+          lit(nb - 1L)).cast("long").as("bin"))
+      .groupBy(window(col("ts"), "1 hour"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("bin"), col("cnt"))
+
   /** Streaming dedup — the streaming form of reference O7 (`url not in
     * caught_docs`): first event per (user, type) wins; state expires
     * with the watermark instead of growing forever. */

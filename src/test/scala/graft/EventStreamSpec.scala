@@ -44,6 +44,33 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("windowed histogram: stream equals batch, mass conserved, bins clamped") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    // value 3.0 lands mid-grid; -5 and 99 are out of the [0, 10) bounds
+    // and must clamp to the edge bins, not vanish
+    val edgy = rows :+ EventRow(6L, ts(20), 3L, "click", -5.0) :+
+      EventRow(7L, ts(21), 3L, "click", 99.0)
+    val q = EventStreamOps.windowedHistogram(mem.toDF(), lo = 0.0, hi = 10.0, nb = 8)
+      .writeStream.format("memory").queryName("hist")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(edgy: _*)
+      q.processAllAvailable()
+      val got = spark.table("hist")
+        .as[(Timestamp, Long, Long)].collect().toSet
+      val expected = EventStreamOps
+        .windowedHistogram(edgy.toDF(), lo = 0.0, hi = 10.0, nb = 8)
+        .as[(Timestamp, Long, Long)].collect().toSet
+      assert(got == expected)
+      assert(got.toSeq.map(_._3).sum == edgy.size)
+      assert(got.forall { case (_, bin, _) => bin >= 0L && bin < 8L })
+      // the clamped extremes occupy the edge bins
+      assert(got.exists(_._2 == 0L) && got.exists(_._2 == 7L))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     val out = EventStreamOps.sessionAggregate(rows.toDF(), gap = "30 minutes")

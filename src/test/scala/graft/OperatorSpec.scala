@@ -347,6 +347,23 @@ class OperatorSpec extends AnyFunSuite {
       "Snowball folds at least the plural family the S-stemmer folds")
   }
 
+  test("matryoshka recall: full-width tier is exact, counts well-formed") {
+    import spark.implicits._
+    // slicing to the full 64 dims must reproduce the baseline ranking
+    // EXACTLY — recall 1.0, not approximately
+    val full = SimilarityOps.matryoshkaRecall(spark, sf0001, tiers = Seq(64))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(full == Seq((64L, 50L, 50L, 1.0)))
+    val tiers = SimilarityOps.matryoshkaRecall(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(tiers.map(_._1) == Seq(8L, 16L, 32L))
+    tiers.foreach { case (_, hits, possible, recall) =>
+      assert(possible == 50L && hits <= possible)
+      assert(recall == hits.toDouble / possible)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("full Latin fold: table well-formed, ligatures expand, ß docs drop out") {
     import spark.implicits._
     // 1:1 translate table: aligned lengths, no duplicate sources, every
