@@ -142,6 +142,7 @@ object SparkEntry {
     "txt_temperature_mix"      -> TextOps.temperatureMixture _,
     "txt_domain_cap"           -> ((s: SparkSession, d: String) => TextOps.domainCap(s, d)),
     "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
+    "pipe_rag_context"         -> ((s: SparkSession, d: String) => TextOps.ragContext(s, d)),
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
     "dd_ngram_jaccard"         -> DedupOps.ngramJaccardPairs _,
@@ -1538,6 +1539,53 @@ object SparkEntry {
     // overlapping token windows: chunk=64 advancing by stride=48;
     // DuckDB list_slice is 1-based inclusive-end (== Spark slice start/
     // length); chunk content compared via the shared polynomial hash
+    // RAG context assembly: chunk -> per-chunk BM25 (same floored
+    // integer expression tree as art_search_bm25, over chunk stats) ->
+    // top-32 candidates -> prefix-pack under the 256-token budget
+    "pipe_rag_context" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM t WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, ws, n,
+        |    CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS n_chunks
+        |  FROM f),
+        |e AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+        |p AS (SELECT doc_id, chunk_id,
+        |    list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64) AS piece
+        |  FROM e),
+        |x AS (SELECT doc_id, chunk_id, CAST(len(piece) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(piece, w -> w = 'spark')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(piece, w -> w = 'merge')) AS BIGINT) AS tf1
+        |  FROM p),
+        |st AS (SELECT COUNT(*) AS nc, SUM(n_tok) AS tot FROM x),
+        |dfs AS (SELECT COUNT(*) FILTER (WHERE tf0 > 0) AS df0,
+        |    COUNT(*) FILTER (WHERE tf1 > 0) AS df1 FROM x),
+        |sc AS (SELECT doc_id, chunk_id, n_tok,
+        |    (CASE WHEN tf0 > 0 THEN CAST(floor(1000000.0 *
+        |      ((CAST(nc AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf0 AS DOUBLE) * 2.2) /
+        |        (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(n_tok AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(nc AS DOUBLE)))))))
+        |      AS BIGINT) ELSE 0 END
+        |    + CASE WHEN tf1 > 0 THEN CAST(floor(1000000.0 *
+        |      ((CAST(nc AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf1 AS DOUBLE) * 2.2) /
+        |        (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(n_tok AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(nc AS DOUBLE)))))))
+        |      AS BIGINT) ELSE 0 END) AS score
+        |  FROM x, st, dfs),
+        |cands AS (SELECT * FROM (
+        |    SELECT doc_id, chunk_id, n_tok, score,
+        |      CAST(row_number() OVER (ORDER BY score DESC, doc_id, chunk_id) AS BIGINT) AS rank
+        |    FROM sc WHERE score > 0) z
+        |  WHERE rank <= 32),
+        |packed AS (SELECT *,
+        |    CAST(SUM(n_tok) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM cands)
+        |SELECT rank, doc_id, chunk_id, n_tok, cum_tok, score
+        |FROM packed WHERE cum_tok <= 256 ORDER BY rank""".stripMargin,
     "txt_chunks" ->
       """WITH t AS (
         |  SELECT doc_id,

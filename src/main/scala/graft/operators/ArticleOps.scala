@@ -513,7 +513,7 @@ object ArticleOps {
     * contract is structural rather than a convention three copies must
     * uphold. Inputs are exact integer counts; see [[searchBm25]] for
     * the no-transcendentals argument. */
-  private def bm25Part(tf: Column, df: Column, dl: Column,
+  private[operators] def bm25Part(tf: Column, df: Column, dl: Column,
                        nDocs: Column, tot: Column): Column =
     floor(lit(1000000.0) *
       ((nDocs.cast("double") - df.cast("double") + lit(0.5)) /

@@ -608,6 +608,83 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** RAG context assembly END-TO-END — the retrieval-side composite a
+    * production RAG service materializes per query: chunk the corpus
+    * into overlapping token windows ([[chunkDocs]]'s geometry), score
+    * every chunk for the query terms with the engine's exact-integer
+    * BM25 part (tf within the chunk, df across chunks, chunk length vs
+    * average — the same no-transcendentals expression tree as
+    * `art_search_bm25`, so scores hash bitwise), keep the top `cand`
+    * candidates through the bounded aggregator, then greedily pack the
+    * ranked candidates into a `budget`-token context window (prefix
+    * packing: a chunk enters while the running token total fits).
+    *
+    * Scale shape: chunking + per-chunk tf are one row-local flat-map;
+    * corpus statistics are two 1-row broadcast aggs; scoring is
+    * row-local behind them; the bounded top-k ships `cand` rows per
+    * partition; and the running-total window runs over ≤ `cand`
+    * candidate rows, never data. Chunk identity packs as
+    * doc_id·10⁶+chunk_id (valid for documents up to ~48M tokens at the
+    * default stride). Caller releases the persisted chunk-tf frame via
+    * clearCache(). */
+  def ragContext(spark: SparkSession, sfDir: String,
+                 keywords: Seq[String] = Seq("spark", "merge"),
+                 chunk: Int = 64, stride: Int = 48,
+                 cand: Int = 32, budget: Int = 256): DataFrame = {
+    require(keywords.nonEmpty && stride > 0 && chunk >= stride)
+    val kws = keywords.map(_.toLowerCase)
+    val pieces = docs(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= chunk, lit(1L))
+          .otherwise(expr(s"(n - $chunk + $stride - 1) DIV $stride + 1")))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"),
+        col("ws"))
+      .withColumn("piece",
+        slice(col("ws"), (col("chunk_id") * stride + 1).cast("int"), lit(chunk)))
+    val withTf = kws.zipWithIndex.foldLeft(
+        pieces.select(col("doc_id"), col("chunk_id"),
+          size(col("piece")).cast("long").as("n_tok"), col("piece"))) {
+      case (acc, (kw, i)) =>
+        acc.withColumn(s"tf$i",
+          size(filter(col("piece"), w => w === lit(kw))).cast("long"))
+    }.drop("piece")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = withTf.agg(count(lit(1)).as("nc"), sum(col("n_tok")).as("tot"))
+    val dfAggs = kws.indices
+      .map(i => count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
+    val dfs = withTf.agg(dfAggs.head, dfAggs.tail: _*)
+    val scoreCol = kws.indices.map { i =>
+      when(col(s"tf$i") > 0,
+        ArticleOps.bm25Part(col(s"tf$i"), col(s"df$i"), col("n_tok"),
+          col("nc"), col("tot"))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val scored = withTf.crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .withColumn("score", scoreCol)
+      .filter(col("score") > 0)
+      .withColumn("cid", col("doc_id") * 1000000L + col("chunk_id"))
+    val top = graft.functions.TopKAggregator.topKPairs(cand)
+    val ranked = scored
+      .agg(top(col("cid"), col("score").cast("double")).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cid"), col("col.score").cast("long").as("score"))
+    // the candidate set is ≤ cand rows: broadcast it back for n_tok and
+    // run the packing window over it alone
+    val w = org.apache.spark.sql.expressions.Window.orderBy("rank")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored.select("cid", "doc_id", "chunk_id", "n_tok")
+      .join(broadcast(ranked), "cid")
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .select(col("rank"), col("doc_id"), col("chunk_id"), col("n_tok"),
+        col("cum_tok"), col("score"))
+      .orderBy("rank")
+  }
+
   /** Sequence packing — concat-and-chunk, the GPT-style pretraining
     * batcher: documents in a deterministic order form one token stream,
     * cut into training sequences of `budget` tokens; a document spans

@@ -347,6 +347,21 @@ class OperatorSpec extends AnyFunSuite {
       "Snowball folds at least the plural family the S-stemmer folds")
   }
 
+  test("rag context: ranked prefix, budget respected, running totals exact") {
+    import spark.implicits._
+    val got = TextOps.ragContext(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // ranks are the 1..k prefix of the candidate ordering — greedy
+    // prefix packing never skips a rank
+    assert(got.map(_._1) == (1L to got.length))
+    // scores non-increasing in rank; running totals exact; budget held
+    assert(got.map(_._6) == got.map(_._6).sorted(Ordering.Long.reverse))
+    assert(got.map(_._4).scanLeft(0L)(_ + _).tail == got.map(_._5))
+    assert(got.last._5 <= 256L && got.forall(_._4 > 0L))
+    spark.catalog.clearCache()
+  }
+
   test("matryoshka recall: full-width tier is exact, counts well-formed") {
     import spark.implicits._
     // slicing to the full 64 dims must reproduce the baseline ranking
