@@ -72,7 +72,10 @@ object EventStreamOps {
     * batch sketch, applied per emitted window downstream. */
   def windowedHistogram(events: DataFrame, lo: Double, hi: Double,
                         nb: Int = 64,
-                        watermark: String = "10 minutes"): DataFrame =
+                        watermark: String = "10 minutes"): DataFrame = {
+    // a zero-width grid would clamp every event into one edge bin — a
+    // structurally valid but meaningless histogram; fail fast instead
+    require(nb > 0 && hi > lo, s"need nb > 0 and hi > lo, got nb=$nb [$lo, $hi)")
     events.withWatermark("ts", watermark)
       .filter(col("value").isNotNull)
       .select(col("ts"),
@@ -81,6 +84,7 @@ object EventStreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("bin"), col("cnt"))
+  }
 
   /** Streaming dedup — the streaming form of reference O7 (`url not in
     * caught_docs`): first event per (user, type) wins; state expires

@@ -69,6 +69,10 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the clamped extremes occupy the edge bins
       assert(got.exists(_._2 == 0L) && got.exists(_._2 == 7L))
     } finally q.stop()
+    // a zero-width grid fails fast instead of emitting a one-bin histogram
+    intercept[IllegalArgumentException] {
+      EventStreamOps.windowedHistogram(rows.toDF(), lo = 5.0, hi = 5.0)
+    }
   }
 
   test("session windows merge events within the gap") {
