@@ -163,6 +163,7 @@ object SparkEntry {
     "sim_recall"               -> SimilarityOps.annRecall _,
     "sim_mrr"                  -> SimilarityOps.annMrr _,
     "sim_matryoshka_recall"    -> ((s: SparkSession, d: String) => SimilarityOps.matryoshkaRecall(s, d)),
+    "sim_training_triplets"    -> ((s: SparkSession, d: String) => SimilarityOps.trainingTriplets(s, d)),
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
     "dd_semantic"              -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
     "sim_quantize_int8"        -> SimilarityOps.quantizeInt8 _,
@@ -2438,6 +2439,34 @@ object SparkEntry {
         |ORDER BY w.vec_id""".stripMargin,
     // integer-scaled MRR: per-anchor reciprocal-rank contribution of the
     // LSH index against the brute-force true NN, scaled by lcm(1..10)
+    // contrastive triplets: hardest same-label positive (rn=1) + top-3
+    // different-label hard negatives, one row per (anchor, negative)
+    "sim_training_triplets" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, label, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb, nrm AS q_nrm
+        |  FROM n WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q_id, q_label, n.vec_id, n.label,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
+        |  FROM q, n WHERE n.vec_id <> q.q_id),
+        |pos AS (SELECT q_id, vec_id AS pos_id, score AS pos_score FROM (
+        |    SELECT q_id, vec_id, score,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |    FROM s WHERE label = q_label) z
+        |  WHERE rn = 1),
+        |neg AS (SELECT q_id, CAST(rn AS BIGINT) AS neg_rank, vec_id AS neg_id,
+        |    score AS neg_score FROM (
+        |    SELECT q_id, vec_id, score,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |    FROM s WHERE label <> q_label) z
+        |  WHERE rn <= 3)
+        |SELECT pos.q_id, pos_id, pos_score, neg_rank, neg_id, neg_score
+        |FROM pos JOIN neg ON neg.q_id = pos.q_id
+        |ORDER BY pos.q_id, neg_rank""".stripMargin,
     // matryoshka truncation recall: per tier, the brute-force ranking
     // re-run on prefix-sliced renormalized embeddings, semi-joined
     // against the full-dim top-10 (tier CTEs generated from one template

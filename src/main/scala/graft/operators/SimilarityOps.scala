@@ -775,6 +775,42 @@ object SimilarityOps {
       .orderBy("method")
   }
 
+  /** Contrastive-training triplet materialization — the dataset a
+    * contrastive or reranker fine-tune actually trains on: for each
+    * anchor, its most-similar SAME-label vector as the positive (the
+    * hardest positive still consistent with the label) and the top-k
+    * most-similar DIFFERENT-label vectors as hard negatives
+    * ([[hardNegatives]]'s selection). One row per (anchor, negative),
+    * carrying the positive — the flat layout a training loader reads.
+    *
+    * Scale shape: both rankings are the [[bruteForceTopK]] pipeline —
+    * tiny anchor batch broadcast against a corpus scan, label
+    * (in)equality fused into the join predicate, bounded top-k
+    * aggregation — then one anchor-keyed join between two ≤|anchors|·k
+    * frames. Nothing data-volume-wide beyond the two bounded top-k
+    * exchanges. */
+  def trainingTriplets(spark: SparkSession, sfDir: String,
+                       negK: Int = 3): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val pos = cosineTopK(e, q,
+        col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id").as("pos_id"),
+        col("score").as("pos_score"))
+    val negs = cosineTopK(e, q,
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .filter(col("rn") <= negK)
+      .select(col("q_id"), col("rn").as("neg_rank"),
+        col("vec_id").as("neg_id"), col("score").as("neg_score"))
+    pos.join(negs, "q_id")
+      .select(col("q_id"), col("pos_id"), col("pos_score"),
+        col("neg_rank"), col("neg_id"), col("neg_score"))
+      .orderBy("q_id", "neg_rank")
+  }
+
   /** Matryoshka-truncation retrieval quality (Kusupati et al. 2022,
     * "Matryoshka Representation Learning" — public): recall@10 of
     * exact retrieval run on PREFIX-TRUNCATED embeddings (first 8/16/32

@@ -347,6 +347,27 @@ class OperatorSpec extends AnyFunSuite {
       "Snowball folds at least the plural family the S-stemmer folds")
   }
 
+  test("training triplets: positive shares the label, negatives don't, ranks complete") {
+    import spark.implicits._
+    val labels = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).as[(Long, String)].collect().toMap
+    val got = SimilarityOps.trainingTriplets(spark, sf0001)
+      .as[(Long, Long, Double, Long, Long, Double)].collect().toSeq
+    // every anchor contributes its full negative fan-out
+    assert(got.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._4).sorted == Seq(1L, 2L, 3L) })
+    got.foreach { case (q, pos, _, _, neg, _) =>
+      assert(labels(pos) == labels(q), s"anchor $q: positive $pos label differs")
+      assert(labels(neg) != labels(q), s"anchor $q: negative $neg shares label")
+      assert(pos != q && neg != q)
+    }
+    // negatives arrive hardest-first
+    got.groupBy(_._1).values.foreach { rows =>
+      val scores = rows.sortBy(_._4).map(_._6)
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
   test("rag context: ranked prefix, budget respected, running totals exact") {
     import spark.implicits._
     val got = TextOps.ragContext(spark, sf0001)
