@@ -143,6 +143,7 @@ object SparkEntry {
     "txt_domain_cap"           -> ((s: SparkSession, d: String) => TextOps.domainCap(s, d)),
     "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "pipe_rag_context"         -> ((s: SparkSession, d: String) => TextOps.ragContext(s, d)),
+    "pipe_dataset_card"        -> TextOps.datasetCard _,
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
     "dd_ngram_jaccard"         -> DedupOps.ngramJaccardPairs _,
@@ -1540,6 +1541,32 @@ object SparkEntry {
     // overlapping token windows: chunk=64 advancing by stride=48;
     // DuckDB list_slice is 1-based inclusive-end (== Spark slice start/
     // length); chunk content compared via the shared polynomial hash
+    // dataset card: per-(source, lang) release profile; quality rides as
+    // a floored micro-unit integer sum (order-free), share in exact bp
+    "pipe_dataset_card" ->
+      """WITH w AS (
+        |  SELECT source, lang, text,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, lang, CAST(len(ws) AS BIGINT) AS n_tok,
+        |    CAST(floor(1000000.0 * (
+        |      CASE WHEN len(ws) = 0 OR length(text) = 0 THEN 0.0 ELSE
+        |        (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.5
+        |        + (CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(ws)) * 0.3
+        |        + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+        |      END)) AS BIGINT) AS q
+        |  FROM w),
+        |g AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |    MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
+        |    CAST(SUM(q) AS BIGINT) AS quality_musum
+        |  FROM m GROUP BY source, lang),
+        |t AS (SELECT COUNT(*) AS n_all FROM m)
+        |SELECT source, lang, n_docs, total_tokens, min_tokens, max_tokens,
+        |  quality_musum, CAST(10000 * n_docs // n_all AS BIGINT) AS share_bp
+        |FROM g, t ORDER BY source, lang""".stripMargin,
     // RAG context assembly: chunk -> per-chunk BM25 (same floored
     // integer expression tree as art_search_bm25, over chunk stats) ->
     // top-32 candidates -> prefix-pack under the 256-token budget

@@ -608,6 +608,34 @@ object TextOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Dataset card — the per-(source, lang) profile a curation run
+    * publishes with a corpus release: document/token counts, token
+    * extremes, corpus share in exact basis points, and aggregate
+    * quality as a floored-integer micro-unit sum (a double MEAN would
+    * depend on partition fold order; the integer sum is order-free and
+    * the consumer divides by n_docs). ONE map-side-combined agg pass
+    * over the corpus plus a broadcast 1-row total — the summary table
+    * every release pipeline materializes last, and the shape that costs
+    * the same at 100 TB as the cheapest group-by in the suite. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = docs(spark, sfDir)
+      .select(col("source"), col("lang"),
+        size(words(col("text"))).cast("long").as("n_tok"),
+        floor(lit(1000000.0) * compositeQuality).cast("long").as("q"))
+    val grouped = per.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"),
+        sum(col("q")).as("quality_musum"))
+    val tot = per.agg(count(lit(1)).as("n_all"))
+    grouped.crossJoin(broadcast(tot)) // 1-row corpus total
+      .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+        col("min_tokens"), col("max_tokens"), col("quality_musum"),
+        expr("(10000 * n_docs) DIV n_all").as("share_bp"))
+      .orderBy("source", "lang")
+  }
+
   /** RAG context assembly END-TO-END — the retrieval-side composite a
     * production RAG service materializes per query: chunk the corpus
     * into overlapping token windows ([[chunkDocs]]'s geometry), score

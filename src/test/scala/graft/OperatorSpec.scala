@@ -347,6 +347,26 @@ class OperatorSpec extends AnyFunSuite {
       "Snowball folds at least the plural family the S-stemmer folds")
   }
 
+  test("dataset card: groups partition the corpus, totals and shares consistent") {
+    import spark.implicits._
+    val card = TextOps.datasetCard(spark, sf0001)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    val nToks = graft.Tables.documents(spark, sf0001)
+      .select(size(TextOps.words(col("text"))).cast("long")).as[Long]
+      .collect().sum
+    // the per-group doc and token counts partition the corpus exactly
+    assert(card.map(_._3).sum == nDocs)
+    assert(card.map(_._4).sum == nToks)
+    card.foreach { case (_, _, n, tot, mn, mx, qsum, bp) =>
+      assert(n > 0 && mn <= mx && tot >= mn && qsum >= 0L)
+      assert(bp == 10000L * n / nDocs)
+    }
+    // floor'd shares sum to at most 10000 and miss by less than a group
+    val bpSum = card.map(_._8).sum
+    assert(bpSum <= 10000L && bpSum > 10000L - card.size)
+  }
+
   test("training triplets: positive shares the label, negatives don't, ranks complete") {
     import spark.implicits._
     val labels = graft.Tables.embeddings(spark, sf0001)
