@@ -57,6 +57,12 @@ object SparkEntry {
     "rel_sql_nation_volume"    -> RelationalOps.sqlNationVolume _,
     "rel_sql_mkt_share"        -> RelationalOps.sqlMarketShare _,
     "rel_sql_product_profit"   -> RelationalOps.sqlProductProfit _,
+    "rel_sql_order_priority"   -> RelationalOps.sqlOrderPriority _,
+    "rel_sql_cust_distribution" -> RelationalOps.sqlCustDistribution _,
+    "rel_sql_promo_revenue"    -> RelationalOps.sqlPromoRevenue _,
+    "rel_sql_small_qty_revenue" -> RelationalOps.sqlSmallQtyRevenue _,
+    "rel_sql_disjunctive"      -> RelationalOps.sqlDisjunctiveRevenue _,
+    "rel_sql_global_sales"     -> RelationalOps.sqlGlobalSales _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -316,6 +322,85 @@ object SparkEntry {
         |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
         |    AND p_name LIKE '%red%') profit
         |GROUP BY nation, o_year ORDER BY nation, o_year""".stripMargin,
+    // Q4-shape: correlated EXISTS with a non-equi residual -> LEFT SEMI
+    "rel_sql_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // Q13-shape: outer join with non-key predicate in the ON clause,
+    // count-including-zeros distribution
+    "rel_sql_cust_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q14-shape: conditional-aggregate ratio, decimal-exact until the
+    // single final division
+    "rel_sql_promo_revenue" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END) AS DOUBLE)
+        |     / CAST(SUM(volume) AS DOUBLE) AS promo_share
+        |FROM (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01') promo""".stripMargin,
+    // Q17-shape: correlated scalar AVG (count-bug decorrelation path);
+    // integral quantities keep the AVG order-independent-exact
+    "rel_sql_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        |       AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#3' AND p_type = 'PROMO'
+        |  AND l_quantity < 0.2 * (
+        |    SELECT AVG(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // Q19-shape: OR-of-ANDs join condition; the common equi-conjunct is
+    // factored out of the disjunction by both planners
+    "rel_sql_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |       AS revenue
+        |FROM lineitem, part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+        |       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |       AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#24'
+        |       AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // Q22-shape: scalar-subquery pair + NOT EXISTS anti join; the
+    // above-average test is bal*n > s in exact decimals, never a float AVG
+    "rel_sql_global_sales" ->
+      """WITH pos AS (
+        |  SELECT COUNT(*) AS n, SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT cntrycode, COUNT(*) AS numcust,
+        |       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM (
+        |  SELECT SUBSTRING(c_name, LENGTH(c_name) - 1, 2) AS cntrycode,
+        |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM customer
+        |  WHERE CAST(c_acctbal AS DECIMAL(12,2)) * (SELECT n FROM pos)
+        |        > (SELECT s FROM pos)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM orders
+        |      WHERE o_custkey = c_custkey
+        |        AND o_orderdate >= TIMESTAMP '2000-01-01')) custsale
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
     "rel_region_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue

@@ -717,4 +717,166 @@ object RelationalOps {
       .orderBy(col("total_qty").desc, col("o_orderkey"))
       .limit(20)
   }
+
+  /** TPC-H Q4 shape (order-priority checking): a correlated EXISTS
+    * whose subquery references the OUTER row in a NON-equi predicate
+    * (l_shipdate > o_orderdate) on top of the equi correlation.
+    * Catalyst decorrelates it to one LEFT SEMI join on l_orderkey with
+    * the date comparison as residual — one pass over lineitem, no
+    * per-row re-execution. At 100 TB both sides hash-partition on the
+    * order key (or ride bucketed layout with zero exchange); the semi
+    * join caps its output at |filtered orders|, never |lineitem|, and
+    * the quarter filter prunes the orders scan before the join. */
+  def sqlOrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders_v
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem_v
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join with an extra NON-key predicate inside the join condition —
+    * orders dropped by `o_orderpriority <> '1-URGENT'` must still
+    * yield their customer with count 0, so the predicate CANNOT move
+    * to a WHERE (that would silently make the join inner; Catalyst is
+    * not allowed to push it, and doesn't). COUNT(o_orderkey) counts
+    * only matched rows (NULL-skipping), giving the exact per-customer
+    * order count including zeros. Two exchanges at any scale: the
+    * outer join on custkey and the tiny histogram regroup whose input
+    * is |customers| rows, already one per key. */
+  def sqlCustDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer_v LEFT OUTER JOIN orders_v
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+  }
+
+  /** TPC-H Q14 shape (promotion effect): a conditional-aggregate RATIO
+    * over one month of lineitem joined to part. Both sums stay
+    * DECIMAL(12,2)-exact until the single final division, so the
+    * resulting double is bit-identical across engines and partition
+    * fold orders. The ship-date window prunes the fact scan BEFORE
+    * the join; part is the broadcast side; the 1-row answer means the
+    * final exchange carries two decimal partials per partition. */
+  def sqlPromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS promo_share
+      FROM (
+        SELECT p_type,
+          CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+        FROM lineitem_v, part_v
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01') promo""")
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    * AVG — the decorrelation case with the classic COUNT-bug hazard
+    * (an empty group must yield NULL, not 0, so the comparison is
+    * false). Catalyst rewrites it to a per-partkey aggregate
+    * LEFT-OUTER-joined back on the correlation key. Determinism note:
+    * quantities are integral, so SUM(double) is order-independent-exact
+    * and AVG = sum/count is the same double in both engines; the final
+    * division by 7.0 happens once on the driver-side 1-row result.
+    * At 100 TB the aggregate side collapses lineitem to |parts touched
+    * by the brand filter| rows before the join — never a re-scan per
+    * outer row. */
+  def sqlSmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+      FROM lineitem_v, part_v
+      WHERE p_partkey = l_partkey
+        AND p_brand = 'Brand#3' AND p_type = 'PROMO'
+        AND l_quantity < 0.2 * (
+          SELECT AVG(l2.l_quantity) FROM lineitem_v l2
+          WHERE l2.l_partkey = p_partkey)""")
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    * OR-of-ANDs join condition where every disjunct repeats the
+    * `p_partkey = l_partkey` equi-conjunct. Catalyst factors the
+    * common equi-condition OUT of the disjunction, planning an
+    * equi-join (broadcast here, shuffle-hash at scale) with the
+    * brand/size/quantity disjunction as residual filter — never the
+    * cartesian a naive reading of the OR would force. The l_quantity
+    * bounds also derive a pushed range filter (qty between the min and
+    * max across disjuncts) on the fact scan. */
+  def sqlDisjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "part").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+      FROM lineitem_v, part_v
+      WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+             AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+             AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_partkey = l_partkey AND p_brand = 'Brand#24'
+             AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): rich customers with no
+    * RECENT orders, grouped by a name-derived code. Exercises three
+    * planner paths at once: an uncorrelated scalar-aggregate subquery
+    * pair (the positive-balance count and sum, each a 1-row broadcast),
+    * a correlated NOT EXISTS decorrelated to a LEFT ANTI join on
+    * custkey, and string derivation in the group key. The
+    * above-average comparison is EXACT: `bal * n > s` in DECIMAL
+    * arithmetic instead of comparing against a floating AVG, so no
+    * boundary row can flip between engines. (The local customer has no
+    * phone; the last two digits of c_name stand in as the country
+    * code, and "no orders since 2000" stands in for "no orders ever",
+    * which is empty on this corpus.) */
+  def sqlGlobalSales(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("customer", "orders").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      WITH pos AS (
+        SELECT COUNT(*) AS n, SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s
+        FROM customer_v WHERE c_acctbal > 0.0)
+      SELECT cntrycode, COUNT(*) AS numcust,
+             CAST(SUM(bal) AS DOUBLE) AS totacctbal
+      FROM (
+        SELECT SUBSTRING(c_name, LENGTH(c_name) - 1, 2) AS cntrycode,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer_v
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) * (SELECT n FROM pos)
+              > (SELECT s FROM pos)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders_v
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01')) custsale
+      GROUP BY cntrycode
+      ORDER BY cntrycode""")
+  }
 }

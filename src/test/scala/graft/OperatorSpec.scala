@@ -2222,4 +2222,40 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getAs[Double]("val") == expect)
     }
   }
+
+  test("Q4/Q22 decorrelate to semi/anti joins; Q19's OR factors to an equi-join") {
+    val q4 = RelationalOps.sqlOrderPriority(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(q4.contains("LeftSemi"), s"Q4 EXISTS not a semi join:\n$q4")
+    val q22 = RelationalOps.sqlGlobalSales(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(q22.contains("LeftAnti"), s"Q22 NOT EXISTS not an anti join:\n$q22")
+    // the disjunctive join must factor p_partkey = l_partkey out of the
+    // OR — an equi-join with residual, never a cartesian product
+    val q19 = RelationalOps.sqlDisjunctiveRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!q19.toLowerCase.contains("cartesian"),
+      s"Q19 planned a cartesian:\n$q19")
+    assert(!q19.contains("BroadcastNestedLoopJoin"),
+      s"Q19 planned a nested-loop join:\n$q19")
+  }
+
+  test("Q13's ON-clause predicate keeps filtered-out customers at count 0") {
+    // customers whose ONLY orders are 1-URGENT must appear in the
+    // c_count=0 bucket (the predicate lives in the join condition; a
+    // WHERE would drop them entirely)
+    val o = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT", 1L).otherwise(0L)).as("n_kept"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val nCust = Tables.customer(spark, sf0001).count()
+    val custKeys = Tables.customer(spark, sf0001)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val expectedZero = custKeys.count(k => o.get(k).forall(_._2 == 0L))
+    val dist = RelationalOps.sqlCustDistribution(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist"))).toMap
+    assert(dist.getOrElse(0L, 0L) == expectedZero)
+    assert(dist.values.sum == nCust, "every customer appears exactly once")
+  }
 }
