@@ -176,6 +176,7 @@ object SparkEntry {
     "sim_quantize_int8"        -> SimilarityOps.quantizeInt8 _,
     "sim_kmeans_step"          -> ((s: SparkSession, d: String) => SimilarityOps.kmeansStep(s, d)),
     "sim_int8_topk"            -> SimilarityOps.int8TopK _,
+    "sim_binary_hamming"       -> SimilarityOps.binaryHammingTopK _,
     "sim_pq_codes"             -> SimilarityOps.pqCodes _,
     "sim_pq_recall"            -> SimilarityOps.pqRecall _,
     "sim_ivf_pq"               -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqTopK(s, d)),
@@ -2791,6 +2792,46 @@ object SparkEntry {
         |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
         |  FROM sc)
         |SELECT q_id, vec_id, score, rn FROM r WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin,
+    // binary sign quantization: two 32-bit halves (no sign-bit traffic),
+    // Hamming top-16 candidates, exact-cosine rerank to top-10
+    "sim_binary_hamming" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, emb,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 33),
+        |      i -> CASE WHEN emb[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+        |           ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y) AS code_lo,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(33, 65),
+        |      i -> CASE WHEN emb[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 33))
+        |           ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y) AS code_hi
+        |  FROM e),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, code_lo AS q_lo, code_hi AS q_hi
+        |  FROM c WHERE vec_id < 5),
+        |h AS (
+        |  SELECT q_id, vec_id,
+        |    CAST(bit_count(xor(code_lo, q_lo))
+        |       + bit_count(xor(code_hi, q_hi)) AS BIGINT) AS hamming
+        |  FROM q, c WHERE c.vec_id <> q.q_id),
+        |cand AS (
+        |  SELECT q_id, vec_id, hamming FROM (
+        |    SELECT q_id, vec_id, hamming,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrn
+        |    FROM h) z WHERE hrn <= 16),
+        |r AS (
+        |  SELECT cand.q_id, cand.vec_id, cand.hamming,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * q_emb[i])), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * emb[i])), (x, y) -> x + y))) AS score
+        |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN e ON cand.vec_id = e.vec_id)
+        |SELECT q_id, vec_id, hamming, score, rn FROM (
+        |  SELECT q_id, vec_id, hamming, score,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+        |  FROM r) z WHERE rn <= 10
         |ORDER BY q_id, rn""".stripMargin,
     // product-quantization encode: 8 subspaces x 16 centroids over unit
     // vectors; codebook = the deterministic multiplicative-hash sample

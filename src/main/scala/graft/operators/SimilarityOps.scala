@@ -871,4 +871,69 @@ object SimilarityOps {
         coalesce(expr("2520 DIV rn"), lit(0L)).as("contrib_scaled"))
       .orderBy("q_id")
   }
+
+  /** Sign bits i..i+31 of `emb` packed into one non-negative BIGINT
+    * (bit b set iff emb[lo+b] > 0). Two 32-bit halves instead of one
+    * 64-bit word so no engine ever touches the sign bit — DuckDB's
+    * checked arithmetic and Spark's long agree exactly on every value.
+    * Weights via floor(pow(2,b)) — exact for b ≤ 52 (same idiom as the
+    * LSH bucket packer above). */
+  private def signCodeHalf(emb: Column, lo: Int): Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) =>
+      acc + when(element_at(emb, b + lit(lo + 1)) > 0,
+        floor(pow(lit(2.0), b)).cast("long")).otherwise(lit(0L)))
+
+  /** Binary (1-bit) sign quantization + Hamming search with exact
+    * rerank — the cheapest quantized-retrieval tier (64 dims → 8
+    * BYTES per vector: a 100 TB float corpus's codes fit in ~0.2% of
+    * its footprint, often entirely in memory). Stage 1 scans only the
+    * (vec_id, code_lo, code_hi) projection and ranks by Hamming
+    * distance `bit_count(xor)` — two codegen'd integer ops per
+    * candidate; the bounded TopK aggregator keeps 16 candidates per
+    * query per partition across the exchange. Stage 2 gathers JUST the
+    * ≤16·|queries| candidate vectors (broadcast semi-side, corpus
+    * probed once more by vec_id — at scale a point-lookup join against
+    * the bucketed vector table) and reranks by exact float cosine.
+    * Hamming ties break on vec_id; rerank ties on vec_id — both pinned
+    * so the oracle matches bit-for-bit. */
+  def binaryHammingTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = e.select(col("vec_id"),
+      signCodeHalf(col("emb"), 0).as("code_lo"),
+      signCodeHalf(col("emb"), 32).as("code_hi"))
+    val qCodes = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+    val top16 = graft.functions.TopKAggregator.topKPairs(16)
+    // Hamming scan: negated distance through the (score desc, id asc)
+    // aggregator == (hamming asc, vec_id asc); the distance rides the
+    // score slot, so it survives the aggregation for free
+    val cand = codes.join(broadcast(qCodes), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
+         bit_count(col("code_hi").bitwiseXOR(col("q_hi")))).cast("long")
+          .as("hamming"))
+      .groupBy("q_id")
+      .agg(top16(col("vec_id"), (-col("hamming")).cast("double")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("vec_id"),
+        (-col("c.score")).cast("long").as("hamming"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // rerank: the window's input is the candidate table — bounded at
+    // 16·|queries| rows by the aggregator above, so the per-query
+    // partition is ≤16 rows at ANY corpus scale (never a data window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    e.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("hamming"),
+        cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select("q_id", "vec_id", "hamming", "score", "rn")
+      .orderBy("q_id", "rn")
+  }
 }

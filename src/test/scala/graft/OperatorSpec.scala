@@ -1615,6 +1615,37 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("binary Hamming search: distances match the sign-bit model, rerank stays inside the 16-candidate set") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def bits(v: Seq[Double]): Seq[Boolean] = v.map(_ > 0)
+    def hammingModel(a: Long, b: Long): Long =
+      bits(emb(a)).zip(bits(emb(b))).count { case (x, y) => x != y }.toLong
+    val got = SimilarityOps.binaryHammingTopK(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val v = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("hamming") == hammingModel(q, v),
+        s"hamming($q,$v) diverges from the sign-bit model")
+    }
+    // per query: at most 10 results, ranks dense from 1, scores
+    // non-increasing (the rerank ordering), every result inside the
+    // true 16 lowest-Hamming candidates (the model of stage 1)
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.length <= 10)
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      val candModel = emb.keys.filter(_ != q).toSeq
+        .map(v => (hammingModel(q, v), v)).sorted.take(16).map(_._2).toSet
+      rows.foreach(r => assert(candModel(r.getAs[Long]("vec_id")),
+        s"query $q returned a vector outside the true top-16 Hamming set"))
+    }
+  }
+
   test("map-only IVF assignment: argmax equals the groupBy model; corpus rows cross no exchange") {
     import org.apache.spark.sql.functions._
     val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
