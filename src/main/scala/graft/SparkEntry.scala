@@ -145,6 +145,8 @@ object SparkEntry {
     "txt_cms_terms"            -> TextOps.cmsTermCounts _,
     "txt_bpe_pairs"            -> ((s: SparkSession, d: String) => TextOps.bpePairStats(s, d)),
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
+    "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
+    "txt_dsir_weights"         -> ((s: SparkSession, d: String) => TextOps.dsirWeights(s, d)),
     "txt_temperature_mix"      -> TextOps.temperatureMixture _,
     "txt_domain_cap"           -> ((s: SparkSession, d: String) => TextOps.domainCap(s, d)),
     "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
@@ -1878,6 +1880,71 @@ object SparkEntry {
         |cont AS (SELECT w2, COUNT(*) AS cont_w2 FROM bgc GROUP BY w2)
         |SELECT w1, w2, cnt, cont_w2 FROM bgc JOIN cont USING (w2)
         |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
+    // bigram surprisal in whole bits: floored-log2 count ratios via
+    // length(bin(x)) — no transcendentals, integer-exact both engines
+    "txt_lm_surprisal" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM t WHERE len(w) >= 2)),
+        |db AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+        |lm AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cnt FROM db GROUP BY w1, w2),
+        |lt AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS left_cnt FROM lm GROUP BY w1),
+        |s AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(tf * (CAST(LENGTH(bin(left_cnt)) - 1 AS BIGINT)
+        |            - CAST(LENGTH(bin(cnt)) - 1 AS BIGINT))) AS BIGINT) AS surprisal_bits
+        |  FROM db JOIN lm USING (w1, w2) JOIN lt USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, surprisal_bits,
+        |  CAST(FLOOR(1000 * surprisal_bits / n_bigrams) AS BIGINT) AS surprisal_milli
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // DSIR importance weights: hashed-unigram target-vs-raw log ratios
+    // in SIXTEENTHS of a bit (linear-mantissa-interpolated integer
+    // log2), Laplace-smoothed — integer-exact in both engines
+    "txt_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(wrd, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) % 1024 AS b
+        |  FROM (SELECT doc_id, lang, unnest(w) AS wrd FROM t)),
+        |db AS (SELECT doc_id, lang, b, COUNT(*) AS tf FROM tok GROUP BY doc_id, lang, b),
+        |raw AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS rcnt FROM db GROUP BY b),
+        |tgt AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS tcnt FROM db WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT CAST(SUM(rcnt) AS BIGINT) AS r_total FROM raw),
+        |ttot AS (SELECT CAST(SUM(tcnt) AS BIGINT) AS t_total FROM tgt),
+        |l0 AS (
+        |  SELECT raw.b, COALESCE(tcnt, 0) + 1 AS tv, t_total + 1024 AS ttv,
+        |         rcnt + 1 AS rv, r_total + 1024 AS rtv
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot, ttot),
+        |l1 AS (
+        |  SELECT b,
+        |    16 * (LENGTH(bin(tv)) - 1) + ((tv - CAST(2 ** (LENGTH(bin(tv)) - 1) AS BIGINT)) * 16)
+        |      // CAST(2 ** (LENGTH(bin(tv)) - 1) AS BIGINT) AS qtv,
+        |    16 * (LENGTH(bin(ttv)) - 1) + ((ttv - CAST(2 ** (LENGTH(bin(ttv)) - 1) AS BIGINT)) * 16)
+        |      // CAST(2 ** (LENGTH(bin(ttv)) - 1) AS BIGINT) AS qttv,
+        |    16 * (LENGTH(bin(rv)) - 1) + ((rv - CAST(2 ** (LENGTH(bin(rv)) - 1) AS BIGINT)) * 16)
+        |      // CAST(2 ** (LENGTH(bin(rv)) - 1) AS BIGINT) AS qrv,
+        |    16 * (LENGTH(bin(rtv)) - 1) + ((rtv - CAST(2 ** (LENGTH(bin(rtv)) - 1) AS BIGINT)) * 16)
+        |      // CAST(2 ** (LENGTH(bin(rtv)) - 1) AS BIGINT) AS qrtv
+        |  FROM l0),
+        |lut AS (SELECT b, CAST((qtv - qttv) - (qrv - qrtv) AS BIGINT) AS bits16 FROM l1),
+        |s AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(tf * bits16) AS BIGINT) AS logw_bits16
+        |  FROM db JOIN lut ON db.b = lut.b GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, logw_bits16,
+        |  CAST(FLOOR(1000 * logw_bits16 / n_tokens) AS BIGINT) AS logw_milli16
+        |FROM s ORDER BY doc_id""".stripMargin,
     // epoch repeat: integer part unconditional, fraction by content hash
     "txt_epoch_repeat" ->
       """WITH h AS (

@@ -964,4 +964,114 @@ object TextOps {
       .orderBy(col("cnt").desc, col("w1"), col("w2"))
       .limit(topN)
   }
+
+  /** Integer floor(log2(x)) for x ≥ 1, as length(bin(x)) - 1 — the bit
+    * length of the binary rendering. Exact and engine-portable where a
+    * float log2 could flip at powers of two. */
+  private def ilog2(x: Column): Column =
+    (length(bin(x)) - 1).cast("long")
+
+  /** log2(x) in SIXTEENTHS of a bit: 16·e + ((x − 2^e)·16) div 2^e
+    * with e = ilog2(x) — the classic linear-mantissa-interpolation
+    * log (error < 0.09 bits), MONOTONE and pure integer arithmetic,
+    * so both engines produce the identical value for every count.
+    * Whole-bit ilog2 is too coarse when two distributions differ by
+    * factors well under 2 (every DSIR bucket ratio collapses to 0);
+    * sixteenths resolve factors down to ~4%. Exact while x < 2^52
+    * (pow(2.0,e) exactness bound) — counts, at any corpus size. */
+  private def qlog2(x: Column): Column = {
+    val e = (length(bin(x)) - 1).cast("long")
+    val p = floor(pow(lit(2.0), e)).cast("long")
+    lit(16L) * e + call_function("div", (x - p) * 16, p)
+  }
+
+  /** Bigram-LM surprisal scoring — the CCNet/KenLM-style "perplexity
+    * filter" that ranks documents by how surprising they are under a
+    * language model trained on the corpus itself, in EXACT integer
+    * arithmetic. The model is the corpus bigram table; a bigram's
+    * surprisal is the floored-log2 ratio ilog2(C(w1·)) − ilog2(C(w1,w2))
+    * ≈ −log2 P(w2|w1) in whole bits (0 bits = the only continuation of
+    * w1; more bits = rarer continuation). No transcendental is ever
+    * evaluated, so scores are bit-identical across engines and fold
+    * orders — the property float perplexity cannot give an oracle.
+    *
+    * Scale shape: ONE bigram explode feeds both the LM build (groupBy
+    * (w1,w2) — vocabulary²-bounded output) and the per-doc term list,
+    * which is pre-aggregated to (doc_id, w1, w2, tf) BEFORE the LM join
+    * so repeated bigrams cross the join once; the LM side is
+    * vocabulary-sized (AQE broadcasts while it fits — no pin, same
+    * policy as the TF-IDF df join). Left-context totals derive from the
+    * already-grouped LM table, never a second corpus pass. */
+  def lmSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val pairs = transform(sequence(lit(0), size(ws) - 2),
+      i => struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2")))
+    val docBg = graft.Tables.spread(docs(spark, sfDir), col("doc_id"))
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm = docBg.groupBy("w1", "w2").agg(sum(col("tf")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val leftTot = lm.groupBy("w1").agg(sum(col("cnt")).as("left_cnt"))
+    docBg.join(lm, Seq("w1", "w2")).join(leftTot, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * (ilog2(col("left_cnt")) - ilog2(col("cnt"))))
+          .as("surprisal_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+        floor(lit(1000) * col("surprisal_bits") / col("n_bigrams"))
+          .cast("long").as("surprisal_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — public): score every document by
+    * log[p_target(x)/p_raw(x)] under hashed-unigram bag-of-words models
+    * of a TARGET distribution (here the `targetLang` slice standing in
+    * for "high-quality domain") vs the RAW corpus — the principled
+    * replacement for hand-tuned quality thresholds when matching a
+    * pretraining mixture to a target domain. Laplace-smoothed bucket
+    * probabilities, logs in SIXTEENTHS of a bit via [[qlog2]] (whole
+    * bits collapse every bucket of a near-uniform pair to 0), so the
+    * whole score is integer-exact and oracle-checkable — float log
+    * ratios would drift across engines.
+    *
+    * Scale shape: one token-hash explode, pre-aggregated to (doc_id,
+    * bucket, tf) before anything joins; BOTH model tables collapse to
+    * ≤`buckets` rows (1024), so the per-bucket bit-ratio LUT and the
+    * two 1-row totals are broadcast — the corpus crosses exactly two
+    * exchanges (the doc-bucket pre-agg and the final doc agg) no
+    * matter how many tokens it has. */
+  def dsirWeights(spark: SparkSession, sfDir: String,
+                  targetLang: String = "en", buckets: Int = 1024): DataFrame = {
+    val toks = graft.Tables.spread(docs(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("word_poly_hashes(lower(text))")).as("h"))
+      .select(col("doc_id"), col("lang"),
+        pmod(col("h"), lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = toks.groupBy("b").agg(sum(col("tf")).as("rcnt"))
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy("b").agg(sum(col("tf")).as("tcnt"))
+    val rTot = raw.agg(sum(col("rcnt")).as("r_total"))
+    val tTot = tgt.agg(sum(col("tcnt")).as("t_total"))
+    val lut = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .select(col("b"),
+        ((qlog2(coalesce(col("tcnt"), lit(0L)) + 1) -
+          qlog2(col("t_total") + buckets)) -
+         (qlog2(col("rcnt") + 1) -
+          qlog2(col("r_total") + buckets))).as("bits16"))
+    toks.join(broadcast(lut), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("bits16")).as("logw_bits16"))
+      .select(col("doc_id"), col("n_tokens"), col("logw_bits16"),
+        floor(lit(1000) * col("logw_bits16") / col("n_tokens"))
+          .cast("long").as("logw_milli16"))
+      .orderBy("doc_id")
+  }
 }

@@ -2254,6 +2254,60 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("LM surprisal and DSIR weights match brute-force integer models") {
+    import spark.implicits._
+    def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    def words(t: String): Seq[String] =
+      t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    // --- bigram surprisal model ---
+    val docBigrams = docs.map { case (id, _, t) =>
+      (id, words(t).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq)
+    }.filter(_._2.nonEmpty)
+    val lm = docBigrams.flatMap(_._2).groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val left = lm.groupBy(_._1._1).map { case (w1, m) => (w1, m.values.sum) }
+    val expSurp = docBigrams.map { case (id, bgs) =>
+      (id, bgs.map(bg => ilog2(left(bg._1)) - ilog2(lm(bg))).sum)
+    }.toMap
+    val gotSurp = TextOps.lmSurprisal(spark, sf0001)
+      .select("doc_id", "surprisal_bits").as[(Long, Long)].collect().toMap
+    assert(gotSurp.keySet == expSurp.keySet)
+    gotSurp.foreach { case (id, s) => assert(s == expSurp(id), s"doc $id") }
+    // --- DSIR model (1024 hashed-unigram buckets, en target,
+    //     1/16-bit interpolated log2) ---
+    def qlog2(x: Long): Long = {
+      val e = ilog2(x); val p = 1L << e
+      16 * e + (x - p) * 16 / p
+    }
+    def bucket(w: String): Long =
+      w.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000000000000L) % 1024
+    val docBuckets = docs.map { case (id, lang, t) => (id, lang, words(t).map(bucket)) }
+    val raw = docBuckets.flatMap(_._3).groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val tgt = docBuckets.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val (rTot, tTot) = (raw.values.sum, tgt.values.sum)
+    val expDsir = docBuckets.filter(_._3.nonEmpty).map { case (id, _, bs) =>
+      (id, bs.map(b =>
+        (qlog2(tgt.getOrElse(b, 0L) + 1) - qlog2(tTot + 1024)) -
+        (qlog2(raw(b) + 1) - qlog2(rTot + 1024))).sum)
+    }.toMap
+    val gotDsir = TextOps.dsirWeights(spark, sf0001)
+      .select("doc_id", "logw_bits16").as[(Long, Long)].collect().toMap
+    assert(gotDsir.keySet == expDsir.keySet)
+    gotDsir.foreach { case (id, s) => assert(s == expDsir(id), s"doc $id") }
+    // the sixteenth-bit resolution must actually separate documents
+    // (whole-bit flooring collapsed every score to 0 on this corpus)
+    assert(gotDsir.values.toSet.size > 1, "scores are degenerate")
+    // directional sanity: the target slice outranks the rest on average
+    val byLang = docs.map(d => (d._1, d._2)).toMap
+    val (en, other) = gotDsir.partition { case (id, _) => byLang(id) == "en" }
+    assert(en.values.sum.toDouble / en.size > other.values.sum.toDouble / other.size,
+      "target-language docs should carry higher importance weight")
+  }
+
   test("Q4/Q22 decorrelate to semi/anti joins; Q19's OR factors to an equi-join") {
     val q4 = RelationalOps.sqlOrderPriority(spark, sf0001)
       .queryExecution.optimizedPlan.toString
