@@ -105,6 +105,7 @@ object SparkEntry {
     "evt_gaps"                 -> EventOps.eventGaps _,
     "evt_dedup_first"          -> EventOps.earliestEventPerUserType _,
     "evt_lead_next"            -> EventOps.nextEvent _,
+    "evt_transition_matrix"    -> EventOps.transitionMatrix _,
     "evt_first_last"           -> EventOps.firstLastPerUser _,
     "evt_range_frame"          -> EventOps.rolling1hSum _,
     "evt_topk_udaf"            -> EventOps.topEventsPerType _,
@@ -138,6 +139,7 @@ object SparkEntry {
     "txt_classifier_trained"   -> TextOps.classifierScoreTrained _,
     "txt_epoch_repeat"         -> TextOps.epochRepeat _,
     "pipe_curation"            -> TextOps.curateCorpus _,
+    "pipe_source_blocklist"    -> TextOps.sourceBlocklistSurvivors _,
     "pipe_shard_export"        -> ((s: SparkSession, d: String) => TextOps.shardExport(s, d)),
     "pipe_split_groups"        -> ((s: SparkSession, d: String) => TextOps.trainValSplit(s, d)),
     "txt_term_drift"           -> ((s: SparkSession, d: String) => TextOps.termDrift(s, d)),
@@ -513,6 +515,21 @@ object SparkEntry {
         |  (epoch_ms(lead(ts) OVER w) - epoch_ms(ts)) / 1000.0 AS secs_to_next
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    // Markov transitions: per-user lead pairs, row-conditional shares in
+    // exact integer basis points (floor division)
+    "evt_transition_matrix" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS tot
+        |      FROM c GROUP BY from_type)
+        |SELECT c.from_type, to_type, n_transitions,
+        |  CAST((10000 * n_transitions) // tot AS BIGINT) AS share_bp
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, to_type""".stripMargin,
     // full-frame boundary picks; (ts, event_id) order makes ties deterministic
     "evt_first_last" ->
       """SELECT user_id, event_id,
@@ -1499,6 +1516,36 @@ object SparkEntry {
         |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
         |  CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) AS dup_frac
         |FROM s WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin,
+    // quality-driven source blocklist: exact micro-unit cross-multiplied
+    // below-mean test, survivors = docs of unblocked sources
+    "pipe_source_blocklist" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, text, len(ws) AS n_tok,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to'], x))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |    len(list_distinct(ws)) AS n_distinct
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    CAST(FLOOR(1000000 * (CASE WHEN n_tok = 0 OR length(text) = 0 THEN 0.0 ELSE
+        |      (CAST(n_distinct AS DOUBLE) / n_tok) * 0.5
+        |      + (CAST(n_stop AS DOUBLE) / n_tok) * 0.3
+        |      + (1.0 - CAST(n_punct AS DOUBLE) / length(text)) * 0.2 END)) AS BIGINT) AS q_micro
+        |  FROM m),
+        |s AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(q_micro) AS BIGINT) AS sum_micro
+        |      FROM q GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+        |             CAST(SUM(sum_micro) AS BIGINT) AS micro_total FROM s),
+        |b AS (SELECT source FROM s, t
+        |      WHERE CAST(sum_micro AS DECIMAL(38,0)) * n_total
+        |          < CAST(micro_total AS DECIMAL(38,0)) * n_docs)
+        |SELECT doc_id, source, q_micro FROM q
+        |WHERE source NOT IN (SELECT source FROM b)
+        |ORDER BY doc_id""".stripMargin,
     "pipe_curation" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -135,6 +135,34 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Markov transition matrix over event types: count of each
+    * (from_type → to_type) step in every user's (ts, event_id)-ordered
+    * stream, with the row-conditional probability in exact integer
+    * basis points (10000·n div row_total — floor division, no float).
+    * The behavioral-model summary a product-analytics pipeline derives
+    * before simulating or anomaly-scoring user flows.
+    *
+    * Scale shape: ONE user-window exchange (shared with every other
+    * per-user sequence op), then the corpus collapses to ≤|types|²
+    * rows — the per-row share join touches only that bounded table. */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val tot = trans.groupBy("from_type")
+      .agg(sum(col("n_transitions")).as("tot"))
+    trans.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        call_function("div", lit(10000L) * col("n_transitions"), col("tot"))
+          .as("share_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** lead(): the next event's type and the seconds until it, per user —
     * the forward-looking companion of [[eventGaps]]. */
   def nextEvent(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1074,4 +1074,37 @@ object TextOps {
           .cast("long").as("logw_milli16"))
       .orderBy("doc_id")
   }
+
+  /** Quality-driven SOURCE pruning — the blocklist curation rule
+    * (RefinedWeb/C4 practice: drop whole domains, not individual
+    * documents, so near-dups within a bad site can't leak through
+    * one-by-one): a source is BLOCKED when its mean document quality
+    * falls below the corpus mean. The comparison is an exact
+    * cross-multiplication of floored micro-unit quality sums
+    * (sum_s·N < total·n_s) in DECIMAL(38,0) — never a float mean,
+    * whose value depends on partition fold order (same discipline as
+    * pipe_dataset_card's aggregate quality). Output is the surviving
+    * corpus.
+    *
+    * Scale shape: one row-local quality pass collapses to a
+    * |sources|-row table; the mean test consumes one broadcast 1-row
+    * total; survivors materialize through a broadcast LEFT ANTI join
+    * of the tiny blocklist against the corpus — the corpus itself is
+    * never shuffled. */
+  def sourceBlocklistSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        floor(compositeQuality * lit(1000000)).cast("long").as("q_micro"))
+    val bySrc = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("q_micro")).as("sum_micro"))
+    val tot = bySrc.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("sum_micro")).as("micro_total"))
+    val blocked = bySrc.crossJoin(broadcast(tot))
+      .filter(col("sum_micro").cast("decimal(38,0)") * col("n_total") <
+        col("micro_total").cast("decimal(38,0)") * col("n_docs"))
+      .select("source")
+    perDoc.join(broadcast(blocked), Seq("source"), "left_anti")
+      .select("doc_id", "source", "q_micro")
+      .orderBy("doc_id")
+  }
 }

@@ -2254,6 +2254,55 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("transition matrix: counts match the per-user sequence model, row shares bound by 10000") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp](2).getTime, r.getString(3)))
+    val expected = events.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._3, e._2)).map(_._4).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1)))
+    }.toSeq.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val got = EventOps.transitionMatrix(spark, sf0001).collect()
+      .map(r => ((r.getAs[String]("from_type"), r.getAs[String]("to_type")),
+        (r.getAs[Long]("n_transitions"), r.getAs[Long]("share_bp")))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (n, _)) => assert(n == expected(k), s"count $k") }
+    // floor-division shares: each row's total lands in (10000 - rows, 10000]
+    got.keys.toSeq.groupBy(_._1).foreach { case (from, ks) =>
+      // toSeq before mapping: a Set.map would dedup equal share values
+      val s = ks.map(k => got(k)._2).sum
+      assert(s <= 10000 && s > 10000 - ks.size, s"$from shares sum to $s")
+    }
+  }
+
+  test("source blocklist: survivors are exactly the at-or-above-mean sources, corpus never shuffled") {
+    import spark.implicits._
+    val df = TextOps.sourceBlocklistSurvivors(spark, sf0001)
+    val survivors = df.collect()
+    assert(survivors.nonEmpty)
+    // independent model from the quality query's own output
+    val q = TextOps.qualityScore(spark, sf0001)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val src = Tables.documents(spark, sf0001)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val micro = src.map { case (id, s) => (id, s, math.floor(q(id) * 1000000).toLong) }
+    val bySrc = micro.groupBy(_._2).map { case (s, xs) =>
+      (s, (xs.size.toLong, xs.map(_._3).sum)) }
+    val (nTot, mTot) = (bySrc.values.map(_._1).sum, bySrc.values.map(_._2).sum)
+    val keptSources = bySrc.filter { case (_, (n, m)) =>
+      BigInt(m) * nTot >= BigInt(mTot) * n }.keySet
+    val expectedKept = micro.filter(x => keptSources(x._2)).map(_._1).toSet
+    assert(survivors.map(_.getAs[Long]("doc_id")).toSet == expectedKept)
+    assert(survivors.map(_.getAs[String]("source")).toSet == keptSources)
+    // the survivor join must be a broadcast anti join — the corpus side
+    // crosses no exchange on its way to the filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist join is not a broadcast anti join:\n$plan")
+  }
+
   test("LM surprisal and DSIR weights match brute-force integer models") {
     import spark.implicits._
     def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
