@@ -186,6 +186,7 @@ object SparkEntry {
     "sim_ivf_pq"               -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqTopK(s, d)),
     // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
+    "mm_patchify"              -> MultimodalOps.patchify _,
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
     "mm_png_ihdr"              -> MultimodalOps.pngIhdrDecode _,
     "mm_wav_header"            -> MultimodalOps.wavHeaderDecode _,
@@ -3180,6 +3181,22 @@ object SparkEntry {
         |  ('0x' || substr(h,87,2) || substr(h,85,2) || substr(h,83,2) || substr(h,81,2))::BIGINT * 1000
         |    // ('0x' || substr(h,63,2) || substr(h,61,2) || substr(h,59,2) || substr(h,57,2))::BIGINT AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+    // 2D patchify: 4x4 tiles over the 16-byte-wide grid; strided gathers
+    "mm_patchify" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT doc_id, text, n_bytes // 64 AS tiles_y
+        |      FROM v WHERE n_bytes >= 64),
+        |p AS (SELECT doc_id, text, unnest(range(0, tiles_y * 4)) AS pid FROM g),
+        |q AS (SELECT doc_id, CAST(pid // 4 AS BIGINT) AS ty,
+        |             CAST(pid % 4 AS BIGINT) AS tx, text FROM p)
+        |SELECT doc_id, ty, tx,
+        |  md5(substr(text, CAST((ty * 4 + 0) * 16 + tx * 4 + 1 AS INT), 4)
+        |   || substr(text, CAST((ty * 4 + 1) * 16 + tx * 4 + 1 AS INT), 4)
+        |   || substr(text, CAST((ty * 4 + 2) * 16 + tx * 4 + 1 AS INT), 4)
+        |   || substr(text, CAST((ty * 4 + 3) * 16 + tx * 4 + 1 AS INT), 4)) AS patch_md5
+        |FROM q ORDER BY doc_id, ty, tx""".stripMargin,
     "mm_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, text, octet_length(encode(text)) // 16 AS n_frames

@@ -267,4 +267,35 @@ object MultimodalOps {
         md5(expr("CAST(substring(CAST(payload AS STRING), CAST(frame_idx * 16 + 1 AS INT), 16) AS BINARY)"))
           .as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
+
+  /** ViT-style 2D PATCHIFY plumbing: treat each image payload as a
+    * 16-byte-wide pixel grid and cut it into 4×4 tiles — each patch
+    * gathers four NON-contiguous 4-byte row slices (that is what makes
+    * patchify different from 1-D chunking/frame sampling: 2-D locality
+    * means strided gathers), concatenated and fingerprinted. The
+    * (doc_id, ty, tx, patch_md5) rows are exactly the shape a
+    * patch-embedding training loader consumes; swap the md5 for a
+    * linear projection and this is the ViT input pipeline.
+    *
+    * Row-local explode + byte slicing — ZERO shuffle at any corpus
+    * size; trailing partial tile rows are dropped (floor division),
+    * the standard ViT crop-to-multiple behavior. */
+  def patchify(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = 16L; val tile = 4L // grid width in bytes; tile edge
+    def rowSlice(r: Int): org.apache.spark.sql.Column =
+      expr(s"CAST(substring(CAST(payload AS STRING), " +
+        s"CAST((ty * 4 + $r) * 16 + tx * 4 + 1 AS INT), 4) AS BINARY)")
+    mediaTable(spark, sfDir)
+      .filter(col("media_type") === "image")
+      .withColumn("tiles_y", floor(col("meta.n_bytes") / (w * tile)).cast("long"))
+      .filter(col("tiles_y") > 0)
+      .withColumn("pid",
+        explode(sequence(lit(0L), col("tiles_y") * 4 - 1)))
+      .withColumn("ty", call_function("div", col("pid"), lit(4L)))
+      .withColumn("tx", pmod(col("pid"), lit(4L)))
+      .select(col("doc_id"), col("ty"), col("tx"),
+        md5(concat(rowSlice(0), rowSlice(1), rowSlice(2), rowSlice(3)))
+          .as("patch_md5"))
+      .orderBy("doc_id", "ty", "tx")
+  }
 }

@@ -2254,6 +2254,42 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("patchify: strided 4x4 tile gathers match the byte model; one exchange (the output sort) only") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val df = MultimodalOps.patchify(spark, sf0001)
+    val got = df.collect()
+    assert(got.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { r =>
+      val bytes = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val (ty, tx) = (r.getAs[Long]("ty").toInt, r.getAs[Long]("tx").toInt)
+      val patch = (0 until 4).flatMap { row =>
+        val off = (ty * 4 + row) * 16 + tx * 4
+        bytes.slice(off, off + 4)
+      }.toArray
+      md.reset()
+      val expect = md.digest(patch).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("patch_md5") == expect,
+        s"doc ${r.getAs[Long]("doc_id")} tile ($ty,$tx)")
+    }
+    // every image doc with >= 64 bytes yields exactly (len/64)*4 tiles
+    val perDoc = got.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+    texts.foreach { case (id, t) =>
+      val n = t.getBytes("UTF-8").length
+      if (n >= 64) assert(perDoc(id) == (n / 64) * 4, s"doc $id tile count")
+    }
+    // row-local op: the only exchange is the final presentation sort's
+    // range partitioning — no hash/single-partition shuffle anywhere
+    // (AQE may print the range exchange twice; count kinds, not nodes)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"patchify planned a data shuffle:\n$plan")
+  }
+
   test("transition matrix: counts match the per-user sequence model, row shares bound by 10000") {
     import spark.implicits._
     val events = Tables.events(spark, sf0001)
