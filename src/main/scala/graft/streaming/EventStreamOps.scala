@@ -244,4 +244,44 @@ object EventStreamOps {
       }
       .toDF()
   }
+
+  /** One key's newest version in the CDC target snapshot. */
+  final case class CdcVersion(value: Double, tsMs: Long, eventId: Long)
+
+  /** Per-micro-batch CDC reduction — the streaming face of
+    * EventOps.cdcApply's changelog semantics: collapse the batch to
+    * each key's LAST write by (ts, event_id), carrying whether that
+    * write is a tombstone (event_type 'view', matching the batch op's
+    * delete rule). This is the Spark side of a foreachBatch MERGE: the
+    * batch shrinks to one row per touched key BEFORE anything reaches
+    * the sink, so the merge input is |keys in batch|, never |events|. */
+  def cdcBatchLastWrites(batch: DataFrame): Array[(Long, CdcVersion, Boolean)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    batch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), (col("event_type") === "view").as("tombstone"))
+      .collect()
+      .map(r => (r.getLong(0),
+        CdcVersion(r.getDouble(1), r.getLong(2), r.getLong(3)),
+        r.getBoolean(4)))
+  }
+
+  /** Last-write-wins merge of a reduced batch into the target
+    * snapshot: an incoming version applies only if it is NEWER than
+    * what the target holds ((ts, event_id) order — replayed batches
+    * lose every comparison, which is what makes checkpoint-recovery
+    * replays idempotent); a winning tombstone deletes the key. Swap
+    * this map for a Delta/Iceberg `MERGE INTO ... WHEN MATCHED AND
+    * source.ts > target.ts` and the same query runs against a
+    * lakehouse table. */
+  def applyCdcBatch(target: scala.collection.mutable.Map[Long, CdcVersion],
+                    rows: Seq[(Long, CdcVersion, Boolean)]): Unit =
+    rows.foreach { case (key, v, tomb) =>
+      val newer = target.get(key).forall(cur =>
+        v.tsMs > cur.tsMs || (v.tsMs == cur.tsMs && v.eventId > cur.eventId))
+      if (newer) { if (tomb) target.remove(key) else target.update(key, v) }
+    }
 }

@@ -152,6 +152,55 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming CDC upsert via foreachBatch: last write wins, stale updates lose, tombstones delete") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import EventStreamOps.CdcVersion
+    val mem = MemoryStream[EventRow]
+    val target = scala.collection.mutable.Map.empty[Long, CdcVersion]
+    val q = mem.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val reduced = EventStreamOps.cdcBatchLastWrites(batch)
+        target.synchronized {
+          EventStreamOps.applyCdcBatch(target, reduced.toSeq)
+        }
+        ()
+      }
+      .start()
+    try {
+      // batch 1: two keys, out-of-order WITHIN the batch for user 1 —
+      // the per-batch reduction must keep only the newest write
+      mem.addData(
+        EventRow(11L, ts(20), 1L, "purchase", 10.0),
+        EventRow(10L, ts(5), 1L, "purchase", 1.0),
+        EventRow(12L, ts(6), 2L, "purchase", 2.0))
+      q.processAllAvailable()
+      assert(target.toMap == Map(
+        1L -> CdcVersion(10.0, ts(20).getTime, 11L),
+        2L -> CdcVersion(2.0, ts(6).getTime, 12L)))
+      // batch 2: a STALE update for user 1 (older than the snapshot —
+      // must lose), a winning tombstone for user 2, and a new user 3
+      mem.addData(
+        EventRow(13L, ts(10), 1L, "purchase", 99.0),
+        EventRow(14L, ts(30), 2L, "view", 0.0),
+        EventRow(15L, ts(7), 3L, "purchase", 7.0))
+      q.processAllAvailable()
+      assert(target.toMap == Map(
+        1L -> CdcVersion(10.0, ts(20).getTime, 11L),
+        3L -> CdcVersion(7.0, ts(7).getTime, 15L)))
+      // replaying batch 2's reduction is a no-op (idempotent recovery)
+      val replay = Seq(
+        (1L, CdcVersion(99.0, ts(10).getTime, 13L), false),
+        (2L, CdcVersion(0.0, ts(30).getTime, 14L), true),
+        (3L, CdcVersion(7.0, ts(7).getTime, 15L), false))
+      EventStreamOps.applyCdcBatch(target, replay)
+      assert(target.toMap == Map(
+        1L -> CdcVersion(10.0, ts(20).getTime, 11L),
+        3L -> CdcVersion(7.0, ts(7).getTime, 15L)))
+    } finally q.stop()
+  }
+
   test("streaming funnel advances per user: ordered steps only, state carries across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
