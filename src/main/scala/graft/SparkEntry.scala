@@ -63,6 +63,7 @@ object SparkEntry {
     "rel_sql_small_qty_revenue" -> RelationalOps.sqlSmallQtyRevenue _,
     "rel_sql_disjunctive"      -> RelationalOps.sqlDisjunctiveRevenue _,
     "rel_sql_global_sales"     -> RelationalOps.sqlGlobalSales _,
+    "rel_sql_simple_revenue"   -> RelationalOps.sqlSimpleRevenue _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -106,6 +107,8 @@ object SparkEntry {
     "evt_dedup_first"          -> EventOps.earliestEventPerUserType _,
     "evt_lead_next"            -> EventOps.nextEvent _,
     "evt_transition_matrix"    -> EventOps.transitionMatrix _,
+    "evt_quantile_by_type"     -> EventOps.quantileSketchByType _,
+    "evt_sessionize_gap"       -> ((s: SparkSession, d: String) => EventOps.sessionizeByGap(s, d)),
     "evt_first_last"           -> EventOps.firstLastPerUser _,
     "evt_range_frame"          -> EventOps.rolling1hSum _,
     "evt_topk_udaf"            -> EventOps.topEventsPerType _,
@@ -387,6 +390,15 @@ object SparkEntry {
         |       AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_partkey = l_partkey AND p_brand = 'Brand#24'
         |       AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // Q6-shape: pure scan + pushdown probe, 1-row decimal-exact answer
+    "rel_sql_simple_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     // Q22-shape: scalar-subquery pair + NOT EXISTS anti join; the
     // above-average test is bal*n > s in exact decimals, never a float AVG
     "rel_sql_global_sales" ->
@@ -516,6 +528,49 @@ object SparkEntry {
         |  (epoch_ms(lead(ts) OVER w) - epoch_ms(ts)) / 1000.0 AS secs_to_next
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    // grouped fixed-grid quantile sketch: per-type grids, bounded bins
+    "evt_quantile_by_type" ->
+      """WITH stats AS (
+        |  SELECT event_type, min(value) AS mn, max(value) AS mx, COUNT(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |bins AS (
+        |  SELECT e.event_type, CASE WHEN s.mx = s.mn THEN 0
+        |    ELSE LEAST(CAST(floor((e.value - s.mn) / ((s.mx - s.mn) / 256)) AS BIGINT), 255)
+        |    END AS bin, COUNT(*) AS cnt
+        |  FROM events e JOIN stats s ON e.event_type = s.event_type
+        |  WHERE e.value IS NOT NULL GROUP BY e.event_type, 2),
+        |cum AS (
+        |  SELECT event_type, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bins),
+        |ps AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS p)
+        |SELECT c.event_type, p.p AS p,
+        |  CASE WHEN s.mx = s.mn THEN s.mn
+        |    ELSE s.mn + ((s.mx - s.mn) / 256) *
+        |      (c.bin + (p.p * s.n - (c.cum - c.cnt)) / c.cnt) END AS est
+        |FROM ps p, cum c JOIN stats s ON c.event_type = s.event_type
+        |WHERE c.cum >= p.p * s.n AND c.cum - c.cnt < p.p * s.n
+        |ORDER BY c.event_type, p""".stripMargin,
+    // gap sessionization: lag flag + running sum, per-session bounds
+    "evt_sessionize_gap" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_ms
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM x),
+        |s AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_nb
+        |  FROM f)
+        |SELECT user_id, session_nb, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_nb
+        |ORDER BY user_id, session_nb""".stripMargin,
     // Markov transitions: per-user lead pairs, row-conditional shares in
     // exact integer basis points (floor division)
     "evt_transition_matrix" ->

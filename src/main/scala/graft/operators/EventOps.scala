@@ -487,6 +487,71 @@ object EventOps {
       .orderBy("p")
   }
 
+  /** GROUPED fixed-grid quantile sketch: p50/p95 per event type — the
+    * per-key face of [[quantileSketch]], proving the sketch's
+    * mergeability composes with grouping. Each key pins its OWN grid
+    * from its (min, max): the stats table is |types| rows and joins
+    * back as a broadcast; bin histograms are map-side-combined into
+    * ≤|types|·256 rows; the cumulative window partitions BY KEY over
+    * that bounded table (never data rows). Same two-pass, constant
+    * per-key state at any volume — the GROUP BY approx_percentile
+    * replacement that stays deterministic and hash-gateable. */
+  def quantileSketchByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val nb = 256
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val stats = ev.groupBy("event_type").agg(min(col("value")).as("mn"),
+      max(col("value")).as("mx"), count(lit(1)).as("n"))
+    val bins = ev.join(broadcast(stats), "event_type")
+      .select(col("event_type"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col("value") - col("mn")) /
+            ((col("mx") - col("mn")) / nb)).cast("long"), lit(nb - 1L)))
+          .as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(wb))
+    import spark.implicits._
+    val ps = Seq(0.5, 0.95).toDF("p")
+    ps.crossJoin(cum).join(broadcast(stats), "event_type")
+      .filter(col("cum") >= col("p") * col("n") &&
+        col("cum") - col("cnt") < col("p") * col("n"))
+      .select(col("event_type"), col("p"),
+        when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") +
+            ((col("mx") - col("mn")) / nb) * (col("bin") +
+              (col("p") * col("n") - (col("cum") - col("cnt"))) / col("cnt")))
+          .as("est"))
+      .orderBy("event_type", "p")
+  }
+
+  /** Gap-based sessionization in the PORTABLE windowed spelling:
+    * new-session flag (gap > 30 min by lag()) + running sum = session
+    * ordinal, then per-session bounds — the classic two-window pattern
+    * every SQL warehouse runs, and the cross-engine twin of
+    * [[sessionWindows]]'s built-in session_window (identical session
+    * boundaries at the same gap; the spec asserts the equivalence).
+    * The lag and the running sum share one (user) window exchange; the
+    * per-(user, session) agg adds the second and final one. */
+  def sessionizeByGap(spark: SparkSession, sfDir: String,
+                      gapMinutes: Long = 30L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull ||
+          col("ts_ms") - col("prev_ms") > gapMinutes * 60000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_nb",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_nb")
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_nb")
+  }
+
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val cohort = ev.groupBy("user_id")

@@ -844,6 +844,28 @@ object RelationalOps {
              AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")
   }
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure
+    * scan-efficiency probe — single table, no join, no group key, three
+    * range predicates and one decimal-exact product sum. Every filter
+    * is pushable (PushedFilters on shipdate/discount/quantity), the
+    * projection reads three columns of the fact table, and the 1-row
+    * answer means each partition ships a single decimal partial: the
+    * query is scan-bandwidth-bound by construction, the shape used to
+    * measure raw scan + pushdown health at 100 TB. Discounts are
+    * exact hundredths stored as doubles, so the BETWEEN endpoints
+    * match identically in both engines. */
+  def sqlSimpleRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM lineitem_v
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""")
+  }
+
   /** TPC-H Q22 shape (global sales opportunity): rich customers with no
     * RECENT orders, grouped by a name-derived code. Exercises three
     * planner paths at once: an uncorrelated scalar-aggregate subquery

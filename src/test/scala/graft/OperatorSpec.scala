@@ -958,6 +958,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(ordered == ordered.sorted)
   }
 
+  test("grouped quantile sketch: per-type estimates within one bin width of the exact order statistic") {
+    import spark.implicits._
+    val got = EventOps.quantileSketchByType(spark, sf0001)
+      .as[(String, Double, Double)].collect()
+    val byType = graft.Tables.events(spark, sf0001)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.map(_._1).toSet == byType.keySet)
+    got.foreach { case (t, p, est) =>
+      val vals = byType(t)
+      val width = (vals.last - vals.head) / 256
+      val exact = vals(math.ceil(p * vals.length).toInt - 1)
+      assert(math.abs(est - exact) <= width, s"$t p=$p est=$est exact=$exact")
+    }
+  }
+
+  test("gap sessionization: flag+cumsum sessions equal the built-in session_window's") {
+    import spark.implicits._
+    val gapMs = 30L * 60000
+    val got = EventOps.sessionizeByGap(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+        r.getAs[Long]("end_ms") + gapMs, r.getAs[Long]("n_events"))).toSet
+    // session_window's end = last event ts + gap; align by adding the
+    // gap to the portable spelling's last-event end
+    val builtin = EventOps.sessionWindows(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime,
+        r.getAs[Long]("n_events"))).toSet
+    assert(got == builtin,
+      s"portable sessions diverge from session_window: ${(got -- builtin).take(3)} vs ${(builtin -- got).take(3)}")
+  }
+
+  test("Q6: every predicate reaches the scan; single-table scan-only plan") {
+    val df = RelationalOps.sqlSimpleRevenue(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "Q6 must not join")
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+    val pushed = plan.split("PushedFilters: \\[").last.split("\\]").head
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"),
+      s"range predicates not pushed to the scan: $pushed")
+  }
+
   test("composite quality score is 0.0 (not NaN/NULL) for degenerate docs") {
     import spark.implicits._
     // Spark's 0.0/0 is NaN while DuckDB's is NULL, and the engines rank
