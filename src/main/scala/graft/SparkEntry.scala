@@ -109,6 +109,8 @@ object SparkEntry {
     "evt_transition_matrix"    -> EventOps.transitionMatrix _,
     "evt_quantile_by_type"     -> EventOps.quantileSketchByType _,
     "evt_sessionize_gap"       -> ((s: SparkSession, d: String) => EventOps.sessionizeByGap(s, d)),
+    "evt_scd2_lookup"          -> EventOps.scd2Lookup _,
+    "evt_weekly_change"        -> EventOps.weeklyChange _,
     "evt_first_last"           -> EventOps.firstLastPerUser _,
     "evt_range_frame"          -> EventOps.rolling1hSum _,
     "evt_topk_udaf"            -> EventOps.topEventsPerType _,
@@ -160,6 +162,7 @@ object SparkEntry {
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
     "dd_ngram_jaccard"         -> DedupOps.ngramJaccardPairs _,
+    "dd_minhash_jaccard_est"   -> DedupOps.minhashJaccardEst _,
     "dd_minhash_lsh"           -> DedupOps.minhashLsh _,
     "dd_simhash"               -> DedupOps.simhash _,
     "dd_simhash_pairs"         -> DedupOps.simhashPairs _,
@@ -571,6 +574,29 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_nb
         |ORDER BY user_id, session_nb""".stripMargin,
+    // SCD2 time-travel lookup: interval join against the versioned dim
+    "evt_scd2_lookup" ->
+      """WITH d0 AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS valid_from_ms,
+        |    epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_ms
+        |  FROM events WHERE event_type = 'signup'),
+        |f AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts_ms, d0.event_id AS dim_version,
+        |  d0.value AS dim_value, d0.valid_from_ms
+        |FROM f JOIN d0 ON f.user_id = d0.user_id
+        |  AND f.ts_ms >= d0.valid_from_ms
+        |  AND (d0.valid_to_ms IS NULL OR f.ts_ms < d0.valid_to_ms)
+        |ORDER BY f.event_id""".stripMargin,
+    // week-over-week change in floored basis points over weekly counts
+    "evt_weekly_change" ->
+      """WITH weekly AS (
+        |  SELECT date_trunc('week', ts) AS wk, COUNT(*) AS n FROM events GROUP BY 1),
+        |x AS (SELECT wk, n, lag(n) OVER (ORDER BY wk) AS prev_n FROM weekly)
+        |SELECT epoch_ms(wk) AS week_ms, n, prev_n,
+        |  CASE WHEN prev_n IS NOT NULL
+        |    THEN CAST(FLOOR(10000.0 * (n - prev_n) / prev_n) AS BIGINT) END AS delta_bp
+        |FROM x ORDER BY week_ms""".stripMargin,
     // Markov transitions: per-user lead pairs, row-conditional shares in
     // exact integer basis points (floor division)
     "evt_transition_matrix" ->
@@ -2378,6 +2404,71 @@ object SparkEntry {
         |LEFT JOIN ex ON ex.doc_id = d.doc_id
         |LEFT JOIN nr ON nr.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // MinHash estimator accuracy: candidate pairs with matching-component
+    // count (est = n_match/8) next to the exact shingle Jaccard
+    "dd_minhash_jaccard_est" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END) AS sh
+        |  FROM w2),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |m AS (
+        |  SELECT doc_id, sh,
+        |    list_min(list_transform(sh, h -> (2*h + 1) % 999999999999989)) AS mh0,
+        |    list_min(list_transform(sh, h -> (3*h + 7) % 999999999999989)) AS mh1,
+        |    list_min(list_transform(sh, h -> (5*h + 13) % 999999999999989)) AS mh2,
+        |    list_min(list_transform(sh, h -> (7*h + 31) % 999999999999989)) AS mh3,
+        |    list_min(list_transform(sh, h -> (11*h + 101) % 999999999999989)) AS mh4,
+        |    list_min(list_transform(sh, h -> (13*h + 1009) % 999999999999989)) AS mh5,
+        |    list_min(list_transform(sh, h -> (17*h + 10007) % 999999999999989)) AS mh6,
+        |    list_min(list_transform(sh, h -> (19*h + 100003) % 999999999999989)) AS mh7
+        |  FROM f),
+        |bands AS (
+        |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+        |    || '_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bkey FROM m
+        |  UNION ALL
+        |  SELECT doc_id, '1_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+        |    || '_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM m),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+        |        + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+        |        + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+        |        + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END
+        |        + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END
+        |        + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END
+        |        + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END
+        |        + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN m sa ON sa.doc_id = doc_a
+        |  JOIN m sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, n_match, jaccard FROM v
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -436,6 +436,40 @@ object DedupOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** MinHash ESTIMATOR accuracy — the measurement query for the dedup
+    * family, playing the role [[graft.operators.SimilarityOps.annRecall]]
+    * plays for ANN: every LSH candidate pair carries the
+    * signature-agreement estimate (matching components out of 8 — the
+    * unbiased MinHash estimate of Jaccard) NEXT TO the exact shingle
+    * Jaccard it approximates. This is what a curation run re-checks
+    * after re-tuning signature length or band width: if n_match/8
+    * drifts from the exact values at the 0.5 threshold, the bands are
+    * mis-sized. Same scale shape as [[minhashLsh]] (banded bucket
+    * candidates, never all-pairs); the additions are eight integer
+    * equality checks per candidate pair. */
+  def minhashJaccardEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = withMinhashBands(corpus(spark, sfDir))
+      .select(col("doc_id"), col("sh"), col("bands"),
+        array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col("doc_id"), explode(col("bands")).as("bkey"))
+    val cands = bands.select(col("doc_id").as("doc_a"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("bkey")), Seq("bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+      col("sig").as("siga"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+      col("sig").as("sigb"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _)
+          .as("n_match"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The production dedup pipeline END-TO-END, answering the question a
     * training-data curation run actually asks: which documents SURVIVE,
     * and which retained representative replaced each dropped one.

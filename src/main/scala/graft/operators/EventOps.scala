@@ -552,6 +552,57 @@ object EventOps {
       .orderBy("user_id", "session_nb")
   }
 
+  /** TIME-TRAVEL lookup against a versioned dimension — the join the
+    * SCD2 history exists for: each purchase fact finds the signup
+    * version whose [valid_from, valid_to) interval covers its
+    * timestamp. Dimension versions are disjoint per key by
+    * construction (lead() tiling, the [[scd2History]] shape), so every
+    * fact matches AT MOST one version — no dedup pass after the join.
+    * The plan is an equi-join on the key with the interval bounds as
+    * residual: co-partitioned on user at any scale, never a per-row
+    * subquery; facts before the first version drop out (inner join),
+    * the warehouse convention. The spec proves the result equals the
+    * as-of window spelling ([[asofPurchaseSignup]]) — interval join
+    * and cumulative-max window are the same operator in two plans. */
+  def scd2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .withColumn("valid_from_ms", unix_millis(col("ts")))
+      .withColumn("valid_to_ms", unix_millis(lead(col("ts"), 1).over(wd)))
+      .select(col("user_id").as("d_user"), col("event_id").as("dim_version"),
+        col("value").as("dim_value"), col("valid_from_ms"), col("valid_to_ms"))
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("ts_ms") >= col("valid_from_ms") &&
+        (col("valid_to_ms").isNull || col("ts_ms") < col("valid_to_ms")))
+      .select("event_id", "user_id", "ts_ms", "dim_version", "dim_value",
+        "valid_from_ms")
+      .orderBy("event_id")
+  }
+
+  /** Week-over-week change: weekly event counts with the previous
+    * week's count and the delta in floored basis points. The lag
+    * window is GLOBAL but runs over the weekly aggregate — bounded by
+    * the corpus's time span (hundreds of rows for years of data), not
+    * its volume, so the single-task window is safe at any scale; the
+    * only data-volume exchange is the week aggregation itself. */
+  def weeklyChange(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("week", col("ts")).as("wk"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("wk")
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(unix_millis(col("wk")).as("week_ms"), col("n"), col("prev_n"),
+        when(col("prev_n").isNotNull,
+          floor(lit(10000.0) * (col("n") - col("prev_n")) / col("prev_n"))
+            .cast("long")).as("delta_bp"))
+      .orderBy("week_ms")
+  }
+
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val cohort = ev.groupBy("user_id")

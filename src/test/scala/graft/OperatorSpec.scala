@@ -1002,6 +1002,56 @@ class OperatorSpec extends AnyFunSuite {
       s"range predicates not pushed to the scan: $pushed")
   }
 
+  test("SCD2 time-travel lookup equals the as-of window spelling; at most one version per fact") {
+    import spark.implicits._
+    val lookup = EventOps.scd2Lookup(spark, sf0001).collect()
+    assert(lookup.nonEmpty)
+    // disjoint intervals: every purchase matches at most one version
+    val ids = lookup.map(_.getAs[Long]("event_id"))
+    assert(ids.distinct.length == ids.length, "a fact matched two versions")
+    val got = lookup.map(r =>
+      (r.getAs[Long]("event_id"), r.getAs[Long]("valid_from_ms"))).toSet
+    val asof = EventOps.asofPurchaseSignup(spark, sf0001).collect()
+      .filter(_.getAs[java.sql.Timestamp]("last_signup_ts") != null)
+      .map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("last_signup_ts").getTime)).toSet
+    assert(got == asof,
+      "interval-join lookup diverges from the cumulative-max as-of")
+  }
+
+  test("minhash estimator: exact-copy pairs agree on all 8 components with jaccard 1.0") {
+    import spark.implicits._
+    val got = DedupOps.minhashJaccardEst(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val m = r.getAs[Long]("n_match")
+      assert(m >= 0 && m <= 8)
+    }
+    // the seeded corpus duplicates doc_id%10==0 docs verbatim at
+    // +100000: identical shingle sets => identical signatures
+    val copies = got.filter(r => r.getAs[Long]("doc_b") ==
+      r.getAs[Long]("doc_a") + 100000 && r.getAs[Long]("doc_a") % 10 == 0)
+    assert(copies.nonEmpty)
+    copies.foreach { r =>
+      assert(r.getAs[Long]("n_match") == 8L)
+      assert(r.getAs[Double]("jaccard") == 1.0)
+    }
+  }
+
+  test("weekly change: deltas recompute from consecutive week counts") {
+    import spark.implicits._
+    val rows = EventOps.weeklyChange(spark, sf0001).collect()
+    assert(rows.length >= 2)
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getAs[Long]("prev_n") == prev.getAs[Long]("n"))
+      val expect = math.floor(10000.0 *
+        (cur.getAs[Long]("n") - prev.getAs[Long]("n")) /
+        prev.getAs[Long]("n")).toLong
+      assert(cur.getAs[Long]("delta_bp") == expect)
+    }
+    assert(rows.head.isNullAt(rows.head.fieldIndex("delta_bp")))
+  }
+
   test("composite quality score is 0.0 (not NaN/NULL) for degenerate docs") {
     import spark.implicits._
     // Spark's 0.0/0 is NaN while DuckDB's is NULL, and the engines rank
