@@ -64,6 +64,7 @@ object SparkEntry {
     "rel_sql_disjunctive"      -> RelationalOps.sqlDisjunctiveRevenue _,
     "rel_sql_global_sales"     -> RelationalOps.sqlGlobalSales _,
     "rel_sql_simple_revenue"   -> RelationalOps.sqlSimpleRevenue _,
+    "rel_sql_important_stock"  -> RelationalOps.sqlImportantStock _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -402,6 +403,21 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // Q11-shape: HAVING gated by an uncorrelated scalar aggregate,
+    // exact-decimal threshold comparison
+    "rel_sql_important_stock" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS stock_value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(l_quantity AS DECIMAL(12,2)))
+        |       * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) * 2 > (
+        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * CAST(l_quantity AS DECIMAL(12,2))) * 3
+        |  FROM lineitem)
+        |ORDER BY stock_value DESC, l_partkey""".stripMargin,
     // Q22-shape: scalar-subquery pair + NOT EXISTS anti join; the
     // above-average test is bal*n > s in exact decimals, never a float AVG
     "rel_sql_global_sales" ->

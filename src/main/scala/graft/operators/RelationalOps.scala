@@ -866,6 +866,34 @@ object RelationalOps {
         AND l_quantity < 24""")
   }
 
+  /** TPC-H Q11 shape (important stock identification): HAVING gated by
+    * an UNCORRELATED scalar aggregate over the SAME fact table — the
+    * group survives only if its value exceeds a fraction of the global
+    * total. Catalyst plans the subquery as one extra 1-row aggregate
+    * whose result broadcasts into the HAVING filter; the fact table is
+    * scanned twice but shuffled once per aggregate, and both
+    * aggregations are map-side combined. The above-1.5×-mean test is
+    * cross-multiplied (value·n·2 > total·3) so every comparison stays
+    * in exact integer/decimal products — decimal DIVISION rounds and
+    * could flip a boundary group between engines. Per-part stock value
+    * stands in for the absent partsupp availability. */
+  def sqlImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql("""
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS stock_value
+      FROM lineitem_v
+      GROUP BY l_partkey
+      HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2)))
+             * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem_v) * 2 > (
+        SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))) * 3
+        FROM lineitem_v)
+      ORDER BY stock_value DESC, l_partkey""")
+  }
+
   /** TPC-H Q22 shape (global sales opportunity): rich customers with no
     * RECENT orders, grouped by a name-derived code. Exercises three
     * planner paths at once: an uncorrelated scalar-aggregate subquery

@@ -936,4 +936,57 @@ object SimilarityOps {
       .select("q_id", "vec_id", "hamming", "score", "rn")
       .orderBy("q_id", "rn")
   }
+
+  /** FULL Lloyd iteration with CONVERGENCE termination — the training
+    * loop whose single step [[kmeansStep]] benchmarks: assign → update
+    * means → re-assign, stopping when a round moves ZERO vectors (the
+    * discrete-assignment fixpoint; once assignments stop changing the
+    * means, and therefore every later round, are identical).
+    * Termination uses the same one-action-per-round shape as the
+    * PageRank/BFS/CC loops: the assignment-change count rides the
+    * round's own checkpoint job as an Observation metric, so no extra
+    * count() action is ever scheduled. `maxIters` stays the hard cap
+    * (k-means can 2-cycle in degenerate ties). Per round: the codebook
+    * update is one posexplode agg (k·dims partial rows cross the
+    * exchange — the kmeansStep budget) + a bounded collect_list
+    * rebuild; the re-assignment is the MAP-ONLY broadcast-codebook
+    * argmax (zero exchanges for the corpus); localCheckpoint caps
+    * lineage exactly as in the other iterative operators.
+    * Spec-gated (no oracle: a data-dependent round count cannot be a
+    * fixed SQL unroll — same adjudication as the streaming surface). */
+  def kmeansConverged(spark: SparkSession, sfDir: String,
+                      k: Int = 8, maxIters: Int = 10): (DataFrame, Int) = {
+    val e = vecs(spark, sfDir)
+      .select("vec_id", "emb", "nrm")
+      .repartition(col("vec_id")).localCheckpoint()
+    var assign = withNearestCentroid(e, ivfCentroids(e, k))
+      .select("vec_id", "cent_id").localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIters && !converged) {
+      rounds += 1
+      // member means per (centroid, dim), rebuilt into ordered arrays;
+      // the agg output is <= k*dims rows, the rebuild <= k rows
+      val means = e.join(assign, "vec_id")
+        .select(col("cent_id"), posexplode(col("emb")))
+        .toDF("cent_id", "dim", "x")
+        .groupBy("cent_id", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cent_id"),
+          transform(col("dm"), p => p.getField("m")).as("cemb"))
+        .withColumn("cnrm", sqrt(dotd(col("cemb"), col("cemb"))))
+      val obs = org.apache.spark.sql.Observation(s"kmeans_round_$rounds")
+      val next = withNearestCentroid(e, means)
+        .select(col("vec_id"), col("cent_id").as("c_new"))
+        .join(assign.select(col("vec_id"), col("cent_id").as("c_old")), "vec_id")
+        .observe(obs, sum(when(col("c_new") =!= col("c_old"), 1L)
+          .otherwise(0L)).as("changes"))
+        .select(col("vec_id"), col("c_new").as("cent_id"))
+        .localCheckpoint()
+      converged = obs.get("changes").asInstanceOf[Long] == 0L
+      assign = next
+    }
+    (assign.orderBy("vec_id"), rounds)
+  }
 }

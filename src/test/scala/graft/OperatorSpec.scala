@@ -1052,6 +1052,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.head.isNullAt(rows.head.fieldIndex("delta_bp")))
   }
 
+  test("k-means converges: early stop at the assignment fixpoint within the cap") {
+    import spark.implicits._
+    val (assignDf, rounds) = SimilarityOps.kmeansConverged(spark, sf0001, k = 8, maxIters = 12)
+    val assign = assignDf.as[(Long, Long)].collect().toMap
+    assert(rounds >= 1 && rounds <= 12)
+    val n = graft.Tables.embeddings(spark, sf0001).count()
+    assert(assign.size == n, "every vector is assigned")
+    assert(assign.values.toSet.size <= 8)
+    if (rounds < 12) {
+      // early stop means FIXPOINT: one more Lloyd round from the final
+      // assignment must reproduce it exactly
+      val (again, extra) = SimilarityOps.kmeansConverged(spark, sf0001, k = 8, maxIters = rounds + 1)
+      assert(extra == rounds, "a converged run must stop at the same round")
+      assert(again.as[(Long, Long)].collect().toMap == assign)
+    }
+  }
+
   test("composite quality score is 0.0 (not NaN/NULL) for degenerate docs") {
     import spark.implicits._
     // Spark's 0.0/0 is NaN while DuckDB's is NULL, and the engines rank
