@@ -206,6 +206,106 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Connected components by LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — public) — the scale-hardened alternative to
+    * [[ccLabels]]' min-label propagation that SURVEY §8.2 names as the
+    * drop-in when component diameters grow: min-label needs
+    * O(diameter) rounds, star-contraction needs O(log diameter),
+    * because each round HALVES path lengths by rewiring nodes straight
+    * onto smaller nodes instead of copying labels one hop.
+    *
+    * Per round: large-star symmetrizes the edge list, takes each
+    * node's min neighbor (one map-side-combined agg), and points every
+    * LARGER neighbor at that min; small-star orients each edge
+    * large→small and points the remaining (smaller) neighbors plus the
+    * node itself at the min. Both are one agg + one equi-join + one
+    * distinct over EDGES — the same per-round budget as a min-label
+    * round — but the edge set contracts toward the final star instead
+    * of staying fixed. Convergence = the edge multiset is stable,
+    * detected by (count, Σu, Σv) DECIMAL(38,0) metrics riding each
+    * round's checkpoint job (same one-action-per-round shape as every
+    * other iterative operator here). At the fixpoint every non-minimum
+    * node holds exactly one edge to its component minimum, so labels
+    * read off the final edges with no propagation pass.
+    *
+    * Output contract is IDENTICAL to [[ccLabels]] — (node, label =
+    * component min) — which is what lets [[dupClustersStar]] share
+    * dd_dup_clusters' oracle and the spec assert algorithm equivalence
+    * on the same pair graphs. */
+  private[graft] def ccLabelsStar(pairsDf: DataFrame): DataFrame = {
+    val pairs = pairsDf.select("doc_a", "doc_b")
+      .filter(col("doc_a") =!= col("doc_b"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val m = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val ori = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = ori.groupBy("u").agg(min(col("v")).as("m"))
+      ori.join(m, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .distinct()
+      .repartition(col("u"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    var prev: Option[(Long, java.math.BigDecimal, java.math.BigDecimal)] = None
+    while (!converged && it < 50) {
+      it += 1
+      val obs = org.apache.spark.sql.Observation(s"ccstar_$it")
+      val next = smallStar(largeStar(edges))
+        .observe(obs,
+          count(lit(1)).as("cnt"),
+          coalesce(sum(col("u").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("su"),
+          coalesce(sum(col("v").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("sv"))
+        .localCheckpoint()
+      val cur = (obs.get("cnt").asInstanceOf[Long],
+        obs.get("su").asInstanceOf[java.math.BigDecimal],
+        obs.get("sv").asInstanceOf[java.math.BigDecimal])
+      converged = prev.contains(cur)
+      prev = Some(cur)
+      edges = next
+    }
+    // the converged star: every non-min node has exactly one edge to
+    // its component min; minima and singletons label themselves
+    val nodes = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .distinct()
+    val tgt = edges.groupBy(col("u").as("node")).agg(min(col("v")).as("t"))
+    nodes.join(tgt, Seq("node"), "left")
+      .select(col("node"), coalesce(col("t"), col("node")).as("label"))
+  }
+
+  /** [[dupClustersOf]] on the star-contraction engine — identical
+    * output (and oracle) by construction; registered so the
+    * scale-path algorithm is itself correctness-gated, not just
+    * documented. */
+  def dupClustersStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val wCl = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    ccLabelsStar(ngramJaccardPairsUnsorted(spark, sfDir))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("csize", count(lit(1)).over(wCl))
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        (col("doc_id") === col("cluster_id")).cast("long").as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Min-label connected components of a (doc_a, doc_b) pair list:
     * (node, label) with label = the component's minimum doc_id. The
     * shared engine under [[dupClustersOf]] and [[dedupSurvivors]]. */

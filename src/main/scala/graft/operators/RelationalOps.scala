@@ -894,6 +894,33 @@ object RelationalOps {
       ORDER BY stock_value DESC, l_partkey""")
   }
 
+  /** TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT) per
+    * group with a NOT IN subquery over a nullable-typed key — the
+    * NULL-AWARE anti join path, distinct from NOT EXISTS' plain anti
+    * join: NOT IN must reject every probe row if the subquery yields
+    * any NULL, so Catalyst plans a null-aware anti join (broadcast,
+    * with the isnull-or-match condition) rather than a simple LeftAnti
+    * on equality. The excluded-supplier list (negative balances) is
+    * tiny and broadcasts; the distinct-count aggregate shuffles once
+    * on the (brand, type, size) group key after the semi-filtered
+    * join. */
+  def sqlPartsSupplierCount(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM part_v, lineitem_v
+      WHERE p_partkey = l_partkey
+        AND p_brand <> 'Brand#1'
+        AND p_type <> 'PROMO'
+        AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier_v WHERE s_acctbal < 0.0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  }
+
   /** TPC-H Q22 shape (global sales opportunity): rich customers with no
     * RECENT orders, grouped by a name-derived code. Exercises three
     * planner paths at once: an uncorrelated scalar-aggregate subquery

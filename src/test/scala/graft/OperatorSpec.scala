@@ -908,6 +908,25 @@ class OperatorSpec extends AnyFunSuite {
       (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L)))
   }
 
+  test("star-contraction CC equals min-label CC: chains, stars, and the real pair graph") {
+    import spark.implicits._
+    // long chain (the min-label worst case star-contraction exists for),
+    // a star, an isolated pair — all must label at the component min
+    val chain = (1L until 16L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (200L, 201L))
+    val pairs = chain.toDF("doc_a", "doc_b")
+    val star = DedupOps.ccLabelsStar(pairs).as[(Long, Long)].collect().toMap
+    val minLabel = DedupOps.ccLabels(pairs).as[(Long, Long)].collect().toMap
+    assert(star == minLabel)
+    (1L to 16L).foreach(i => assert(star(i) == 1L, s"chain node $i"))
+    // and on the REAL near-dup pair graph both engines agree exactly
+    val realPairs = DedupOps.minhashLshPairs(spark, sf0001)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val starReal = DedupOps.ccLabelsStar(realPairs).as[(Long, Long)].collect().toMap
+    val minReal = DedupOps.ccLabels(realPairs).as[(Long, Long)].collect().toMap
+    assert(starReal == minReal)
+  }
+
   test("dedup survivors: total function over the corpus, keeps agree with CC labels") {
     import spark.implicits._
     val surv = DedupOps.dedupSurvivors(spark, sf0001)
@@ -2519,6 +2538,14 @@ class OperatorSpec extends AnyFunSuite {
       s"Q19 planned a cartesian:\n$q19")
     assert(!q19.contains("BroadcastNestedLoopJoin"),
       s"Q19 planned a nested-loop join:\n$q19")
+  }
+
+  test("Q16's NOT IN plans a null-aware anti join, not a cartesian") {
+    val df = RelationalOps.sqlPartsSupplierCount(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftAnti"), s"NOT IN did not become an anti join:\n$opt")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.toLowerCase.contains("cartesian"), s"cartesian in Q16:\n$phys")
   }
 
   test("Q13's ON-clause predicate keeps filtered-out customers at count 0") {
