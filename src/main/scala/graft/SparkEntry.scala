@@ -66,6 +66,8 @@ object SparkEntry {
     "rel_sql_simple_revenue"   -> RelationalOps.sqlSimpleRevenue _,
     "rel_sql_important_stock"  -> RelationalOps.sqlImportantStock _,
     "rel_sql_parts_suppliers"  -> RelationalOps.sqlPartsSupplierCount _,
+    "rel_sql_ship_lag_priority" -> RelationalOps.sqlShipLagPriority _,
+    "rel_sql_excess_suppliers" -> RelationalOps.sqlExcessSuppliers _,
     // --- article pipeline ---
     "art_cleanse_text"         -> ArticleOps.cleanseText _,
     "art_extract_fields"       -> ArticleOps.extractArticleFields _,
@@ -432,6 +434,32 @@ object SparkEntry {
         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q12-shape: conditional priority counts per derived ship-lag class
+    "rel_sql_ship_lag_priority" ->
+      """SELECT lag_class,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+        |         WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'medium'
+        |         ELSE 'slow' END AS lag_class
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) x
+        |GROUP BY lag_class
+        |ORDER BY lag_class""".stripMargin,
+    // Q20-shape: IN over an aggregate-with-HAVING subquery -> semi join
+    // against the pre-collapsed group table
+    "rel_sql_excess_suppliers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem, part
+        |  WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(l_quantity) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
     // Q22-shape: scalar-subquery pair + NOT EXISTS anti join; the
     // above-average test is bal*n > s in exact decimals, never a float AVG
     "rel_sql_global_sales" ->

@@ -921,6 +921,58 @@ object RelationalOps {
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
   }
 
+  /** TPC-H Q12 shape (shipping modes / order priority): conditional
+    * priority counts per derived ship-lag class (the local lineitem
+    * carries no shipmode/receipt date; days-from-order buckets play
+    * the mode's role with the same CASE-in-aggregate structure). One
+    * fact-fact equi-join on the order key, then a 3-group conditional
+    * aggregate — the CASE arms fold into the same map-side-combined
+    * hash agg, so the exchange carries two counters per class per
+    * partition. */
+  def sqlShipLagPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("lineitem", "orders").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT lag_class,
+        SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS high_count,
+        SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS low_count
+      FROM (
+        SELECT o_orderpriority,
+          CASE WHEN datediff(l_shipdate, o_orderdate) <= 30 THEN 'fast'
+               WHEN datediff(l_shipdate, o_orderdate) <= 90 THEN 'medium'
+               ELSE 'slow' END AS lag_class
+        FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey) x
+      GROUP BY lag_class
+      ORDER BY lag_class""")
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): a SEMI JOIN whose
+    * subquery is itself an AGGREGATE with HAVING — suppliers appearing
+    * in any (supplier, part) group that shipped > 50 units of a
+    * name-matched part. Catalyst plans the IN as LEFT SEMI against the
+    * grouped/filtered subquery; the aggregate collapses lineitem to
+    * (suppkey, partkey) groups BEFORE the semi probe, so the join
+    * input is |qualifying groups|, not |lineitem| — the same
+    * group-filter-join discipline as the Q18 shape, reached through
+    * the subquery planner instead of an explicit CTE. */
+  def sqlExcessSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("supplier", "lineitem", "part").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT s_suppkey, s_name
+      FROM supplier_v
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem_v, part_v
+        WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 50)
+      ORDER BY s_suppkey""")
+  }
+
   /** TPC-H Q22 shape (global sales opportunity): rich customers with no
     * RECENT orders, grouped by a name-derived code. Exercises three
     * planner paths at once: an uncorrelated scalar-aggregate subquery

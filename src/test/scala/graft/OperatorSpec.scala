@@ -2548,6 +2548,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(!phys.toLowerCase.contains("cartesian"), s"cartesian in Q16:\n$phys")
   }
 
+  test("Q20's IN-over-aggregate plans a semi join against the collapsed group table") {
+    val df = RelationalOps.sqlExcessSuppliers(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), s"IN did not become a semi join:\n$opt")
+    // the aggregate must sit BELOW the semi join (groups collapse before
+    // the probe) — i.e. the optimized plan keeps an Aggregate under Join
+    val joinIdx = opt.indexOf("Join LeftSemi")
+    val aggIdx = opt.indexOf("Aggregate", joinIdx)
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"no aggregate under the semi join:\n$opt")
+  }
+
   test("Q13's ON-clause predicate keeps filtered-out customers at count 0") {
     // customers whose ONLY orders are 1-URGENT must appear in the
     // c_count=0 bucket (the predicate lives in the join condition; a
