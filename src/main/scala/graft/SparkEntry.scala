@@ -158,6 +158,7 @@ object SparkEntry {
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
     "txt_dsir_weights"         -> ((s: SparkSession, d: String) => TextOps.dsirWeights(s, d)),
+    "txt_oov_rate"             -> ((s: SparkSession, d: String) => TextOps.oovRate(s, d)),
     "txt_temperature_mix"      -> TextOps.temperatureMixture _,
     "txt_domain_cap"           -> ((s: SparkSession, d: String) => TextOps.domainCap(s, d)),
     "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "sim_pq_codes"             -> SimilarityOps.pqCodes _,
     "sim_pq_recall"            -> SimilarityOps.pqRecall _,
     "sim_ivf_pq"               -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqTopK(s, d)),
+    "sim_ivf_pq_rerank"        -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqRerank(s, d)),
     // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
     "mm_patchify"              -> MultimodalOps.patchify _,
@@ -1656,6 +1658,26 @@ object SparkEntry {
         |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
         |  CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) AS dup_frac
         |FROM s WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin,
+    // tokenizer-vocab coverage: top-16 vocab, per-doc OOV basis points
+    "txt_oov_rate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS w FROM t),
+        |db AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, CAST(SUM(tf) AS BIGINT) AS cnt FROM db GROUP BY w) z
+        |  ORDER BY cnt DESC, w LIMIT 16),
+        |s AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN vocab.w IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM db LEFT JOIN vocab ON db.w = vocab.w
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(FLOOR(10000 * n_oov / n_tokens) AS BIGINT) AS oov_bp
+        |FROM s ORDER BY doc_id""".stripMargin,
     // quality-driven source blocklist: exact micro-unit cross-multiplied
     // below-mean test, survivors = docs of unblocked sources
     "pipe_source_blocklist" ->
@@ -3295,6 +3317,73 @@ object SparkEntry {
     // (nprobe=2), PQ asymmetric distance scores them — coarse cosine is
     // the flat sequential dot (as sim_ivf_ann), ADC the subspace-ordered
     // part sum (as sim_pq_recall)
+    // IVFADC + exact rerank: ADC top-32 shortlist, full-precision rerank
+    "sim_ivf_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+        |      FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id LIMIT 16),
+        |a0 AS (
+        |  SELECT n.vec_id, c.cent_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * cemb[i])), (x, y) -> x + y) / (nrm * cnrm) AS cscore
+        |  FROM n CROSS JOIN c),
+        |ar AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cscore DESC, cent_id) AS arn FROM a0),
+        |a AS (SELECT vec_id, cent_id FROM ar WHERE arn = 1),
+        |q AS (SELECT vec_id AS q_id, cent_id FROM ar WHERE vec_id < 5 AND arn <= 2),
+        |nu AS (SELECT vec_id,
+        |    list_transform(emb, x -> x / sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(emb, y -> y * y)), (x2, y2) -> x2 + y2))) AS u
+        |  FROM e),
+        |sub AS (SELECT vec_id, s, list_slice(u, s*8+1, s*8+8) AS vs
+        |  FROM nu, (SELECT unnest(range(0, 8)) AS s) g),
+        |samp AS (SELECT u, cc FROM (
+        |    SELECT u, row_number() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) - 1 AS cc
+        |    FROM nu) z WHERE cc < 16),
+        |csub AS (SELECT cc, s, list_slice(u, s*8+1, s*8+8) AS cs
+        |  FROM samp, (SELECT unnest(range(0, 8)) AS s) g),
+        |scored AS (SELECT vec_id, sub.s, cc,
+        |    list_reduce(list_prepend(0.0, [vs[i] * cs[i] for i in range(1, 9)]),
+        |      (x, y) -> x + y) AS d
+        |  FROM sub JOIN csub ON sub.s = csub.s),
+        |codes AS (SELECT vec_id, s, cc FROM (
+        |    SELECT vec_id, s, cc, row_number() OVER (
+        |      PARTITION BY vec_id, s ORDER BY d DESC, cc) AS rn
+        |    FROM scored) z WHERE rn = 1),
+        |dt AS (SELECT vec_id AS q_id, s, cc, d AS part FROM scored WHERE vec_id < 5),
+        |cand AS (SELECT q.q_id, a.vec_id FROM q JOIN a
+        |  ON q.cent_id = a.cent_id AND a.vec_id <> q.q_id),
+        |parts AS (SELECT cand.q_id, cand.vec_id, codes.s, dt.part
+        |  FROM cand
+        |  JOIN codes ON codes.vec_id = cand.vec_id
+        |  JOIN dt ON dt.q_id = cand.q_id AND dt.s = codes.s AND dt.cc = codes.cc),
+        |adc AS (SELECT q_id, vec_id,
+        |    list_reduce(list_prepend(0.0, list(part ORDER BY s)), (x, y) -> x + y) AS score
+        |  FROM parts GROUP BY q_id, vec_id),
+        |shortlist AS (SELECT q_id, vec_id, score AS adc_score FROM (
+        |    SELECT q_id, vec_id, score,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS hrn
+        |    FROM adc) z WHERE hrn <= 32),
+        |qv AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+        |rr AS (
+        |  SELECT sl.q_id, sl.vec_id, sl.adc_score,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * e.emb[i])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * q_emb[i])), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(e.emb)+1),
+        |      i -> e.emb[i] * e.emb[i])), (x, y) -> x + y))) AS score
+        |  FROM shortlist sl JOIN qv ON sl.q_id = qv.q_id JOIN e ON sl.vec_id = e.vec_id)
+        |SELECT q_id, vec_id, adc_score, score, rn FROM (
+        |  SELECT q_id, vec_id, adc_score, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+        |  FROM rr) z WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin,
     "sim_ivf_pq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,

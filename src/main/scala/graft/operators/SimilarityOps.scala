@@ -737,6 +737,20 @@ object SimilarityOps {
       .select(col("q_id"),
         transform(col("kp"), p => p.getField("part")).as("parts"))
     val top = graft.functions.TopKAggregator.topKPairs(10)
+    ivfPqAdcScored(assignCent, qprobe, codesW, dt)
+      .groupBy("q_id")
+      .agg(top(col("vec_id"), col("score")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** The shared IVFADC candidate-scoring tail of [[ivfPqTopK]] and
+    * [[ivfPqRerank]]: probe-cell candidates × nibble codes × broadcast
+    * per-query distance tables → (q_id, vec_id, score). */
+  private def ivfPqAdcScored(assignCent: DataFrame, qprobe: DataFrame,
+                             codesW: DataFrame, dt: DataFrame): DataFrame =
     assignCent.join(broadcast(qprobe), Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(codesW, "vec_id")
@@ -746,11 +760,54 @@ object SimilarityOps {
           a + element_at(col("parts"),
             (s * 16 + element_at(col("codes"), s + 1) + 1).cast("int")))
           .as("score"))
+
+  /** The PRODUCTION two-stage PQ serving path: ADC shortlist → EXACT
+    * rerank — what [[ivfPqTopK]]'s approximate ranking feeds in a real
+    * deployment (Jégou et al.'s IVFADC + reranking, public). Stage 1
+    * is [[ivfPqTopK]]'s scoring with a bounded top-32 aggregator
+    * instead of top-10; stage 2 gathers ONLY those ≤32·|queries|
+    * shortlisted vectors (broadcast shortlist, point-lookups into the
+    * full-precision table) and reranks by exact cosine — the rank
+    * window runs over the bounded shortlist, never data. The PQ codes
+    * answer "which 32", the raw vectors answer "in what order": full
+    * recall cost is paid on 32 rows per query instead of the corpus. */
+  def ivfPqRerank(spark: SparkSession, sfDir: String,
+                  k: Int = 16, nprobe: Int = 2): DataFrame = {
+    val e = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = ivfCentroids(e, k)
+    val assignCent = withNearestCentroid(e, cents).select("vec_id", "cent_id")
+    val qprobe = queryProbes(e, cents, nprobe)
+    val codesW = pqCodeTableOf(pqScored(spark, sfDir))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("c")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), p => p.getField("c")).as("codes"))
+    val dt = pqScored(spark, sfDir).filter(col("vec_id") < 5)
+      .groupBy(col("vec_id").as("q_id"))
+      .agg(array_sort(collect_list(struct(
+        (col("s") * 16 + col("c")).as("k"), col("d").as("part")))).as("kp"))
+      .select(col("q_id"),
+        transform(col("kp"), p => p.getField("part")).as("parts"))
+    val short = graft.functions.TopKAggregator.topKPairs(32)
+    val shortlist = ivfPqAdcScored(assignCent, qprobe, codesW, dt)
       .groupBy("q_id")
-      .agg(top(col("vec_id"), col("score")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), col("col.id").as("vec_id"),
-        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
+      .agg(short(col("vec_id"), col("score")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("vec_id"),
+        col("c.score").as("adc_score"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    e.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("adc_score"),
+        cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select("q_id", "vec_id", "adc_score", "score", "rn")
       .orderBy("q_id", "rn")
   }
 

@@ -1075,6 +1075,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-vocabulary COVERAGE (OOV rate) — the measurement run
+    * before committing to a vocabulary size: fix the vocab as the
+    * top-`vocabSize` terms by corpus frequency (ties broken by term),
+    * then score every document's out-of-vocabulary token share in
+    * exact basis points. High-OOV documents are the ones a fixed
+    * tokenizer will shred into bytes — the curation signal this query
+    * exists to surface. (`vocabSize` defaults to 16 because the
+    * synthetic corpus has ~31 distinct terms; a production run sets
+    * 32k-128k against a real vocabulary distribution — the plan is
+    * identical.)
+    *
+    * Scale shape: the corpus pre-aggregates to (doc_id, term, tf)
+    * once; the frequency table is vocabulary-sized and its top-k is a
+    * TakeOrdered over that bounded table; membership joins back as a
+    * BROADCAST of `vocabSize` rows. Two corpus exchanges total. */
+  def oovRate(spark: SparkSession, sfDir: String,
+              vocabSize: Int = 16): DataFrame = {
+    val toks = graft.Tables.spread(docs(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy("w").agg(sum(col("tf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        floor(lit(10000) * col("n_oov") / col("n_tokens")).cast("long")
+          .as("oov_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-driven SOURCE pruning — the blocklist curation rule
     * (RefinedWeb/C4 practice: drop whole domains, not individual
     * documents, so near-dups within a bad site can't leak through

