@@ -159,6 +159,7 @@ object SparkEntry {
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
     "txt_dsir_weights"         -> ((s: SparkSession, d: String) => TextOps.dsirWeights(s, d)),
     "txt_oov_rate"             -> ((s: SparkSession, d: String) => TextOps.oovRate(s, d)),
+    "txt_entropy"              -> TextOps.wordEntropy _,
     "txt_temperature_mix"      -> TextOps.temperatureMixture _,
     "txt_domain_cap"           -> ((s: SparkSession, d: String) => TextOps.domainCap(s, d)),
     "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
@@ -1677,6 +1678,36 @@ object SparkEntry {
         |  GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_oov,
         |  CAST(FLOOR(10000 * n_oov / n_tokens) AS BIGINT) AS oov_bp
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // word-distribution entropy in sixteenth-bits via interpolated
+    // integer log2 — no float log anywhere
+    "txt_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS w FROM t) GROUP BY doc_id, w),
+        |wn AS (
+        |  SELECT doc_id, w, tf,
+        |    CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens
+        |  FROM db),
+        |q AS (
+        |  SELECT doc_id, n_tokens, tf,
+        |    16 * (LENGTH(bin(n_tokens)) - 1)
+        |      + ((n_tokens - CAST(2 ** (LENGTH(bin(n_tokens)) - 1) AS BIGINT)) * 16)
+        |        // CAST(2 ** (LENGTH(bin(n_tokens)) - 1) AS BIGINT) AS qn,
+        |    16 * (LENGTH(bin(tf)) - 1)
+        |      + ((tf - CAST(2 ** (LENGTH(bin(tf)) - 1) AS BIGINT)) * 16)
+        |        // CAST(2 ** (LENGTH(bin(tf)) - 1) AS BIGINT) AS qtf
+        |  FROM wn),
+        |s AS (
+        |  SELECT doc_id, MAX(n_tokens) AS n_tokens,
+        |    CAST(SUM(tf * (qn - qtf)) AS BIGINT) AS entropy_16b
+        |  FROM q GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, entropy_16b,
+        |  CAST(FLOOR(1000 * entropy_16b / (16 * n_tokens)) AS BIGINT) AS mbits_per_token
         |FROM s ORDER BY doc_id""".stripMargin,
     // quality-driven source blocklist: exact micro-unit cross-multiplied
     // below-mean test, survivors = docs of unblocked sources

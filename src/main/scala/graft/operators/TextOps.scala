@@ -1075,6 +1075,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document word-distribution SHANNON ENTROPY in sixteenth-bits
+    * — the lexical-diversity quality signal (low entropy = repetitive
+    * boilerplate; the type-token ratio's information-theoretic big
+    * sibling), computed WITHOUT a single float log: H = Σ (tf/n)·
+    * log2(n/tf) becomes Σ tf·(qlog2(n) − qlog2(tf)) in the
+    * interpolated integer log of [[qlog2]], divided once at the end
+    * into milli-bits per token. Exact, monotone, hash-gateable where
+    * float entropy would drift in the 15th digit across engines.
+    *
+    * Scale shape: (doc, term, tf) pre-agg, then the per-doc total
+    * rides a doc-keyed window over that pre-agg (same exchange as the
+    * final doc aggregate — AQE plans one shuffle). Row-local
+    * arithmetic everywhere else. */
+  def wordEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val wD = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    graft.Tables.spread(docs(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("n_tokens", sum(col("tf")).over(wD))
+      .groupBy("doc_id")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(col("tf") * (qlog2(col("n_tokens")) - qlog2(col("tf"))))
+          .as("entropy_16b"))
+      .select(col("doc_id"), col("n_tokens"), col("entropy_16b"),
+        floor(lit(1000) * col("entropy_16b") / (lit(16) * col("n_tokens")))
+          .cast("long").as("mbits_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer-vocabulary COVERAGE (OOV rate) — the measurement run
     * before committing to a vocabulary size: fix the vocab as the
     * top-`vocabSize` terms by corpus frequency (ties broken by term),

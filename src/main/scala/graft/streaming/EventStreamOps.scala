@@ -245,6 +245,25 @@ object EventStreamOps {
       .toDF()
   }
 
+  /** Stream-static TIME-TRAVEL enrichment — the streaming face of the
+    * batch SCD2 interval lookup (EventOps.scd2Lookup): each arriving
+    * fact joins the STATIC versioned dimension on key + interval
+    * containment. Stream-static inner joins are STATELESS — no
+    * watermark, no join state; every micro-batch just probes the
+    * static side (broadcast while the dimension fits, the usual case
+    * for a versioned dim) — which is exactly how a warehouse dimension
+    * is consumed from a stream at 100 TB: the dim refreshes by
+    * re-registration, the stream never rewinds. Expects `facts` with
+    * (event_id, user_id, ts_ms) and `dim` with (d_user, dim_version,
+    * dim_value, valid_from_ms, valid_to_ms). */
+  def scd2EnrichStream(facts: DataFrame, dim: DataFrame): DataFrame =
+    facts.join(dim,
+      facts("user_id") === dim("d_user") &&
+        facts("ts_ms") >= dim("valid_from_ms") &&
+        (dim("valid_to_ms").isNull || facts("ts_ms") < dim("valid_to_ms")))
+      .select(facts("event_id"), facts("user_id"), facts("ts_ms"),
+        dim("dim_version"), dim("dim_value"))
+
   /** One key's newest version in the CDC target snapshot. */
   final case class CdcVersion(value: Double, tsMs: Long, eventId: Long)
 

@@ -152,6 +152,34 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static SCD2 enrichment: facts pick the version valid at their timestamp") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // versioned dim: user 1 has two versions split at 10:30; user 2 one
+    // open version from 10:10
+    val dim = Seq(
+      (1L, 101L, 5.0, ts(0).getTime, Option(ts(30).getTime)),
+      (1L, 102L, 7.0, ts(30).getTime, None: Option[Long]),
+      (2L, 201L, 9.0, ts(10).getTime, None: Option[Long]))
+      .toDF("d_user", "dim_version", "dim_value", "valid_from_ms", "valid_to_ms")
+    val mem = MemoryStream[(Long, Long, Long)] // (event_id, user_id, ts_ms)
+    val facts = mem.toDF().toDF("event_id", "user_id", "ts_ms")
+    val q = EventStreamOps.scd2EnrichStream(facts, dim)
+      .writeStream.format("memory").queryName("scd2enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, 1L, ts(15).getTime), (2L, 1L, ts(45).getTime))
+      q.processAllAvailable()
+      mem.addData((3L, 2L, ts(20).getTime), (4L, 2L, ts(5).getTime)) // #4 predates the dim
+      q.processAllAvailable()
+      val got = spark.table("scd2enrich")
+        .select("event_id", "dim_version", "dim_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 101L, 5.0), (2L, 102L, 7.0), (3L, 201L, 9.0)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming CDC upsert via foreachBatch: last write wins, stale updates lose, tombstones delete") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
