@@ -115,6 +115,7 @@ object SparkEntry {
     "evt_sessionize_gap"       -> ((s: SparkSession, d: String) => EventOps.sessionizeByGap(s, d)),
     "evt_scd2_lookup"          -> EventOps.scd2Lookup _,
     "evt_weekly_change"        -> EventOps.weeklyChange _,
+    "evt_mad_outliers"         -> EventOps.madOutliers _,
     "evt_first_last"           -> EventOps.firstLastPerUser _,
     "evt_range_frame"          -> EventOps.rolling1hSum _,
     "evt_topk_udaf"            -> EventOps.topEventsPerType _,
@@ -658,6 +659,23 @@ object SparkEntry {
         |  CASE WHEN prev_n IS NOT NULL
         |    THEN CAST(FLOOR(10000.0 * (n - prev_n) / prev_n) AS BIGINT) END AS delta_bp
         |FROM x ORDER BY week_ms""".stripMargin,
+    // MAD outliers: 3-MAD robust gate per type, exact medians
+    "evt_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  WHERE e.value IS NOT NULL),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value, d.med, d.adev, m.mad
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |WHERE d.adev > 3.0 * m.mad
+        |ORDER BY d.event_id""".stripMargin,
     // Markov transitions: per-user lead pairs, row-conditional shares in
     // exact integer basis points (floor division)
     "evt_transition_matrix" ->

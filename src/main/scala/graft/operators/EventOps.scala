@@ -603,6 +603,34 @@ object EventOps {
       .orderBy("week_ms")
   }
 
+  /** ROBUST outlier detection: flag values more than 3 MADs (median
+    * absolute deviations) from their type's median — the
+    * heavy-tail-safe twin of [[anomalyFlags2Sigma]]: one extreme value
+    * shifts a mean/σ gate but leaves medians untouched, so MAD gates
+    * survive the contamination that breaks moment-based ones. Two
+    * aggregate passes (median, then MAD of deviations), each a
+    * |types|-row table broadcast back; comparisons are plain IEEE
+    * doubles identical in both engines (exact-percentile parity is
+    * pinned by rel_median_price). Exact per-key percentiles hold group
+    * values in memory — the correctness reference; at 100 TB the SAME
+    * dataflow runs on [[quantileSketchByType]]'s bounded-bin estimates
+    * instead. */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value")
+      .filter(col("value").isNotNull)
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(3.0) * col("mad"))
+      .select("event_id", "event_type", "value", "med", "adev", "mad")
+      .orderBy("event_id")
+  }
+
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val cohort = ev.groupBy("user_id")

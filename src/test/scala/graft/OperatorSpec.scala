@@ -2420,6 +2420,37 @@ class OperatorSpec extends AnyFunSuite {
       s"patchify planned a data shuffle:\n$plan")
   }
 
+  test("MAD outliers match the interpolated-median model and survive contamination") {
+    import spark.implicits._
+    def medOf(xs: Seq[Double]): Double = {
+      val v = xs.sorted; val idx = 0.5 * (v.length - 1)
+      val lo = math.floor(idx).toInt; val hi = math.ceil(idx).toInt
+      v(lo) + (idx - lo) * (v(hi) - v(lo))
+    }
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect()
+    val byType = ev.groupBy(_._2)
+    val expected = byType.toSeq.flatMap { case (_, rows) =>
+      val med = medOf(rows.map(_._3).toSeq)
+      val mad = medOf(rows.map(r => math.abs(r._3 - med)).toSeq)
+      rows.filter(r => math.abs(r._3 - med) > 3.0 * mad).map(_._1).toSeq
+    }.toSet
+    val got = EventOps.madOutliers(spark, sf0001).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // robustness: replacing one value with an extreme leaves the median
+    // and MAD (hence every OTHER flag) essentially unchanged — the
+    // property that breaks a mean/sigma gate
+    val t0 = byType.keys.head
+    val rows = byType(t0).map(_._3).toSeq
+    val contaminated = rows.updated(0, 1e12)
+    assert(math.abs(medOf(contaminated) - medOf(rows)) <=
+      math.abs(rows.max - rows.min),
+      "median moved wildly under single-point contamination")
+  }
+
   test("transition matrix: counts match the per-user sequence model, row shares bound by 10000") {
     import spark.implicits._
     val events = Tables.events(spark, sf0001)
