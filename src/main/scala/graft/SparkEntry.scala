@@ -150,6 +150,7 @@ object SparkEntry {
     "txt_epoch_repeat"         -> TextOps.epochRepeat _,
     "pipe_curation"            -> TextOps.curateCorpus _,
     "pipe_source_blocklist"    -> TextOps.sourceBlocklistSurvivors _,
+    "pipe_training_corpus"     -> ((s: SparkSession, d: String) => TextOps.trainingCorpusDecision(s, d)),
     "pipe_shard_export"        -> ((s: SparkSession, d: String) => TextOps.shardExport(s, d)),
     "pipe_split_groups"        -> ((s: SparkSession, d: String) => TextOps.trainValSplit(s, d)),
     "txt_term_drift"           -> ((s: SparkSession, d: String) => TextOps.termDrift(s, d)),
@@ -2714,6 +2715,107 @@ object SparkEntry {
     // the recursive reachability closure (as in dd_dup_clusters) over
     // those pairs, then keep = min reachable id; unclustered docs keep
     // themselves
+    // the whole curation decision: blocklist > quality floor > near-dup
+    // verdicts with the replacement pointer, one row per source doc
+    "pipe_training_corpus" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END) AS sh
+        |  FROM w2),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |m AS (
+        |  SELECT doc_id, sh,
+        |    list_min(list_transform(sh, h -> (2*h + 1) % 999999999999989)) AS mh0,
+        |    list_min(list_transform(sh, h -> (3*h + 7) % 999999999999989)) AS mh1,
+        |    list_min(list_transform(sh, h -> (5*h + 13) % 999999999999989)) AS mh2,
+        |    list_min(list_transform(sh, h -> (7*h + 31) % 999999999999989)) AS mh3,
+        |    list_min(list_transform(sh, h -> (11*h + 101) % 999999999999989)) AS mh4,
+        |    list_min(list_transform(sh, h -> (13*h + 1009) % 999999999999989)) AS mh5,
+        |    list_min(list_transform(sh, h -> (17*h + 10007) % 999999999999989)) AS mh6,
+        |    list_min(list_transform(sh, h -> (19*h + 100003) % 999999999999989)) AS mh7
+        |  FROM f),
+        |bands AS (
+        |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+        |    || '_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bkey FROM m
+        |  UNION ALL
+        |  SELECT doc_id, '1_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+        |    || '_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM m),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN f sa ON sa.doc_id = doc_a
+        |  JOIN f sb ON sb.doc_id = doc_b),
+        |pairs AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |r AS (
+        |  SELECT src AS node, src AS reach FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.reach),
+        |lab AS (SELECT node AS doc_id, MIN(reach) AS keep FROM r GROUP BY node),
+        |surv AS (
+        |  SELECT c.doc_id, coalesce(l.keep, c.doc_id) AS keep_id,
+        |    CAST(c.doc_id = coalesce(l.keep, c.doc_id) AS BIGINT) AS is_kept
+        |  FROM corpus c LEFT JOIN lab l ON l.doc_id = c.doc_id),
+        |qw AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |qm AS (
+        |  SELECT doc_id, source, text, len(ws) AS n_tok,
+        |    len(list_filter(ws, x -> list_contains(['the','a','of','and','to'], x))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |    len(list_distinct(ws)) AS n_distinct
+        |  FROM qw),
+        |qq AS (
+        |  SELECT doc_id, source,
+        |    CAST(FLOOR(1000000 * (CASE WHEN n_tok = 0 OR length(text) = 0 THEN 0.0 ELSE
+        |      (CAST(n_distinct AS DOUBLE) / n_tok) * 0.5
+        |      + (CAST(n_stop AS DOUBLE) / n_tok) * 0.3
+        |      + (1.0 - CAST(n_punct AS DOUBLE) / length(text)) * 0.2 END)) AS BIGINT) AS q_micro
+        |  FROM qm),
+        |qs AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(q_micro) AS BIGINT) AS sum_micro
+        |       FROM qq GROUP BY source),
+        |qt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+        |              CAST(SUM(sum_micro) AS BIGINT) AS micro_total FROM qs),
+        |qb AS (SELECT source FROM qs, qt
+        |       WHERE CAST(sum_micro AS DECIMAL(38,0)) * n_total
+        |           < CAST(micro_total AS DECIMAL(38,0)) * n_docs)
+        |SELECT q.doc_id, q.source, q.q_micro,
+        |  CASE WHEN qb.source IS NOT NULL THEN 'blocked_source'
+        |       WHEN q.q_micro < 400000 THEN 'low_quality'
+        |       WHEN sv.is_kept = 0 THEN 'near_duplicate'
+        |       ELSE 'kept' END AS verdict,
+        |  sv.keep_id
+        |FROM qq q
+        |JOIN surv sv ON q.doc_id = sv.doc_id
+        |LEFT JOIN qb ON q.source = qb.source
+        |ORDER BY q.doc_id""".stripMargin,
     "dd_pipeline_survivors" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -1154,20 +1154,61 @@ object TextOps {
     * total; survivors materialize through a broadcast LEFT ANTI join
     * of the tiny blocklist against the corpus — the corpus itself is
     * never shuffled. */
-  def sourceBlocklistSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
-    val perDoc = docs(spark, sfDir)
+  /** Per-doc floored micro-unit quality — the shared scoring pass of
+    * the blocklist and the composite curation decision. */
+  private[graft] def qualityMicroPerDoc(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
       .select(col("doc_id"), col("source"),
         floor(compositeQuality * lit(1000000)).cast("long").as("q_micro"))
-    val bySrc = perDoc.groupBy("source")
+
+  /** The below-corpus-mean source set (see [[sourceBlocklistSurvivors]]
+    * for the exactness discipline) — |sources| rows, broadcastable. */
+  private[graft] def blockedSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySrc = qualityMicroPerDoc(spark, sfDir).groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("q_micro")).as("sum_micro"))
     val tot = bySrc.agg(sum(col("n_docs")).as("n_total"),
       sum(col("sum_micro")).as("micro_total"))
-    val blocked = bySrc.crossJoin(broadcast(tot))
+    bySrc.crossJoin(broadcast(tot))
       .filter(col("sum_micro").cast("decimal(38,0)") * col("n_total") <
         col("micro_total").cast("decimal(38,0)") * col("n_docs"))
       .select("source")
-    perDoc.join(broadcast(blocked), Seq("source"), "left_anti")
+  }
+
+  def sourceBlocklistSurvivors(spark: SparkSession, sfDir: String): DataFrame =
+    qualityMicroPerDoc(spark, sfDir)
+      .join(broadcast(blockedSources(spark, sfDir)), Seq("source"), "left_anti")
       .select("doc_id", "source", "q_micro")
+      .orderBy("doc_id")
+
+  /** The WHOLE curation decision in one query — the composite a
+    * training-data run actually publishes: every document of the
+    * source table gets ONE verdict under the standard precedence —
+    * (the dedup stage runs over the seeded dup corpus, whose verdicts
+    * project back onto the original ids through the join) —
+    * domain blocklist first (cheapest, whole-source), then the quality
+    * floor, then near-dup clustering (keep each cluster's min) — plus
+    * the replacement pointer for dropped near-dups. Composes
+    * [[blockedSources]] (broadcast, |sources| rows),
+    * [[qualityMicroPerDoc]] (row-local), and
+    * DedupOps.dedupSurvivors (LSH candidates → Jaccard verify → CC —
+    * never all-pairs). The corpus crosses only the dedup pipeline's
+    * own exchanges; blocklist and quality ride along as a broadcast
+    * join and a row-local projection. Verdict precedence is a single
+    * CASE, bit-identical in both engines. */
+  def trainingCorpusDecision(spark: SparkSession, sfDir: String,
+                             qualityFloorMicro: Long = 400000L): DataFrame = {
+    val surv = graft.operators.DedupOps.dedupSurvivors(spark, sfDir)
+      .select(col("doc_id"), col("keep_id"), col("is_kept"))
+    val blocked = blockedSources(spark, sfDir).withColumn("blocked", lit(1L))
+    qualityMicroPerDoc(spark, sfDir)
+      .join(surv, "doc_id")
+      .join(broadcast(blocked), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("q_micro"),
+        when(col("blocked").isNotNull, lit("blocked_source"))
+          .when(col("q_micro") < qualityFloorMicro, lit("low_quality"))
+          .when(col("is_kept") === 0L, lit("near_duplicate"))
+          .otherwise(lit("kept")).as("verdict"),
+        col("keep_id"))
       .orderBy("doc_id")
   }
 }

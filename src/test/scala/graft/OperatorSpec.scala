@@ -2420,6 +2420,33 @@ class OperatorSpec extends AnyFunSuite {
       s"patchify planned a data shuffle:\n$plan")
   }
 
+  test("training-corpus decision: total, precedence-consistent with its three components") {
+    import spark.implicits._
+    val got = TextOps.trainingCorpusDecision(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(got.length == nDocs, "one verdict per source document")
+    spark.catalog.clearCache()
+    val blocked = TextOps.blockedSources(spark, sf0001)
+      .as[String].collect().toSet
+    val quality = TextOps.qualityMicroPerDoc(spark, sf0001)
+      .select("doc_id", "q_micro").as[(Long, Long)].collect().toMap
+    val surv = DedupOps.dedupSurvivors(spark, sf0001)
+      .select("doc_id", "is_kept").as[(Long, Long)].collect().toMap
+    got.foreach { r =>
+      val (id, src) = (r.getAs[Long]("doc_id"), r.getAs[String]("source"))
+      val expect =
+        if (blocked(src)) "blocked_source"
+        else if (quality(id) < 400000L) "low_quality"
+        else if (surv(id) == 0L) "near_duplicate"
+        else "kept"
+      assert(r.getAs[String]("verdict") == expect, s"doc $id")
+    }
+    // all four verdict classes occur on this corpus
+    assert(got.map(_.getAs[String]("verdict")).toSet ==
+      Set("blocked_source", "low_quality", "near_duplicate", "kept"))
+    spark.catalog.clearCache()
+  }
+
   test("MAD outliers match the interpolated-median model and survive contamination") {
     import spark.implicits._
     def medOf(xs: Seq[Double]): Double = {
