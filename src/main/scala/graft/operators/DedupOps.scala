@@ -262,25 +262,37 @@ object DedupOps {
       .distinct()
       .repartition(col("u"))
       .localCheckpoint()
+    // TWO star rounds per materialized job (the ccLabels lesson: the
+    // per-action scheduling floor dominates these loops locally, and
+    // the lineage between checkpoints — two agg+join+distinct pairs —
+    // is safely re-computable). Each sub-round observes its own edge
+    // summary; equal summaries ACROSS the two sub-rounds of one job
+    // mean the second changed nothing — fixpoint, no extra confirming
+    // action needed.
+    def observed(e: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame =
+      e.observe(obs,
+        count(lit(1)).as("cnt"),
+        coalesce(sum(col("u").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("su"),
+        coalesce(sum(col("v").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("sv"))
+    def summary(obs: org.apache.spark.sql.Observation) =
+      (obs.get("cnt").asInstanceOf[Long],
+        obs.get("su").asInstanceOf[java.math.BigDecimal],
+        obs.get("sv").asInstanceOf[java.math.BigDecimal])
     var it = 0
     var converged = false
     var prev: Option[(Long, java.math.BigDecimal, java.math.BigDecimal)] = None
-    while (!converged && it < 50) {
+    while (!converged && it < 25) {
       it += 1
-      val obs = org.apache.spark.sql.Observation(s"ccstar_$it")
-      val next = smallStar(largeStar(edges))
-        .observe(obs,
-          count(lit(1)).as("cnt"),
-          coalesce(sum(col("u").cast("decimal(38,0)")),
-            lit(0).cast("decimal(38,0)")).as("su"),
-          coalesce(sum(col("v").cast("decimal(38,0)")),
-            lit(0).cast("decimal(38,0)")).as("sv"))
+      val o1 = org.apache.spark.sql.Observation(s"ccstar_${it}a")
+      val o2 = org.apache.spark.sql.Observation(s"ccstar_${it}b")
+      val next = observed(smallStar(largeStar(
+        observed(smallStar(largeStar(edges)), o1))), o2)
         .localCheckpoint()
-      val cur = (obs.get("cnt").asInstanceOf[Long],
-        obs.get("su").asInstanceOf[java.math.BigDecimal],
-        obs.get("sv").asInstanceOf[java.math.BigDecimal])
-      converged = prev.contains(cur)
-      prev = Some(cur)
+      val (s1, s2) = (summary(o1), summary(o2))
+      converged = s1 == s2 || prev.contains(s1)
+      prev = Some(s2)
       edges = next
     }
     // the converged star: every non-min node has exactly one edge to
