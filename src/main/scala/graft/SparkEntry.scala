@@ -203,6 +203,7 @@ object SparkEntry {
     // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
     "mm_patchify"              -> MultimodalOps.patchify _,
+    "mm_gif_header"            -> MultimodalOps.gifHeaderDecode _,
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
     "mm_png_ihdr"              -> MultimodalOps.pngIhdrDecode _,
     "mm_wav_header"            -> MultimodalOps.wavHeaderDecode _,
@@ -3682,6 +3683,32 @@ object SparkEntry {
         |  ('0x' || substr(h,87,2) || substr(h,85,2) || substr(h,83,2) || substr(h,81,2))::BIGINT * 1000
         |    // ('0x' || substr(h,63,2) || substr(h,61,2) || substr(h,59,2) || substr(h,57,2))::BIGINT AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+    // GIF89a decode: LE u16 geometry + the bit-packed flags byte split
+    // by div-mod (identical arithmetic both engines)
+    "mm_gif_header" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    from_hex('474946383961'
+        |      || substr(lpad(to_hex(16 + doc_id % 1009), 4, '0'), 3, 2)
+        |      || substr(lpad(to_hex(16 + doc_id % 1009), 4, '0'), 1, 2)
+        |      || substr(lpad(to_hex(16 + (doc_id * 13) % 997), 4, '0'), 3, 2)
+        |      || substr(lpad(to_hex(16 + (doc_id * 13) % 997), 4, '0'), 1, 2)
+        |      || lpad(to_hex(128 + (doc_id % 8) * 16 + doc_id % 7), 2, '0')
+        |      || lpad(to_hex(doc_id % 256), 2, '0')
+        |      || '00') || encode(text) AS payload
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |hx AS (SELECT doc_id, upper(hex(payload)) AS h,
+        |         octet_length(payload) AS n FROM m)
+        |SELECT doc_id,
+        |  substr(h, 1, 12) = '474946383961' AS sig_ok,
+        |  ('0x' || substr(h, 15, 2) || substr(h, 13, 2))::BIGINT AS width,
+        |  ('0x' || substr(h, 19, 2) || substr(h, 17, 2))::BIGINT AS height,
+        |  CAST(('0x' || substr(h, 21, 2))::BIGINT // 128 AS BIGINT) AS gct_flag,
+        |  CAST((('0x' || substr(h, 21, 2))::BIGINT // 16) % 8 AS BIGINT) AS color_res,
+        |  CAST(('0x' || substr(h, 21, 2))::BIGINT % 8 AS BIGINT) AS gct_size_exp,
+        |  ('0x' || substr(h, 23, 2))::BIGINT AS bg_color_idx,
+        |  CAST(n - 13 AS BIGINT) AS n_body_bytes
+        |FROM hx ORDER BY doc_id""".stripMargin,
     // 2D patchify: 4x4 tiles over the 16-byte-wide grid; strided gathers
     "mm_patchify" ->
       """WITH v AS (

@@ -242,6 +242,66 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Synthesized GIF table whose payloads carry a REAL GIF89a
+    * container prefix: 6-byte signature, little-endian u16 logical
+    * screen width/height, the PACKED flags byte (global-color-table
+    * flag in bit 7, color resolution in bits 4-6, GCT size exponent in
+    * bits 0-2 — one byte carrying three fields, the bit-unpacking
+    * exercise PNG/WAV don't have), background color index, aspect
+    * ratio 0, then the document text as stand-in body bytes. Built
+    * from hex/lpad/unhex expressions so the oracle rebuilds
+    * byte-identical blobs. */
+  def gifTable(spark: SparkSession, sfDir: String): DataFrame = {
+    def beHex(c: org.apache.spark.sql.Column, w: Int) = lpad(hex(c), w, "0")
+    def le16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val h = beHex(c, 4)
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val width = lit(16) + col("doc_id") % 1009
+    val height = lit(16) + (col("doc_id") * 13) % 997
+    // packed: GCT on, color resolution (doc_id%8), GCT size (doc_id%7)
+    val packed = lit(128) + (col("doc_id") % 8) * 16 + col("doc_id") % 7
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0) // the mediaTable "image" rows
+      .select(col("doc_id"),
+        concat(
+          unhex(concat(
+            lit("474946383961"),       // "GIF89a"
+            le16(width), le16(height),
+            beHex(packed, 2),
+            beHex(col("doc_id") % 256, 2), // background color index
+            lit("00"))),               // aspect ratio
+          col("text").cast("binary")).as("payload"))
+  }
+
+  /** REAL GIF89a header decode — the third container format next to
+    * PNG (big-endian) and WAV (little-endian), adding the BIT-PACKED
+    * flags byte: width/height as LE u16, then the packed byte split
+    * into GCT flag / color resolution / GCT size with pure div-mod
+    * arithmetic (no bit intrinsics needed, so the DuckDB oracle is the
+    * same expression). Row-local, codegen'd, zero shuffle — the
+    * routing pass before a real decoder, exactly like pngIhdrDecode. */
+  def gifHeaderDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = hex(col("payload"))
+    def bytes(startByte: Int, nBytes: Int) =
+      substring(h, (startByte - 1) * 2 + 1, nBytes * 2)
+    def le16(startByte: Int) =
+      conv(concat(bytes(startByte + 1, 1), bytes(startByte, 1)), 16, 10)
+        .cast("long")
+    val packed = conv(bytes(11, 1), 16, 10).cast("long")
+    gifTable(spark, sfDir).select(
+      col("doc_id"),
+      (bytes(1, 6) === lit("474946383961")).as("sig_ok"),
+      le16(7).as("width"),
+      le16(9).as("height"),
+      call_function("div", packed, lit(128L)).as("gct_flag"),
+      pmod(call_function("div", packed, lit(16L)), lit(8L)).as("color_res"),
+      pmod(packed, lit(8L)).as("gct_size_exp"),
+      conv(bytes(12, 1), 16, 10).cast("long").as("bg_color_idx"),
+      (length(col("payload")) - 13).cast("long").as("n_body_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling: treat the payload as n/16-byte "frames", emit every
     * ceil(n_frames/4)-th frame with its offset and content hash — the
     * generator shape of video keyframe extraction (1 row → ~4 rows,

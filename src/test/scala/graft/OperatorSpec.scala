@@ -2384,6 +2384,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF header decode: geometry and packed-byte fields round-trip the generator") {
+    val got = MultimodalOps.gifHeaderDecode(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("sig_ok"))
+      assert(r.getAs[Long]("width") == 16 + id % 1009)
+      assert(r.getAs[Long]("height") == 16 + (id * 13) % 997)
+      assert(r.getAs[Long]("gct_flag") == 1L)
+      assert(r.getAs[Long]("color_res") == id % 8)
+      assert(r.getAs[Long]("gct_size_exp") == id % 7)
+      assert(r.getAs[Long]("bg_color_idx") == id % 256)
+    }
+  }
+
   test("patchify: strided 4x4 tile gathers match the byte model; one exchange (the output sort) only") {
     import spark.implicits._
     val texts = Tables.documents(spark, sf0001)
