@@ -116,6 +116,7 @@ object SparkEntry {
     "evt_scd2_lookup"          -> EventOps.scd2Lookup _,
     "evt_weekly_change"        -> EventOps.weeklyChange _,
     "evt_mad_outliers"         -> EventOps.madOutliers _,
+    "evt_funnel_latency"       -> EventOps.funnelLatency _,
     "evt_first_last"           -> EventOps.firstLastPerUser _,
     "evt_range_frame"          -> EventOps.rolling1hSum _,
     "evt_topk_udaf"            -> EventOps.topEventsPerType _,
@@ -678,6 +679,37 @@ object SparkEntry {
         |FROM dev d JOIN mad m ON d.event_type = m.event_type
         |WHERE d.adev > 3.0 * m.mad
         |ORDER BY d.event_id""".stripMargin,
+    // funnel time-to-convert: per-transition latency stats off the
+    // strictly-later first-qualifying step timestamps
+    "evt_funnel_latency" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2, MIN(t1.t1) AS t1m
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3, MIN(t2.t2) AS t2m
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |  GROUP BY e.user_id),
+        |l2 AS (SELECT epoch_ms(t2) - epoch_ms(t1m) AS lat_ms FROM t2),
+        |l3 AS (SELECT epoch_ms(t3) - epoch_ms(t2m) AS lat_ms FROM t3),
+        |s2 AS (
+        |  SELECT '1_view_to_click' AS transition, COUNT(*) AS n_users,
+        |    MIN(lat_ms) AS min_ms, quantile_cont(lat_ms, 0.5) AS median_ms,
+        |    MAX(lat_ms) AS max_ms,
+        |    CAST(FLOOR(CAST(SUM(lat_ms) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_ms_floor
+        |  FROM l2),
+        |s3 AS (
+        |  SELECT '2_click_to_purchase' AS transition, COUNT(*) AS n_users,
+        |    MIN(lat_ms) AS min_ms, quantile_cont(lat_ms, 0.5) AS median_ms,
+        |    MAX(lat_ms) AS max_ms,
+        |    CAST(FLOOR(CAST(SUM(lat_ms) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_ms_floor
+        |  FROM l3)
+        |SELECT * FROM s2 UNION ALL SELECT * FROM s3 ORDER BY transition""".stripMargin,
     // Markov transitions: per-user lead pairs, row-conditional shares in
     // exact integer basis points (floor division)
     "evt_transition_matrix" ->

@@ -359,6 +359,43 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** Funnel TIME-TO-CONVERT: per-transition latency statistics for the
+    * view→click→purchase funnel — the "how long does each step take"
+    * companion of [[funnel]]'s "how many make it". Reuses the funnel's
+    * strictly-later step timestamps (first qualifying event per step
+    * per user), emits per-transition user counts with exact integer
+    * millisecond latencies: min / max / the 3-MAD-free median via the
+    * exact percentile (parity pinned by rel_median_price) / the exact
+    * integer mean in floored ms. All three step tables are user-keyed
+    * aggregates of the same scan; the final stats collapse to 2 rows.
+    * At 100 TB the per-user step tables are the only |users|-sized
+    * state, identical to the funnel itself. */
+  def funnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"), min(col("t1")).as("t1m"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2.select("user_id", "t2"), "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"), min(col("t2")).as("t2m"))
+    def stats(df: DataFrame, from: org.apache.spark.sql.Column,
+              to: org.apache.spark.sql.Column, name: String) = {
+      val lat = (unix_millis(to) - unix_millis(from)).as("lat_ms")
+      df.select(lat).agg(
+        lit(name).as("transition"),
+        count(lit(1)).as("n_users"),
+        min(col("lat_ms")).as("min_ms"),
+        percentile(col("lat_ms"), lit(0.5)).as("median_ms"),
+        max(col("lat_ms")).as("max_ms"),
+        floor(sum(col("lat_ms")) / count(lit(1))).cast("long").as("mean_ms_floor"))
+    }
+    stats(t2, col("t1m"), col("t2"), "1_view_to_click")
+      .unionAll(stats(t3, col("t2m"), col("t3"), "2_click_to_purchase"))
+      .orderBy("transition")
+  }
+
   /** Cohort retention: users grouped by the week of their first event,
     * counted as active in every week they appear — the engagement
     * matrix every product-analytics stack computes. Two aggregates
