@@ -979,7 +979,7 @@ object TextOps {
     * factors well under 2 (every DSIR bucket ratio collapses to 0);
     * sixteenths resolve factors down to ~4%. Exact while x < 2^52
     * (pow(2.0,e) exactness bound) — counts, at any corpus size. */
-  private def qlog2(x: Column): Column = {
+  private[graft] def qlog2(x: Column): Column = {
     val e = (length(bin(x)) - 1).cast("long")
     val p = floor(pow(lit(2.0), e)).cast("long")
     lit(16L) * e + call_function("div", (x - p) * 16, p)

@@ -180,6 +180,28 @@ class PropertySpec extends AnyFunSuite {
     rows.foreach { case (got, exp) => assert(got == exp) }
   }
 
+  test("qlog2: monotone, exact at powers of two, within 1.5 sixteenths of true 16*log2") {
+    import spark.implicits._
+    val xs = (Gen.listOfN(300, Gen.chooseNum(1L, 1L << 50)).sample.get ++
+      (0 to 50).map(1L << _) ++ Seq(1L, 2L, 3L, 5L, 7L, 1023L, 1025L)).distinct
+    val got = xs.toDF("x")
+      .select(col("x"), graft.operators.TextOps.qlog2(col("x")).as("q"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (x, q) =>
+      val t = 16.0 * math.log(x.toDouble) / math.log(2.0)
+      // log2 is concave, so the mantissa chord UNDERSHOOTS between
+      // powers of two by at most 0.0861 bits; the floor division can
+      // drop one more sixteenth: t - 2.5 <= q <= t
+      assert(q >= t - 2.5 && q <= t + 1e-6,
+        s"qlog2($x)=$q vs true $t")
+      if ((x & (x - 1)) == 0) // power of two: exact
+        assert(q == 16L * java.lang.Long.numberOfTrailingZeros(x))
+    }
+    val sorted = got.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+      "qlog2 must be monotone non-decreasing")
+  }
+
   test("dedup keys: distinct md5 implies distinct text (md5 injective on corpus)") {
     import spark.implicits._
     val texts = Gen.listOfN(60, Gen.alphaStr).sample.get.distinct
