@@ -147,6 +147,9 @@ object EventOps {
     * rows — the per-row share join touches only that bounded table. */
   def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // persisted: the ≤|types|² table feeds both the share join and the
+    // row-total aggregate — without the pin the second consumer re-runs
+    // the full corpus window pass (caller clearCache()s after the action)
     val trans = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("from_type"))
@@ -154,6 +157,7 @@ object EventOps {
       .filter(col("to_type").isNotNull)
       .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n_transitions"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = trans.groupBy("from_type")
       .agg(sum(col("n_transitions")).as("tot"))
     trans.join(tot, "from_type")
