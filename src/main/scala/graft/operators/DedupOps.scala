@@ -222,10 +222,13 @@ object DedupOps {
     * node itself at the min. Both are one agg + one equi-join + one
     * distinct over EDGES — the same per-round budget as a min-label
     * round — but the edge set contracts toward the final star instead
-    * of staying fixed. Convergence = the edge multiset is stable,
-    * detected by (count, Σu, Σv) DECIMAL(38,0) metrics riding each
-    * round's checkpoint job (same one-action-per-round shape as every
-    * other iterative operator here). At the fixpoint every non-minimum
+    * of staying fixed. Convergence = the edge multiset is stable: a
+    * (count, Σu, Σv) DECIMAL(38,0) fingerprint rides each checkpoint
+    * job as the cheap candidate signal, and a matching fingerprint is
+    * CONFIRMED by exact multiset equality before the loop trusts it —
+    * distinct edge sets can collide on all three sums, so the
+    * fingerprint alone is not a proof (see the loop comment for the
+    * soundness argument). At the fixpoint every non-minimum
     * node holds exactly one edge to its component minimum, so labels
     * read off the final edges with no propagation pass.
     *
@@ -265,10 +268,17 @@ object DedupOps {
     // TWO star rounds per materialized job (the ccLabels lesson: the
     // per-action scheduling floor dominates these loops locally, and
     // the lineage between checkpoints — two agg+join+distinct pairs —
-    // is safely re-computable). Each sub-round observes its own edge
-    // summary; equal summaries ACROSS the two sub-rounds of one job
-    // mean the second changed nothing — fixpoint, no extra confirming
-    // action needed.
+    // is safely re-computable). Convergence is detected in two tiers:
+    // the (count, Σu, Σv) fingerprint riding each checkpoint job is
+    // the CHEAP candidate signal, and — because distinct edge multisets
+    // can collide on all three sums — a matching fingerprint is then
+    // CONFIRMED by exact multiset equality (equal counts + one-sided
+    // exceptAll empty) before the loop trusts it. Consecutive equal
+    // checkpoints are a sound fixpoint: the star alternation's height
+    // potential strictly decreases until the final star forms, so a
+    // two-round identity can only occur at the star itself. The exact
+    // check costs one extra job ONLY on candidate rounds, never in
+    // steady state.
     def observed(e: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame =
       e.observe(obs,
         count(lit(1)).as("cnt"),
@@ -285,14 +295,13 @@ object DedupOps {
     var prev: Option[(Long, java.math.BigDecimal, java.math.BigDecimal)] = None
     while (!converged && it < 25) {
       it += 1
-      val o1 = org.apache.spark.sql.Observation(s"ccstar_${it}a")
-      val o2 = org.apache.spark.sql.Observation(s"ccstar_${it}b")
-      val next = observed(smallStar(largeStar(
-        observed(smallStar(largeStar(edges)), o1))), o2)
+      val obs = org.apache.spark.sql.Observation(s"ccstar_$it")
+      val next = observed(smallStar(largeStar(smallStar(largeStar(edges)))), obs)
         .localCheckpoint()
-      val (s1, s2) = (summary(o1), summary(o2))
-      converged = s1 == s2 || prev.contains(s1)
-      prev = Some(s2)
+      val cur = summary(obs)
+      if (prev.contains(cur))
+        converged = next.exceptAll(edges).limit(1).count() == 0
+      prev = Some(cur)
       edges = next
     }
     // the converged star: every non-min node has exactly one edge to

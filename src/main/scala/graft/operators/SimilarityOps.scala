@@ -725,19 +725,9 @@ object SimilarityOps {
     // is cheaper than the cache round-trip. The underlying vecs scan IS
     // shared: `e` above is persisted and Spark's cache manager
     // substitutes it into every identical sub-plan.
-    val codesW = pqCodeTableOf(pqScored(spark, sfDir))
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("s"), col("c")))).as("sc"))
-      .select(col("vec_id"),
-        transform(col("sc"), p => p.getField("c")).as("codes"))
-    val dt = pqScored(spark, sfDir).filter(col("vec_id") < 5)
-      .groupBy(col("vec_id").as("q_id"))
-      .agg(array_sort(collect_list(struct(
-        (col("s") * 16 + col("c")).as("k"), col("d").as("part")))).as("kp"))
-      .select(col("q_id"),
-        transform(col("kp"), p => p.getField("part")).as("parts"))
     val top = graft.functions.TopKAggregator.topKPairs(10)
-    ivfPqAdcScored(assignCent, qprobe, codesW, dt)
+    ivfPqAdcScored(assignCent, qprobe,
+      pqCodesWide(spark, sfDir), pqDistanceTables(spark, sfDir))
       .groupBy("q_id")
       .agg(top(col("vec_id"), col("score")).as("top"))
       .select(col("q_id"), posexplode(col("top")))
@@ -745,6 +735,26 @@ object SimilarityOps {
         col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
       .orderBy("q_id", "rn")
   }
+
+  /** Wide nibble-code table: one (vec_id, codes[8]) row per vector —
+    * shared feeder of [[ivfPqTopK]] and [[ivfPqRerank]] so the PQ
+    * layout can never diverge between the ADC stage and the rerank. */
+  private def pqCodesWide(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodeTableOf(pqScored(spark, sfDir))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("c")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), p => p.getField("c")).as("codes"))
+
+  /** Per-query 128-slot ADC distance tables keyed s·16+c, broadcast at
+    * the consumer — the other shared feeder (see [[pqCodesWide]]). */
+  private def pqDistanceTables(spark: SparkSession, sfDir: String): DataFrame =
+    pqScored(spark, sfDir).filter(col("vec_id") < 5)
+      .groupBy(col("vec_id").as("q_id"))
+      .agg(array_sort(collect_list(struct(
+        (col("s") * 16 + col("c")).as("k"), col("d").as("part")))).as("kp"))
+      .select(col("q_id"),
+        transform(col("kp"), p => p.getField("part")).as("parts"))
 
   /** The shared IVFADC candidate-scoring tail of [[ivfPqTopK]] and
     * [[ivfPqRerank]]: probe-cell candidates × nibble codes × broadcast
@@ -771,31 +781,31 @@ object SimilarityOps {
     * window runs over the bounded shortlist, never data. The PQ codes
     * answer "which 32", the raw vectors answer "in what order": full
     * recall cost is paid on 32 rows per query instead of the corpus. */
-  def ivfPqRerank(spark: SparkSession, sfDir: String,
-                  k: Int = 16, nprobe: Int = 2): DataFrame = {
+  /** The ADC top-`n` shortlist of [[ivfPqRerank]] — exposed so the
+    * spec can assert rerank containment against the REAL shortlist. */
+  private[graft] def ivfPqShortlist(spark: SparkSession, sfDir: String,
+                                    k: Int = 16, nprobe: Int = 2,
+                                    n: Int = 32): DataFrame = {
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = ivfCentroids(e, k)
     val assignCent = withNearestCentroid(e, cents).select("vec_id", "cent_id")
     val qprobe = queryProbes(e, cents, nprobe)
-    val codesW = pqCodeTableOf(pqScored(spark, sfDir))
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("s"), col("c")))).as("sc"))
-      .select(col("vec_id"),
-        transform(col("sc"), p => p.getField("c")).as("codes"))
-    val dt = pqScored(spark, sfDir).filter(col("vec_id") < 5)
-      .groupBy(col("vec_id").as("q_id"))
-      .agg(array_sort(collect_list(struct(
-        (col("s") * 16 + col("c")).as("k"), col("d").as("part")))).as("kp"))
-      .select(col("q_id"),
-        transform(col("kp"), p => p.getField("part")).as("parts"))
-    val short = graft.functions.TopKAggregator.topKPairs(32)
-    val shortlist = ivfPqAdcScored(assignCent, qprobe, codesW, dt)
+    val short = graft.functions.TopKAggregator.topKPairs(n)
+    ivfPqAdcScored(assignCent, qprobe,
+      pqCodesWide(spark, sfDir), pqDistanceTables(spark, sfDir))
       .groupBy("q_id")
       .agg(short(col("vec_id"), col("score")).as("top"))
       .select(col("q_id"), explode(col("top")).as("c"))
       .select(col("q_id"), col("c.id").as("vec_id"),
         col("c.score").as("adc_score"))
+  }
+
+  def ivfPqRerank(spark: SparkSession, sfDir: String,
+                  k: Int = 16, nprobe: Int = 2): DataFrame = {
+    val e = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shortlist = ivfPqShortlist(spark, sfDir, k, nprobe)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))

@@ -1161,10 +1161,15 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         floor(compositeQuality * lit(1000000)).cast("long").as("q_micro"))
 
-  /** The below-corpus-mean source set (see [[sourceBlocklistSurvivors]]
-    * for the exactness discipline) — |sources| rows, broadcastable. */
-  private[graft] def blockedSources(spark: SparkSession, sfDir: String): DataFrame = {
-    val bySrc = qualityMicroPerDoc(spark, sfDir).groupBy("source")
+  /** The below-corpus-mean source set over an ALREADY-SCORED per-doc
+    * frame (see [[sourceBlocklistSurvivors]] for the exactness
+    * discipline) — |sources| rows, broadcastable. Taking the scored
+    * DataFrame instead of re-deriving it lets every consumer pay the
+    * row-local quality pipeline (tokenize, distinct, regex) ONCE and
+    * share the persisted frame between the decision and the output
+    * projection. */
+  private[graft] def blockedSourcesOf(scored: DataFrame): DataFrame = {
+    val bySrc = scored.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("q_micro")).as("sum_micro"))
     val tot = bySrc.agg(sum(col("n_docs")).as("n_total"),
       sum(col("sum_micro")).as("micro_total"))
@@ -1174,11 +1179,19 @@ object TextOps {
       .select("source")
   }
 
-  def sourceBlocklistSurvivors(spark: SparkSession, sfDir: String): DataFrame =
-    qualityMicroPerDoc(spark, sfDir)
-      .join(broadcast(blockedSources(spark, sfDir)), Seq("source"), "left_anti")
+  private[graft] def blockedSources(spark: SparkSession, sfDir: String): DataFrame =
+    blockedSourcesOf(qualityMicroPerDoc(spark, sfDir))
+
+  def sourceBlocklistSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    // persisted: the scored frame feeds BOTH the blocklist decision and
+    // the survivor projection (caller clearCache()s after the action)
+    val scored = qualityMicroPerDoc(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored
+      .join(broadcast(blockedSourcesOf(scored)), Seq("source"), "left_anti")
       .select("doc_id", "source", "q_micro")
       .orderBy("doc_id")
+  }
 
   /** The WHOLE curation decision in one query — the composite a
     * training-data run actually publishes: every document of the
@@ -1199,8 +1212,12 @@ object TextOps {
                              qualityFloorMicro: Long = 400000L): DataFrame = {
     val surv = graft.operators.DedupOps.dedupSurvivors(spark, sfDir)
       .select(col("doc_id"), col("keep_id"), col("is_kept"))
-    val blocked = blockedSources(spark, sfDir).withColumn("blocked", lit(1L))
-    qualityMicroPerDoc(spark, sfDir)
+    // one quality pass shared by the blocklist and the output (persisted,
+    // caller clearCache()s — the oracle's qq CTE is computed once too)
+    val scored = qualityMicroPerDoc(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocked = blockedSourcesOf(scored).withColumn("blocked", lit(1L))
+    scored
       .join(surv, "doc_id")
       .join(broadcast(blocked), Seq("source"), "left")
       .select(col("doc_id"), col("source"), col("q_micro"),

@@ -264,8 +264,18 @@ object EventStreamOps {
       .select(facts("event_id"), facts("user_id"), facts("ts_ms"),
         dim("dim_version"), dim("dim_value"))
 
-  /** One key's newest version in the CDC target snapshot. */
-  final case class CdcVersion(value: Double, tsMs: Long, eventId: Long)
+  /** One key's newest version in the CDC target snapshot. Deleted keys
+    * KEEP a tombstone entry carrying the delete's (ts, event_id) — the
+    * high-water mark that stops a late-arriving older write from
+    * resurrecting the key (the standard compacted-log discipline;
+    * physically dropping the entry would forget when the delete
+    * happened). [[cdcSnapshot]] is the live view. */
+  final case class CdcVersion(value: Double, tsMs: Long, eventId: Long,
+                              tombstone: Boolean = false)
+
+  /** The live (non-tombstone) rows of a CDC target. */
+  def cdcSnapshot(target: scala.collection.Map[Long, CdcVersion]): Map[Long, CdcVersion] =
+    target.toMap.filter(!_._2.tombstone)
 
   /** Per-micro-batch CDC reduction — the streaming face of
     * EventOps.cdcApply's changelog semantics: collapse the batch to
@@ -292,15 +302,19 @@ object EventStreamOps {
     * snapshot: an incoming version applies only if it is NEWER than
     * what the target holds ((ts, event_id) order — replayed batches
     * lose every comparison, which is what makes checkpoint-recovery
-    * replays idempotent); a winning tombstone deletes the key. Swap
-    * this map for a Delta/Iceberg `MERGE INTO ... WHEN MATCHED AND
-    * source.ts > target.ts` and the same query runs against a
-    * lakehouse table. */
+    * replays idempotent). A winning tombstone is STORED, not removed:
+    * its (ts, event_id) high-water mark must keep outranking
+    * late-arriving older writes in FUTURE batches, or a stale update
+    * would resurrect the deleted key (streams deliver in arrival
+    * order, not event order). Swap this map for a Delta/Iceberg
+    * `MERGE INTO ... WHEN MATCHED AND source.ts > target.ts` and the
+    * same query runs against a lakehouse table whose deletes compact
+    * away only after the late-data horizon. */
   def applyCdcBatch(target: scala.collection.mutable.Map[Long, CdcVersion],
                     rows: Seq[(Long, CdcVersion, Boolean)]): Unit =
     rows.foreach { case (key, v, tomb) =>
       val newer = target.get(key).forall(cur =>
         v.tsMs > cur.tsMs || (v.tsMs == cur.tsMs && v.eventId > cur.eventId))
-      if (newer) { if (tomb) target.remove(key) else target.update(key, v) }
+      if (newer) target.update(key, v.copy(tombstone = tomb))
     }
 }

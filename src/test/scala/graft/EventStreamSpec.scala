@@ -204,7 +204,7 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         EventRow(10L, ts(5), 1L, "purchase", 1.0),
         EventRow(12L, ts(6), 2L, "purchase", 2.0))
       q.processAllAvailable()
-      assert(target.toMap == Map(
+      assert(EventStreamOps.cdcSnapshot(target) == Map(
         1L -> CdcVersion(10.0, ts(20).getTime, 11L),
         2L -> CdcVersion(2.0, ts(6).getTime, 12L)))
       // batch 2: a STALE update for user 1 (older than the snapshot —
@@ -214,16 +214,23 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         EventRow(14L, ts(30), 2L, "view", 0.0),
         EventRow(15L, ts(7), 3L, "purchase", 7.0))
       q.processAllAvailable()
-      assert(target.toMap == Map(
+      assert(EventStreamOps.cdcSnapshot(target) == Map(
         1L -> CdcVersion(10.0, ts(20).getTime, 11L),
         3L -> CdcVersion(7.0, ts(7).getTime, 15L)))
+      // batch 3: a LATE stale write for the tombstoned user 2 (older
+      // than the delete) must NOT resurrect the key — the stored
+      // tombstone's high-water mark outranks it
+      mem.addData(EventRow(16L, ts(25), 2L, "purchase", 42.0))
+      q.processAllAvailable()
+      assert(EventStreamOps.cdcSnapshot(target).get(2L).isEmpty,
+        "a stale write resurrected a tombstoned key")
       // replaying batch 2's reduction is a no-op (idempotent recovery)
       val replay = Seq(
         (1L, CdcVersion(99.0, ts(10).getTime, 13L), false),
         (2L, CdcVersion(0.0, ts(30).getTime, 14L), true),
         (3L, CdcVersion(7.0, ts(7).getTime, 15L), false))
       EventStreamOps.applyCdcBatch(target, replay)
-      assert(target.toMap == Map(
+      assert(EventStreamOps.cdcSnapshot(target) == Map(
         1L -> CdcVersion(10.0, ts(20).getTime, 11L),
         3L -> CdcVersion(7.0, ts(7).getTime, 15L)))
     } finally q.stop()

@@ -2565,6 +2565,12 @@ class OperatorSpec extends AnyFunSuite {
     val rr = SimilarityOps.ivfPqRerank(spark, sf0001).collect()
     assert(rr.nonEmpty)
     spark.catalog.clearCache()
+    // the REAL 32-wide ADC shortlist — rerank output must be a strict
+    // subset of it (full containment, not just overlap)
+    val shortlist = SimilarityOps.ivfPqShortlist(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    spark.catalog.clearCache()
     val adcTop = SimilarityOps.ivfPqTopK(spark, sf0001).collect()
       .groupBy(_.getAs[Long]("q_id")).view
       .mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
@@ -2573,10 +2579,12 @@ class OperatorSpec extends AnyFunSuite {
       val sorted = rows.sortBy(_.getAs[Long]("rn"))
       val scores = sorted.map(_.getAs[Double]("score"))
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
-      // the 32-wide shortlist contains the ADC top-10 by construction,
-      // so any pair the rerank DROPPED from it must have been demoted
-      // by the exact metric — and at least some ADC winners survive
       val kept = sorted.map(_.getAs[Long]("vec_id")).toSet
+      assert(kept.subsetOf(shortlist(q)),
+        s"rerank for query $q left the ADC shortlist: ${kept -- shortlist(q)}")
+      // the shortlist ⊇ ADC top-10, so ADC winners can only be demoted
+      // by the exact metric, never silently lost — some must survive
+      assert(adcTop(q).subsetOf(shortlist(q)))
       assert((kept intersect adcTop(q)).nonEmpty,
         s"rerank for query $q shares nothing with the ADC top-10")
     }
