@@ -208,6 +208,8 @@ object SparkEntry {
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
     "mm_png_ihdr"              -> MultimodalOps.pngIhdrDecode _,
     "mm_wav_header"            -> MultimodalOps.wavHeaderDecode _,
+    "mm_jpeg_sof"              -> MultimodalOps.jpegSofDecode _,
+    "mm_wav_pcm_stats"         -> MultimodalOps.wavPcmStats _,
     "mm_frame_sample"          -> MultimodalOps.frameSample _,
   )
 
@@ -3715,6 +3717,99 @@ object SparkEntry {
         |  ('0x' || substr(h,87,2) || substr(h,85,2) || substr(h,83,2) || substr(h,81,2))::BIGINT * 1000
         |    // ('0x' || substr(h,63,2) || substr(h,61,2) || substr(h,59,2) || substr(h,57,2))::BIGINT AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+    // mm_jpeg_sof: rebuild the byte-identical JFIF blobs, then run the
+    // SAME bounded segment walk — each hop's offset comes from the
+    // length field just parsed, so the oracle proves the data-dependent
+    // scan, not an offset table
+    "mm_jpeg_sof" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    from_hex(upper('FFD8'
+        |      || 'FFE00010' || '4A46494600' || '0101' || '00' || '0001' || '0001' || '0000'
+        |      || 'FFFE' || lpad(to_hex(doc_id % 23 + 2), 4, '0')
+        |      || repeat('41', CAST(doc_id % 23 AS INT))
+        |      || 'FFE1' || lpad(to_hex((doc_id * 7) % 17 + 2), 4, '0')
+        |      || repeat('58', CAST((doc_id * 7) % 17 AS INT))
+        |      || 'FFC0' || '0011' || '08'
+        |      || lpad(to_hex(16 + (doc_id * 11) % 2021), 4, '0')
+        |      || lpad(to_hex(16 + (doc_id * 3) % 1999), 4, '0')
+        |      || '03' || '012200' || '021101' || '031101'))
+        |      || encode(text) AS payload
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |hx AS (SELECT doc_id, upper(hex(payload)) AS h FROM j),
+        |w0 AS (SELECT *, CAST(3 AS BIGINT) AS off0 FROM hx),
+        |w1 AS (SELECT *, substr(h, CAST((off0-1)*2+1 AS INT), 4) AS m0,
+        |         off0 + 2 + ('0x' || substr(h, CAST((off0+1)*2+1 AS INT), 4))::BIGINT AS off1 FROM w0),
+        |w2 AS (SELECT *, substr(h, CAST((off1-1)*2+1 AS INT), 4) AS m1,
+        |         off1 + 2 + ('0x' || substr(h, CAST((off1+1)*2+1 AS INT), 4))::BIGINT AS off2 FROM w1),
+        |w3 AS (SELECT *, substr(h, CAST((off2-1)*2+1 AS INT), 4) AS m2,
+        |         off2 + 2 + ('0x' || substr(h, CAST((off2+1)*2+1 AS INT), 4))::BIGINT AS off3 FROM w2),
+        |w4 AS (SELECT *, substr(h, CAST((off3-1)*2+1 AS INT), 4) AS m3 FROM w3),
+        |s AS (SELECT *,
+        |  CASE WHEN m0 IN ('FFC0','FFC1','FFC2','FFC3') THEN off0
+        |       WHEN m1 IN ('FFC0','FFC1','FFC2','FFC3') THEN off1
+        |       WHEN m2 IN ('FFC0','FFC1','FFC2','FFC3') THEN off2
+        |       WHEN m3 IN ('FFC0','FFC1','FFC2','FFC3') THEN off3 END AS sof_off,
+        |  CASE WHEN m0 IN ('FFC0','FFC1','FFC2','FFC3') THEN CAST(0 AS BIGINT)
+        |       WHEN m1 IN ('FFC0','FFC1','FFC2','FFC3') THEN 1
+        |       WHEN m2 IN ('FFC0','FFC1','FFC2','FFC3') THEN 2
+        |       WHEN m3 IN ('FFC0','FFC1','FFC2','FFC3') THEN 3 END AS n_segments_skipped
+        |  FROM w4)
+        |SELECT doc_id,
+        |  substr(h, 1, 4) = 'FFD8' AS soi_ok,
+        |  sof_off IS NOT NULL AS sof_found,
+        |  n_segments_skipped,
+        |  sof_off,
+        |  substr(h, CAST((sof_off-1)*2+1 AS INT), 4) AS sof_marker,
+        |  ('0x' || substr(h, CAST((sof_off+3)*2+1 AS INT), 2))::BIGINT AS precision,
+        |  ('0x' || substr(h, CAST((sof_off+4)*2+1 AS INT), 4))::BIGINT AS height,
+        |  ('0x' || substr(h, CAST((sof_off+6)*2+1 AS INT), 4))::BIGINT AS width,
+        |  ('0x' || substr(h, CAST((sof_off+8)*2+1 AS INT), 2))::BIGINT AS n_components
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // mm_wav_pcm_stats: rebuild the byte-identical PCM blobs (md5-block
+    // bodies), decode the 64 LE s16 samples with the SAME byte slices,
+    // and fold the SAME integer features over the decoded list
+    "mm_wav_pcm_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    ([8000,16000,22050,44100,48000])[CAST(doc_id % 5 + 1 AS INT)] AS rate
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |g AS (
+        |  SELECT doc_id,
+        |    lpad(to_hex(rate), 8, '0') AS ra,
+        |    lpad(to_hex(rate * 2), 8, '0') AS br,
+        |    md5(text || '0') || md5(text || '1') || md5(text || '2')
+        |      || md5(text || '3') || md5(text || '4') || md5(text || '5')
+        |      || md5(text || '6') || md5(text || '7') AS bodyhex
+        |  FROM f),
+        |m AS (
+        |  SELECT doc_id,
+        |    from_hex(upper('52494646' || 'A4000000' || '57415645666D7420'
+        |      || '10000000' || '0100' || '0100'
+        |      || substr(ra,7,2) || substr(ra,5,2) || substr(ra,3,2) || substr(ra,1,2)
+        |      || substr(br,7,2) || substr(br,5,2) || substr(br,3,2) || substr(br,1,2)
+        |      || '0200' || '1000' || '64617461' || '80000000'
+        |      || bodyhex)) AS payload
+        |  FROM g),
+        |p AS (SELECT doc_id, upper(hex(payload)) AS h FROM m),
+        |r AS (SELECT doc_id, h,
+        |  list_transform(range(0, 64), i ->
+        |    ('0x' || substr(h, CAST((44 + 2*i)*2 + 1 AS INT), 2))::BIGINT
+        |    + 256 * ('0x' || substr(h, CAST((45 + 2*i)*2 + 1 AS INT), 2))::BIGINT) AS raw
+        |  FROM p),
+        |t AS (SELECT doc_id, h,
+        |  list_transform(raw, v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS s
+        |  FROM r)
+        |SELECT doc_id,
+        |  ('0x' || substr(h,55,2) || substr(h,53,2) || substr(h,51,2) || substr(h,49,2))::BIGINT AS sample_rate,
+        |  CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS sum_abs,
+        |  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak_abs,
+        |  CAST(list_sum(s) AS BIGINT) AS dc_sum,
+        |  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy_sq,
+        |  CAST(list_sum(list_transform(range(1, 64), i ->
+        |    CASE WHEN (s[CAST(i + 1 AS INT)] >= 0) <> (s[CAST(i AS INT)] >= 0)
+        |         THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+        |FROM t ORDER BY doc_id""".stripMargin,
     // GIF89a decode: LE u16 geometry + the bit-packed flags byte split
     // by div-mod (identical arithmetic both engines)
     "mm_gif_header" ->

@@ -242,6 +242,92 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Synthesized 16-bit mono PCM WAV table for SAMPLE-LEVEL decode:
+    * the canonical 44-byte header (sample rate still cycled per row)
+    * followed by exactly 128 body bytes = 64 little-endian signed
+    * 16-bit samples. Body bytes are eight chained md5 blocks of the
+    * document text, so the sample stream spans the full signed range
+    * (negatives, sign changes) — ASCII text bytes never clear bit 15,
+    * which would make sign handling and zero-crossing counting dead
+    * code. Pure md5/unhex/hex expressions: the oracle rebuilds
+    * byte-identical blobs. */
+  def pcmWavTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def beHex(c: Column, w: Int) = lpad(hex(c), w, "0")
+    def le32(c: Column): Column = {
+      val h = beHex(c, 8)
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val rate = element_at(array(wavRates.map(lit): _*),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val bodyHex = concat((0 until 8).map(k =>
+      upper(md5(concat(col("text"), lit(k.toString)).cast("binary")))): _*)
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1) // the mediaTable "audio" rows
+      .select(col("doc_id"),
+        unhex(concat(
+          lit("52494646"),          // "RIFF"
+          lit("A4000000"),          // chunk size = 36 + 128 (LE)
+          lit("57415645666D7420"),  // "WAVE" + "fmt "
+          lit("10000000"),          // subchunk1 size 16
+          lit("0100"),              // PCM
+          lit("0100"),              // mono
+          le32(rate),
+          le32(rate * 2),           // byte rate = rate * 1ch * 2B
+          lit("0200"),              // block align
+          lit("1000"),              // 16 bits/sample
+          lit("64617461"),          // "data"
+          lit("80000000"),          // data size = 128 (LE)
+          bodyHex)).as("payload"))
+  }
+
+  /** REAL PCM SAMPLE decode + audio feature extraction — the step past
+    * header parsing: read the 64 little-endian signed 16-bit samples
+    * out of the data chunk and compute the classic integer-exact
+    * routing features an audio-corpus curation pass gates on before a
+    * heavyweight model — mean-abs/sum-of-squares energy, peak, DC sum,
+    * and zero-crossing rate (the cheap voiced/unvoiced + silence
+    * discriminator). All arithmetic rides Spark's higher-order array
+    * expressions (transform/aggregate over the hex-sliced byte pairs):
+    * row-local, codegen-adjacent, zero shuffle at any corpus size, and
+    * exact BIGINT math both engines (64·32768² ≪ 2⁶³ — no overflow).
+    * Sign convention: a sample is "non-negative" at ≥ 0; a crossing is
+    * a flip of that predicate between adjacent samples. */
+  def wavPcmStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val rawSamples =
+      """transform(sequence(0, 63), i ->
+        |  CAST(conv(substr(h, (44 + 2*i)*2 + 1, 2), 16, 10) AS BIGINT)
+        |  + 256 * CAST(conv(substr(h, (45 + 2*i)*2 + 1, 2), 16, 10) AS BIGINT))
+        |""".stripMargin
+    pcmWavTable(spark, sfDir)
+      .withColumn("h", hex(col("payload")))
+      .withColumn("raw", expr(rawSamples))
+      // two's complement: bit 15 set → value - 2^16
+      .withColumn("s", expr(
+        "transform(raw, v -> IF(v >= 32768, v - 65536, v))"))
+      .select(
+        col("doc_id"),
+        // header + body decode in one pass: rate from the fmt chunk
+        expr("CAST(conv(concat(substr(h, 55, 2), substr(h, 53, 2), " +
+          "substr(h, 51, 2), substr(h, 49, 2)), 16, 10) AS BIGINT)")
+          .as("sample_rate"),
+        expr("aggregate(s, CAST(0 AS BIGINT), (a, x) -> a + abs(x))")
+          .as("sum_abs"),
+        expr("aggregate(s, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x)))")
+          .as("peak_abs"),
+        expr("aggregate(s, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("dc_sum"),
+        expr("aggregate(s, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+          .as("energy_sq"),
+        expr("aggregate(sequence(1, 63), CAST(0 AS BIGINT), (a, i) -> " +
+          "a + IF((element_at(s, CAST(i + 1 AS INT)) >= 0) != " +
+          "(element_at(s, CAST(i AS INT)) >= 0), " +
+          "CAST(1 AS BIGINT), CAST(0 AS BIGINT)))")
+          .as("zero_crossings"))
+      .orderBy("doc_id")
+  }
+
   /** Synthesized GIF table whose payloads carry a REAL GIF89a
     * container prefix: 6-byte signature, little-endian u16 logical
     * screen width/height, the PACKED flags byte (global-color-table
@@ -299,6 +385,106 @@ object MultimodalOps {
       pmod(packed, lit(8L)).as("gct_size_exp"),
       conv(bytes(12, 1), 16, 10).cast("long").as("bg_color_idx"),
       (length(col("payload")) - 13).cast("long").as("n_body_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** Synthesized JPEG table whose payloads carry a REAL JFIF prefix
+    * with VARIABLE-LENGTH segments ahead of the frame header: SOI,
+    * then a canonical 16-byte APP0/JFIF segment, then a COM comment
+    * segment and an APP1 segment whose payload lengths vary per row,
+    * then the SOF0 baseline frame header (precision, big-endian
+    * height/width, 3 components with standard 4:2:0 sampling
+    * factors), then the document text as stand-in entropy-coded
+    * bytes. Unlike PNG/GIF/WAV, the frame geometry does NOT sit at a
+    * fixed byte offset — a decoder must WALK the segment list reading
+    * each length field to find SOF0, which is exactly what
+    * [[jpegSofDecode]] does. Pure hex/lpad/repeat/unhex expressions,
+    * so the oracle rebuilds byte-identical blobs. */
+  def jpegTable(spark: SparkSession, sfDir: String): DataFrame = {
+    def beHex(c: org.apache.spark.sql.Column, w: Int) = lpad(hex(c), w, "0")
+    val height = lit(16) + (col("doc_id") * 11) % 2021
+    val width = lit(16) + (col("doc_id") * 3) % 1999
+    val comLen = col("doc_id") % 23         // COM payload bytes, 0..22
+    val app1Len = (col("doc_id") * 7) % 17  // APP1 payload bytes, 0..16
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0) // the mediaTable "image" rows
+      .select(col("doc_id"),
+        concat(
+          unhex(concat(
+            lit("FFD8"),                       // SOI
+            // APP0 "JFIF": len 16, id, version 1.1, units 0,
+            // density 1x1, no thumbnail
+            lit("FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+              "0001" + "0001" + "0000"),
+            lit("FFFE"), beHex(comLen + 2, 4), // COM, len counts itself
+            repeat(lit("41"), comLen.cast("int")),
+            lit("FFE1"), beHex(app1Len + 2, 4), // APP1 (Exif slot)
+            repeat(lit("58"), app1Len.cast("int")),
+            lit("FFC0"), lit("0011"),          // SOF0, len 17 = 2+1+2+2+1+3*3
+            lit("08"),                         // precision
+            beHex(height, 4), beHex(width, 4), // BE u16 geometry
+            lit("03"),                         // 3 components
+            lit("012200" + "021101" + "031101"))), // Y 4:2:0, Cb, Cr
+          col("text").cast("binary")).as("payload"))
+  }
+
+  /** REAL JPEG frame-header decode via a bounded SEGMENT WALK: start
+    * after SOI and repeatedly read (marker, big-endian u16 length) to
+    * hop over variable-length segments until an SOF marker appears —
+    * the offsets are DATA-DEPENDENT (each hop adds the length field
+    * just parsed), which is the qualitative step past the fixed-offset
+    * PNG/GIF/WAV decodes. The walk is unrolled to 4 probes (the JFIF
+    * prefix synthesized above needs exactly 3 hops; a real corpus pass
+    * would size the unroll to the marker budget it tolerates before
+    * routing to a full decoder — unparsed rows surface as sof_found =
+    * false rather than erroring). Everything is row-local
+    * substring/conv arithmetic in hex space inside whole-stage
+    * codegen: zero shuffle at any corpus size, and the oracle runs the
+    * SAME walk over the same rebuilt bytes.
+    *
+    * Ref: ISO/IEC 10918-1 B.1.1.4 (marker segment structure) — public
+    * spec; reference repo has no multimodal surface (SURVEY §2.2 EXT). */
+  def jpegSofDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val h = hex(col("payload")) // uppercase, 2 chars/byte
+    // 1-based byte offset (column-valued) → hex-space slices
+    def mrk(off: Column) = h.substr((off - 1) * 2 + 1, lit(4))
+    def beLen(off: Column) = // u16 length at off+2 (counts itself)
+      conv(h.substr((off + 1) * 2 + 1, lit(4)), 16, 10).cast("long")
+    def beAt(off: Column, nBytes: Int) =
+      conv(h.substr((off - 1) * 2 + 1, lit(nBytes * 2)), 16, 10).cast("long")
+    // SOF0-SOF3 (baseline/extended/progressive/lossless) all carry the
+    // same geometry layout
+    def isSof(m: Column) = m.isin("FFC0", "FFC1", "FFC2", "FFC3")
+    val walked = jpegTable(spark, sfDir)
+      .withColumn("off0", lit(3L))
+      .withColumn("m0", mrk(col("off0")))
+      .withColumn("off1", col("off0") + 2 + beLen(col("off0")))
+      .withColumn("m1", mrk(col("off1")))
+      .withColumn("off2", col("off1") + 2 + beLen(col("off1")))
+      .withColumn("m2", mrk(col("off2")))
+      .withColumn("off3", col("off2") + 2 + beLen(col("off2")))
+      .withColumn("m3", mrk(col("off3")))
+      .withColumn("sof_off",
+        when(isSof(col("m0")), col("off0"))
+          .when(isSof(col("m1")), col("off1"))
+          .when(isSof(col("m2")), col("off2"))
+          .when(isSof(col("m3")), col("off3")))
+      .withColumn("n_segments_skipped",
+        when(isSof(col("m0")), 0L).when(isSof(col("m1")), 1L)
+          .when(isSof(col("m2")), 2L).when(isSof(col("m3")), 3L))
+    val so = col("sof_off")
+    walked.select(
+      col("doc_id"),
+      (hex(col("payload")).substr(1, 4) === "FFD8").as("soi_ok"),
+      col("sof_off").isNotNull.as("sof_found"),
+      col("n_segments_skipped"),
+      col("sof_off"), // data-dependent: proves the walk, not an offset table
+      mrk(so).as("sof_marker"),
+      beAt(so + 4, 1).as("precision"),
+      beAt(so + 5, 2).as("height"),
+      beAt(so + 7, 2).as("width"),
+      beAt(so + 9, 1).as("n_components"))
       .orderBy("doc_id")
   }
 

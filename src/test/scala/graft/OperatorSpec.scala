@@ -2399,6 +2399,71 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG SOF walk: data-dependent offsets, geometry round-trips, plan narrow") {
+    val df = MultimodalOps.jpegSofDecode(spark, sf0001)
+    // row-local marker walk: no join/agg; only the presentation sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("soi_ok") && r.getAs[Boolean]("sof_found"))
+      assert(r.getAs[String]("sof_marker") == "FFC0")
+      // the walk hopped APP0 + COM + APP1 to reach SOF0
+      assert(r.getAs[Long]("n_segments_skipped") == 3L)
+      // sof_off = 3 (SOI) + 18 (APP0) + (4 + COM payload) + (4 + APP1
+      // payload): the offset the walk recovered from the LENGTH FIELDS
+      // equals the synthesized layout — data-dependent per row
+      val expectOff = 3L + 18L + 4L + id % 23 + 4L + (id * 7) % 17
+      assert(r.getAs[Long]("sof_off") == expectOff,
+        s"doc $id: sof_off ${r.getAs[Long]("sof_off")} != $expectOff")
+      assert(r.getAs[Long]("precision") == 8L)
+      assert(r.getAs[Long]("height") == 16 + (id * 11) % 2021)
+      assert(r.getAs[Long]("width") == 16 + (id * 3) % 1999)
+      assert(r.getAs[Long]("n_components") == 3L)
+    }
+    // the variable segments actually vary: more than one distinct offset
+    assert(rows.map(_.getAs[Long]("sof_off")).distinct.length > 1,
+      "synthesized corpus must exercise multiple SOF offsets")
+  }
+
+  test("WAV PCM decode: sample stream matches the byte model, features decisive, plan narrow") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 3 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val df = MultimodalOps.wavPcmStats(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      "sample decode must stay row-local")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def samplesOf(text: String): Array[Int] = {
+      val body = (0 until 8).flatMap { k =>
+        md.reset(); md.digest((text + k).getBytes("UTF-8"))
+      }.toArray
+      (0 until 64).map { i =>
+        val v = (body(2 * i) & 0xff) + 256 * (body(2 * i + 1) & 0xff)
+        if (v >= 32768) v - 65536 else v
+      }.toArray
+    }
+    val rows = df.collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val s = samplesOf(texts(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("sum_abs") == s.map(v => math.abs(v).toLong).sum)
+      assert(r.getAs[Long]("peak_abs") == s.map(math.abs).max.toLong)
+      assert(r.getAs[Long]("dc_sum") == s.map(_.toLong).sum)
+      assert(r.getAs[Long]("energy_sq") == s.map(v => v.toLong * v).sum)
+      assert(r.getAs[Long]("zero_crossings") ==
+        (1 until 64).count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toLong)
+    }
+    // md5 bodies make the sign logic live: crossings occur, negatives
+    // exist — on raw ASCII text bytes both would be structurally zero
+    assert(rows.exists(_.getAs[Long]("zero_crossings") > 0))
+    assert(rows.exists(_.getAs[Long]("dc_sum") < 0))
+  }
+
   test("patchify: strided 4x4 tile gathers match the byte model; one exchange (the output sort) only") {
     import spark.implicits._
     val texts = Tables.documents(spark, sf0001)
