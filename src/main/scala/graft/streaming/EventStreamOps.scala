@@ -317,4 +317,25 @@ object EventStreamOps {
         v.tsMs > cur.tsMs || (v.tsMs == cur.tsMs && v.eventId > cur.eventId))
       if (newer) target.update(key, v.copy(tombstone = tomb))
     }
+
+  /** O22 (rate limiting) — the engine-side form. The reference
+    * throttles by sleeping between fetches (index.py:176-178,
+    * DOWNLOAD_DELAY): a single-process politeness knob on the
+    * ingestion loop. In a distributed engine that knob is SOURCE
+    * ADMISSION CONTROL: cap what the unbounded source admits per
+    * micro-batch, so a backlog drains at a bounded, predictable rate
+    * instead of one giant catch-up batch that floods downstream state
+    * (and, for politeness proper, bounds the request rate any
+    * fetch-stage `foreachBatch` issues against an origin). The file
+    * source's `maxFilesPerTrigger` is that cap; the kafka twin is
+    * `maxOffsetsPerTrigger`. Downstream operators are untouched —
+    * throttling composes at the source boundary, exactly where the
+    * reference put its sleep. */
+  def throttledIngest(spark: SparkSession, dir: String, schema: StructType,
+                      maxFilesPerTrigger: Int): DataFrame = {
+    require(maxFilesPerTrigger > 0, s"cap must be positive: $maxFilesPerTrigger")
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+  }
 }

@@ -479,4 +479,32 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // is absent from the update — file a.json was NOT read again
     assert(sink2.toMap == Map(1L -> 3L), s"got ${sink2.toMap}")
   }
+
+  test("throttled ingest (O22): a 5-file backlog drains 2 files per micro-batch, never in one gulp") {
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("graft_throttle_in").toFile
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    // 5 single-row files, all present BEFORE the query starts — the
+    // catch-up scenario an unthrottled source would admit as one batch
+    (0 until 5).foreach { i =>
+      java.nio.file.Files.write(new java.io.File(in, s"f$i.json").toPath,
+        s"""{"user_id":$i,"event_type":"click"}""".getBytes)
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = EventStreamOps.throttledIngest(spark, in.getAbsolutePath, schema, 2)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = batch.count()
+        batchSizes.synchronized { batchSizes += n }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sizes = batchSizes.synchronized(batchSizes.filter(_ > 0).toList)
+    // admission control held every trigger: 1 row per file → ≤ 2
+    // rows per batch, and the backlog took ≥ 3 triggers to drain
+    assert(sizes.forall(_ <= 2L), s"a batch exceeded the cap: $sizes")
+    assert(sizes.length >= 3 && sizes.sum == 5L, s"got $sizes")
+  }
 }
