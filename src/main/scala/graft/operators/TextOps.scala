@@ -868,6 +868,70 @@ object TextOps {
       .limit(topN)
   }
 
+  /** BPE vocabulary TRAINING — the iterative loop whose single
+    * statistics pass is [[bpePairStats]] (Sennrich 2016, public): each
+    * round counts adjacent symbol-pair frequencies over the
+    * count-weighted word vocabulary, adopts the most frequent pair as
+    * the next merge rule (ties broken lexicographically — the
+    * determinism a distributed trainer needs), and APPLIES it to every
+    * word before the next round. The merge application is a greedy
+    * leftmost single pass, expressed as an `aggregate` fold over the
+    * symbol list: merge when the accumulator's last symbol is p1 and
+    * the current is p2. That fold IS exact BPE semantics — the merged
+    * symbol p1||p2 can never equal p1 (p2 is nonempty), so a fresh
+    * merge cannot spuriously chain within the same round, and runs of
+    * overlapping occurrences resolve left-to-right exactly like the
+    * reference implementation.
+    *
+    * Scale shape: the corpus collapses to the distinct-word vocabulary
+    * ONCE (the only corpus-sized shuffle); each round then touches
+    * |vocab| rows — one map-side-combined pair aggregate, a 1-row
+    * TakeOrdered argmax broadcast back, and a row-local fold —
+    * with `localCheckpoint` capping lineage exactly like the CC/BFS
+    * loops. At 100 TB the vocabulary is millions of rows against a
+    * trillion-token corpus: the loop body is ~6 orders of magnitude
+    * smaller than the input, which is why production BPE trainers use
+    * this layout. */
+  def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"need at least one merge round: $rounds")
+    val mergeFold =
+      """aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+        |  IF(size(acc) > 0 AND element_at(acc, size(acc)) = p1 AND x = p2,
+        |     concat(slice(acc, 1, size(acc) - 1), array(concat(p1, p2))),
+        |     concat(acc, array(x))))""".stripMargin
+    var vocab = docs(spark, sfDir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // explicit per-index char split: split(word, "") has engine- and
+      // JDK-version-dependent empty-tail behavior; substr does not
+      .select(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"), col("cnt"))
+      .localCheckpoint()
+    val learned = (1 to rounds).map { r =>
+      val best = vocab
+        .select(col("cnt"), explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("p1"),
+                element_at(col("syms"), i + 1).as("p2"))))
+            .otherwise(array().cast("array<struct<p1:string,p2:string>>")))
+          .as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("p1"), col("p2"))
+        .limit(1)
+        .localCheckpoint() // 1 row; pins the argmax so later unions don't re-run the agg
+      vocab = vocab
+        .crossJoin(broadcast(best.select("p1", "p2")))
+        .withColumn("syms", expr(mergeFold))
+        .select("syms", "cnt")
+        .localCheckpoint()
+      best.select(lit(r.toLong).as("round"), col("p1"), col("p2"),
+        concat(col("p1"), col("p2")).as("merged"), col("freq"))
+    }
+    learned.reduce(_.unionAll(_)).orderBy("round")
+  }
+
   /** Temperature-weighted mixture sampling (α = 1/2) — the pretraining
     * source-balancing op (public: multilingual sampling in the T5/mBERT
     * papers, p(s) ∝ mass(s)^α): sampling rates derive from per-source

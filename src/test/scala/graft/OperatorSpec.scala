@@ -2115,6 +2115,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("BPE training loop: 3 learned merges equal the brute-force greedy trainer") {
+    val toks = Tables.documents(spark, sf0001).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    def applyMerge(syms: List[String], p1: String, p2: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == p1 && x == p2)
+          acc.init :+ (p1 + p2)
+        else acc :+ x
+      }
+    var vocab: Seq[(List[String], Long)] = toks.groupBy(identity)
+      .map { case (w, ws) => w.map(_.toString).toList -> ws.length.toLong }.toSeq
+    val expected = (1 to 3).map { r =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => pc(p) += c)
+      }
+      val ((p1, p2), freq) = pc.toSeq
+        .sortBy { case ((a, b), f) => (-f, a, b) }.head
+      vocab = vocab.map { case (syms, c) => applyMerge(syms, p1, p2) -> c }
+      (r.toLong, p1, p2, p1 + p2, freq)
+    }
+    val got = TextOps.bpeMerges(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("p1"),
+        r.getAs[String]("p2"), r.getAs[String]("merged"),
+        r.getAs[Long]("freq"))).toSeq
+    assert(got == expected, s"got $got, want $expected")
+    // greedy application removes every (p1,p2) adjacency, so a rule
+    // can never be learned twice — three distinct rules proves each
+    // round trained on the vocabulary the previous round rewrote
+    assert(got.map(m => (m._2, m._3)).distinct.length == 3)
+  }
+
   test("bigram LM counts: c(w1,w2) and continuation counts equal the brute-force model") {
     val docTokens = Tables.documents(spark, sf0001).select("text").collect()
       .map(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty).toSeq)
