@@ -159,6 +159,7 @@ object SparkEntry {
     "txt_cms_terms"            -> TextOps.cmsTermCounts _,
     "txt_bpe_pairs"            -> ((s: SparkSession, d: String) => TextOps.bpePairStats(s, d)),
     "txt_bpe_merges"           -> ((s: SparkSession, d: String) => TextOps.bpeMerges(s, d)),
+    "txt_cdc_chunks"           -> TextOps.cdcChunks _,
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
     "txt_dsir_weights"         -> ((s: SparkSession, d: String) => TextOps.dsirWeights(s, d)),
@@ -2142,6 +2143,34 @@ object SparkEntry {
         |  FROM wc WHERE length(word) >= 2)
         |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq
         |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+    // content-defined chunking: boundaries where the 8-char rolling
+    // poly-hash hits 0 mod 64 — same fold as the engine's native
+    // poly_hash, recomputed per window
+    "txt_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        |  FROM documents WHERE length(text) >= 1),
+        |b AS (SELECT doc_id, text, n,
+        |  CASE WHEN n >= 8 THEN list_filter(list_transform(range(8, n + 1), p ->
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substr(text, CAST(p - 7 AS INT), 8), ''),
+        |          c -> ascii(c))),
+        |        (h, c) -> (h * 31 + c) % 1000000000000000) % 64 = 0
+        |      THEN p ELSE CAST(-1 AS BIGINT) END), p -> p > 0)
+        |  ELSE CAST([] AS BIGINT[]) END AS bnd FROM d),
+        |s AS (SELECT doc_id, text, n,
+        |  list_prepend(CAST(1 AS BIGINT), list_transform(bnd, p -> p + 1)) AS starts,
+        |  list_append(bnd, n) AS ends FROM b),
+        |e AS (SELECT doc_id, text,
+        |  unnest(range(1, len(starts) + 1)) AS ci, starts, ends FROM s),
+        |c AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, text,
+        |  starts[CAST(ci AS INT)] AS c_start,
+        |  ends[CAST(ci AS INT)] - starts[CAST(ci AS INT)] + 1 AS c_len
+        |  FROM e)
+        |SELECT doc_id, chunk_idx, c_start, c_len,
+        |  md5(substr(text, CAST(c_start AS INT), CAST(c_len AS INT))) AS chunk_md5
+        |FROM c WHERE c_len >= 1
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // BPE TRAINING loop, 3 rounds unrolled: per round the pair-count
     // argmax (freq DESC, pair ASC) becomes a merge rule, APPLIED to the
     // vocabulary by the same greedy leftmost fold as the engine — the

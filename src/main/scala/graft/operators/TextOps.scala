@@ -868,6 +868,47 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Content-defined chunking (FastCDC/LBFS family, public): chunk
+    * boundaries are set where a rolling hash of the trailing 8-char
+    * window hits 0 mod 64 — so boundaries are decided by CONTENT, not
+    * position, and an insertion early in a document shifts only the
+    * chunk it lands in while every later chunk keeps its hash
+    * (position-based fixed chunking would shift ALL downstream chunk
+    * fingerprints). That stability is why storage/transfer dedup for
+    * 100 TB data lakes chunks this way; the (doc, chunk_md5) table is
+    * the dedup index, expected chunk length = the 64 mask.
+    *
+    * The per-position window hash is the shared `poly_hash` expression
+    * (native codegen Spark-side, the same base-31 fold rendered to SQL
+    * oracle-side), recomputed per window — O(8·n) row-local work, no
+    * state across rows, zero shuffle except the presentation sort.
+    * Zero-length tail candidates (a boundary on the last char) are
+    * dropped identically by both engines. */
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val boundaries = when(length(col("text")) >= 8, expr(
+      """filter(transform(sequence(CAST(8 AS BIGINT), CAST(length(text) AS BIGINT)),
+        |  p -> IF(poly_hash(substr(text, CAST(p - 7 AS INT), 8)) % 64 = 0,
+        |          p, CAST(-1 AS BIGINT))), p -> p > 0)""".stripMargin))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    docs(spark, sfDir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"), boundaries.as("bnd"))
+      .withColumn("starts", concat(array(lit(1L)),
+        transform(col("bnd"), p => p + 1L)))
+      .withColumn("ends", concat(col("bnd"), array(col("n"))))
+      .withColumn("ci", explode(sequence(lit(1), size(col("starts")))))
+      .withColumn("c_start", element_at(col("starts"), col("ci")))
+      .withColumn("c_len",
+        element_at(col("ends"), col("ci")) - col("c_start") + 1L)
+      .filter(col("c_len") >= 1L)
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        col("c_start"), col("c_len"),
+        md5(expr("CAST(substr(text, CAST(c_start AS INT), CAST(c_len AS INT)) AS BINARY)"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** BPE vocabulary TRAINING — the iterative loop whose single
     * statistics pass is [[bpePairStats]] (Sennrich 2016, public): each
     * round counts adjacent symbol-pair frequencies over the

@@ -2115,6 +2115,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("content-defined chunks: match the rolling-hash model; prefix edits don't shift later fingerprints") {
+    val Mod = 1000000000000000L
+    def ph(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % Mod)
+    def chunksOf(t: String): Seq[(Long, Long, String)] = {
+      val n = t.length.toLong
+      val bnd = if (n >= 8) (8L to n).filter(p =>
+        ph(t.substring(p.toInt - 8, p.toInt)) % 64 == 0) else Seq.empty
+      val starts = 1L +: bnd.map(_ + 1)
+      val ends = bnd :+ n
+      val md = java.security.MessageDigest.getInstance("MD5")
+      starts.zip(ends).filter { case (s, e) => e - s + 1 >= 1 }.map { case (s, e) =>
+        md.reset()
+        val h = md.digest(t.substring(s.toInt - 1, e.toInt).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (s, e - s + 1, h)
+      }
+    }
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = TextOps.cdcChunks(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    texts.foreach { case (id, t) =>
+      val expect = chunksOf(t)
+      val g = got.getOrElse(id, Array.empty).sortBy(_.getAs[Long]("chunk_idx"))
+        .map(r => (r.getAs[Long]("c_start"), r.getAs[Long]("c_len"),
+          r.getAs[String]("chunk_md5"))).toSeq
+      assert(g == expect, s"doc $id: $g vs $expect")
+    }
+    // the content-defined property — the reason a dedup store chunks
+    // this way: perturbing the front of a document leaves every chunk
+    // after the first post-edit boundary with an IDENTICAL fingerprint
+    // (fixed-size chunking would shift all of them)
+    val sample = texts.values.filter(_.length > 200)
+      .find(t => chunksOf(t).length >= 3).get
+    val base = chunksOf(sample).map(_._3)
+    val edited = chunksOf("XYZ " + sample).map(_._3)
+    assert(base.toSet.intersect(edited.toSet).size >= base.length - 2,
+      "a prefix edit must preserve the fingerprints of later chunks")
+    // and boundaries actually fire: multiple chunks exist somewhere
+    assert(got.values.exists(_.length >= 3))
+  }
+
   test("BPE training loop: 3 learned merges equal the brute-force greedy trainer") {
     val toks = Tables.documents(spark, sf0001).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
