@@ -133,6 +133,7 @@ object SparkEntry {
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
     "graph_triangles"          -> ((s: SparkSession, d: String) => GraphOps.triangleCounts(s, d)),
+    "graph_clustering"         -> GraphOps.clusteringCoefficients _,
     // --- text analysis (LLM-pipeline EXT) ---
     "txt_token_stats"          -> TextOps.tokenStats _,
     "txt_quality"              -> TextOps.qualityScore _,
@@ -1507,6 +1508,40 @@ object SparkEntry {
         |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri)
         |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+    // local clustering coefficient: same oriented wedge join, per-node
+    // triangle corners outer-joined to the degree table, cc in floored
+    // basis points (degree-1 nodes emit 0)
+    "graph_clustering" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |n AS (SELECT COUNT(*) AS c FROM d),
+        |und AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM d, n
+        |  WHERE doc_id % 4 < 3 AND doc_id + 1 < c
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 FROM d, n
+        |  WHERE doc_id % 4 < 2 AND doc_id + 2 < c),
+        |deg AS (SELECT x, COUNT(*) AS dg FROM (
+        |  SELECT a AS x FROM und UNION ALL SELECT b FROM und) GROUP BY x),
+        |o AS (
+        |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+        |           THEN u.a ELSE u.b END AS lo,
+        |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+        |           THEN u.b ELSE u.a END AS hi
+        |  FROM und u JOIN deg da ON da.x = u.a JOIN deg db ON db.x = u.b),
+        |tri AS (
+        |  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+        |  JOIN und t ON t.a = LEAST(e1.hi, e2.hi) AND t.b = GREATEST(e1.hi, e2.hi)),
+        |tc AS (SELECT node, COUNT(*) AS n_tri FROM (
+        |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY node)
+        |SELECT deg.x AS node, CAST(deg.dg AS BIGINT) AS degree,
+        |  CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN deg.dg >= 2
+        |    THEN (2 * COALESCE(tc.n_tri, 0) * 10000) // (deg.dg * (deg.dg - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_bp
+        |FROM deg LEFT JOIN tc ON tc.node = deg.x
+        |ORDER BY node""".stripMargin,
     "graph_frontier_bfs" ->
       """WITH RECURSIVE
         |edges AS (

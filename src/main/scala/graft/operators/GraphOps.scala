@@ -157,7 +157,16 @@ object GraphOps {
     * Each triangle is enumerated exactly once (lo < mid < hi in
     * orientation order); per-node counts explode the three corners and
     * aggregate map-side. */
-  def triangleCounts(spark: SparkSession, sfDir: String, topN: Int = 20): DataFrame = {
+  def triangleCounts(spark: SparkSession, sfDir: String, topN: Int = 20): DataFrame =
+    perNodeTriangles(spark, sfDir)._2
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(topN)
+
+  /** Shared tail of the triangle family: (degree table, per-node
+    * triangle counts) over [[triEdges]]. Degree table is node-sized;
+    * triangle counts cover only nodes in ≥1 triangle (the callers
+    * outer-join back). */
+  private def perNodeTriangles(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val und = triEdges(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(explode(array(col("a"), col("b"))).as("x"))
@@ -181,10 +190,36 @@ object GraphOps {
         least(col("y"), col("z")) === col("a") &&
         greatest(col("y"), col("z")) === col("b"))
       .select(col("lo").as("x"), col("y"), col("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+    val counts = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("n_tri").desc, col("node"))
-      .limit(topN)
+    (deg, counts)
+  }
+
+  /** Local clustering coefficient per node — the standard "how much of
+    * a community sits around this node" graph statistic (Watts–Strogatz
+    * 1998, public): cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), emitted in
+    * floored BASIS POINTS so the division is exact integer arithmetic
+    * on both engines (the float quotient would be fold-order-safe here
+    * but the integer discipline keeps it hash-gated like every other
+    * ratio in the repo). Nodes in no triangle outer-join back with
+    * T = 0; degree-1 nodes have an undefined coefficient and emit 0.
+    *
+    * Scale shape: the O(m^1.5) oriented wedge join is shared with
+    * [[triangleCounts]]; everything after is node-sized (degree ⋈
+    * triangle-count is |V| rows — AQE broadcasts while it fits). For a
+    * dedup pair graph this is the query that separates genuine
+    * duplicate communities (cc → 1) from hub-spoke false-positive
+    * stars (cc → 0) before canonical selection. */
+  def clusteringCoefficients(spark: SparkSession, sfDir: String): DataFrame = {
+    val (deg, counts) = perNodeTriangles(spark, sfDir)
+    deg.join(counts, col("x") === col("node"), "left")
+      .select(col("x").as("node"), col("d").cast("long").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_bp", expr(
+        "CASE WHEN degree >= 2 THEN (2 * n_tri * 10000) DIV (degree * (degree - 1)) " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .orderBy("node")
   }
 
   /** BFS from doc 0, max depth 6: minimum-depth label per reachable node.

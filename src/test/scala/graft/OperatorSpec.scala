@@ -2019,6 +2019,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("clustering coefficients: brute-force cc over all nodes, zero-triangle nodes kept") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0))
+    val n = docs.length
+    val edges = docs.flatMap { i =>
+      Seq(1 -> 3, 2 -> 2).collect {
+        case (off, maxMod) if i % 4 < maxMod && i + off < n => (i, i + off) }
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def adjacent(a: Long, b: Long) = edges((a min b, a max b))
+    val nodes = deg.keys.toSeq.sorted
+    val triPerNode = nodes.map { v =>
+      val nb = nodes.filter(u => u != v && adjacent(u, v))
+      // triangles at v = adjacent neighbor pairs
+      v -> nb.combinations(2).count { case Seq(a, b) => adjacent(a, b) }.toLong
+    }.toMap
+    val got = GraphOps.clusteringCoefficients(spark, sf0001).collect()
+    assert(got.length == nodes.length, "every edge endpoint must emit a row")
+    got.foreach { r =>
+      val v = r.getAs[Long]("node")
+      val d = deg(v)
+      val t = triPerNode(v)
+      assert(r.getAs[Long]("degree") == d)
+      assert(r.getAs[Long]("n_tri") == t, s"node $v")
+      val cc = if (d >= 2) 2 * t * 10000 / (d * (d - 1)) else 0L
+      assert(r.getAs[Long]("cc_bp") == cc, s"node $v cc")
+    }
+    // decisive corpus: fully-closed neighborhoods and partial ones both
+    // occur (the block boundaries leave some neighbor pairs open)
+    assert(got.exists(_.getAs[Long]("cc_bp") == 10000L),
+      "some node must sit in a fully-closed neighborhood")
+    assert(got.exists(r => r.getAs[Long]("cc_bp") > 0L &&
+      r.getAs[Long]("cc_bp") < 10000L))
+  }
+
   test("temperature mixture: weights are isqrt of token mass, sampling matches the hash model") {
     val rows = TextOps.temperatureMixture(spark, sf0001).collect()
     assert(rows.nonEmpty)
