@@ -161,6 +161,7 @@ object SparkEntry {
     "txt_bpe_pairs"            -> ((s: SparkSession, d: String) => TextOps.bpePairStats(s, d)),
     "txt_bpe_merges"           -> ((s: SparkSession, d: String) => TextOps.bpeMerges(s, d)),
     "txt_cdc_chunks"           -> TextOps.cdcChunks _,
+    "txt_bpe_encode"           -> TextOps.bpeEncode _,
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
     "txt_dsir_weights"         -> ((s: SparkSession, d: String) => TextOps.dsirWeights(s, d)),
@@ -2178,6 +2179,74 @@ object SparkEntry {
         |  FROM wc WHERE length(word) >= 2)
         |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq
         |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+    // BPE ENCODE: train the same 3 rounds (word column carried through
+    // the lockstep folds), apply ALL three merges (f3/v4), then join the
+    // per-doc word stream to the encoded vocabulary for token accounting
+    "txt_bpe_encode" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+        |v1 AS (SELECT word, list_transform(range(1, length(word) + 1),
+        |         i -> substr(word, CAST(i AS INT), 1)) AS syms, cnt FROM wc),
+        |x1 AS (SELECT unnest(range(1, len(syms))) AS i, syms, cnt
+        |       FROM v1 WHERE len(syms) >= 2),
+        |c1 AS (SELECT syms[CAST(i AS INT)] AS p1, syms[CAST(i + 1 AS INT)] AS p2,
+        |         CAST(SUM(cnt) AS BIGINT) AS freq
+        |       FROM x1 GROUP BY 1, 2),
+        |b1 AS (SELECT p1, p2, freq FROM c1 ORDER BY freq DESC, p1, p2 LIMIT 1),
+        |f1 AS (
+        |  SELECT word, syms AS old, cnt, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM v1
+        |  UNION ALL
+        |  SELECT word, old, cnt, i + 1,
+        |    CASE WHEN len(acc) > 0 AND acc[len(acc)] = (SELECT p1 FROM b1)
+        |              AND old[i + 1] = (SELECT p2 FROM b1)
+        |         THEN list_append(acc[1:len(acc) - 1], (SELECT p1 || p2 FROM b1))
+        |         ELSE list_append(acc, old[i + 1]) END
+        |  FROM f1 WHERE i < len(old)),
+        |v2 AS (SELECT word, acc AS syms, cnt FROM f1 WHERE i = len(old)),
+        |x2 AS (SELECT unnest(range(1, len(syms))) AS i, syms, cnt
+        |       FROM v2 WHERE len(syms) >= 2),
+        |c2 AS (SELECT syms[CAST(i AS INT)] AS p1, syms[CAST(i + 1 AS INT)] AS p2,
+        |         CAST(SUM(cnt) AS BIGINT) AS freq
+        |       FROM x2 GROUP BY 1, 2),
+        |b2 AS (SELECT p1, p2, freq FROM c2 ORDER BY freq DESC, p1, p2 LIMIT 1),
+        |f2 AS (
+        |  SELECT word, syms AS old, cnt, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM v2
+        |  UNION ALL
+        |  SELECT word, old, cnt, i + 1,
+        |    CASE WHEN len(acc) > 0 AND acc[len(acc)] = (SELECT p1 FROM b2)
+        |              AND old[i + 1] = (SELECT p2 FROM b2)
+        |         THEN list_append(acc[1:len(acc) - 1], (SELECT p1 || p2 FROM b2))
+        |         ELSE list_append(acc, old[i + 1]) END
+        |  FROM f2 WHERE i < len(old)),
+        |v3 AS (SELECT word, acc AS syms, cnt FROM f2 WHERE i = len(old)),
+        |x3 AS (SELECT unnest(range(1, len(syms))) AS i, syms, cnt
+        |       FROM v3 WHERE len(syms) >= 2),
+        |c3 AS (SELECT syms[CAST(i AS INT)] AS p1, syms[CAST(i + 1 AS INT)] AS p2,
+        |         CAST(SUM(cnt) AS BIGINT) AS freq
+        |       FROM x3 GROUP BY 1, 2),
+        |b3 AS (SELECT p1, p2, freq FROM c3 ORDER BY freq DESC, p1, p2 LIMIT 1),
+        |f3 AS (
+        |  SELECT word, syms AS old, cnt, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM v3
+        |  UNION ALL
+        |  SELECT word, old, cnt, i + 1,
+        |    CASE WHEN len(acc) > 0 AND acc[len(acc)] = (SELECT p1 FROM b3)
+        |              AND old[i + 1] = (SELECT p2 FROM b3)
+        |         THEN list_append(acc[1:len(acc) - 1], (SELECT p1 || p2 FROM b3))
+        |         ELSE list_append(acc, old[i + 1]) END
+        |  FROM f3 WHERE i < len(old)),
+        |v4 AS (SELECT word, acc AS syms, cnt FROM f3 WHERE i = len(old)),
+        |docw AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(length(w.word)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(len(v4.syms)) AS BIGINT) AS n_tokens
+        |FROM docw w JOIN v4 ON v4.word = w.word
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // content-defined chunking: boundaries where the 8-char rolling
     // poly-hash hits 0 mod 64 — same fold as the engine's native
     // poly_hash, recomputed per window

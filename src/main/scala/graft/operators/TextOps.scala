@@ -933,7 +933,15 @@ object TextOps {
     * trillion-token corpus: the loop body is ~6 orders of magnitude
     * smaller than the input, which is why production BPE trainers use
     * this layout. */
-  def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame = {
+  def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame =
+    bpeTrain(spark, sfDir, rounds)._1.reduce(_.unionAll(_)).orderBy("round")
+
+  /** The training loop itself: returns (one 1-row merge DataFrame per
+    * round, final vocabulary (word, syms, cnt) with every learned merge
+    * applied). Shared by [[bpeMerges]] (the rule table) and
+    * [[bpeEncode]] (the apply side). */
+  private def bpeTrain(spark: SparkSession, sfDir: String,
+                       rounds: Int): (Seq[DataFrame], DataFrame) = {
     require(rounds >= 1, s"need at least one merge round: $rounds")
     val mergeFold =
       """aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) ->
@@ -945,7 +953,7 @@ object TextOps {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       // explicit per-index char split: split(word, "") has engine- and
       // JDK-version-dependent empty-tail behavior; substr does not
-      .select(transform(sequence(lit(1), length(col("word"))),
+      .select(col("word"), transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))).as("syms"), col("cnt"))
       .localCheckpoint()
     val learned = (1 to rounds).map { r =>
@@ -965,12 +973,35 @@ object TextOps {
       vocab = vocab
         .crossJoin(broadcast(best.select("p1", "p2")))
         .withColumn("syms", expr(mergeFold))
-        .select("syms", "cnt")
+        .select("word", "syms", "cnt")
         .localCheckpoint()
       best.select(lit(r.toLong).as("round"), col("p1"), col("p2"),
         concat(col("p1"), col("p2")).as("merged"), col("freq"))
     }
-    learned.reduce(_.unionAll(_)).orderBy("round")
+    (learned, vocab)
+  }
+
+  /** BPE ENCODE — the apply side of [[bpeMerges]]'s train side: rewrite
+    * the corpus with the learned rules and report per-document
+    * compression (chars → words → BPE tokens). Tokenization happens on
+    * the VOCABULARY (each distinct word is encoded once; the corpus
+    * joins to the |vocab|-sized (word → token count) table, which AQE
+    * broadcasts while it fits) — the same collapse that made training
+    * tractable makes inference a map-only pass at 100 TB. This is the
+    * "how many tokens is my corpus" accounting every pretraining-data
+    * budget starts from, with the trained-merge vocabulary rather than
+    * a whitespace proxy. */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = bpeTrain(spark, sfDir, 3)._2
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(vocab.select(col("word"),
+        length(col("word")).cast("long").as("nch"),
+        size(col("syms")).cast("long").as("nsym")), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("nch")).as("n_chars"),
+        sum(col("nsym")).as("n_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Temperature-weighted mixture sampling (α = 1/2) — the pretraining

@@ -2225,6 +2225,23 @@ class OperatorSpec extends AnyFunSuite {
     // can never be learned twice — three distinct rules proves each
     // round trained on the vocabulary the previous round rewrote
     assert(got.map(m => (m._2, m._3)).distinct.length == 3)
+
+    // the APPLY side: per-doc token accounting under the final vocabulary
+    val encVocab = vocab.map { case (syms, _) => syms.mkString -> syms.length }.toMap
+    val texts = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enc = TextOps.bpeEncode(spark, sf0001).collect()
+    assert(enc.length == texts.size)
+    enc.foreach { r =>
+      val ws = texts(r.getAs[Long]("doc_id")).toLowerCase.split(" ").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_words") == ws.length.toLong)
+      assert(r.getAs[Long]("n_chars") == ws.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("n_tokens") == ws.map(w => encVocab(w).toLong).sum)
+    }
+    // merges fired somewhere: the corpus compresses below its char count
+    assert(enc.exists(r => r.getAs[Long]("n_tokens") < r.getAs[Long]("n_chars")))
+    // and tokens never undershoot words (a word is >= 1 symbol)
+    assert(enc.forall(r => r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words")))
   }
 
   test("bigram LM counts: c(w1,w2) and continuation counts equal the brute-force model") {
