@@ -201,6 +201,7 @@ object SparkEntry {
     "sim_kmeans_step"          -> ((s: SparkSession, d: String) => SimilarityOps.kmeansStep(s, d)),
     "sim_int8_topk"            -> SimilarityOps.int8TopK _,
     "sim_binary_hamming"       -> SimilarityOps.binaryHammingTopK _,
+    "sim_knn_graph"            -> ((s: SparkSession, d: String) => SimilarityOps.knnGraph(s, d)),
     "sim_pq_codes"             -> SimilarityOps.pqCodes _,
     "sim_pq_recall"            -> SimilarityOps.pqRecall _,
     "sim_ivf_pq"               -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqTopK(s, d)),
@@ -3228,6 +3229,37 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rn
         |  FROM s)
         |SELECT q_id, vec_id, score, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // corpus-wide approximate k-NN graph: the SAME bucket construction
+    // as sim_lsh_ann, but every vector is an anchor (bucket self-join,
+    // pairs deduped across tables) and each keeps its top 4
+    "sim_knn_graph" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e0),
+        |tb AS (
+        |  SELECT vec_id, t,
+        |    CAST(list_sum(list_transform(range(0, 4), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |          j -> emb[j] * CAST((1 + (t*4+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          (x, y) -> x + y) >= 0
+        |      THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+        |  FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM tb a JOIN tb b ON a.t = b.t AND a.bkt = b.bkt
+        |  WHERE b.vec_id <> a.vec_id),
+        |s AS (
+        |  SELECT a_id, b_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(ae.emb)+1),
+        |      i -> ae.emb[i] * be.emb[i])), (x, y) -> x + y) / (ae.nrm * be.nrm) AS score
+        |  FROM cand
+        |  JOIN n ae ON ae.vec_id = cand.a_id
+        |  JOIN n be ON be.vec_id = cand.b_id),
+        |r AS (
+        |  SELECT a_id, b_id, score,
+        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY score DESC, b_id) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT a_id, b_id, score, rn FROM r WHERE rn <= 4 ORDER BY a_id, rn""".stripMargin,
     "sim_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,

@@ -178,6 +178,54 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
+  /** Corpus-wide approximate k-NN GRAPH — every vector gets its top-k
+    * approximate neighbors, not just a query batch: the structure that
+    * seeds graph-based ANN indexes (NN-Descent/HNSW construction starts
+    * from exactly this), drives SemDeDup-style semantic clustering, and
+    * feeds diversity-aware sampling. Candidates come from the same
+    * multi-table hyperplane-LSH buckets as [[lshAnnTopK]] (a
+    * bucket-keyed SELF-join — never all pairs), deduped across tables
+    * before any payload moves, scored once per surviving pair, and
+    * ranked per anchor through the bounded TopK aggregator (k rows per
+    * partition cross the exchange — a window over candidates would
+    * shuffle every scored pair into per-anchor sort groups).
+    *
+    * Scale: candidate volume is Σ_buckets |b|² per table; `bits` is the
+    * knob that keeps expected bucket size constant as the corpus grows
+    * (production sizes bits ≈ log₂(N / target bucket) — 4 bits suits
+    * the test corpus; nothing else changes). Hot buckets are the usual
+    * AQE-skew story. The payload join ships one 64-double embedding per
+    * pair side; at 100 TB the vector table is bucketed on vec_id so
+    * both payload joins co-locate. */
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 4,
+               tables: Int = 8, bits: Int = 4): DataFrame = {
+    val e = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eb = e.select(col("vec_id"), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), hyperplaneBucket(col("emb"), t, bits).as("bkt"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val cand = eb.select(col("vec_id").as("a_id"), col("t"), col("bkt"))
+      .join(eb.select(col("vec_id").as("b_id"), col("t"), col("bkt")),
+        Seq("t", "bkt"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val top = graft.functions.TopKAggregator.topKPairs(k)
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosinePre(col("a_emb"), col("a_nrm"), col("b_emb"), col("b_nrm"))
+          .as("score"))
+      .groupBy("a_id")
+      .agg(top(col("b_id"), col("score")).as("top"))
+      .select(col("a_id"), posexplode(col("top")))
+      .select(col("a_id"), col("col.id").as("b_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("a_id", "rn")
+  }
+
   /** Fixed-size IVF codebook: the `k` vectors with the smallest
     * multiplicative hash of vec_id (ties by vec_id) — a deterministic
     * unbiased sample whose SIZE is independent of the corpus, so

@@ -2019,6 +2019,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("kNN graph: bounded-aggregator plan, valid per-anchor ranking, recall vs exact neighbors") {
+    import spark.implicits._
+    val df = SimilarityOps.knnGraph(spark, sf0001)
+    // per-anchor ranking must come from the bounded TopK aggregator —
+    // a rank window would shuffle every scored candidate pair
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"kNN graph planned a rank window:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // ranking is well-formed: rn dense from 1, scores non-increasing
+    rows.groupBy(_.getAs[Long]("a_id")).foreach { case (a, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y }, s"anchor $a")
+      assert(!sorted.exists(_.getAs[Long]("b_id") == a), "self-edge")
+    }
+    // quality: average recall@4 against the exact cosine top-4
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = e.map { case (id, v) =>
+      id -> e.filter(_._1 != id).map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, s) => (-s, j) }.take(4).map(_._1).toSet
+    }.toMap
+    val hits = rows.groupBy(_.getAs[Long]("a_id")).toSeq.map { case (a, rs) =>
+      rs.map(_.getAs[Long]("b_id")).count(exact(a)).toDouble / 4.0
+    }
+    val recall = hits.sum / hits.length
+    assert(recall >= 0.5, f"kNN-graph recall@4 too low: $recall%.3f")
+  }
+
   test("clustering coefficients: brute-force cc over all nodes, zero-triangle nodes kept") {
     val docs = Tables.documents(spark, sf0001).select("doc_id").collect()
       .map(_.getLong(0))
