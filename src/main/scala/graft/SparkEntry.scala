@@ -215,6 +215,7 @@ object SparkEntry {
     "mm_wav_header"            -> MultimodalOps.wavHeaderDecode _,
     "mm_jpeg_sof"              -> MultimodalOps.jpegSofDecode _,
     "mm_wav_pcm_stats"         -> MultimodalOps.wavPcmStats _,
+    "mm_mp4_boxes"             -> MultimodalOps.mp4BoxDecode _,
     "mm_frame_sample"          -> MultimodalOps.frameSample _,
   )
 
@@ -4030,6 +4031,66 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(1, 64), i ->
         |    CASE WHEN (s[CAST(i + 1 AS INT)] >= 0) <> (s[CAST(i AS INT)] >= 0)
         |         THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // mm_mp4_boxes: rebuild the byte-identical ISO BMFF blobs, then run
+    // the SAME size-field box walk — moov/mdat located by TYPE at
+    // data-dependent offsets, mvhd geometry parsed from inside moov,
+    // structural end == payload length verified
+    "mm_mp4_boxes" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, doc_id % 19 AS fl,
+        |    ([600,1000,12288,44100,90000])[CAST(doc_id % 5 + 1 AS INT)] AS ts
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |g AS (SELECT doc_id, text, fl, ts,
+        |        (doc_id * 37) % 100000 + ts AS dur FROM f),
+        |m AS (SELECT doc_id,
+        |  from_hex(upper('00000014' || '66747970' || '69736F6D' || '00000200' || '6D703431'
+        |    || lpad(to_hex(fl + 8), 8, '0') || '66726565'
+        |    || repeat('41', CAST(fl AS INT))
+        |    || '00000074' || '6D6F6F76'
+        |    || '0000006C' || '6D766864' || '00000000'
+        |    || '00000000' || '00000000'
+        |    || lpad(to_hex(ts), 8, '0') || lpad(to_hex(dur), 8, '0')
+        |    || '00010000' || '0100' || '0000'
+        |    || '0000000000000000'
+        |    || '00010000' || '00000000' || '00000000'
+        |    || '00000000' || '00010000' || '00000000'
+        |    || '00000000' || '00000000' || '40000000'
+        |    || '000000000000000000000000' || '000000000000000000000000'
+        |    || '00000002'
+        |    || lpad(to_hex(octet_length(encode(text)) + 8), 8, '0') || '6D646174'))
+        |    || encode(text) AS payload
+        |  FROM g),
+        |p AS (SELECT doc_id, upper(hex(payload)) AS h,
+        |        octet_length(payload) AS n FROM m),
+        |w0 AS (SELECT *, CAST(1 AS BIGINT) AS off0 FROM p),
+        |w1 AS (SELECT *, off0 + ('0x' || substr(h, CAST((off0-1)*2+1 AS INT), 8))::BIGINT AS off1 FROM w0),
+        |w2 AS (SELECT *, off1 + ('0x' || substr(h, CAST((off1-1)*2+1 AS INT), 8))::BIGINT AS off2 FROM w1),
+        |w3 AS (SELECT *, off2 + ('0x' || substr(h, CAST((off2-1)*2+1 AS INT), 8))::BIGINT AS off3 FROM w2),
+        |w4 AS (SELECT *, off3 + ('0x' || substr(h, CAST((off3-1)*2+1 AS INT), 8))::BIGINT AS end4 FROM w3),
+        |s AS (SELECT *,
+        |  CASE WHEN substr(h, CAST((off0+3)*2+1 AS INT), 8) = '6D6F6F76' THEN off0
+        |       WHEN substr(h, CAST((off1+3)*2+1 AS INT), 8) = '6D6F6F76' THEN off1
+        |       WHEN substr(h, CAST((off2+3)*2+1 AS INT), 8) = '6D6F6F76' THEN off2
+        |       WHEN substr(h, CAST((off3+3)*2+1 AS INT), 8) = '6D6F6F76' THEN off3 END AS moov_off,
+        |  CASE WHEN substr(h, CAST((off0+3)*2+1 AS INT), 8) = '6D646174' THEN off0
+        |       WHEN substr(h, CAST((off1+3)*2+1 AS INT), 8) = '6D646174' THEN off1
+        |       WHEN substr(h, CAST((off2+3)*2+1 AS INT), 8) = '6D646174' THEN off2
+        |       WHEN substr(h, CAST((off3+3)*2+1 AS INT), 8) = '6D646174' THEN off3 END AS mdat_off
+        |  FROM w4),
+        |t AS (SELECT doc_id, h, n, end4, moov_off, mdat_off,
+        |  ('0x' || substr(h, CAST((moov_off+27)*2+1 AS INT), 8))::BIGINT AS timescale,
+        |  ('0x' || substr(h, CAST((moov_off+31)*2+1 AS INT), 8))::BIGINT AS duration
+        |  FROM s)
+        |SELECT doc_id,
+        |  substr(h, 9, 8) = '66747970' AS ftyp_ok,
+        |  decode(from_hex(substr(h, 17, 8))) AS major_brand,
+        |  end4 - 1 = n AS sizes_ok,
+        |  moov_off,
+        |  substr(h, CAST((moov_off+11)*2+1 AS INT), 8) = '6D766864' AS mvhd_ok,
+        |  timescale, duration,
+        |  ('0x' || substr(h, CAST((mdat_off-1)*2+1 AS INT), 8))::BIGINT - 8 AS n_media_bytes,
+        |  (duration * 1000) // timescale AS duration_ms
         |FROM t ORDER BY doc_id""".stripMargin,
     // GIF89a decode: LE u16 geometry + the bit-packed flags byte split
     // by div-mod (identical arithmetic both engines)

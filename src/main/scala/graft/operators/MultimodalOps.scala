@@ -488,6 +488,103 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Synthesized MP4 (ISO BMFF) table: a structurally-exact top-level
+    * box sequence — `ftyp` (major brand isom, compatible mp41), a
+    * VARIABLE-LENGTH `free` box (making every later box offset
+    * data-dependent), `moov` containing a complete 108-byte version-0
+    * `mvhd` movie header (timescale cycled through the common video/
+    * audio clocks, duration derived per row; rate/volume/matrix at
+    * their spec'd constants), and an `mdat` whose size field counts
+    * the document text standing in for media data. Pure
+    * hex/lpad/repeat/unhex expressions so the oracle rebuilds
+    * byte-identical blobs.
+    *
+    * Ref: ISO/IEC 14496-12 §4.2 (box structure), §8.2.2 (mvhd) —
+    * public spec; reference repo has no multimodal surface. */
+  def mp4Table(spark: SparkSession, sfDir: String): DataFrame = {
+    def beHex(c: org.apache.spark.sql.Column, w: Int) = lpad(hex(c), w, "0")
+    val freeLen = col("doc_id") % 19 // free payload bytes, 0..18
+    val timescale = element_at(
+      array(Seq(600L, 1000L, 12288L, 44100L, 90000L).map(lit): _*),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val duration = (col("doc_id") * 37) % 100000 + timescale
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2) // the mediaTable "video" rows
+      .select(col("doc_id"),
+        concat(
+          unhex(concat(
+            // ftyp: size 20, brand isom, minor 0x200, compatible mp41
+            lit("00000014" + "66747970" + "69736F6D" + "00000200" + "6D703431"),
+            beHex(freeLen + 8, 8), lit("66726565"),      // free box
+            repeat(lit("41"), freeLen.cast("int")),
+            lit("00000074" + "6D6F6F76"),                // moov: 8 + 108
+            lit("0000006C" + "6D766864" + "00000000"),   // mvhd v0
+            lit("00000000" + "00000000"),                // creation/modification
+            beHex(timescale, 8), beHex(duration, 8),
+            lit("00010000" + "0100" + "0000"),           // rate 1.0, volume 1.0, reserved
+            lit("0000000000000000"),                     // reserved (8)
+            lit("00010000" + "00000000" + "00000000" +   // unity matrix
+              "00000000" + "00010000" + "00000000" +
+              "00000000" + "00000000" + "40000000"),
+            lit("000000000000000000000000" +
+              "000000000000000000000000"),               // pre_defined (24)
+            lit("00000002"),                             // next_track_ID
+            beHex(length(col("text").cast("binary")) + 8, 8),
+            lit("6D646174"))),                           // mdat
+          col("text").cast("binary")).as("payload"))
+  }
+
+  /** REAL MP4 box walk — the video-container member of the walked-
+    * decode family (JPEG walks marker segments; this walks the ISO
+    * BMFF box list): hop top-level boxes by their big-endian u32 size
+    * fields (the `free` box makes every offset past the first
+    * data-dependent), locate `moov` by TYPE not position, descend into
+    * its `mvhd` child for the movie timescale/duration, locate `mdat`
+    * for the media byte count, and verify the walk consumed exactly
+    * the payload (`sizes_ok` — the structural-integrity check a
+    * corpus-curation pass gates on before handing the file to a
+    * demuxer). Row-local substring/conv arithmetic in hex space,
+    * zero shuffle; duration_ms derives from the PARSED timescale and
+    * duration only. */
+  def mp4BoxDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val h = hex(col("payload"))
+    def be(off: Column, nBytes: Int) =
+      conv(h.substr((off - 1) * 2 + 1, lit(nBytes * 2)), 16, 10).cast("long")
+    def typ(off: Column) = h.substr((off + 3) * 2 + 1, lit(8)) // bytes off+4..off+7
+    val FTYP = "66747970"; val MOOV = "6D6F6F76"
+    val MDAT = "6D646174"; val MVHD = "6D766864"
+    val walked = mp4Table(spark, sfDir)
+      .withColumn("off0", lit(1L))
+      .withColumn("off1", col("off0") + be(col("off0"), 4))
+      .withColumn("off2", col("off1") + be(col("off1"), 4))
+      .withColumn("off3", col("off2") + be(col("off2"), 4))
+      .withColumn("end4", col("off3") + be(col("off3"), 4))
+      .withColumn("moov_off",
+        when(typ(col("off0")) === MOOV, col("off0"))
+          .when(typ(col("off1")) === MOOV, col("off1"))
+          .when(typ(col("off2")) === MOOV, col("off2"))
+          .when(typ(col("off3")) === MOOV, col("off3")))
+      .withColumn("mdat_off",
+        when(typ(col("off0")) === MDAT, col("off0"))
+          .when(typ(col("off1")) === MDAT, col("off1"))
+          .when(typ(col("off2")) === MDAT, col("off2"))
+          .when(typ(col("off3")) === MDAT, col("off3")))
+    val m = col("moov_off") + 8 // mvhd box start inside moov
+    walked.select(
+      col("doc_id"),
+      (typ(col("off0")) === FTYP).as("ftyp_ok"),
+      decode(unhex(h.substr(17, 8)), "UTF-8").as("major_brand"),
+      (col("end4") - 1 === length(col("payload"))).as("sizes_ok"),
+      col("moov_off"), // data-dependent: proves the size-field walk
+      (typ(m) === MVHD).as("mvhd_ok"),
+      be(m + 20, 4).as("timescale"),
+      be(m + 24, 4).as("duration"),
+      (be(col("mdat_off"), 4) - 8).as("n_media_bytes"))
+      .withColumn("duration_ms", expr("(duration * 1000) DIV timescale"))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling: treat the payload as n/16-byte "frames", emit every
     * ceil(n_frames/4)-th frame with its offset and content hash — the
     * generator shape of video keyframe extraction (1 row → ~4 rows,

@@ -2595,6 +2595,33 @@ class OperatorSpec extends AnyFunSuite {
       "synthesized corpus must exercise multiple SOF offsets")
   }
 
+  test("MP4 box walk: data-dependent moov/mdat offsets, mvhd geometry round-trips, sizes consume the payload") {
+    val df = MultimodalOps.mp4BoxDecode(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val clocks = Seq(600L, 1000L, 12288L, 44100L, 90000L)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("ftyp_ok") && r.getAs[Boolean]("mvhd_ok"))
+      assert(r.getAs[String]("major_brand") == "isom")
+      // the walk consumed the payload exactly: four box sizes sum to n
+      assert(r.getAs[Boolean]("sizes_ok"), s"doc $id box sizes inconsistent")
+      // moov sits after ftyp(20) + free(8 + id%19): data-dependent
+      assert(r.getAs[Long]("moov_off") == 21L + 8L + id % 19,
+        s"doc $id moov_off")
+      val ts = clocks((id % 5).toInt)
+      assert(r.getAs[Long]("timescale") == ts)
+      val dur = (id * 37) % 100000 + ts
+      assert(r.getAs[Long]("duration") == dur)
+      assert(r.getAs[Long]("duration_ms") == dur * 1000 / ts)
+      assert(r.getAs[Long]("n_media_bytes") >= 0L)
+    }
+    assert(rows.map(_.getAs[Long]("moov_off")).distinct.length > 1,
+      "free-box lengths must vary the walked offsets")
+  }
+
   test("WAV PCM decode: sample stream matches the byte model, features decisive, plan narrow") {
     import spark.implicits._
     val texts = Tables.documents(spark, sf0001)
