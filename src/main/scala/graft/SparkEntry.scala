@@ -162,6 +162,7 @@ object SparkEntry {
     "txt_bpe_merges"           -> ((s: SparkSession, d: String) => TextOps.bpeMerges(s, d)),
     "txt_cdc_chunks"           -> TextOps.cdcChunks _,
     "txt_bpe_encode"           -> TextOps.bpeEncode _,
+    "txt_zipf_fit"             -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
     "txt_dsir_weights"         -> ((s: SparkSession, d: String) => TextOps.dsirWeights(s, d)),
@@ -2181,6 +2182,40 @@ object SparkEntry {
         |  FROM wc WHERE length(word) >= 2)
         |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq
         |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+    // Zipf fit: qlog2 sixteenth-bit logs over the top-64 term table,
+    // exact BIGINT least squares, sign-symmetric truncating divisions
+    "txt_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY term),
+        |top AS (SELECT term, freq FROM tc ORDER BY freq DESC, term LIMIT 64),
+        |rk AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS r,
+        |         CAST(freq AS BIGINT) AS freq FROM top),
+        |q AS (SELECT
+        |  16 * (LENGTH(bin(r)) - 1) + ((r - CAST(2 ** (LENGTH(bin(r)) - 1) AS BIGINT)) * 16)
+        |    // CAST(2 ** (LENGTH(bin(r)) - 1) AS BIGINT) AS x,
+        |  16 * (LENGTH(bin(freq)) - 1) + ((freq - CAST(2 ** (LENGTH(bin(freq)) - 1) AS BIGINT)) * 16)
+        |    // CAST(2 ** (LENGTH(bin(freq)) - 1) AS BIGINT) AS y
+        |  FROM rk),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |        CAST(SUM(x) AS BIGINT) AS sum_x16, CAST(SUM(y) AS BIGINT) AS sum_y16,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM q),
+        |sl AS (SELECT n_terms, sum_x16, sum_y16,
+        |  CAST(CASE WHEN n_terms * sxy - sum_x16 * sum_y16 >= 0
+        |    THEN ((n_terms * sxy - sum_x16 * sum_y16) * 1000)
+        |         // (n_terms * sxx - sum_x16 * sum_x16)
+        |    ELSE -(((sum_x16 * sum_y16 - n_terms * sxy) * 1000)
+        |         // (n_terms * sxx - sum_x16 * sum_x16)) END AS BIGINT) AS slope_milli
+        |  FROM s)
+        |SELECT n_terms, sum_x16, sum_y16, slope_milli,
+        |  CAST(CASE WHEN sum_y16 * 1000 - slope_milli * sum_x16 >= 0
+        |    THEN (sum_y16 * 1000 - slope_milli * sum_x16) // (16 * n_terms)
+        |    ELSE -((slope_milli * sum_x16 - sum_y16 * 1000) // (16 * n_terms)) END
+        |    AS BIGINT) AS intercept_milli
+        |FROM sl""".stripMargin,
     // BPE ENCODE: train the same 3 rounds (word column carried through
     // the lockstep folds), apply ALL three merges (f3/v4), then join the
     // per-doc word stream to the encoded vocabulary for token accounting

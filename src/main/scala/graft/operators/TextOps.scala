@@ -1004,6 +1004,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf rank-frequency fit — the corpus-health diagnostic (Zipf 1949,
+    * public; natural text follows freq ∝ rank^s with s ≈ −1, and a
+    * corpus whose fitted slope drifts far from −1 is usually boiler-
+    * plate, spam, or template-dominated): least-squares slope of
+    * log₂ freq against log₂ rank over the top-64 terms, ENTIRELY in
+    * integers — logs in sixteenth-bits via [[qlog2]], the regression in
+    * exact BIGINT sums, and the final divisions in SIGN-SYMMETRIC
+    * truncating form (the quotient is computed on the non-negative
+    * operand and negated after, so engines whose integer division
+    * floors vs truncates differently on negatives cannot drift).
+    * Intercept uses the already-floored slope — documented, both
+    * engines identical.
+    *
+    * Scale shape: one corpus term aggregate (map-side combined), a
+    * TakeOrdered top-64, then every window/sum runs over the 64-row
+    * table — the corpus is scanned once and never re-shuffled. */
+  def zipfFit(spark: SparkSession, sfDir: String, topN: Int = 64): DataFrame = {
+    val top = docs(spark, sfDir)
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    val q = top // bounded: the rank window sorts 64 rows, never data
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select(qlog2(col("r")).as("x"), qlog2(col("freq")).as("y"))
+    q.agg(count(lit(1)).as("n_terms"), sum(col("x")).as("sum_x16"),
+        sum(col("y")).as("sum_y16"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_terms"), col("sum_x16"), col("sum_y16"),
+        expr("""CASE WHEN n_terms * sxy - sum_x16 * sum_y16 >= 0
+          | THEN ((n_terms * sxy - sum_x16 * sum_y16) * 1000)
+          |      DIV (n_terms * sxx - sum_x16 * sum_x16)
+          | ELSE -(((sum_x16 * sum_y16 - n_terms * sxy) * 1000)
+          |      DIV (n_terms * sxx - sum_x16 * sum_x16)) END""".stripMargin)
+          .as("slope_milli"))
+      .withColumn("intercept_milli", expr(
+        """CASE WHEN sum_y16 * 1000 - slope_milli * sum_x16 >= 0
+          | THEN (sum_y16 * 1000 - slope_milli * sum_x16) DIV (16 * n_terms)
+          | ELSE -((slope_milli * sum_x16 - sum_y16 * 1000) DIV (16 * n_terms)) END"""
+          .stripMargin))
+  }
+
   /** Temperature-weighted mixture sampling (α = 1/2) — the pretraining
     * source-balancing op (public: multilingual sampling in the T5/mBERT
     * papers, p(s) ∝ mass(s)^α): sampling rates derive from per-source

@@ -2176,6 +2176,34 @@ class OperatorSpec extends AnyFunSuite {
       big.getAs[Long]("kth_hash") < graft.operators.TextOps.HashMod)
   }
 
+  test("Zipf fit: integer least squares over top-64 terms equals the model") {
+    def qlog2(v: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val p = 1L << e
+      16L * e + (v - p) * 16 / p
+    }
+    val toks = Tables.documents(spark, sf0001).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    val top = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(64)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (qlog2(i + 1L), qlog2(f)) }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    def symDiv(a: Long, b: Long): Long = if (a >= 0) a / b else -(-a / b)
+    val slope = symDiv((n * sxy - sx * sy) * 1000, n * sxx - sx * sx)
+    val intercept = symDiv(sy * 1000 - slope * sx, 16 * n)
+    val r = TextOps.zipfFit(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_terms") == n)
+    assert(r.getAs[Long]("sum_x16") == sx && r.getAs[Long]("sum_y16") == sy)
+    assert(r.getAs[Long]("slope_milli") == slope, s"slope ${r.getAs[Long]("slope_milli")} vs $slope")
+    assert(r.getAs[Long]("intercept_milli") == intercept)
+    // frequencies descend with rank, so the fitted slope is negative
+    assert(slope < 0L)
+  }
+
   test("BPE pair statistics equal the brute-force vocabulary model") {
     val toks = Tables.documents(spark, sf0001).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
