@@ -123,6 +123,8 @@ object SparkEntry {
     "evt_salted_totals"        -> EventOps.saltedUserTotals _,
     "evt_value_histogram"      -> EventOps.valueHistogram _,
     "evt_kmv_distinct"         -> ((s: SparkSession, d: String) => EventOps.kmvDistinct(s, d)),
+    "evt_kmv_by_type"          -> ((s: SparkSession, d: String) => EventOps.kmvByType(s, d)),
+    "evt_ewma"                 -> EventOps.ewmaSmoothing _,
     "evt_quantile_sketch"      -> EventOps.quantileSketch _,
     "evt_gapfill"              -> EventOps.hourlyGapFill _,
     "rel_large_orders"         -> ((s: SparkSession, d: String) => RelationalOps.largeOrders(s, d)),
@@ -1311,6 +1313,43 @@ object SparkEntry {
         |  CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
         |    ELSE 63000000000000000 // MAX(h) END AS BIGINT) AS est_kmv
         |FROM k""".stripMargin,
+    // grouped KMV: per-type k-minimum salted hashes (the engine keeps
+    // them through the bounded TopK aggregator with score = -hash)
+    "evt_kmv_by_type" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(user_id AS VARCHAR) || '-kmv-sketch-salt', ''),
+        |        c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |k AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_seen, MAX(h) AS kth_hash
+        |      FROM r WHERE rn <= 32 GROUP BY event_type),
+        |x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |      FROM events GROUP BY event_type)
+        |SELECT x.event_type AS event_type, n_exact, k_seen, kth_hash,
+        |  CAST(CASE WHEN k_seen < 32 THEN k_seen
+        |    ELSE 31000000000000000 // kth_hash END AS BIGINT) AS est_kmv
+        |FROM x JOIN k ON x.event_type = k.event_type
+        |ORDER BY x.event_type""".stripMargin,
+    // per-user integer EWMA (alpha = 1/2): fold over the (ts, event_id)-
+    // sorted cents list; list_reduce seeds from the first element, the
+    // same recursion as the engine's aggregate(slice(...), es[0], ...)
+    "evt_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    list_sort(list({'ts': ts, 'event_id': event_id, 'cents': cents})) AS es
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(len(es) AS BIGINT) AS n_events,
+        |  es[len(es)].cents AS last_cents,
+        |  CAST(list_reduce(list_transform(es, x -> x.cents),
+        |    (a, c) -> (a + c) // 2) AS BIGINT) AS ewma_cents
+        |FROM g ORDER BY user_id""".stripMargin,
     // fixed-grid histogram quantile sketch: deterministic (grid pinned
     // by min/max/1024), so estimates reproduce exactly on both engines;
     // linear interpolation inside the quantile's bin

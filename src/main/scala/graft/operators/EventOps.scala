@@ -672,6 +672,64 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Per-user EWMA (α = 1/2) of event values in exact integer cents —
+    * time-series smoothing whose recursion s_i = (s_{i-1} + c_i) DIV 2
+    * is NOT window-expressible (each step divides the previous state, so
+    * no prefix-sum decomposition exists): the per-key sequential fold
+    * runs over the user's (ts, event_id)-sorted event list inside one
+    * aggregate — the same one-exchange, state-∝-per-key-events shape as
+    * the sessionization ops, with the fold in expression space instead
+    * of JVM state. Integer floor halving (values are non-negative
+    * cents) makes the smoothed value bit-identical across engines —
+    * the float EWMA could never be hash-gated. The α = 1/2 special
+    * case is the classic "binary exponential smoothing" a monitoring
+    * pipeline uses precisely because it stays in integers. */
+  def ewmaSmoothing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), struct(col("ts"), col("event_id"),
+        (money(col("value")) * 100).cast("long").as("cents")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        size(col("es")).cast("long").as("n_events"),
+        expr("es[size(es) - 1].cents").as("last_cents"),
+        expr("aggregate(slice(es, 2, size(es) - 1), es[0].cents, " +
+          "(acc, x) -> (acc + x.cents) DIV 2)").as("ewma_cents"))
+      .orderBy("user_id")
+
+  /** GROUPED KMV distinct sketches — one deterministic theta-family
+    * sketch PER event type, built through the bounded TopK aggregator
+    * (score = −hash, so the retained top-32 are the 32 MINIMUM salted
+    * hashes): partial k-minima fold map-side and merge by re-ranking,
+    * which is exactly the KMV merge law — so each group's sketch
+    * crosses the exchange as ≤32 rows regardless of group size, where
+    * the rank-window spelling would shuffle every distinct hash into
+    * per-group sort groups. Exact distincts ride alongside for the
+    * accuracy report, same layout as the global [[kmvDistinct]]. */
+  def kmvByType(spark: SparkSession, sfDir: String, k: Int = 32): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hashes = ev
+      .select(col("event_type"), graft.operators.TextOps.polyHash(
+        concat(col("user_id").cast("string"), lit("-kmv-sketch-salt"))).as("h"))
+      .distinct()
+    val top = graft.functions.TopKAggregator.topKPairs(k)
+    val sk = hashes
+      .groupBy("event_type")
+      .agg(top(col("h"), -col("h").cast("double")).as("mins"))
+      .select(col("event_type"),
+        size(col("mins")).cast("long").as("k_seen"),
+        expr("mins[size(mins) - 1].id").as("kth_hash"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(sk, "event_type")
+      .select(col("event_type"), col("n_exact"), col("k_seen"), col("kth_hash"),
+        when(col("k_seen") < k, col("k_seen"))
+          .otherwise(
+            expr(s"CAST(${(k - 1).toLong * TextOps.HashMod} DIV kth_hash AS BIGINT)"))
+          .as("est_kmv"))
+      .orderBy("event_type")
+  }
+
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val cohort = ev.groupBy("user_id")

@@ -2204,6 +2204,60 @@ class OperatorSpec extends AnyFunSuite {
     assert(slope < 0L)
   }
 
+  test("integer EWMA: per-user fold over the time-sorted stream equals the model") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      val cents = es.sortBy(e => (e._2, e._3)).map(_._4)
+      u -> (cents.length.toLong, cents.last,
+        cents.tail.foldLeft(cents.head)((a, c) => (a + c) / 2))
+    }
+    val got = EventOps.ewmaSmoothing(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, last, ew) = expected(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("last_cents") == last)
+      assert(r.getAs[Long]("ewma_cents") == ew, s"user ${r.getAs[Long]("user_id")}")
+    }
+    // smoothing is live: for some user the EWMA differs from both the
+    // last value and the floor mean (pure pass-throughs would match)
+    assert(got.exists { r =>
+      val (n, last, ew) = expected(r.getAs[Long]("user_id"))
+      n > 1 && ew != last
+    })
+  }
+
+  test("grouped KMV: per-type k-minima match the model, bounded-aggregator plan, 2x accuracy") {
+    val Mod = TextOps.HashMod
+    def ph(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % Mod)
+    import spark.implicits._
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id")).as[(String, Long)].collect()
+    val model = ev.groupBy(_._1).map { case (t, rows) =>
+      val hs = rows.map(r => ph(s"${r._2}-kmv-sketch-salt")).distinct.sorted
+      val mins = hs.take(32)
+      t -> (rows.map(_._2).distinct.length.toLong, mins.length.toLong, mins.last)
+    }
+    val df = EventOps.kmvByType(spark, sf0001)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "grouped KMV must use the bounded aggregator, not a rank window")
+    val got = df.collect()
+    assert(got.length == model.size)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (exact, kSeen, kth) = model(t)
+      assert(r.getAs[Long]("n_exact") == exact)
+      assert(r.getAs[Long]("k_seen") == kSeen)
+      assert(r.getAs[Long]("kth_hash") == kth, s"type $t")
+      val est = r.getAs[Long]("est_kmv")
+      assert(est >= exact / 2 && est <= exact * 2, s"type $t: est $est vs $exact")
+    }
+  }
+
   test("BPE pair statistics equal the brute-force vocabulary model") {
     val toks = Tables.documents(spark, sf0001).select("text").collect()
       .flatMap(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
