@@ -2243,7 +2243,8 @@ object SparkEntry {
         |        CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
         |      FROM q),
         |sl AS (SELECT n_terms, sum_x16, sum_y16,
-        |  CAST(CASE WHEN n_terms * sxy - sum_x16 * sum_y16 >= 0
+        |  CAST(CASE WHEN n_terms * sxx - sum_x16 * sum_x16 = 0 THEN 0
+        |    WHEN n_terms * sxy - sum_x16 * sum_y16 >= 0
         |    THEN ((n_terms * sxy - sum_x16 * sum_y16) * 1000)
         |         // (n_terms * sxx - sum_x16 * sum_x16)
         |    ELSE -(((sum_x16 * sum_y16 - n_terms * sxy) * 1000)
@@ -3334,7 +3335,9 @@ object SparkEntry {
         |  SELECT a_id, b_id, score,
         |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY score DESC, b_id) AS BIGINT) AS rn
         |  FROM s)
-        |SELECT a_id, b_id, score, rn FROM r WHERE rn <= 4 ORDER BY a_id, rn""".stripMargin,
+        |SELECT e0.vec_id AS a_id, r.b_id, r.score, r.rn
+        |FROM e0 LEFT JOIN (SELECT * FROM r WHERE rn <= 4) r ON r.a_id = e0.vec_id
+        |ORDER BY a_id, rn""".stripMargin,
     "sim_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,

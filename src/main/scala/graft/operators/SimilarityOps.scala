@@ -150,6 +150,15 @@ object SimilarityOps {
     * real-world embeddings reach the same recall with far fewer,
     * longer tables. Bucket ids are a row-local native projection; the
     * only shuffles are the candidate join and the per-query top-k. */
+  /** (vec_id, table, bucket) rows for multi-table hyperplane LSH —
+    * the one definition of the bucket layout shared by every
+    * bucket-keyed candidate generator ([[lshAnnTopK]], [[knnGraph]]),
+    * so bucketing changes cannot drift between them. */
+  private def lshBuckets(e: DataFrame, tables: Int, bits: Int): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), hyperplaneBucket(col("emb"), t, bits).as("bkt"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+
   def lshAnnTopK(spark: SparkSession, sfDir: String,
                  tables: Int = 8, bits: Int = 4): DataFrame = {
     // persisted: the normed scan feeds the bucket explode (referenced
@@ -157,9 +166,7 @@ object SimilarityOps {
     // as the other similarity ops (caller clearCache()s after the action)
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eb = e.select(col("vec_id"), explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), hyperplaneBucket(col("emb"), t, bits).as("bkt"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val eb = lshBuckets(e, tables, bits)
     val qKeys = eb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("t"), col("bkt"))
     val cand = eb.join(broadcast(qKeys), Seq("t", "bkt"))
@@ -201,16 +208,14 @@ object SimilarityOps {
                tables: Int = 8, bits: Int = 4): DataFrame = {
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eb = e.select(col("vec_id"), explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), hyperplaneBucket(col("emb"), t, bits).as("bkt"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val eb = lshBuckets(e, tables, bits)
     val cand = eb.select(col("vec_id").as("a_id"), col("t"), col("bkt"))
       .join(eb.select(col("vec_id").as("b_id"), col("t"), col("bkt")),
         Seq("t", "bkt"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
     val top = graft.functions.TopKAggregator.topKPairs(k)
-    cand
+    val knn = cand
       .join(e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
         col("nrm").as("a_nrm")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
@@ -223,6 +228,12 @@ object SimilarityOps {
       .select(col("a_id"), posexplode(col("top")))
       .select(col("a_id"), col("col.id").as("b_id"),
         col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
+    // keep ISOLATED vectors (no shared bucket with anyone): the graph's
+    // anchor set must be the full corpus — a consumer iterating it would
+    // otherwise silently lose nodes. They surface as one all-NULL
+    // neighbor row, the outer-join convention used across the repo.
+    e.select(col("vec_id").as("a_id"))
+      .join(knn, Seq("a_id"), "left")
       .orderBy("a_id", "rn")
   }
 

@@ -934,7 +934,7 @@ object TextOps {
     * smaller than the input, which is why production BPE trainers use
     * this layout. */
   def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame =
-    bpeTrain(spark, sfDir, rounds)._1.reduce(_.unionAll(_)).orderBy("round")
+    bpeTrain(spark, sfDir, rounds)._1.reduce(_.union(_)).orderBy("round")
 
   /** The training loop itself: returns (one 1-row merge DataFrame per
     * round, final vocabulary (word, syms, cnt) with every learned merge
@@ -1034,7 +1034,12 @@ object TextOps {
         sum(col("y")).as("sum_y16"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("n_terms"), col("sum_x16"), col("sum_y16"),
-        expr("""CASE WHEN n_terms * sxy - sum_x16 * sum_y16 >= 0
+        // degenerate single-rank corpus: the x-variance denominator is
+        // 0 and the two engines fail DIFFERENTLY on division by zero
+        // (Spark DIV → NULL, DuckDB // → error) — pin the flat fit to
+        // slope 0 explicitly instead
+        expr("""CASE WHEN n_terms * sxx - sum_x16 * sum_x16 = 0 THEN CAST(0 AS BIGINT)
+          | WHEN n_terms * sxy - sum_x16 * sum_y16 >= 0
           | THEN ((n_terms * sxy - sum_x16 * sum_y16) * 1000)
           |      DIV (n_terms * sxx - sum_x16 * sum_x16)
           | ELSE -(((sum_x16 * sum_y16 - n_terms * sxy) * 1000)

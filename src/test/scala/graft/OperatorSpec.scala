@@ -2055,6 +2055,10 @@ class OperatorSpec extends AnyFunSuite {
     }
     val recall = hits.sum / hits.length
     assert(recall >= 0.5, f"kNN-graph recall@4 too low: $recall%.3f")
+    // the anchor set is the FULL corpus: isolated vectors (no shared
+    // bucket) must still emit an (outer-join) row, never vanish
+    assert(rows.map(_.getAs[Long]("a_id")).distinct.length == e.length,
+      "kNN graph lost anchors")
   }
 
   test("clustering coefficients: brute-force cc over all nodes, zero-triangle nodes kept") {
