@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotDoubleExpr, HyperplaneBucketExpr, PolyHashExpr, Shingle3HashesExpr, ShingleKHashesExpr, SimHash48Expr, SortedIntersectCountExpr, WordPolyHashesExpr}
+import graft.functions.{CdcBoundariesExpr, DotDoubleExpr, HyperplaneBucketExpr, PolyHashExpr, Shingle3HashesExpr, ShingleKHashesExpr, SimHash48Expr, SortedIntersectCountExpr, WordPolyHashesExpr}
 
 /** Engine extension point (SURVEY.md §7.4 custom work): registers the
   * native hash expressions as SQL functions so queries reach them via
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
       arity("poly_hash", 1)(children => PolyHashExpr(children.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundariesExpr].getName, "cdc_boundaries"),
+      arity("cdc_boundaries", 1)(children => CdcBoundariesExpr(children.head))))
     ext.injectFunction((
       new FunctionIdentifier("word_poly_hashes"),
       new ExpressionInfo(classOf[WordPolyHashesExpr].getName, "word_poly_hashes"),

@@ -40,6 +40,7 @@ object SparkEntry {
     "rel_upsert_merge"         -> RelationalOps.upsertCustomers _,
     "rel_median_price"         -> RelationalOps.medianPricePerBrand _,
     "rel_full_outer"           -> RelationalOps.fullOuterSegments _,
+    "rel_null_safe_join"       -> RelationalOps.nullSafeJoin _,
     "rel_rank_family"          -> RelationalOps.rankFamilyParts _,
     "rel_dist_family"          -> RelationalOps.distFamilyParts _,
     "rel_unpivot"              -> RelationalOps.unpivotPartMeasures _,
@@ -861,6 +862,16 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val FROM part)
         |ORDER BY p_partkey, measure""".stripMargin,
+    // null-safe equi-join: NULL keys match each other (IS NOT DISTINCT
+    // FROM == Spark's <=>), the "unknown is a legitimate bucket" merge
+    "rel_null_safe_join" ->
+      """WITH c AS (SELECT c_custkey, nullif(c_nationkey % 5, 4) AS ck FROM customer),
+        |s AS (SELECT s_suppkey, nullif(s_nationkey % 5, 4) AS sk FROM supplier)
+        |SELECT c.ck AS key_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+        |  CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+        |FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
+        |GROUP BY c.ck ORDER BY key_bucket NULLS FIRST""".stripMargin,
     "rel_full_outer" ->
       """WITH b AS (SELECT c_custkey AS b_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
         |p AS (SELECT o_custkey AS p_custkey, COUNT(*) AS n_pending

@@ -985,6 +985,29 @@ object RelationalOps {
     * phone; the last two digits of c_name stand in as the country
     * code, and "no orders since 2000" stands in for "no orders ever",
     * which is empty on this corpus.) */
+  /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): the join
+    * semantics ordinary `=` cannot give — NULL keys MATCH each other
+    * instead of silently dropping, the behavior a dimension merge needs
+    * when "unknown" is itself a legitimate bucket. Keys are made
+    * sparse-nullable with nullif; Spark still plans this as a HASH join
+    * (null-safe equality is a hashable key expression — no fallback to
+    * nested-loop), so the 100 TB shape is the ordinary shuffled equi
+    * join with the NULL bucket as one more key value (a skew candidate
+    * when unknowns dominate — the usual AQE/salting story applies,
+    * documented rather than planned around here). */
+  def nullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), nullif(col("c_nationkey") % 5, lit(4)).as("ck"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), nullif(col("s_nationkey") % 5, lit(4)).as("sk"))
+    c.join(s, col("ck") <=> col("sk"))
+      .groupBy(col("ck").as("key_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("key_bucket").asc_nulls_first)
+  }
+
   def sqlGlobalSales(spark: SparkSession, sfDir: String): DataFrame = {
     Seq("customer", "orders").foreach { t =>
       Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")

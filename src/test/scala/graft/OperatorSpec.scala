@@ -2208,6 +2208,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(slope < 0L)
   }
 
+  test("null-safe join: NULL keys match as a bucket, and the plan is a hash join, not nested-loop") {
+    val df = RelationalOps.nullSafeJoin(spark, sf0001)
+    // <=> is a hashable key: planner must NOT fall back to
+    // BroadcastNestedLoopJoin for null-safe equality
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"null-safe join fell back:\n$plan")
+    val rows = df.collect()
+    val nullRow = rows.find(_.isNullAt(0))
+    assert(nullRow.isDefined, "the NULL bucket must join (nation % 5 == 4 exists)")
+    // NULL customers x NULL suppliers all pair up
+    val r = nullRow.get
+    assert(r.getAs[Long]("n_pairs") ==
+      r.getAs[Long]("n_customers") * r.getAs[Long]("n_suppliers"))
+    // and non-null buckets behave like ordinary equi-join groups
+    assert(rows.count(!_.isNullAt(0)) == 4)
+  }
+
   test("integer EWMA: per-user fold over the time-sorted stream equals the model") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)
