@@ -41,6 +41,7 @@ object SparkEntry {
     "rel_median_price"         -> RelationalOps.medianPricePerBrand _,
     "rel_full_outer"           -> RelationalOps.fullOuterSegments _,
     "rel_null_safe_join"       -> RelationalOps.nullSafeJoin _,
+    "rel_sql_lateral_topk"     -> RelationalOps.sqlLateralTopItems _,
     "rel_rank_family"          -> RelationalOps.rankFamilyParts _,
     "rel_dist_family"          -> RelationalOps.distFamilyParts _,
     "rel_unpivot"              -> RelationalOps.unpivotPartMeasures _,
@@ -862,6 +863,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val FROM part)
         |ORDER BY p_partkey, measure""".stripMargin,
+    // LATERAL correlated top-2 per order: DuckDB executes the same
+    // LATERAL text natively; Spark decorrelates it to WindowGroupLimit
+    "rel_sql_lateral_topk" ->
+      """SELECT o.o_orderkey, t.l_linenumber, t.revenue
+        |FROM orders o, LATERAL (
+        |  SELECT l_linenumber,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |              * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |  FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |  ORDER BY revenue DESC, l_linenumber LIMIT 2) t
+        |WHERE o.o_orderstatus = 'P'
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     // null-safe equi-join: NULL keys match each other (IS NOT DISTINCT
     // FROM == Spark's <=>), the "unknown is a legitimate bucket" merge
     "rel_null_safe_join" ->

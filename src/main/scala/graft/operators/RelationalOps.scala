@@ -1008,6 +1008,33 @@ object RelationalOps {
       .orderBy(col("key_bucket").asc_nulls_first)
   }
 
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — the "top-2
+    * line items per order" spelling a SQL user writes naturally, and
+    * the last decorrelation family the engine had not exercised:
+    * Catalyst rewrites the per-order correlated LIMIT into
+    * `WindowGroupLimit` (a PARTIAL group-limit runs map-side BEFORE the
+    * shuffle, so each partition forwards ≤2 rows per order key — the
+    * whole-plan analogue of the bounded TopK aggregator) joined back to
+    * the outer filter, instead of re-executing the subquery per outer
+    * row. DuckDB runs the same LATERAL text natively, so the oracle is
+    * the same query. */
+  def sqlLateralTopItems(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
+    }
+    spark.sql("""
+      SELECT o.o_orderkey, t.l_linenumber, t.revenue
+      FROM orders_v o, LATERAL (
+        SELECT l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem_v l
+        WHERE l.l_orderkey = o.o_orderkey
+        ORDER BY revenue DESC, l_linenumber LIMIT 2) t
+      WHERE o.o_orderstatus = 'P'
+      ORDER BY o_orderkey, l_linenumber""")
+  }
+
   def sqlGlobalSales(spark: SparkSession, sfDir: String): DataFrame = {
     Seq("customer", "orders").foreach { t =>
       Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")

@@ -2208,6 +2208,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(slope < 0L)
   }
 
+  test("LATERAL top-2: decorrelates to WindowGroupLimit with a map-side partial, and matches the window model") {
+    val df = RelationalOps.sqlLateralTopItems(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the correlated LIMIT must become a group-limit — never a
+    // per-outer-row re-execution or a cartesian
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit:\n$plan")
+    assert(plan.contains("Partial"), "partial group-limit must run before the shuffle")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    // equivalent window spelling gives identical rows
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val o = Tables.load(spark, sf0001, "orders").filter(col("o_orderstatus") === "P")
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("revenue").desc, col("l_linenumber"))
+    val model = li.select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)"))).cast("double")
+          .as("revenue"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      .select("o_orderkey", "l_linenumber", "revenue")
+      .orderBy("o_orderkey", "l_linenumber")
+      .collect().toSeq
+    assert(df.collect().toSeq == model)
+  }
+
   test("null-safe join: NULL keys match as a bucket, and the plan is a hash join, not nested-loop") {
     val df = RelationalOps.nullSafeJoin(spark, sf0001)
     // <=> is a hashable key: planner must NOT fall back to
