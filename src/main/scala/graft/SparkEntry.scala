@@ -127,6 +127,7 @@ object SparkEntry {
     "evt_kmv_distinct"         -> ((s: SparkSession, d: String) => EventOps.kmvDistinct(s, d)),
     "evt_kmv_by_type"          -> ((s: SparkSession, d: String) => EventOps.kmvByType(s, d)),
     "evt_ewma"                 -> EventOps.ewmaSmoothing _,
+    "evt_winsorize"            -> EventOps.winsorize _,
     "evt_quantile_sketch"      -> EventOps.quantileSketch _,
     "evt_gapfill"              -> EventOps.hourlyGapFill _,
     "rel_large_orders"         -> ((s: SparkSession, d: String) => RelationalOps.largeOrders(s, d)),
@@ -1378,6 +1379,43 @@ object SparkEntry {
     // fixed-grid histogram quantile sketch: deterministic (grid pinned
     // by min/max/1024), so estimates reproduce exactly on both engines;
     // linear interpolation inside the quantile's bin
+    // winsorize: sketch-estimated [p05, p95] floored to cents, clamp +
+    // totals in exact BIGINT — same histogram CTEs as evt_quantile_sketch
+    "evt_winsorize" ->
+      """WITH stats AS (
+        |  SELECT min(value) AS mn, max(value) AS mx, COUNT(*) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |bins AS (
+        |  SELECT CASE WHEN s.mx = s.mn THEN 0
+        |    ELSE LEAST(CAST(floor((e.value - s.mn) / ((s.mx - s.mn) / 1024)) AS BIGINT), 1023)
+        |    END AS bin, COUNT(*) AS cnt
+        |  FROM events e, stats s WHERE e.value IS NOT NULL GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, cnt,
+        |    SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bins),
+        |ps AS (SELECT CAST(unnest([0.05, 0.95]) AS DOUBLE) AS p),
+        |est AS (
+        |  SELECT p.p AS p,
+        |    CASE WHEN s.mx = s.mn THEN s.mn
+        |      ELSE s.mn + ((s.mx - s.mn) / 1024) *
+        |        (c.bin + (p.p * s.n - (c.cum - c.cnt)) / c.cnt) END AS est
+        |  FROM ps p, cum c, stats s
+        |  WHERE c.cum >= p.p * s.n AND c.cum - c.cnt < p.p * s.n),
+        |b AS (
+        |  SELECT CAST(floor(MIN(CASE WHEN p = 0.05 THEN est END) * 100) AS BIGINT) AS lo_cents,
+        |         CAST(floor(MIN(CASE WHEN p = 0.95 THEN est END) * 100) AS BIGINT) AS hi_cents
+        |  FROM est),
+        |c AS (
+        |  SELECT b.lo_cents, b.hi_cents,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events, b WHERE value IS NOT NULL)
+        |SELECT lo_cents, hi_cents, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |  CAST(SUM(LEAST(GREATEST(cents, lo_cents), hi_cents)) AS BIGINT) AS sum_winsorized_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_raw_cents
+        |FROM c GROUP BY lo_cents, hi_cents""".stripMargin,
     "evt_quantile_sketch" ->
       """WITH stats AS (
         |  SELECT min(value) AS mn, max(value) AS mx, COUNT(*) AS n

@@ -528,6 +528,60 @@ object EventOps {
       .orderBy("p")
   }
 
+  /** Winsorization — the robust-statistics companion of the anomaly
+    * flags: clamp the value distribution to its sketch-estimated
+    * [p05, p95] so a handful of extreme rows cannot dominate a sum or
+    * mean (the standard pre-aggregation defense for metrics fed by
+    * untrusted events). Bounds come from the SAME deterministic
+    * fixed-grid histogram as [[quantileSketch]] (identical doubles on
+    * both engines), then get FLOORED TO CENTS so the clamp and the
+    * winsorized total run in exact BIGINT arithmetic — a float
+    * winsorized sum would be partition-fold-order-dependent and could
+    * never hash-gate. Two scans of events (sketch pass + clamp pass),
+    * both map-side combined; every intermediate table is ≤1024 rows. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val nb = 1024
+    val ev = Tables.events(spark, sfDir).select(col("value"))
+      .filter(col("value").isNotNull)
+    val stats = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+      count(lit(1)).as("n"))
+    val bins = ev.crossJoin(broadcast(stats))
+      .select(when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(floor((col("value") - col("mn")) /
+          ((col("mx") - col("mn")) / nb)).cast("long"), lit(nb - 1L)))
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = bins.withColumn("cum", sum(col("cnt")).over(wb))
+    import spark.implicits._
+    val ps = Seq(0.05, 0.95).toDF("p")
+    val bounds = ps.crossJoin(cum).crossJoin(broadcast(stats))
+      .filter(col("cum") >= col("p") * col("n") &&
+        col("cum") - col("cnt") < col("p") * col("n"))
+      .select(col("p"),
+        when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") +
+            ((col("mx") - col("mn")) / nb) * (col("bin") +
+              (col("p") * col("n") - (col("cum") - col("cnt"))) / col("cnt")))
+          .as("est"))
+      .groupBy()
+      .agg(floor(min(when(col("p") === 0.05, col("est"))) * 100).cast("long").as("lo_cents"),
+        floor(min(when(col("p") === 0.95, col("est"))) * 100).cast("long").as("hi_cents"))
+    Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select((money(col("value")) * 100).cast("long").as("cents"))
+      .crossJoin(broadcast(bounds))
+      .select(col("lo_cents"), col("hi_cents"), col("cents"),
+        least(greatest(col("cents"), col("lo_cents")), col("hi_cents")).as("w"))
+      .groupBy("lo_cents", "hi_cents")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        sum(col("w")).as("sum_winsorized_cents"),
+        sum(col("cents")).as("sum_raw_cents"))
+  }
+
   /** GROUPED fixed-grid quantile sketch: p50/p95 per event type — the
     * per-key face of [[quantileSketch]], proving the sketch's
     * mergeability composes with grouping. Each key pins its OWN grid

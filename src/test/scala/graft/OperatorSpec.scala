@@ -2234,6 +2234,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(df.collect().toSeq == model)
   }
 
+  test("join strategy hints: BROADCAST / MERGE / SHUFFLE_HASH each pin their physical join, same rows") {
+    val c = Tables.load(spark, sf0001, "customer")
+    val o = Tables.load(spark, sf0001, "orders")
+    def joined(h: String) =
+      o.join(c.hint(h), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    val cases = Seq(
+      "broadcast" -> "BroadcastHashJoin",
+      "merge" -> "SortMergeJoin",
+      "shuffle_hash" -> "ShuffledHashJoin")
+    val results = cases.map { case (hint, node) =>
+      val df = joined(hint)
+      df.collect() // finalize AQE so the executed plan is the real one
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(node),
+        s"hint '$hint' did not plan $node:\n$plan")
+      df.collect().toSeq
+    }
+    // all three strategies agree on the answer
+    assert(results.distinct.length == 1)
+  }
+
   test("null-safe join: NULL keys match as a bucket, and the plan is a hash join, not nested-loop") {
     val df = RelationalOps.nullSafeJoin(spark, sf0001)
     // <=> is a hashable key: planner must NOT fall back to
@@ -2249,6 +2272,28 @@ class OperatorSpec extends AnyFunSuite {
       r.getAs[Long]("n_customers") * r.getAs[Long]("n_suppliers"))
     // and non-null buckets behave like ordinary equi-join groups
     assert(rows.count(!_.isNullAt(0)) == 4)
+  }
+
+  test("winsorize: clamp counts and totals reconcile against raw cents; tails actually clip") {
+    import spark.implicits._
+    val r = EventOps.winsorize(spark, sf0001).collect().head
+    val lo = r.getAs[Long]("lo_cents"); val hi = r.getAs[Long]("hi_cents")
+    assert(lo < hi)
+    val cents = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select((col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .as[Long].collect()
+    assert(r.getAs[Long]("n") == cents.length.toLong)
+    assert(r.getAs[Long]("n_clipped_lo") == cents.count(_ < lo).toLong)
+    assert(r.getAs[Long]("n_clipped_hi") == cents.count(_ > hi).toLong)
+    assert(r.getAs[Long]("sum_raw_cents") == cents.sum)
+    assert(r.getAs[Long]("sum_winsorized_cents") ==
+      cents.map(c => math.min(math.max(c, lo), hi)).sum)
+    // the p05/p95 bounds bite: ~5% clips each side (sketch tolerance)
+    val n = cents.length
+    Seq(r.getAs[Long]("n_clipped_lo"), r.getAs[Long]("n_clipped_hi")).foreach { c =>
+      assert(c >= n / 25 && c <= n / 10, s"clip count $c implausible for p05/p95 of $n")
+    }
   }
 
   test("integer EWMA: per-user fold over the time-sorted stream equals the model") {
