@@ -439,6 +439,70 @@ class SourceSinkSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("corrupt-record tolerance (O24 at the source): PERMISSIVE keeps good rows and quarantines bad ones; FAILFAST throws") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.json").toPath, Seq(
+      """{"id": 1, "name": "ok-one"}""",
+      """{"id": 2, "name": "ok-two"}""",
+      """{"id": 3, "name": NOT VALID JSON""",
+      """{"id": "not-a-number", "name": "type-clash"}""",
+      """{"id": 5, "name": "ok-three"}""").mkString("\n").getBytes)
+    val schema = "id LONG, name STRING, _corrupt_record STRING"
+    // PERMISSIVE (default): malformed rows survive with the raw line in
+    // the corrupt column — the batch keeps flowing, bad rows are
+    // routable to a quarantine sink (the reference's per-row
+    // try/except, applied at the SOURCE boundary)
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(dir.getAbsolutePath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val good = permissive.filter(col("_corrupt_record").isNull)
+    val bad = permissive.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 3 && bad.count() == 2)
+    assert(good.select("name").as[String].collect().toSet ==
+      Set("ok-one", "ok-two", "ok-three"))
+    // the quarantined rows carry their original bytes for replay
+    assert(bad.select("_corrupt_record").as[String].collect()
+      .forall(s => s.contains("NOT VALID") || s.contains("not-a-number")))
+    // FAILFAST: the strict-pipeline mode surfaces the first bad row
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema("id LONG, name STRING")
+        .option("mode", "FAILFAST").json(dir.getAbsolutePath).collect()
+    }
+    permissive.unpersist()
+  }
+
+  test("binaryFile source: payload files ride in as (path, content) and the PNG header parse runs on them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binsrc").toFile
+    // write three real PNG-prefixed payloads through the synthesizer
+    val blobs = graft.operators.MultimodalOps.pngTable(spark, SparkFixture.sf0001)
+      .limit(3).select("doc_id", "payload")
+      .as[(Long, Array[Byte])].collect()
+    blobs.foreach { case (id, bytes) =>
+      java.nio.file.Files.write(new java.io.File(dir, s"img_$id.png").toPath, bytes)
+    }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir.getAbsolutePath)
+    assert(files.count() == 3)
+    // the ingestion seam: (path, modificationTime, length, content) —
+    // decode geometry straight off the content column with the same
+    // hex-space parse as mm_png_ihdr
+    val h = hex(col("content"))
+    val parsed = files.select(
+      regexp_extract(col("path"), "img_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+      (substring(h, 1, 16) === "89504E470D0A1A0A").as("sig_ok"),
+      expr("CAST(conv(substr(hex(content), 33, 8), 16, 10) AS BIGINT)").as("width"),
+      length(col("content")).cast("long").as("n_bytes"))
+      .collect()
+    parsed.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("sig_ok"), s"doc $id signature")
+      assert(r.getAs[Long]("width") == 16 + id % 2033, s"doc $id width")
+      assert(r.getAs[Long]("n_bytes") == blobs.find(_._1 == id).get._2.length.toLong)
+    }
+  }
+
   test("to_json/from_json round-trip on event props") {
     import spark.implicits._
     val ev = Tables.events(spark, SparkFixture.sf0001).limit(100)
