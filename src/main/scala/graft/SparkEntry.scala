@@ -184,6 +184,7 @@ object SparkEntry {
     "dd_minhash_jaccard_est"   -> DedupOps.minhashJaccardEst _,
     "dd_dup_clusters_star"     -> DedupOps.dupClustersStar _,
     "dd_minhash_lsh"           -> DedupOps.minhashLsh _,
+    "dd_minhash_band_sweep"    -> DedupOps.minhashBandSweep _,
     "dd_simhash"               -> DedupOps.simhash _,
     "dd_simhash_pairs"         -> DedupOps.simhashPairs _,
     "dd_contamination"         -> DedupOps.contamination _,
@@ -2985,14 +2986,14 @@ object SparkEntry {
         |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
         |m AS (
         |  SELECT doc_id, sh,
-        |    list_min(list_transform(sh, h -> (2*h + 1) % 999999999999989)) AS mh0,
-        |    list_min(list_transform(sh, h -> (3*h + 7) % 999999999999989)) AS mh1,
-        |    list_min(list_transform(sh, h -> (5*h + 13) % 999999999999989)) AS mh2,
-        |    list_min(list_transform(sh, h -> (7*h + 31) % 999999999999989)) AS mh3,
-        |    list_min(list_transform(sh, h -> (11*h + 101) % 999999999999989)) AS mh4,
-        |    list_min(list_transform(sh, h -> (13*h + 1009) % 999999999999989)) AS mh5,
-        |    list_min(list_transform(sh, h -> (17*h + 10007) % 999999999999989)) AS mh6,
-        |    list_min(list_transform(sh, h -> (19*h + 100003) % 999999999999989)) AS mh7
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2654435761 + 1) % 999999999999989)) AS mh0,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2246822519 + 7) % 999999999999989)) AS mh1,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3266489917 + 13) % 999999999999989)) AS mh2,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 668265263 + 31) % 999999999999989)) AS mh3,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 374761393 + 101) % 999999999999989)) AS mh4,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3141592653 + 1009) % 999999999999989)) AS mh5,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 1597334677 + 10007) % 999999999999989)) AS mh6,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2869860233 + 100003) % 999999999999989)) AS mh7
         |  FROM f),
         |bands AS (
         |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
@@ -3020,6 +3021,116 @@ object SparkEntry {
         |  JOIN m sb ON sb.doc_id = doc_b)
         |SELECT doc_a, doc_b, n_match, jaccard FROM v
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // LSH parameter sweep: the SAME 8-hash signatures banded four ways;
+    // recall denominator = (8x1)'s verified pairs (every banding's
+    // candidates are a subset of the single-hash bands')
+    "dd_minhash_band_sweep" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 300000, array_to_string(ws[:CAST(len(ws) // 2 AS INT)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents WHERE doc_id % 10 = 7)),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END) AS sh
+        |  FROM w2),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |m AS (
+        |  SELECT doc_id, sh,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2654435761 + 1) % 999999999999989)) AS mh0,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2246822519 + 7) % 999999999999989)) AS mh1,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3266489917 + 13) % 999999999999989)) AS mh2,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 668265263 + 31) % 999999999999989)) AS mh3,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 374761393 + 101) % 999999999999989)) AS mh4,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3141592653 + 1009) % 999999999999989)) AS mh5,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 1597334677 + 10007) % 999999999999989)) AS mh6,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2869860233 + 100003) % 999999999999989)) AS mh7
+        |  FROM f),
+        |b81 AS (
+        |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) AS bkey FROM m
+        |  UNION ALL SELECT doc_id, '1_' || CAST(mh1 AS VARCHAR) FROM m
+        |  UNION ALL SELECT doc_id, '2_' || CAST(mh2 AS VARCHAR) FROM m
+        |  UNION ALL SELECT doc_id, '3_' || CAST(mh3 AS VARCHAR) FROM m
+        |  UNION ALL SELECT doc_id, '4_' || CAST(mh4 AS VARCHAR) FROM m
+        |  UNION ALL SELECT doc_id, '5_' || CAST(mh5 AS VARCHAR) FROM m
+        |  UNION ALL SELECT doc_id, '6_' || CAST(mh6 AS VARCHAR) FROM m
+        |  UNION ALL SELECT doc_id, '7_' || CAST(mh7 AS VARCHAR) FROM m),
+        |b42 AS (
+        |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bkey FROM m
+        |  UNION ALL SELECT doc_id, '1_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM m
+        |  UNION ALL SELECT doc_id, '2_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM m
+        |  UNION ALL SELECT doc_id, '3_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM m),
+        |b24 AS (
+        |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+        |    || '_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bkey FROM m
+        |  UNION ALL
+        |  SELECT doc_id, '1_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+        |    || '_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM m),
+        |b18 AS (
+        |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+        |    || '_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)
+        |    || '_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+        |    || '_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS bkey FROM m),
+        |c81 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM b81 a JOIN b81 b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |c42 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM b42 a JOIN b42 b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |c24 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM b24 a JOIN b24 b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |c18 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM b18 a JOIN b18 b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |v81 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+        |  FROM c81 JOIN f sa ON sa.doc_id = doc_a JOIN f sb ON sb.doc_id = doc_b),
+        |v42 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+        |  FROM c42 JOIN f sa ON sa.doc_id = doc_a JOIN f sb ON sb.doc_id = doc_b),
+        |v24 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+        |  FROM c24 JOIN f sa ON sa.doc_id = doc_a JOIN f sb ON sb.doc_id = doc_b),
+        |v18 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+        |  FROM c18 JOIN f sa ON sa.doc_id = doc_a JOIN f sb ON sb.doc_id = doc_b),
+        |allstats AS (
+        |  SELECT CAST(8 AS BIGINT) AS bands, CAST(1 AS BIGINT) AS rows_per_band,
+        |    n_candidates, COALESCE(n_verified, 0) AS n_verified FROM v81
+        |  UNION ALL SELECT 4, 2, n_candidates, COALESCE(n_verified, 0) FROM v42
+        |  UNION ALL SELECT 2, 4, n_candidates, COALESCE(n_verified, 0) FROM v24
+        |  UNION ALL SELECT 1, 8, n_candidates, COALESCE(n_verified, 0) FROM v18),
+        |truth AS (SELECT COALESCE(n_verified, 0) AS n_true FROM v81)
+        |SELECT bands, rows_per_band, n_candidates, n_verified,
+        |  CAST(CASE WHEN n_candidates = 0 THEN 0
+        |    ELSE n_verified * 10000 // n_candidates END AS BIGINT) AS precision_bp,
+        |  CAST(CASE WHEN n_true = 0 THEN 0
+        |    ELSE n_verified * 10000 // n_true END AS BIGINT) AS recall_bp
+        |FROM allstats, truth ORDER BY bands DESC""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -3048,14 +3159,14 @@ object SparkEntry {
         |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
         |m AS (
         |  SELECT doc_id, sh,
-        |    list_min(list_transform(sh, h -> (2*h + 1) % 999999999999989)) AS mh0,
-        |    list_min(list_transform(sh, h -> (3*h + 7) % 999999999999989)) AS mh1,
-        |    list_min(list_transform(sh, h -> (5*h + 13) % 999999999999989)) AS mh2,
-        |    list_min(list_transform(sh, h -> (7*h + 31) % 999999999999989)) AS mh3,
-        |    list_min(list_transform(sh, h -> (11*h + 101) % 999999999999989)) AS mh4,
-        |    list_min(list_transform(sh, h -> (13*h + 1009) % 999999999999989)) AS mh5,
-        |    list_min(list_transform(sh, h -> (17*h + 10007) % 999999999999989)) AS mh6,
-        |    list_min(list_transform(sh, h -> (19*h + 100003) % 999999999999989)) AS mh7
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2654435761 + 1) % 999999999999989)) AS mh0,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2246822519 + 7) % 999999999999989)) AS mh1,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3266489917 + 13) % 999999999999989)) AS mh2,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 668265263 + 31) % 999999999999989)) AS mh3,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 374761393 + 101) % 999999999999989)) AS mh4,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3141592653 + 1009) % 999999999999989)) AS mh5,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 1597334677 + 10007) % 999999999999989)) AS mh6,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2869860233 + 100003) % 999999999999989)) AS mh7
         |  FROM f),
         |bands AS (
         |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
@@ -3109,14 +3220,14 @@ object SparkEntry {
         |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
         |m AS (
         |  SELECT doc_id, sh,
-        |    list_min(list_transform(sh, h -> (2*h + 1) % 999999999999989)) AS mh0,
-        |    list_min(list_transform(sh, h -> (3*h + 7) % 999999999999989)) AS mh1,
-        |    list_min(list_transform(sh, h -> (5*h + 13) % 999999999999989)) AS mh2,
-        |    list_min(list_transform(sh, h -> (7*h + 31) % 999999999999989)) AS mh3,
-        |    list_min(list_transform(sh, h -> (11*h + 101) % 999999999999989)) AS mh4,
-        |    list_min(list_transform(sh, h -> (13*h + 1009) % 999999999999989)) AS mh5,
-        |    list_min(list_transform(sh, h -> (17*h + 10007) % 999999999999989)) AS mh6,
-        |    list_min(list_transform(sh, h -> (19*h + 100003) % 999999999999989)) AS mh7
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2654435761 + 1) % 999999999999989)) AS mh0,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2246822519 + 7) % 999999999999989)) AS mh1,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3266489917 + 13) % 999999999999989)) AS mh2,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 668265263 + 31) % 999999999999989)) AS mh3,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 374761393 + 101) % 999999999999989)) AS mh4,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3141592653 + 1009) % 999999999999989)) AS mh5,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 1597334677 + 10007) % 999999999999989)) AS mh6,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2869860233 + 100003) % 999999999999989)) AS mh7
         |  FROM f),
         |bands AS (
         |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
@@ -3208,14 +3319,14 @@ object SparkEntry {
         |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
         |m AS (
         |  SELECT doc_id, sh,
-        |    list_min(list_transform(sh, h -> (2*h + 1) % 999999999999989)) AS mh0,
-        |    list_min(list_transform(sh, h -> (3*h + 7) % 999999999999989)) AS mh1,
-        |    list_min(list_transform(sh, h -> (5*h + 13) % 999999999999989)) AS mh2,
-        |    list_min(list_transform(sh, h -> (7*h + 31) % 999999999999989)) AS mh3,
-        |    list_min(list_transform(sh, h -> (11*h + 101) % 999999999999989)) AS mh4,
-        |    list_min(list_transform(sh, h -> (13*h + 1009) % 999999999999989)) AS mh5,
-        |    list_min(list_transform(sh, h -> (17*h + 10007) % 999999999999989)) AS mh6,
-        |    list_min(list_transform(sh, h -> (19*h + 100003) % 999999999999989)) AS mh7
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2654435761 + 1) % 999999999999989)) AS mh0,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2246822519 + 7) % 999999999999989)) AS mh1,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3266489917 + 13) % 999999999999989)) AS mh2,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 668265263 + 31) % 999999999999989)) AS mh3,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 374761393 + 101) % 999999999999989)) AS mh4,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3141592653 + 1009) % 999999999999989)) AS mh5,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 1597334677 + 10007) % 999999999999989)) AS mh6,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2869860233 + 100003) % 999999999999989)) AS mh7
         |  FROM f),
         |bands AS (
         |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)

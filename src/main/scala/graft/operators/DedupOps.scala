@@ -32,10 +32,26 @@ object DedupOps {
     * a*h+b stays far from Long overflow). */
   val MinhashP = 999999999999989L
 
-  /** Fixed (a,b) parameters: 8 universal-hash permutations. */
-  val MinhashParams: Seq[(Int, Int)] = Seq(
-    (2, 1), (3, 7), (5, 13), (7, 31),
-    (11, 101), (13, 1009), (17, 10007), (19, 100003))
+  /** Input reduction for the permutation family: shingle hashes fold to
+    * 31 bits first so the large multipliers below stay inside int64 on
+    * BOTH engines ((2³¹−1)·maxA ≈ 7e18 < 2⁶³−1). The 1-in-2e9
+    * reduction collisions are immaterial to minima. */
+  val MinhashRed = 2147483647L
+
+  /** Fixed (a,b) parameters: 8 universal-hash permutations with LARGE
+    * well-known mixing multipliers (Knuth/xxHash-family constants —
+    * public). The original small multipliers (2..19) made a·h+b mod P
+    * piecewise order-preserving over [0, P) with only a wrap segments,
+    * so the 8 "independent" permutations usually shared one argmin —
+    * the `dd_minhash_band_sweep` measurement exposed signature
+    * agreement collapsing to all-or-nothing (every banding produced
+    * identical candidates). With ~2³¹-scale multipliers each
+    * permutation's argmin is effectively independent, which is the
+    * property every b·r S-curve formula assumes. */
+  val MinhashParams: Seq[(Long, Long)] = Seq(
+    (2654435761L, 1L), (2246822519L, 7L), (3266489917L, 13L),
+    (668265263L, 31L), (374761393L, 101L), (3141592653L, 1009L),
+    (1597334677L, 10007L), (2869860233L, 100003L))
 
   /** Test corpus with known duplicates, synthesized deterministically on
     * both engines: the documents plus an exact copy of every 10th doc and
@@ -518,7 +534,8 @@ object DedupOps {
     val sigs = MinhashParams.zipWithIndex.foldLeft(hashed) {
       case (acc, ((a, b), i)) =>
         acc.withColumn(s"mh$i",
-          array_min(transform(col("sh"), h => (lit(a.toLong) * h + b) % MinhashP)))
+          array_min(transform(col("sh"),
+            h => ((h % MinhashRed) * a + b) % MinhashP)))
     }
     sigs.withColumn("bands", array((0 until 2).map(i =>
       concat_ws("_", lit(i), col(s"mh${4 * i}"), col(s"mh${4 * i + 1}"),
@@ -555,6 +572,72 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  /** LSH PARAMETER SWEEP — the tuning measurement that picks (bands,
+    * rows-per-band) before a 100 TB dedup run: the same 8-component
+    * signature is banded four ways ((8×1), (4×2), (2×4), (1×8)) and
+    * each configuration reports its candidate volume, verified-pair
+    * count, and exact integer precision/recall in basis points.
+    * Ground truth needs no all-pairs scan: every banding's candidates
+    * are a SUBSET of (8×1)'s (a pair agreeing on an r-hash band agrees
+    * on each single hash in it), so (8×1)'s verified pairs ARE the
+    * recall denominator. Moving down the sweep trades recall for
+    * precision/candidate volume — the empirical S-curve the b·r
+    * formulas predict, measured on the actual corpus.
+    *
+    * Scale shape: one signature build (persisted, shared by all four
+    * configs), then per config a banded bucket self-join + verify —
+    * identical to [[minhashLsh]]'s shape; stat outputs are 4 rows. */
+  def minhashBandSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    // the dup-seeded corpus is BIMODAL (exact/prefixed copies at j ≈ 1,
+    // everything else at j ≈ 0), where every banding agrees — add a
+    // HALF-TRUNCATED variant (first half of the space-split words,
+    // j ≈ 0.5 against its original: each minhash agrees w.p. ≈ 0.5) so
+    // the configurations actually separate: P(candidate) runs from
+    // ~1−0.5⁸ ≈ .996 (8×1) down to 0.5⁸ ≈ .004 (1×8) on these pairs —
+    // the S-curve the sweep exists to measure
+    val halves = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 300000).as("doc_id"), col("source"),
+        expr("array_join(slice(split(text, ' '), 1, " +
+          "CAST(size(split(text, ' ')) DIV 2 AS INT)), ' ')").as("text"))
+    val sigs = withMinhashBands(corpus(spark, sfDir).union(halves))
+      .select(col("doc_id"), col("sh"),
+        array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def statsFor(b: Int, r: Int): DataFrame = {
+      val keys = array((0 until b).map(i =>
+        concat_ws("_", (lit(i) +: (0 until r).map(j =>
+          element_at(col("sig"), r * i + j + 1))): _*)): _*)
+      val bands = sigs.select(col("doc_id"), explode(keys).as("bkey"))
+      val cands = bands.select(col("doc_id").as("doc_a"), col("bkey"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("bkey")), Seq("bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cands
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .select(jaccard(col("sha"), col("shb")).as("j"))
+        .agg(count(lit(1)).as("n_candidates"),
+          // empty candidate set: SUM over no rows is NULL, count is 0 —
+          // pin to 0 so the stat row stays well-typed on both engines
+          coalesce(sum(when(col("j") >= 0.5, 1L).otherwise(0L)), lit(0L))
+            .as("n_verified"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"))
+    }
+    val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map((statsFor _).tupled)
+    val truth = configs.head.select(col("n_verified").as("n_true"))
+    configs.reduce(_.union(_))
+      .crossJoin(broadcast(truth))
+      .select(col("bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_verified"),
+        expr("CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_verified * 10000 DIV n_candidates END").as("precision_bp"),
+        expr("CASE WHEN n_true = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_verified * 10000 DIV n_true END").as("recall_bp"))
+      .orderBy(col("bands").desc)
   }
 
   /** MinHash ESTIMATOR accuracy — the measurement query for the dedup

@@ -88,6 +88,27 @@ class OperatorSpec extends AnyFunSuite {
       val j = r.getAs[Double]("jaccard"); j >= 0.5 && j < 1.0 })
   }
 
+  test("LSH band sweep: finer bands trade precision for recall, (8x1) is the recall ceiling") {
+    val rows = DedupOps.minhashBandSweep(spark, sf0001).collect()
+      .sortBy(-_.getAs[Long]("bands"))
+    assert(rows.map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")))
+      .toSeq == Seq((8L, 1L), (4L, 2L), (2L, 4L), (1L, 8L)))
+    // every banding's candidates are a subset of the single-hash bands'
+    val cand = rows.map(_.getAs[Long]("n_candidates"))
+    assert(cand.zip(cand.tail).forall { case (a, b) => a >= b },
+      s"candidate volume must shrink as bands coarsen: ${cand.toSeq}")
+    // recall ceiling by construction; recall non-increasing down the sweep
+    assert(rows.head.getAs[Long]("recall_bp") == 10000L)
+    val rec = rows.map(_.getAs[Long]("recall_bp"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a >= b }, rec.toSeq.toString)
+    // the sweep is DECISIVE on this corpus: the configs actually differ
+    // (with order-correlated permutations they collapsed to one point)
+    assert(cand.distinct.length >= 3, s"sweep not discriminating: ${cand.toSeq}")
+    assert(rows.last.getAs[Long]("precision_bp") >
+      rows.head.getAs[Long]("precision_bp"))
+    spark.catalog.clearCache()
+  }
+
   test("simhash: identical docs collide, near-dups stay close") {
     import spark.implicits._
     val sh = DedupOps.simhash(spark, sf0001)
