@@ -627,9 +627,15 @@ object DedupOps {
         .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
           col("n_candidates"), col("n_verified"))
     }
-    val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map((statsFor _).tupled)
-    val truth = configs.head.select(col("n_verified").as("n_true"))
-    configs.reduce(_.union(_))
+    // localCheckpoint the 4-row stat table BEFORE deriving the recall
+    // denominator from it: `truth` re-reads the materialized rows
+    // instead of re-executing the (8x1) candidate-join subtree — the
+    // most expensive config — a second time
+    val all = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map((statsFor _).tupled)
+      .reduce(_.union(_)).localCheckpoint()
+    val truth = all.filter(col("bands") === 8)
+      .select(col("n_verified").as("n_true"))
+    all
       .crossJoin(broadcast(truth))
       .select(col("bands"), col("rows_per_band"),
         col("n_candidates"), col("n_verified"),

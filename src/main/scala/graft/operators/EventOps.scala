@@ -495,27 +495,37 @@ object EventOps {
     * side is 4 literal quantiles. Two passes over the data, constant
     * sketch state — the classic scalable approx-quantile. */
   def quantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
-    val nb = 1024
     // null values carry no quantile information and their bin would sort
     // differently across engines — excluded symmetrically on both sides
     val ev = Tables.events(spark, sfDir).select(col("value"))
       .filter(col("value").isNotNull)
+    fixedGridQuantiles(ev, 1024, Seq(0.5, 0.9, 0.95, 0.99)).orderBy("p")
+  }
+
+  /** The ONE definition of the global fixed-grid histogram quantile
+    * estimator (shared by [[quantileSketch]] and [[winsorize]]; the
+    * grouped per-key variant lives in [[quantileSketchByType]]):
+    * pin the grid from (min, max, nb), histogram `value` into ≤nb bins
+    * (degenerate single-value distributions take bin 0 — width would
+    * be 0), cumulate over the bounded bin table (single partition by
+    * construction), and probe each requested quantile with linear
+    * interpolation inside its bin. Returns (p, est) rows. */
+  private def fixedGridQuantiles(ev: DataFrame, nb: Int,
+                                 qs: Seq[Double]): DataFrame = {
+    val spark = ev.sparkSession
     val stats = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
       count(lit(1)).as("n"))
-    // degenerate single-value distributions take bin 0 (width would be 0)
     val bins = ev.crossJoin(broadcast(stats))
       .select(when(col("mx") === col("mn"), lit(0L))
         .otherwise(least(floor((col("value") - col("mn")) /
           ((col("mx") - col("mn")) / nb)).cast("long"), lit(nb - 1L)))
         .as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
-    // cumulative counts over the bounded bin table (single partition by
-    // construction: <= 1024 rows regardless of data volume)
     val wb = org.apache.spark.sql.expressions.Window.orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = bins.withColumn("cum", sum(col("cnt")).over(wb))
     import spark.implicits._
-    val ps = Seq(0.5, 0.9, 0.95, 0.99).toDF("p")
+    val ps = qs.toDF("p")
     ps.crossJoin(cum).crossJoin(broadcast(stats))
       .filter(col("cum") >= col("p") * col("n") &&
         col("cum") - col("cnt") < col("p") * col("n"))
@@ -525,7 +535,6 @@ object EventOps {
             ((col("mx") - col("mn")) / nb) * (col("bin") +
               (col("p") * col("n") - (col("cum") - col("cnt"))) / col("cnt")))
           .as("est"))
-      .orderBy("p")
   }
 
   /** Winsorization — the robust-statistics companion of the anomaly
@@ -540,31 +549,9 @@ object EventOps {
     * never hash-gate. Two scans of events (sketch pass + clamp pass),
     * both map-side combined; every intermediate table is ≤1024 rows. */
   def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
-    val nb = 1024
     val ev = Tables.events(spark, sfDir).select(col("value"))
       .filter(col("value").isNotNull)
-    val stats = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
-      count(lit(1)).as("n"))
-    val bins = ev.crossJoin(broadcast(stats))
-      .select(when(col("mx") === col("mn"), lit(0L))
-        .otherwise(least(floor((col("value") - col("mn")) /
-          ((col("mx") - col("mn")) / nb)).cast("long"), lit(nb - 1L)))
-        .as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
-    val wb = org.apache.spark.sql.expressions.Window.orderBy("bin")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = bins.withColumn("cum", sum(col("cnt")).over(wb))
-    import spark.implicits._
-    val ps = Seq(0.05, 0.95).toDF("p")
-    val bounds = ps.crossJoin(cum).crossJoin(broadcast(stats))
-      .filter(col("cum") >= col("p") * col("n") &&
-        col("cum") - col("cnt") < col("p") * col("n"))
-      .select(col("p"),
-        when(col("mx") === col("mn"), col("mn"))
-          .otherwise(col("mn") +
-            ((col("mx") - col("mn")) / nb) * (col("bin") +
-              (col("p") * col("n") - (col("cum") - col("cnt"))) / col("cnt")))
-          .as("est"))
+    val bounds = fixedGridQuantiles(ev, 1024, Seq(0.05, 0.95))
       .groupBy()
       .agg(floor(min(when(col("p") === 0.05, col("est"))) * 100).cast("long").as("lo_cents"),
         floor(min(when(col("p") === 0.95, col("est"))) * 100).cast("long").as("hi_cents"))
