@@ -542,6 +542,15 @@ object DedupOps {
         col(s"mh${4 * i + 2}"), col(s"mh${4 * i + 3}"))): _*))
   }
 
+  /** (doc_id, band-key) rows for any (doc_id, text) frame — the LSH
+    * banding surface shared by the batch pair pipeline and the
+    * STREAMING near-dup admission filter
+    * ([[graft.streaming.DocStreamOps.nearDupCandidates]]); works on
+    * streaming frames too (every step is a narrow projection). */
+  private[graft] def bandsOf(df: DataFrame): DataFrame =
+    withMinhashBands(df)
+      .select(col("doc_id"), explode(col("bands")).as("bkey"))
+
   /** MinHash+LSH near-dup detection over the dup-seeded corpus:
     * signature → band → bucket self-join → candidate pairs → exact
     * Jaccard verify (≥ 0.5). The candidate set is tiny relative to

@@ -52,6 +52,30 @@ object DocStreamOps {
       .join(snapshotMd5.select("text_md5"), Seq("text_md5"), "left_anti")
       .select("doc_id", "source", "text_md5")
 
+  /** Streaming NEAR-dup admission filter — the MinHash twin of
+    * [[novelAgainstSnapshot]]'s exact path: each incoming doc's LSH
+    * band keys (the same 8-permutation banding as the batch
+    * `dd_minhash_lsh`, via DedupOps.bandsOf) probe the STATIC band
+    * table of the corpus at rest; a band match names the snapshot doc
+    * the newcomer likely duplicates. Stream-static and STATELESS — no
+    * watermark state; at 100 TB the snapshot side is the narrow
+    * (band-key, doc_id) index of the lake, bucketed on band-key, and
+    * each micro-batch is a lookup join against it.
+    *
+    * Emits one row per matching (doc, snapshot doc, band): candidate
+    * multiplicity (≤ #bands per pair) is left to the downstream
+    * verify/dedup stage exactly as in the batch pipeline — a streaming
+    * `distinct` here would grow unbounded state for no semantic gain. */
+  def nearDupCandidates(docs: DataFrame, snapshot: DataFrame): DataFrame = {
+    val snapBands = graft.operators.DedupOps.bandsOf(
+        snapshot.select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("snap_id"), col("bkey"))
+    graft.operators.DedupOps.bandsOf(
+        docs.select(col("doc_id"), col("text")))
+      .join(snapBands, "bkey")
+      .select(col("doc_id"), col("snap_id"), col("bkey"))
+  }
+
   /** Trending terms on the firehose — windowed term frequencies with a
     * watermark, the streaming face of the batch term-statistics family
     * (TF-IDF / term drift / CMS): each tumbling window's counts emit

@@ -392,6 +392,36 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates: band probes flag copies and prefix edits, novel docs pass clean") {
+    import spark.implicits._
+    import graft.streaming.DocStreamOps
+    import graft.streaming.DocStreamOps.DocRow
+    implicit val sql = spark.sqlContext
+    // the corpus at rest: two real documents from the test tables
+    val base = Tables.documents(spark, SparkFixture.sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().take(2)
+    val snapshot = base.toSeq.toDF("doc_id", "text")
+    val mem = MemoryStream[DocRow]
+    val q = DocStreamOps.nearDupCandidates(mem.toDF(), snapshot)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        DocRow(1001L, ts(0), "a", base(0)._2),                     // exact copy
+        DocRow(1002L, ts(1), "a", "extra words added " + base(1)._2), // near copy
+        DocRow(1003L, ts(2), "b",                                  // novel: reversed words
+          base(0)._2.split(" ").reverse.mkString(" ") + " wholly novel tail"))
+      q.processAllAvailable()
+      val got = spark.table("neardup")
+        .select("doc_id", "snap_id").as[(Long, Long)].collect().toSet
+      // the copy and the prefixed near-copy each flag their source doc
+      assert(got.contains((1001L, base(0)._1)), s"exact copy not flagged: $got")
+      assert(got.contains((1002L, base(1)._1)), s"near copy not flagged: $got")
+      // the reversed doc shares vocabulary but no shingles: no candidate
+      assert(!got.exists(_._1 == 1003L), s"novel doc falsely flagged: $got")
+    } finally q.stop()
+  }
+
   test("streaming trending terms: windowed counts emit complete windows after the watermark") {
     import spark.implicits._
     import graft.streaming.DocStreamOps
