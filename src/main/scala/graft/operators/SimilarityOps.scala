@@ -209,13 +209,18 @@ object SimilarityOps {
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eb = lshBuckets(e, tables, bits)
+    // candidates as UNORDERED pairs (a < b): each pair is scored once —
+    // cosine is symmetric and the dot product's fold order is the same
+    // either way, so mirroring the scored row afterward is bit-identical
+    // to scoring both orientations at half the dot products and half
+    // the payload-join volume
     val cand = eb.select(col("vec_id").as("a_id"), col("t"), col("bkt"))
       .join(eb.select(col("vec_id").as("b_id"), col("t"), col("bkt")),
         Seq("t", "bkt"))
-      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val top = graft.functions.TopKAggregator.topKPairs(k)
-    val knn = cand
+    val scored = cand
       .join(e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
         col("nrm").as("a_nrm")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
@@ -223,6 +228,13 @@ object SimilarityOps {
       .select(col("a_id"), col("b_id"),
         cosinePre(col("a_emb"), col("a_nrm"), col("b_emb"), col("b_nrm"))
           .as("score"))
+      // persisted: both union branches read the scored pairs — without
+      // it the mirror branch would re-run the scoring subtree and give
+      // back the halving (caller clearCache()s per the similarity-ops
+      // contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val knn = scored
+      .union(scored.select(col("b_id"), col("a_id"), col("score")))
       .groupBy("a_id")
       .agg(top(col("b_id"), col("score")).as("top"))
       .select(col("a_id"), posexplode(col("top")))
