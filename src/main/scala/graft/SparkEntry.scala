@@ -192,6 +192,7 @@ object SparkEntry {
     "dd_dup_clusters"          -> DedupOps.dupClusters _,
     "dd_incremental"           -> DedupOps.incrementalDedup _,
     "dd_exact_substr"          -> DedupOps.exactSubstrDedup _,
+    "dd_block_dedup"           -> ((s: SparkSession, d: String) => DedupOps.blockDedup(s, d)),
     "dd_pipeline_survivors"    -> DedupOps.dedupSurvivors _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
@@ -200,6 +201,7 @@ object SparkEntry {
     "sim_ivf_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.ivfAnnTopK(s, d)),
     "sim_recall"               -> SimilarityOps.annRecall _,
     "sim_mrr"                  -> SimilarityOps.annMrr _,
+    "sim_hybrid_rrf"           -> SimilarityOps.hybridRrf _,
     "sim_matryoshka_recall"    -> ((s: SparkSession, d: String) => SimilarityOps.matryoshkaRecall(s, d)),
     "sim_training_triplets"    -> ((s: SparkSession, d: String) => SimilarityOps.trainingTriplets(s, d)),
     "dd_emb_neardup"           -> SimilarityOps.embeddingNearDups _,
@@ -2674,6 +2676,43 @@ object SparkEntry {
     // covered words removed; survivors re-join into dedup_text. Gram
     // keys are the same 60-bit polynomial shingle hashes as
     // dd_contamination (shinglek_hashes spelling, copied verbatim).
+    // aligned block-level dedup: first occurrence (min doc_id*1e6+bpos)
+    // of each 8-word block survives; docs reassemble from kept blocks
+    "dd_block_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, source, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |b0 AS (
+        |  SELECT doc_id, ws, CAST((len(ws) + 7) // 8 AS BIGINT) AS n_blocks
+        |  FROM base WHERE len(ws) > 0),
+        |blk AS (
+        |  SELECT doc_id, u.bpos AS bpos, u.bh AS bh FROM (
+        |    SELECT doc_id, unnest([{'bpos': b,
+        |        'bh': md5(array_to_string(ws[b*8+1 : b*8+8], ' '))}
+        |      for b in range(0, n_blocks)]) AS u
+        |    FROM b0)),
+        |gs AS (
+        |  SELECT doc_id, bpos,
+        |    MIN(doc_id * 1000000 + bpos) OVER (PARTITION BY bh) AS firstk
+        |  FROM blk),
+        |rm AS (
+        |  SELECT doc_id, list(bpos) AS rmv FROM gs
+        |  WHERE doc_id * 1000000 + bpos <> firstk GROUP BY doc_id)
+        |SELECT b0.doc_id, n_blocks,
+        |  CAST(n_blocks - COALESCE(len(rmv), 0) AS BIGINT) AS n_kept,
+        |  COALESCE(array_to_string(flatten(list_transform(
+        |    list_filter(range(0, n_blocks),
+        |      b -> NOT list_contains(COALESCE(rmv, CAST([] AS BIGINT[])), b)),
+        |    b -> ws[b*8+1 : b*8+8])), ' '), '') AS dedup_text
+        |FROM b0 LEFT JOIN rm ON b0.doc_id = rm.doc_id
+        |ORDER BY b0.doc_id""".stripMargin,
     "dd_exact_substr" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents
@@ -3718,6 +3757,67 @@ object SparkEntry {
         |  CAST(CASE WHEN lr.rn IS NOT NULL THEN 2520 // lr.rn ELSE 0 END AS BIGINT) AS contrib_scaled
         |FROM tn LEFT JOIN lr ON lr.q_id = tn.q_id AND lr.vec_id = tn.true_nn
         |ORDER BY tn.q_id""".stripMargin,
+    // hybrid RRF: BM25 top-10 (art_search_bm25's exact score tree)
+    // fused with exact-cosine top-10 of doc 0's embedding; integer
+    // contributions 1000000 DIV (60+rank), absent arm contributes 0
+    "sim_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+        |  WHERE term IN ('spark', 'merge') GROUP BY term),
+        |parts AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(1000000.0 *
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |        (CAST(df AS DOUBLE) + 0.5)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(dl.dl AS DOUBLE) /
+        |            (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |    ) AS BIGINT) AS part
+        |  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats),
+        |scores AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score
+        |  FROM parts GROUP BY doc_id),
+        |lexr AS (SELECT doc_id, lex_rank FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS BIGINT) AS lex_rank FROM scores) t WHERE lex_rank <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |corp AS (SELECT vec_id, emb FROM e
+        |  WHERE vec_id IN (SELECT doc_id FROM documents)),
+        |q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * q_emb[i])), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * emb[i])), (x, y) -> x + y))) AS score
+        |  FROM q, corp WHERE vec_id <> 0),
+        |semr AS (SELECT doc_id, sem_rank FROM (
+        |  SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+        |    AS BIGINT) AS sem_rank FROM s) t WHERE sem_rank <= 10),
+        |f AS (
+        |  SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id,
+        |    l.lex_rank AS lr, m.sem_rank AS sr
+        |  FROM lexr l FULL OUTER JOIN semr m ON l.doc_id = m.doc_id),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(lr, -1) AS BIGINT) AS lex_rank,
+        |    CAST(COALESCE(sr, -1) AS BIGINT) AS sem_rank,
+        |    CAST(COALESCE(1000000 // (60 + lr), 0) +
+        |         COALESCE(1000000 // (60 + sr), 0) AS BIGINT) AS rrf_score
+        |  FROM f)
+        |SELECT doc_id, lex_rank, sem_rank, rrf_score,
+        |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rn
+        |FROM g ORDER BY rn""".stripMargin,
     "sim_recall" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,

@@ -920,4 +920,66 @@ object DedupOps {
         concat_ws(" ", transform(kept, s => s.getField("wd"))).as("dedup_text"))
       .orderBy("doc_id")
   }
+
+  /** BLOCK-level corpus dedup — the CCNet/RefinedWeb line-dedup shape
+    * (reference analogue: the set-membership dedup of index.py:151-153
+    * applied below document granularity): the corpus is cut into
+    * ALIGNED `block`-word units, every unit that repeats ANYWHERE in
+    * the corpus is dropped except its globally-first occurrence
+    * (smallest (doc_id, block_pos)), and each document's text is
+    * reassembled from its surviving blocks. Boilerplate that recurs
+    * across documents (headers, navigation, license banners) vanishes
+    * from every copy but one while the containing documents survive.
+    *
+    * Contrast with [[exactSubstrDedup]]: that pass slides an
+    * OVERLAPPING 8-gram window (any repeated run of >= 8 words,
+    * regardless of alignment) and shuffles one hash per word; this
+    * aligned pass shuffles one hash per BLOCK — `block`× fewer rows —
+    * and is the cheap first-tier sweep a layered dedup runs before the
+    * overlapping pass. The seeded corpus separates them: exact copies
+    * lose every block, but the "extra words added " near-copies
+    * (3-word prefix shift) share NO aligned block with their original
+    * and pass through intact, exactly the misalignment blindness the
+    * overlapping pass exists to close.
+    *
+    * Scale shape: block identity travels as a 16-byte md5 — never the
+    * block text. One narrow (doc_id, bpos, bh) shuffle for the
+    * first-occurrence window, one per-doc agg of removed positions,
+    * then reassembly is ROW-LOCAL (the kept-index filter re-slices the
+    * doc's own word array); the corpus itself crosses no exchange
+    * beyond the final doc_id join. */
+  def blockDedup(spark: SparkSession, sfDir: String,
+                 block: Int = 8): DataFrame = {
+    val c = corpus(spark, sfDir)
+    val base = c.select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("n_blocks",
+        expr(s"(size(ws) + ${block - 1}) DIV $block"))
+    // per-row block fingerprints: (bpos, md5(block text)) — the text
+    // itself never leaves the row
+    val hashes = base.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0L, n_blocks - 1), b -> struct(
+             |  b AS bpos,
+             |  md5(CAST(array_join(slice(ws, CAST(b * $block + 1 AS INT),
+             |    $block), ' ') AS BINARY)) AS bh))""".stripMargin)).as("e"))
+      .select(col("doc_id"), col("e.bpos").as("bpos"), col("e.bh").as("bh"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("bh")
+    val rm = hashes
+      .withColumn("okey", col("doc_id") * lit(1000000L) + col("bpos"))
+      .withColumn("firstk", min(col("okey")).over(wB))
+      .filter(col("okey") =!= col("firstk"))
+      .groupBy("doc_id").agg(collect_set(col("bpos")).as("rm"))
+    base.join(rm, Seq("doc_id"), "left")
+      .withColumn("rmv", coalesce(col("rm"), array().cast("array<long>")))
+      .select(col("doc_id"),
+        col("n_blocks").cast("long").as("n_blocks"),
+        (col("n_blocks") - size(col("rmv"))).cast("long").as("n_kept"),
+        expr(s"""array_join(flatten(transform(
+           |  filter(sequence(0L, n_blocks - 1),
+           |    b -> NOT array_contains(rmv, b)),
+           |  b -> slice(ws, CAST(b * $block + 1 AS INT), $block))), ' ')"""
+          .stripMargin).as("dedup_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -1127,4 +1127,62 @@ object SimilarityOps {
     }
     (assign.orderBy("vec_id"), rounds)
   }
+
+  /** HYBRID retrieval with Reciprocal Rank Fusion (Cormack/Clarke/
+    * Büttcher 2009, public) — the production RAG serving pattern the
+    * reference's keyword search (api.py:26) grows into: a LEXICAL
+    * ranking (the exact BM25 of `art_search_bm25`, same keywords, same
+    * score tree) and a SEMANTIC ranking (exact cosine of document 0's
+    * embedding against every vector that embeds a document) each
+    * produce a top-10, and the lists fuse by RRF:
+    * score(d) = Σ_arms 1000000 DIV (60 + rank_arm(d)), absent arm
+    * contributes 0. Integer contributions make the fusion
+    * hash-gateable (float 1/(k+r) sums are fold-order-dependent);
+    * 1000000 DIV (60+r) is strictly decreasing over r ∈ [1, 10], so
+    * the integer scaling preserves exactly the float RRF order.
+    *
+    * Scale shape: each arm already ends in a BOUNDED top-k (the BM25
+    * arm folds through the TopK aggregator — k rows per partition
+    * cross its exchange; the cosine arm is the broadcast-query corpus
+    * scan of [[bruteForceTopK]]), so the fusion input is ≤ 2k rows at
+    * ANY corpus scale. The full-outer fuse join and the final rank
+    * window run on that ≤ 2k-row table — never on data rows. At 100 TB
+    * the arms are served from their indexes (postings / IVF) with this
+    * same fusion tail. */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val topA = graft.functions.TopKAggregator.topKPairs(10)
+    // lexical arm: the art_search_bm25 scores (integer, exact), folded
+    // to a global top-10 through the bounded aggregator — ordering
+    // (score desc, doc_id asc) is the aggregator's contract
+    val lex = ArticleOps.searchBm25(spark, sfDir)
+      .agg(topA(col("doc_id"), col("score").cast("double")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("lex_rank"))
+    // semantic arm: query = vector 0, corpus = vectors that embed an
+    // actual document (vec_id joins the documents id space)
+    val e = vecs(spark, sfDir)
+    val corp = e.join(
+      Tables.documents(spark, sfDir).select(col("doc_id")),
+      col("vec_id") === col("doc_id"), "left_semi")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val sem = cosineTopK(corp, q, col("vec_id") =!= col("q_id"))
+      .select(col("vec_id").as("doc_id"), col("rn").as("sem_rank"))
+    // fuse: contributions computed from the NULLABLE ranks (missing arm
+    // -> NULL DIV -> 0), ranks surfaced as -1 for the absent arm
+    val wF = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + sem_rank)"), lit(0L)))
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(-1L)).as("sem_rank"),
+        col("rrf_score"))
+      .withColumn("rn", row_number().over(wF).cast("long"))
+      .orderBy("rn")
+  }
 }

@@ -2018,6 +2018,64 @@ class OperatorSpec extends AnyFunSuite {
       r.getAs[String]("dedup_text") == "extra words added"))
   }
 
+  test("block dedup: exact copies vanish whole, misaligned near-copies pass, survivors reassemble verbatim") {
+    val rows = DedupOps.blockDedup(spark, sf0001).collect()
+    assert(rows.forall { r =>
+      val k = r.getAs[Long]("n_kept")
+      k >= 0 && k <= r.getAs[Long]("n_blocks") })
+    // exact copy (+100000): every aligned block duplicates the
+    // original's block at the same position — the copy loses everything
+    val exactCopies = rows.filter { r =>
+      val id = r.getAs[Long]("doc_id"); id >= 100000 && id < 200000 }
+    assert(exactCopies.nonEmpty)
+    assert(exactCopies.forall(r => r.getAs[Long]("n_kept") == 0L &&
+      r.getAs[String]("dedup_text") == ""))
+    // near copy (+200000, 3-word prefix): block boundaries shift by 3,
+    // so NO aligned block matches the original — the documented
+    // blindness of the aligned tier that exactSubstrDedup closes
+    // ... "no aligned block" is about the ORIGINAL's blocks; a short
+    // tail block ("key") can still coincide with some OTHER doc's tail,
+    // so assert the bulk survives rather than every block of every copy
+    val nearCopies = rows.filter(_.getAs[Long]("doc_id") >= 200000)
+    assert(nearCopies.nonEmpty)
+    val nearKeepAll = nearCopies.count(r =>
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_blocks"))
+    assert(nearKeepAll * 2 > nearCopies.length,
+      s"only $nearKeepAll/${nearCopies.length} near-copies kept every block")
+    // reassembly is exact: an untouched doc's dedup_text is its own
+    // lower-cased token stream
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), concat_ws(" ", TextOps.words(col("text"))).as("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("t")).toMap
+    val untouched = rows.filter { r =>
+      r.getAs[Long]("doc_id") < 100000 &&
+        r.getAs[Long]("n_kept") == r.getAs[Long]("n_blocks") }
+    assert(untouched.nonEmpty)
+    assert(untouched.forall(r =>
+      r.getAs[String]("dedup_text") == texts(r.getAs[Long]("doc_id"))))
+  }
+
+  test("hybrid RRF: integer fusion matches the per-row rank formula and each arm contributes a gapless top list") {
+    val rows = SimilarityOps.hybridRrf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    def contrib(rank: Long): Long = if (rank == -1L) 0L else 1000000L / (60L + rank)
+    assert(rows.forall { r =>
+      r.getAs[Long]("rrf_score") ==
+        contrib(r.getAs[Long]("lex_rank")) + contrib(r.getAs[Long]("sem_rank")) })
+    // fused order: (rrf desc, doc_id asc), rn gapless from 1
+    val ord = rows.sortBy(r => (-r.getAs[Long]("rrf_score"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("doc_id")).toSeq == ord)
+    assert(rows.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to rows.length).toSeq)
+    // each arm's present ranks are a gapless 1..n prefix, n <= 10
+    for (arm <- Seq("lex_rank", "sem_rank")) {
+      val present = rows.map(_.getAs[Long](arm)).filter(_ != -1L).sorted.toSeq
+      assert(present.nonEmpty && present.length <= 10,
+        s"$arm has ${present.length} entries")
+      assert(present == (1L to present.length).toSeq, s"$arm ranks: $present")
+    }
+  }
+
   test("triangle counts equal the brute-force enumeration of the block-clique graph") {
     val docs = Tables.documents(spark, sf0001).select("doc_id").collect()
       .map(_.getLong(0))
