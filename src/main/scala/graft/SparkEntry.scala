@@ -42,6 +42,7 @@ object SparkEntry {
     "rel_full_outer"           -> RelationalOps.fullOuterSegments _,
     "rel_null_safe_join"       -> RelationalOps.nullSafeJoin _,
     "rel_sql_lateral_topk"     -> RelationalOps.sqlLateralTopItems _,
+    "rel_sql_hierarchy"        -> RelationalOps.sqlHierarchyRollup _,
     "rel_rank_family"          -> RelationalOps.rankFamilyParts _,
     "rel_dist_family"          -> RelationalOps.distFamilyParts _,
     "rel_unpivot"              -> RelationalOps.unpivotPartMeasures _,
@@ -193,6 +194,7 @@ object SparkEntry {
     "dd_incremental"           -> DedupOps.incrementalDedup _,
     "dd_exact_substr"          -> DedupOps.exactSubstrDedup _,
     "dd_block_dedup"           -> ((s: SparkSession, d: String) => DedupOps.blockDedup(s, d)),
+    "dd_record_linkage"        -> DedupOps.recordLinkage _,
     "dd_pipeline_survivors"    -> DedupOps.dedupSurvivors _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
@@ -880,6 +882,26 @@ object SparkEntry {
         |  ORDER BY revenue DESC, l_linenumber LIMIT 2) t
         |WHERE o.o_orderstatus = 'P'
         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    // recursive-CTE subtree rollup: DuckDB executes the same WITH
+    // RECURSIVE text natively; 8-ary forest => unique paths, so the
+    // UNION ALL recursion emits each (anchor, node) exactly once
+    "rel_sql_hierarchy" ->
+      """WITH RECURSIVE sub(anchor, node, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 7
+        |  UNION ALL
+        |  SELECT s.anchor, c.c_custkey, s.depth + 1
+        |  FROM sub s JOIN customer c
+        |    ON CAST(FLOOR(c.c_custkey / 8) AS BIGINT) = s.node
+        |   AND c.c_custkey > 7
+        |)
+        |SELECT sub.anchor, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |       CAST(MAX(sub.depth) AS BIGINT) AS max_depth,
+        |       CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |            AS BIGINT) AS bal_cents
+        |FROM sub JOIN customer c ON c.c_custkey = sub.node
+        |GROUP BY sub.anchor
+        |ORDER BY anchor""".stripMargin,
     // null-safe equi-join: NULL keys match each other (IS NOT DISTINCT
     // FROM == Spark's <=>), the "unknown is a legitimate bucket" merge
     "rel_null_safe_join" ->
@@ -2713,6 +2735,33 @@ object SparkEntry {
         |    b -> ws[b*8+1 : b*8+8])), ' '), '') AS dedup_text
         |FROM b0 LEFT JOIN rm ON b0.doc_id = rm.doc_id
         |ORDER BY b0.doc_id""".stripMargin,
+    // blocked fuzzy record linkage: deterministic noise replayed here,
+    // block on the digit-run suffix, levenshtein verify, best-match
+    // resolve — levenshtein is the same built-in both engines
+    "dd_record_linkage" ->
+      """WITH noisy AS (
+        |  SELECT c_custkey AS n_id,
+        |    CASE CAST(c_custkey % 4 AS INT)
+        |      WHEN 0 THEN replace(c_name, '#', '-')
+        |      WHEN 1 THEN lower(c_name)
+        |      WHEN 2 THEN substr(c_name, 2)
+        |      ELSE concat(c_name, 'X') END AS n_name
+        |  FROM customer),
+        |nb AS (SELECT n_id, n_name,
+        |  substr(regexp_replace(n_name, '[^0-9]', '', 'g'), -4) AS blk FROM noisy),
+        |cb AS (SELECT c_custkey, c_name,
+        |  substr(regexp_replace(c_name, '[^0-9]', '', 'g'), -4) AS blk FROM customer),
+        |cand AS (
+        |  SELECT n_id, c_custkey, levenshtein(lower(n_name), lower(c_name)) AS dist
+        |  FROM nb JOIN cb USING (blk)
+        |  WHERE levenshtein(lower(n_name), lower(c_name)) <= 2),
+        |best AS (
+        |  SELECT n_id, c_custkey, dist,
+        |    row_number() OVER (PARTITION BY n_id ORDER BY dist, c_custkey) AS rn
+        |  FROM cand)
+        |SELECT n_id, CAST(c_custkey AS BIGINT) AS matched_custkey,
+        |       CAST(dist AS BIGINT) AS dist
+        |FROM best WHERE rn = 1 ORDER BY n_id""".stripMargin,
     "dd_exact_substr" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents

@@ -982,4 +982,55 @@ object DedupOps {
           .stripMargin).as("dedup_text"))
       .orderBy("doc_id")
   }
+
+  /** Blocked fuzzy RECORD LINKAGE (entity resolution, Newcombe 1959 /
+    * Fellegi–Sunter tradition — public): match a "dirty" feed of
+    * customer names back to the master table. The dirty feed is
+    * synthesized DETERMINISTICALLY from the master itself (one of four
+    * per-key corruptions: `#`→`-`, lowercase, dropped first char,
+    * appended char), so the oracle replays byte-identical noise and the
+    * true mapping is known — which is what lets the spec measure
+    * linkage ACCURACY, not just shape.
+    *
+    * The dataflow is the canonical three-stage linkage at any scale:
+    * (1) BLOCK — both sides key on the last 4 chars of the name's
+    * digit run (noise-invariant here the way real blocking keys are
+    * chosen to be: phonetic codes, zip prefixes); candidates come from
+    * a block equi-join, never the |A|×|B| cross product. (2) VERIFY —
+    * `levenshtein` edit distance ≤ 2 on case-folded names (identical
+    * built-in both engines). (3) RESOLVE — best match per dirty record
+    * = min (distance, custkey), one row_number window over candidate
+    * rows only.
+    *
+    * Scale shape: block sizes are |table| / 10^4 here; at 100 TB the
+    * block key widens with log N (more digit entropy, or a compound
+    * key) to hold the per-block candidate volume constant — the
+    * documented knob, same role as LSH band width. A hot block (one
+    * shared key) is the AQE skew-join case. The verify predicate runs
+    * only inside blocks, and the resolve window partitions candidate
+    * rows by dirty id — never the corpus. */
+  def recordLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val variant = col("c_custkey") % 4
+    val noisy = cust.select(
+      col("c_custkey").as("n_id"),
+      when(variant === 0, regexp_replace(col("c_name"), "#", "-"))
+        .when(variant === 1, lower(col("c_name")))
+        .when(variant === 2, expr("substr(c_name, 2)"))
+        .otherwise(concat(col("c_name"), lit("X"))).as("n_name"))
+    def blk(c: Column): Column =
+      substring(regexp_replace(c, "[^0-9]", ""), -4, 4)
+    val cand = noisy.withColumn("blk", blk(col("n_name")))
+      .join(cust.select(col("c_custkey"), col("c_name"),
+        blk(col("c_name")).as("blk")), Seq("blk"))
+      .withColumn("dist",
+        levenshtein(lower(col("n_name")), lower(col("c_name"))).cast("long"))
+      .filter(col("dist") <= 2)
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("n_id")
+      .orderBy(col("dist"), col("c_custkey"))
+    cand.withColumn("rn", row_number().over(wN))
+      .filter(col("rn") === 1)
+      .select(col("n_id"), col("c_custkey").as("matched_custkey"), col("dist"))
+      .orderBy("n_id")
+  }
 }

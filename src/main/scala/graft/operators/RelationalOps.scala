@@ -1058,4 +1058,49 @@ object RelationalOps {
       GROUP BY cntrycode
       ORDER BY cntrycode""")
   }
+
+  /** Recursive-CTE subtree rollup — the SQL SURFACE for iteration (the
+    * reference's crawl loop, index.py:121-142, is exactly this shape:
+    * a work-list expanded until exhausted). Spark 4's `WITH RECURSIVE`
+    * plans a `UnionLoop`: the engine runs the same materialize-frontier
+    * / join / append cycle [[graft.operators.GraphOps.frontierBfs]]
+    * hand-drives — but declared in one SQL statement, with Catalyst
+    * owning per-step column pruning and join planning.
+    *
+    * The hierarchy is a derived 8-ary forest over customer keys
+    * (parent(k) = k DIV 8, roots 1..7): every node has exactly ONE
+    * path from its anchor, which is what makes UNION ALL recursion
+    * exact — Spark's recursive CTEs do not yet support UNION DISTINCT,
+    * so the recursion must run on a forest/DAG with unique paths (a
+    * cyclic graph diverges; that case stays with the driver-loop BFS
+    * and its anti-join frontier). The rollup is the BOM/org-chart
+    * query: per-anchor descendant count, max depth, and exact
+    * DECIMAL-floored cents balance.
+    *
+    * Scale shape: recursion depth is O(log_8 N) (~11 levels at 10^10
+    * keys); each level is ONE equi-join of the current frontier
+    * against the table — identical per-round budget to frontierBfs.
+    * The final rollup is one map-side-combined agg over |forest| rows.
+    * The oracle runs the SAME text natively in DuckDB (both engines
+    * terminate on frontier exhaustion, not a row cap). */
+  def sqlHierarchyRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("customer_v")
+    spark.sql("""
+      WITH RECURSIVE sub(anchor, node, depth) AS (
+        SELECT c_custkey, c_custkey, 0
+        FROM customer_v WHERE c_custkey BETWEEN 1 AND 7
+        UNION ALL
+        SELECT s.anchor, c.c_custkey, s.depth + 1
+        FROM sub s JOIN customer_v c
+          ON CAST(FLOOR(c.c_custkey / 8) AS BIGINT) = s.node
+         AND c.c_custkey > 7
+      )
+      SELECT sub.anchor, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(MAX(sub.depth) AS BIGINT) AS max_depth,
+             CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS bal_cents
+      FROM sub JOIN customer_v c ON c.c_custkey = sub.node
+      GROUP BY sub.anchor
+      ORDER BY anchor""")
+  }
 }

@@ -3212,4 +3212,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(dist.getOrElse(0L, 0L) == expectedZero)
     assert(dist.values.sum == nCust, "every customer appears exactly once")
   }
+
+  test("recursive-CTE hierarchy rollup matches the closed-form forest model") {
+    // parent(k) = k DIV 8 gives closed forms (depth = #divisions to reach
+    // 1..7, anchor = the value reached), so the recursive UNION ALL can be
+    // checked without running any recursion: it must visit each node
+    // EXACTLY once (unique paths in a forest — duplicate visits would
+    // inflate n_nodes, missed ones would drop it)
+    val keys = Tables.customer(spark, sf0001).select("c_custkey")
+      .collect().map(_.getLong(0)).filter(_ >= 1)
+    def walk(n: Long): (Long, Long) = {
+      var k = n; var d = 0L
+      while (k > 7) { k /= 8; d += 1 }
+      (k, d)
+    }
+    val model = keys.map(k => walk(k))
+      .groupBy(_._1)
+      .map { case (a, g) => (a, (g.size.toLong, g.map(_._2).max)) }
+    val df = RelationalOps.sqlHierarchyRollup(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("anchor"),
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("max_depth")))).toMap
+    assert(got == model)
+    // and it must be planned by the recursive-CTE engine, not an unrolled
+    // union: the physical plan carries a UnionLoop node
+    assert(df.queryExecution.executedPlan.toString.contains("UnionLoop"),
+      "expected UnionLoopExec in the physical plan")
+  }
+
+  test("record linkage: every dirty record resolves to its true master row") {
+    val df = DedupOps.recordLinkage(spark, sf0001)
+    val rows = df.collect()
+    val n = Tables.customer(spark, sf0001).count()
+    assert(rows.length == n, "one resolved match per dirty record")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("n_id")
+      assert(r.getAs[Long]("matched_custkey") == id,
+        s"dirty record $id linked to the wrong entity")
+      // distances follow the injected noise exactly: the lowercase
+      // variant folds to distance 0, the other three are single edits
+      val expected = if (id % 4 == 1) 0L else 1L
+      assert(r.getAs[Long]("dist") == expected, s"record $id distance")
+    }
+    // candidates must come from the block equi-join — never a cross
+    // product over the two sides
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "linkage candidates must be block-joined, not enumerated all-pairs")
+  }
 }
