@@ -127,6 +127,7 @@ object SparkEntry {
     "evt_value_histogram"      -> EventOps.valueHistogram _,
     "evt_kmv_distinct"         -> ((s: SparkSession, d: String) => EventOps.kmvDistinct(s, d)),
     "evt_kmv_by_type"          -> ((s: SparkSession, d: String) => EventOps.kmvByType(s, d)),
+    "evt_kmv_overlap"          -> ((s: SparkSession, d: String) => EventOps.kmvOverlap(s, d)),
     "evt_ewma"                 -> EventOps.ewmaSmoothing _,
     "evt_winsorize"            -> EventOps.winsorize _,
     "evt_quantile_sketch"      -> EventOps.quantileSketch _,
@@ -213,6 +214,7 @@ object SparkEntry {
     "sim_int8_topk"            -> SimilarityOps.int8TopK _,
     "sim_binary_hamming"       -> SimilarityOps.binaryHammingTopK _,
     "sim_knn_graph"            -> ((s: SparkSession, d: String) => SimilarityOps.knnGraph(s, d)),
+    "sim_sparse_topk"          -> ((s: SparkSession, d: String) => TextOps.sparseRelatedDocs(s, d)),
     "sim_pq_codes"             -> SimilarityOps.pqCodes _,
     "sim_pq_recall"            -> SimilarityOps.pqRecall _,
     "sim_ivf_pq"               -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqTopK(s, d)),
@@ -1385,6 +1387,39 @@ object SparkEntry {
         |    ELSE 31000000000000000 // kth_hash END AS BIGINT) AS est_kmv
         |FROM x JOIN k ON x.event_type = k.event_type
         |ORDER BY x.event_type""".stripMargin,
+    // KMV sketch set algebra: theta-sketch pairwise intersection —
+    // theta = min of the two thresholds, n_common = shared sketch
+    // hashes below theta, estimate = n_common * M // theta; the exact
+    // user-level self-join rides along as the accuracy report
+    "evt_kmv_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(user_id AS VARCHAR) || '-kmv-sketch-salt', ''),
+        |        c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |m AS (SELECT event_type, h FROM r WHERE rn <= 32),
+        |sk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_seen, MAX(h) AS kth FROM m GROUP BY 1),
+        |th AS (SELECT event_type, CASE WHEN k_seen < 32 THEN 1000000000000000 ELSE kth END AS theta FROM sk),
+        |pb AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         least(a.theta, b.theta) AS theta
+        |       FROM th a JOIN th b ON a.event_type < b.event_type),
+        |cm AS (SELECT x.event_type AS type_a, y.event_type AS type_b, COUNT(*) AS n_common
+        |       FROM m x JOIN m y ON x.h = y.h AND x.event_type < y.event_type
+        |       JOIN pb ON pb.type_a = x.event_type AND pb.type_b = y.event_type
+        |       WHERE x.h < pb.theta GROUP BY 1,2),
+        |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |ex AS (SELECT p.event_type AS type_a, q.event_type AS type_b, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |       FROM tu p JOIN tu q ON p.user_id = q.user_id AND p.event_type < q.event_type
+        |       GROUP BY 1,2)
+        |SELECT pb.type_a, pb.type_b,
+        |  COALESCE(ex.n_exact, 0) AS n_exact, pb.theta,
+        |  CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(COALESCE(cm.n_common, 0) * 1000000000000000 // pb.theta AS BIGINT) AS est_kmv
+        |FROM pb LEFT JOIN ex USING (type_a, type_b) LEFT JOIN cm USING (type_a, type_b)
+        |ORDER BY type_a, type_b""".stripMargin,
     // per-user integer EWMA (alpha = 1/2): fold over the (ts, event_id)-
     // sorted cents list; list_reduce seeds from the first element, the
     // same recursion as the engine's aggregate(slice(...), es[0], ...)
@@ -3600,6 +3635,35 @@ object SparkEntry {
         |SELECT e0.vec_id AS a_id, r.b_id, r.score, r.rn
         |FROM e0 LEFT JOIN (SELECT * FROM r WHERE rn <= 4) r ON r.a_id = e0.vec_id
         |ORDER BY a_id, rn""".stripMargin,
+    // sparse lexical top-k: bigram-term integer TF-IDF, df-capped
+    // postings (stop-terms dropped before any pair forms), one unordered
+    // pair per doc pair, both orientations ranked top-3
+    "sim_sparse_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x->length(x)>0) AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest([ws[i]||' '||ws[i+1] for i in range(1, len(ws))]) AS t
+        |  FROM base WHERE len(ws) >= 2),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1,2),
+        |d AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t
+        |      HAVING count(*) BETWEEN 2 AND 50),
+        |w AS (SELECT tf.doc_id, tf.t, tf.tf * (1000000 // d.df) AS w
+        |      FROM tf JOIN d USING (t)),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, SUM(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ori AS (
+        |  SELECT da AS anchor, db AS neighbor, dot FROM pairs
+        |  UNION ALL
+        |  SELECT db AS anchor, da AS neighbor, dot FROM pairs),
+        |rk AS (
+        |  SELECT anchor, neighbor, dot,
+        |    row_number() OVER (PARTITION BY anchor ORDER BY dot DESC, neighbor) AS rank
+        |  FROM ori)
+        |SELECT anchor, neighbor, CAST(dot AS BIGINT) AS dot, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 3 ORDER BY anchor, rank""".stripMargin,
     "sim_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,

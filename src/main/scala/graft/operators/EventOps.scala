@@ -783,4 +783,81 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("active_users"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** KMV sketch SET ALGEBRA — pairwise audience-overlap estimates
+    * between event types from their k-minimum-value sketches (the
+    * theta-sketch intersection of Dasgupta et al., public): theta =
+    * min of the two sketches' thresholds, n_common = shared hashes
+    * below theta, estimate = n_common · M DIV theta, all exact BIGINT.
+    * This is why a warehouse keeps sketches per segment instead of raw
+    * audiences: ANY pairwise (or n-way) overlap query is then answered
+    * from k-row summaries without re-touching the event log — the
+    * "intersection of audiences" question that exact COUNT(DISTINCT)
+    * needs a user-level self-join to answer.
+    *
+    * Scale shape: the event log is scanned ONCE (distinct type/hash
+    * projection feeding the same bounded TopK-as-KMV aggregator as
+    * [[kmvByType]] — ≤k rows per type cross the exchange). Everything
+    * downstream — the theta pair table (types²), the shared-hash
+    * equi-join over ≤k·|types| sketch rows — is bounded by sketch
+    * size, independent of event volume. The exact self-join rides
+    * along ONLY as the accuracy report (the spec's subject); a 100 TB
+    * deployment drops it — that being the point of the sketch. */
+  def kmvOverlap(spark: SparkSession, sfDir: String, k: Int = 32): DataFrame =
+    kmvOverlapOf(Tables.events(spark, sfDir), k)
+
+  /** Injectable form of [[kmvOverlap]]: overlap sketches of an arbitrary
+    * (event_type, user_id) log — what the spec drives with constructed
+    * audiences of known intersection. */
+  private[graft] def kmvOverlapOf(ev: DataFrame, k: Int): DataFrame = {
+    val hashes = ev
+      .select(col("event_type"), graft.operators.TextOps.polyHash(
+        concat(col("user_id").cast("string"), lit("-kmv-sketch-salt"))).as("h"))
+      .distinct()
+    val top = graft.functions.TopKAggregator.topKPairs(k)
+    val sk = hashes
+      .groupBy("event_type")
+      .agg(top(col("h"), -col("h").cast("double")).as("mins"))
+      .select(col("event_type"),
+        expr("transform(mins, m -> m.id)").as("hs"),
+        size(col("mins")).cast("long").as("k_seen"),
+        expr("mins[size(mins) - 1].id").as("kth"))
+      .withColumn("theta",
+        when(col("k_seen") < k, lit(TextOps.HashMod)).otherwise(col("kth")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the types² pair table with the combined threshold — a broadcast
+    // product of two |types|-row aggregates, never data rows
+    val pairBase = sk.select(col("event_type").as("type_a"), col("theta").as("th_a"))
+      .crossJoin(sk.select(col("event_type").as("type_b"), col("theta").as("th_b")))
+      .filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        least(col("th_a"), col("th_b")).as("theta"))
+    // shared sketch hashes below theta: equi-join on h over ≤k·|types|
+    // exploded sketch rows
+    val minsRows = sk.select(col("event_type"), explode(col("hs")).as("h"))
+    val nCommon = minsRows.as("x").join(minsRows.as("y"),
+        col("x.h") === col("y.h") && col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"), col("x.h").as("h"))
+      .join(pairBase, Seq("type_a", "type_b"))
+      .filter(col("h") < col("theta"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_common"))
+    val tu = ev.select("event_type", "user_id").distinct()
+    val exact = tu.as("p").join(tu.as("q"),
+        col("p.user_id") === col("q.user_id") &&
+          col("p.event_type") < col("q.event_type"))
+      .groupBy(col("p.event_type").as("type_a"),
+        col("q.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_exact"))
+    pairBase
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .join(nCommon, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("theta"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("est_kmv",
+        expr(s"CAST(n_common * ${TextOps.HashMod} DIV theta AS BIGINT)"))
+      .orderBy("type_a", "type_b")
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -1412,5 +1413,64 @@ object TextOps {
           .otherwise(lit("kept")).as("verdict"),
         col("keep_id"))
       .orderBy("doc_id")
+  }
+
+  /** SPARSE lexical top-k document similarity — the inverted-index twin
+    * of the dense ANN stack (term-at-a-time retrieval over TF-IDF
+    * weights; Zobel & Moffat's survey is the public reference). Related-
+    * document serving and lexical near-dup candidate generation both run
+    * exactly this dataflow; it complements [[graft.operators.
+    * SimilarityOps.knnGraph]] the way BM25 complements embedding
+    * retrieval in `sim_hybrid_rrf`.
+    *
+    * Features are word BIGRAMS (the synthetic corpus has a ~31-word
+    * vocabulary — unigram postings would be all stop-terms); weights are
+    * integer TF-IDF (`tf * (1000000 DIV df)`, exact BIGINT both
+    * engines). The scale control is the DF CAP: terms with df > cap are
+    * dropped as stop-terms BEFORE any pair forms, so candidate volume is
+    * Σ_t df_t² ≤ cap · Σ_t df_t over surviving postings — the sparse
+    * analogue of LSH band width, and the reason this is never an
+    * all-pairs join. As the corpus grows, terms CROSS OUT of the cap
+    * (df rises), keeping per-term join fan-in bounded; df=1 terms
+    * drop too (no pair can form). Scoring joins postings term-at-a-time
+    * (one equi-join on term), pairs aggregate once per unordered pair,
+    * and per-anchor ranking runs through the bounded O(k) TopK
+    * aggregator — k rows per partition cross the final exchange, no
+    * rank window over candidates. */
+  def sparseRelatedDocs(spark: SparkSession, sfDir: String,
+                        dfCap: Int = 50, k: Int = 3): DataFrame = {
+    val ws = words(col("text"))
+    val terms = docs(spark, sfDir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"""
+          .stripMargin)).as("t"))
+    val tf = terms.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+    // persisted: the pair self-join reads the weighted postings twice
+    // (caller clearCache()s per the ops contract)
+    val w = tf.join(dfT, "t")
+      .select(col("doc_id"), col("t"), expr("tf * (1000000 DIV df)").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = w.as("a").join(w.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val top = graft.functions.TopKAggregator.topKPairs(k)
+    pairs.select(col("da").as("anchor"), col("db").as("neighbor"), col("dot"))
+      .union(pairs.select(col("db"), col("da"), col("dot")))
+      .groupBy("anchor")
+      // dot ≤ ~2^35 here (df-capped integer weights), exact in the
+      // aggregator's double score; cast back is lossless under 2^53
+      .agg(top(col("neighbor"), col("dot").cast("double")).as("top"))
+      .select(col("anchor"), posexplode(col("top")))
+      .select(col("anchor"), col("col.id").as("neighbor"),
+        col("col.score").cast("long").as("dot"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("anchor", "rank")
   }
 }

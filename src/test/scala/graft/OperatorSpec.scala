@@ -3261,4 +3261,71 @@ class OperatorSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       "linkage candidates must be block-joined, not enumerated all-pairs")
   }
+
+  test("sparse related-docs: df-capped TF-IDF top-k matches the brute-force model") {
+    val corpus = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tf: Map[Long, Map[String, Long]] = corpus.map { case (id, t) =>
+      val ws = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      val bs = if (ws.length >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq
+               else Seq.empty[String]
+      (id, bs.groupBy(identity).map { case (k, v) => (k, v.size.toLong) })
+    }.toMap
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong) }
+      .filter { case (_, d) => d >= 2 && d <= 50 }
+    val w: Map[Long, Map[String, Long]] = tf.map { case (id, m) =>
+      (id, m.collect { case (t, c) if dfm.contains(t) =>
+        (t, c * (1000000L / dfm(t))) })
+    }
+    val ids = corpus.map(_._1)
+    val dots = (for {
+      i <- ids; j <- ids if i < j
+      shared = w(i).keySet.intersect(w(j).keySet) if shared.nonEmpty
+    } yield ((i, j), shared.toSeq.map(t => w(i)(t) * w(j)(t)).sum)).toMap
+    val model = ids.flatMap { a =>
+      val ns = dots.collect {
+        case ((i, j), d) if i == a => (j, d)
+        case ((i, j), d) if j == a => (i, d)
+      }.toSeq.sortBy { case (n, d) => (-d, n) }.take(3)
+      ns.zipWithIndex.map { case ((n, d), r) => (a, n, d, r + 1L) }
+    }.toSet
+    val got = TextOps.sparseRelatedDocs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("neighbor"),
+        r.getAs[Long]("dot"), r.getAs[Long]("rank"))).toSet
+    assert(got == model)
+    // candidates come from the postings equi-join on term — never an
+    // all-pairs product over documents
+    val plan = TextOps.sparseRelatedDocs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("KMV overlap: exact below sketch capacity, bounded error above, zero on disjoint") {
+    import spark.implicits._
+    // small audiences (20 each, 10 shared): both sketches hold ALL
+    // hashes, theta = M, so the intersection estimate is EXACT
+    val small = ((0L until 20L).map(("a", _)) ++
+      (10L until 30L).map(("b", _))).toDF("event_type", "user_id")
+    val sRow = EventOps.kmvOverlapOf(small, 32).collect().head
+    assert(sRow.getAs[Long]("n_exact") == 10L)
+    assert(sRow.getAs[Long]("est_kmv") == 10L,
+      "sub-capacity sketches must answer intersections exactly")
+    // large audiences (300 union, 100 shared) + a disjoint third: the
+    // k=32 sketch estimate lands within the theta-sketch error band,
+    // and no shared hash survives for the disjoint pair
+    val big = ((0L until 200L).map(("a", _)) ++
+      (100L until 300L).map(("b", _)) ++
+      (500L until 600L).map(("c", _))).toDF("event_type", "user_id")
+    val rows = EventOps.kmvOverlapOf(big, 32).collect()
+      .map(r => ((r.getAs[String]("type_a"), r.getAs[String]("type_b")), r)).toMap
+    val ab = rows(("a", "b"))
+    assert(ab.getAs[Long]("n_exact") == 100L)
+    val est = ab.getAs[Long]("est_kmv")
+    assert(est > 40L && est < 220L,
+      s"k=32 estimate $est outside the plausible band for exact=100")
+    assert(rows(("a", "c")).getAs[Long]("est_kmv") == 0L)
+    assert(rows(("b", "c")).getAs[Long]("est_kmv") == 0L)
+  }
 }
