@@ -136,6 +136,7 @@ object SparkEntry {
     "evt_pivot_types"          -> EventOps.userTypePivot _,
     "evt_funnel"               -> EventOps.funnel _,
     "evt_retention"            -> EventOps.cohortRetention _,
+    "evt_attribution"          -> EventOps.lastTouchAttribution _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
@@ -1646,6 +1647,34 @@ object SparkEntry {
         |  COUNT(DISTINCT a.user_id) AS active_users
         |FROM a JOIN u USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // last-touch attribution: carry the latest click forward per user
+    // (LAST_VALUE IGNORE NULLS over the same rows frame Spark uses),
+    // 3-day lookback, organic fallback; revenue exact in DECIMAL(12,2)
+    "evt_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_type = 'click' THEN ts END AS cts,
+        |    CASE WHEN event_type = 'click'
+        |      THEN 'ch' || CAST(CAST(json_extract_string(props, '$.k')
+        |        AS BIGINT) % 4 AS VARCHAR) END AS ch
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    LAST_VALUE(cts IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcts,
+        |    LAST_VALUE(ch IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lch
+        |  FROM e)
+        |SELECT
+        |  CASE WHEN lcts IS NOT NULL
+        |        AND epoch_ms(ts) - epoch_ms(lcts) <= 3 * 86400000
+        |    THEN lch ELSE 'organic' END AS channel,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
     // degree-oriented triangle counting over the block-clique formula
     // graph: orient edges from the (degree, id)-smaller endpoint, wedge
     // self-join on the low endpoint, close against the undirected edges

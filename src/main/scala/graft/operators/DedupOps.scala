@@ -276,11 +276,12 @@ object DedupOps {
         .select(col("p.a").as("u"), col("p.b").as("v"))
         .filter(col("u") =!= col("v")).distinct()
     }
-    var edges = pairs
+    val edges0 = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .distinct()
       .repartition(col("u"))
       .localCheckpoint()
+    var edges = edges0
     // TWO star rounds per materialized job (the ccLabels lesson: the
     // per-action scheduling floor dominates these loops locally, and
     // the lineage between checkpoints — two agg+join+distinct pairs —
@@ -321,8 +322,13 @@ object DedupOps {
       edges = next
     }
     // the converged star: every non-min node has exactly one edge to
-    // its component min; minima and singletons label themselves
-    val nodes = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+    // its component min; minima and singletons label themselves. The
+    // node list reads off the CHECKPOINTED initial edge list (u∪v of
+    // edges0), not `pairs` — reading `pairs` here would re-execute the
+    // entire upstream pair-generation plan (the prefix-filtered
+    // Jaccard join, the most expensive subplan in the query) a second
+    // time just to enumerate vertices.
+    val nodes = edges0.select(explode(array(col("u"), col("v"))).as("node"))
       .distinct()
     val tgt = edges.groupBy(col("u").as("node")).agg(min(col("v")).as("t"))
     nodes.join(tgt, Seq("node"), "left")

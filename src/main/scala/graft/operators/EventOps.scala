@@ -771,6 +771,54 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** LAST-TOUCH marketing attribution — the revenue-accounting pass an
+    * event warehouse runs nightly: each `purchase` is credited to the
+    * user's most recent preceding `click` (channel = the click's
+    * campaign key, props.k mod 4), but only when that click happened
+    * within a 3-day lookback; purchases with no qualifying click are
+    * `organic`. Mirrors the reference's counter discipline (index.py
+    * keeps per-outcome counts; this is the same bookkeeping with a
+    * provenance join).
+    *
+    * The "most recent preceding click" is NOT a join: a purchase⋈click
+    * theta-join on (same user, click.ts <= purchase.ts) is quadratic in
+    * a user's event count and then needs a per-purchase argmax anyway.
+    * Instead ONE pass over the unified event sequence — `last(click
+    * struct, ignoreNulls)` over a rows-unbounded-preceding window keyed
+    * by user — carries the latest click forward to every later row of
+    * the same user. One shuffle on user_id, state = one struct per
+    * partition cursor, no self-join. The lookback check and the organic
+    * fallback are row-local; revenue accumulates in exact DECIMAL(12,2)
+    * (engine-portable — see RelationalOps design notes).
+    *
+    * Scale shape: user event sequences are short (~70 events/user at
+    * any SF — the table grows in users, not per-user depth), so the
+    * per-user sort inside the window never spills; the final channel
+    * rollup is a 5-row aggregate after map-side combine. */
+  def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val click = when(col("event_type") === "click",
+      struct(col("ts").as("cts"),
+        concat(lit("ch"),
+          (get_json_object(col("props"), "$.k").cast("long") % 4)
+            .cast("string")).as("ch")))
+    ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"), click.as("c"))
+      .withColumn("lastc", last(col("c"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("value"),
+        when(col("lastc").isNotNull &&
+            unix_millis(col("ts")) - unix_millis(col("lastc.cts")) <=
+              lit(3L * 86400000L),
+          col("lastc.ch")).otherwise(lit("organic")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        moneySum(col("value")).as("revenue"))
+      .orderBy("channel")
+  }
+
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val cohort = ev.groupBy("user_id")
