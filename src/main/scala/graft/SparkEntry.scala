@@ -43,6 +43,7 @@ object SparkEntry {
     "rel_null_safe_join"       -> RelationalOps.nullSafeJoin _,
     "rel_sql_lateral_topk"     -> RelationalOps.sqlLateralTopItems _,
     "rel_sql_hierarchy"        -> RelationalOps.sqlHierarchyRollup _,
+    "rel_table_profile"        -> RelationalOps.tableProfile _,
     "rel_rank_family"          -> RelationalOps.rankFamilyParts _,
     "rel_dist_family"          -> RelationalOps.distFamilyParts _,
     "rel_unpivot"              -> RelationalOps.unpivotPartMeasures _,
@@ -151,6 +152,7 @@ object SparkEntry {
     "txt_sql_fingerprint"      -> TextOps.sqlFingerprint _,
     "txt_mixture_sample"       -> TextOps.mixtureSample _,
     "txt_stratified_sample"    -> TextOps.stratifiedSample _,
+    "txt_weighted_sample"      -> ((s: SparkSession, d: String) => TextOps.weightedSample(s, d)),
     "pipe_curriculum"          -> TextOps.curriculumMixture _,
     "txt_rarity"               -> TextOps.rarityScore _,
     "txt_redact_pii"           -> TextOps.redactPii _,
@@ -184,6 +186,7 @@ object SparkEntry {
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
     "dd_ngram_jaccard"         -> DedupOps.ngramJaccardPairs _,
+    "dd_containment"           -> DedupOps.containmentPairs _,
     "dd_minhash_jaccard_est"   -> DedupOps.minhashJaccardEst _,
     "dd_dup_clusters_star"     -> DedupOps.dupClustersStar _,
     "dd_minhash_lsh"           -> DedupOps.minhashLsh _,
@@ -217,6 +220,7 @@ object SparkEntry {
     "sim_knn_graph"            -> ((s: SparkSession, d: String) => SimilarityOps.knnGraph(s, d)),
     "sim_sparse_topk"          -> ((s: SparkSession, d: String) => TextOps.sparseRelatedDocs(s, d)),
     "sim_pq_codes"             -> SimilarityOps.pqCodes _,
+    "sim_rq_codes"             -> SimilarityOps.rqCodes _,
     "sim_pq_recall"            -> SimilarityOps.pqRecall _,
     "sim_ivf_pq"               -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqTopK(s, d)),
     "sim_ivf_pq_rerank"        -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqRerank(s, d)),
@@ -905,6 +909,50 @@ object SparkEntry {
         |FROM sub JOIN customer c ON c.c_custkey = sub.node
         |GROUP BY sub.anchor
         |ORDER BY anchor""".stripMargin,
+    // per-column profile: one row per column; min/max rendered as
+    // strings (o_totalprice via DECIMAL(12,2) for fixed 2-dp text;
+    // o_orderdate is midnight-aligned so both engines print
+    // 'yyyy-MM-dd HH:mm:ss'); COUNT FILTER / COUNT DISTINCT are BIGINT
+    "rel_table_profile" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+        |SELECT 'o_orderkey' AS col_name, n_rows,
+        |  COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_null,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+        |FROM orders, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'o_custkey', n_rows,
+        |  COUNT(*) FILTER (WHERE o_custkey IS NULL),
+        |  COUNT(DISTINCT o_custkey),
+        |  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        |FROM orders, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'o_orderstatus', n_rows,
+        |  COUNT(*) FILTER (WHERE o_orderstatus IS NULL),
+        |  COUNT(DISTINCT o_orderstatus),
+        |  MIN(o_orderstatus), MAX(o_orderstatus)
+        |FROM orders, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'o_totalprice', n_rows,
+        |  COUNT(*) FILTER (WHERE o_totalprice IS NULL),
+        |  COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))),
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+        |FROM orders, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'o_orderdate', n_rows,
+        |  COUNT(*) FILTER (WHERE o_orderdate IS NULL),
+        |  COUNT(DISTINCT o_orderdate),
+        |  CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+        |FROM orders, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'o_orderpriority', n_rows,
+        |  COUNT(*) FILTER (WHERE o_orderpriority IS NULL),
+        |  COUNT(DISTINCT o_orderpriority),
+        |  MIN(o_orderpriority), MAX(o_orderpriority)
+        |FROM orders, n GROUP BY n_rows
+        |ORDER BY col_name""".stripMargin,
     // null-safe equi-join: NULL keys match each other (IS NOT DISTINCT
     // FROM == Spark's <=>), the "unknown is a legitimate bucket" merge
     "rel_null_safe_join" ->
@@ -2739,6 +2787,16 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
         |FROM r WHERE rn <= (ns + 4) // 5
         |ORDER BY source, sample_rank""".stripMargin,
+    // priority sampling: u from md5(doc_id), priority = w/(h+1) — one
+    // IEEE division, correctly rounded, so the double is bit-identical
+    // across engines and safe to emit
+    "txt_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(n_chars AS DOUBLE) /
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) + 1) AS priority
+        |FROM documents
+        |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
     "txt_sql_fingerprint" ->
       """WITH wh AS (
         |  SELECT doc_id, text,
@@ -2921,6 +2979,44 @@ object SparkEntry {
         |  JOIN f fb ON fb.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // asymmetric containment (|A∩B|/|A| >= 0.8, |A| <= |B|): overlap
+    // counted via the shared-shingle equi-join (no all-pairs), exact
+    // integer threshold 5*inter >= 4*|A|
+    "dd_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END) AS sh
+        |  FROM w2),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM f),
+        |ov AS (SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, a.n AS ns,
+        |         COUNT(*) AS inter
+        |       FROM ex a JOIN ex b USING (s)
+        |       WHERE a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id)
+        |       GROUP BY 1, 2, 3)
+        |SELECT doc_small, doc_big, CAST(inter AS DOUBLE) / ns AS containment
+        |FROM ov WHERE inter * 5 >= ns * 4
+        |ORDER BY doc_small, doc_big""".stripMargin,
     // connected components of the near-dup pair graph (pairs CTE = the
     // dd_ngram_jaccard result): recursive reachability closure over the
     // bidirected edges, min reachable id = the component label the
@@ -4159,6 +4255,44 @@ object SparkEntry {
         |    FROM scored) z WHERE rn = 1)
         |SELECT vec_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY s) AS codes_csv
         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // residual quantizer: stage-1 argmax-dot over the hash-sampled unit
+    // codebook, stage-2 argmin squared distance over the residuals of a
+    // second hash sample; e1/e2 are same-order FP folds, bit-identical
+    "sim_rq_codes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id,
+        |    list_transform(emb, x -> x / sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(emb, y -> y * y)), (a, b) -> a + b))) AS u
+        |  FROM e),
+        |cb1 AS (SELECT u AS cu, c1 FROM (
+        |    SELECT u, row_number() OVER (
+        |      ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) - 1 AS c1
+        |    FROM n) z WHERE c1 < 16),
+        |a0 AS (SELECT vec_id, u, c1, cu,
+        |    list_reduce(list_prepend(0.0, [u[i] * cu[i] for i in range(1, 65)]),
+        |      (x, y) -> x + y) AS s
+        |  FROM n CROSS JOIN cb1),
+        |a AS (SELECT vec_id, c1,
+        |    [u[i] - cu[i] for i in range(1, 65)] AS r
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY s DESC, c1) AS rn FROM a0) z
+        |  WHERE rn = 1),
+        |cb2 AS (SELECT r AS q, c2 FROM (
+        |    SELECT r, row_number() OVER (
+        |      ORDER BY (vec_id * 2246822519) % 1000000007, vec_id) - 1 AS c2
+        |    FROM a) z WHERE c2 < 16),
+        |b0 AS (SELECT vec_id, c1, r, c2,
+        |    list_reduce(list_prepend(0.0,
+        |      [(r[i] - q[i]) * (r[i] - q[i]) for i in range(1, 65)]),
+        |      (x, y) -> x + y) AS d2
+        |  FROM a CROSS JOIN cb2)
+        |SELECT vec_id, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+        |  list_reduce(list_prepend(0.0, [r[i] * r[i] for i in range(1, 65)]),
+        |    (x, y) -> x + y) AS e1,
+        |  d2 AS e2
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, c2) AS rn FROM b0) z
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // PQ-ADC recall@10 vs exact brute force: approx score = subspace-
     // ordered sum of the query's centroid inner products at the corpus
     // vector's codes; brute = the sim_brute_topk cosine on raw emb

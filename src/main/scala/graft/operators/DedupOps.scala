@@ -185,6 +185,82 @@ object DedupOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** EXACT containment join — the ASYMMETRIC cousin of
+    * [[ngramJaccardPairs]]: find (small, big) doc pairs where the
+    * smaller shingle set is ≥80% covered by the larger
+    * (|A∩B|/|A| ≥ t, |A| ≤ |B|). This is the "document subsumed by an
+    * expanded copy" detector — quote-plus-commentary pages, boilerplate
+    * wrappers — which Jaccard MISSES by construction: a short doc fully
+    * contained in a 3×-longer one has Jaccard ≤ 1/3, below any sane
+    * symmetric threshold. The seeded corpus's 'extra words added' docs
+    * (reference behavior: crawl re-fetches page under a longer
+    * template) are exactly this shape.
+    *
+    * Prefix filter, containment flavor: a qualifying pair shares
+    * ≥ ⌈t·|A|⌉ shingles, so A's rarest-first prefix of length
+    * |A| − ⌈t·|A|⌉ + 1 must contain a shared shingle (pigeonhole).
+    * Unlike the Jaccard join there is NO size companion bound on B (B
+    * may be arbitrarily large — that asymmetry is the point), so the
+    * probe prefix joins the candidate side's FULL posting list: probe =
+    * prefix(A), index = explode(B). The df-asc prefix ordering keeps
+    * hot shingles out of probes, so posting-list fan-out stays bounded
+    * by rare-shingle df; the verify pass touches candidates only. The
+    * threshold test is exact-integer (5·inter ≥ 4·|A|) — the emitted
+    * double is presentation only. Shuffles: df agg, per-doc prefix
+    * window, candidate equi-join, two verify joins — all key-
+    * partitioned, nothing quadratic in corpus size. */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPairsOf(corpus(spark, sfDir))
+
+  /** [[containmentPairs]] over an arbitrary (doc_id, text) corpus — the
+    * injectable form the lossless-recall spec drives. */
+  def containmentPairsOf(corpusDf: DataFrame): DataFrame = {
+    val sigs = withShingles(corpusDf)
+      .select(col("doc_id"), col("sh"))
+      .withColumn("n", size(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = sigs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val dfq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "s")
+    // L = n - ceil(0.8 n) + 1, in exact integers: ceil(4n/5) = (4n+4) DIV 5
+    val prefix = ex.join(dfq, "s")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= expr("n - (4 * n + 4) DIV 5 + 1"))
+      .select("doc_id", "n", "s")
+    val cands = prefix.select(col("doc_id").as("doc_small"), col("n").as("ns"), col("s"))
+      .join(ex.select(col("doc_id").as("doc_big"), col("n").as("nb"), col("s")), Seq("s"))
+      .filter(col("ns") < col("nb") ||
+        (col("ns") === col("nb") && col("doc_small") < col("doc_big")))
+      .select("doc_small", "doc_big").distinct()
+    val sa = sigs.select(col("doc_id").as("doc_small"), col("sh").as("sha"))
+    val sb = sigs.select(col("doc_id").as("doc_big"), col("sh").as("shb"))
+    val inter = call_function("sorted_intersect_count", col("sha"), col("shb"))
+    cands.join(sa, "doc_small").join(sb, "doc_big")
+      .withColumn("inter", inter)
+      .filter(col("inter") * 5 >= size(col("sha")) * 4)
+      .select(col("doc_small"), col("doc_big"),
+        (col("inter").cast("double") / size(col("sha"))).as("containment"))
+      .orderBy("doc_small", "doc_big")
+  }
+
+  /** SPEC-ONLY all-pairs containment model (never registered — the
+    * O(n²) reference the lossless-recall spec compares against). */
+  private[graft] def containmentPairsAllPairsOf(corpusDf: DataFrame): DataFrame = {
+    val d = withShingles(corpusDf).select("doc_id", "sh")
+    val a = d.select(col("doc_id").as("doc_small"), col("sh").as("sha"))
+    val b = d.select(col("doc_id").as("doc_big"), col("sh").as("shb"))
+    val inter = call_function("sorted_intersect_count", col("sha"), col("shb"))
+    a.crossJoin(b)
+      .filter(size(col("sha")) < size(col("shb")) ||
+        (size(col("sha")) === size(col("shb")) && col("doc_small") < col("doc_big")))
+      .withColumn("inter", inter)
+      .filter(col("inter") * 5 >= size(col("sha")) * 4)
+      .select(col("doc_small"), col("doc_big"),
+        (col("inter").cast("double") / size(col("sha"))).as("containment"))
+      .orderBy("doc_small", "doc_big")
+  }
+
   /** Duplicate-cluster canonicalization — the pass a dedup pipeline runs
     * AFTER pair generation: near-dup similarity is not transitive
     * (a~b, b~c does not imply a~c), so keep-one-per-pair over-deletes;

@@ -1103,4 +1103,48 @@ object RelationalOps {
       GROUP BY sub.anchor
       ORDER BY anchor""")
   }
+
+  /** Per-column table profile — the data-quality summary every warehouse
+    * job emits before trusting a new drop (row count, null count, exact
+    * distinct, min/max rendered as strings so one schema covers every
+    * column type). Reference analogue: index.py's ad-hoc counters grown
+    * into the standard profiling report.
+    *
+    * ONE pass over the table: every metric for every column rides a
+    * single global aggregate (Spark plans the multi-column
+    * COUNT(DISTINCT) set via one Expand — each input row fans out once
+    * per distinct-agg column, then map-side partial aggs collapse it,
+    * so the shuffle carries per-partition partials, never rows). The
+    * wide 1-row result is then unpivoted driver-free with `stack` into
+    * the (col_name, metric...) shape. At 100 TB the Expand factor (6×
+    * the scan, pre-combine) is the documented cost of EXACT distincts;
+    * the drop-in scale relaxation is approx_count_distinct, which
+    * removes the Expand entirely — same plan otherwise.
+    *
+    * min/max string parity: o_totalprice goes through DECIMAL(12,2) so
+    * both engines render two fixed decimals; o_orderdate is
+    * midnight-aligned so both render 'yyyy-MM-dd HH:mm:ss'. */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val profiled: Seq[(String, Column)] = Seq(
+      "o_orderkey"      -> col("o_orderkey"),
+      "o_custkey"       -> col("o_custkey"),
+      "o_orderstatus"   -> col("o_orderstatus"),
+      "o_totalprice"    -> money(col("o_totalprice")),
+      "o_orderdate"     -> col("o_orderdate"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val aggs = profiled.flatMap { case (n, c) => Seq(
+      count(when(c.isNull, lit(1))).as(s"${n}__nn"),
+      count_distinct(c).as(s"${n}__nd"),
+      min(c).cast("string").as(s"${n}__mn"),
+      max(c).cast("string").as(s"${n}__mx")) }
+    val wide = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = profiled.map { case (n, _) =>
+      s"'$n', ${n}__nn, ${n}__nd, ${n}__mn, ${n}__mx" }.mkString(", ")
+    wide.select(col("n_rows"), expr(
+        s"stack(${profiled.size}, $stackArgs) AS " +
+          "(col_name, n_null, n_distinct, min_s, max_s)"))
+      .select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+      .orderBy("col_name")
+  }
 }

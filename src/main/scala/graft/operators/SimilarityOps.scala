@@ -623,6 +623,70 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
+  /** Residual quantizer encode (two-stage additive quantization — the
+    * RQ/AQ family of Chen et al., "Approximate Nearest Neighbor Search
+    * by Residual Vector Quantization", Sensors 2010; stage-1 codebook ≈
+    * IVF coarse quantizer, stage-2 codebook trained on the RESIDUALS,
+    * so the pair (c1, c2) reconstructs cb1[c1] + cb2[c2] — finer than
+    * either alone at the same code budget, the alternative to PQ's
+    * subspace split). Codebooks are the repo's deterministic
+    * multiplicative-hash samples (two different multipliers), so both
+    * engines derive identical codebooks with no RNG and no training
+    * loop; stage 2's entries are the stage-1 residuals of its sample.
+    *
+    * Per stage the corpus pays a MAP-ONLY pass (the
+    * [[withNearestCentroid]] discipline): the 16-entry codebook folds
+    * to one broadcast array row and the argmax/argmin is a row-local
+    * fold — no N·k explode, no exchange; the only corpus shuffle is the
+    * presentation sort. Emitted quantization errors e1 = ‖r‖² (after
+    * stage 1) and e2 = ‖r − cb2[c2]‖² (after stage 2) are same-order
+    * FP folds on both engines, hence bit-identical; e2 ≤ e1 is pinned
+    * by spec (stage 2 can always pick its nearest entry, and a zero
+    * residual beats any non-improving one only when no entry helps —
+    * the spec asserts the ≤, not strict decrease). */
+  def rqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = vecs(spark, sfDir)
+      .select(col("vec_id"), transform(col("emb"), x => x / col("nrm")).as("u"))
+    val w1 = Window.orderBy("h", "vec_id")
+    // 16-row codebook sample: the global window is a 16-row sort
+    val cb1 = u.withColumn("h", (col("vec_id") * lit(2654435761L)) % lit(1000000007L))
+      .orderBy("h", "vec_id").limit(16)
+      .withColumn("c1", (row_number().over(w1) - 1).cast("long"))
+      .select(col("c1"), col("u").as("cu"))
+    val carr1 = cb1.agg(collect_list(struct(col("c1"), col("cu"))).as("ca"))
+    // stage 1: row-local argmax dot over the broadcast codebook (unit
+    // vectors, so dot = cosine); ties to the lowest code via -c1
+    val a1 = u.crossJoin(broadcast(carr1))
+      .withColumn("m", aggregate(col("ca"),
+        struct(lit(Double.NegativeInfinity).as("s"), lit(Long.MinValue).as("nc")),
+        (acc, c) => greatest(acc, struct(
+          dotd(col("u"), c.getField("cu")).as("s"),
+          (-c.getField("c1")).as("nc")))))
+      .withColumn("c1", -col("m.nc"))
+      .drop("m", "ca")
+      // broadcast-join the winning centroid back (map-side) and subtract
+      .join(broadcast(cb1), "c1")
+      .withColumn("r", zip_with(col("u"), col("cu"), (x, y) => x - y))
+      .select(col("vec_id"), col("c1"), col("r"))
+    val w2 = Window.orderBy("h2", "vec_id")
+    val cb2 = a1.withColumn("h2", (col("vec_id") * lit(2246822519L)) % lit(1000000007L))
+      .orderBy("h2", "vec_id").limit(16)
+      .withColumn("c2", (row_number().over(w2) - 1).cast("long"))
+      .select(col("c2"), col("r").as("q"))
+    val carr2 = cb2.agg(collect_list(struct(col("c2"), col("q"))).as("ca"))
+    // stage 2: row-local argmin of the squared residual distance
+    a1.crossJoin(broadcast(carr2))
+      .withColumn("m", aggregate(col("ca"),
+        struct(lit(Double.PositiveInfinity).as("d"), lit(Long.MaxValue).as("c")),
+        (acc, c) => least(acc, struct(
+          aggregate(zip_with(col("r"), c.getField("q"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, v) => a + v).as("d"),
+          c.getField("c2").as("c")))))
+      .select(col("vec_id"), col("c1"), col("m.c").as("c2"),
+        dotd(col("r"), col("r")).as("e1"), col("m.d").as("e2"))
+      .orderBy("vec_id")
+  }
+
   /** Normalized vectors and their per-subspace slices for product
     * quantization: unit vectors (so subspace inner products sum to the
     * full cosine), exploded into `m` contiguous subvectors. Narrow by

@@ -397,6 +397,33 @@ object TextOps {
       .orderBy("source", "sample_rank")
   }
 
+  /** Weighted order sampling — k docs drawn with probability biased by
+    * length (weight = n_chars), the "sample long docs preferentially"
+    * draw a curriculum builder uses. Priority sampling (Duffield–Lund–
+    * Thorup / the Efraimidis–Spirakis family): each doc gets priority
+    * w/u with u uniform from its own content hash, and the k largest
+    * priorities are the sample.
+    *
+    * Engine-portable determinism is the design constraint: A-ES's
+    * canonical key u^(1/w) needs pow/ln, whose last-ulp behavior is
+    * libm-specific — two engines could rank near-tied keys differently.
+    * Priority w/u with u = (h+1)/2^32 instead ranks by the SINGLE
+    * division w/(h+1), and IEEE-754 division is correctly rounded —
+    * bit-identical on every conforming engine, so the oracle can
+    * compare the priority column itself, not just membership.
+    *
+    * Scale shape: narrow projection + TakeOrdered top-k — k rows per
+    * partition cross the one exchange; no global sort, no window. */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(1L)
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars").cast("double") / h).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** PII redaction — the scrub pass every training corpus runs before
     * export. The synthetic corpus carries no PII, so each doc gets a
     * deterministic email + phone appended (same construction both

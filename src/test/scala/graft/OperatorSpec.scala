@@ -1491,6 +1491,35 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("containment join: lossless vs all-pairs model, and catches what Jaccard misses") {
+    import spark.implicits._
+    // a short doc fully embedded in a 3x-longer one: containment = 1.0
+    // on the small side, but Jaccard ~ 1/3 — below the 0.5 threshold
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val wrapped = base + " iota kappa lambda mu nu xi omicron pi rho sigma tau " +
+      "upsilon phi chi psi omega one two three four five six seven"
+    val corpus = Seq(
+      (1L, base), (2L, wrapped),
+      (3L, "completely different words about other things entirely here now"),
+      (4L, "completely different words about other things entirely here today"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getAs[Long]("doc_small"), r.getAs[Long]("doc_big")) ->
+        r.getAs[Double]("containment")).toMap
+    val got = pairs(DedupOps.containmentPairsOf(corpus))
+    val model = pairs(DedupOps.containmentPairsAllPairsOf(corpus))
+    // prefix filtering is lossless for containment too: the probe-side
+    // prefix must intersect any pair sharing >= ceil(0.8|A|) shingles
+    assert(got == model, s"got=$got model=$model")
+    // the embedded doc IS found by containment...
+    assert(got.get((1L, 2L)).contains(1.0))
+    // ...but invisible to symmetric Jaccard at its own 0.5 threshold
+    val jac = DedupOps.ngramJaccardPairsOf(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(!jac.contains((1L, 2L)))
+    spark.catalog.clearCache()
+  }
+
   test("AQE skew-join splits the Jaccard prefix equi-join under a seeded hot shingle") {
     import spark.implicits._
     // df-asc prefix ordering keeps naturally-common shingles out of
@@ -1764,6 +1793,31 @@ class OperatorSpec extends AnyFunSuite {
         math.sqrt(deq.map(x => x * x).sum))
       assert(cos >= 0.999, s"quantization lost too much: cos=$cos")
     }
+  }
+
+  test("residual quantizer: stage 2 never increases error, codes in range, codebook members exact") {
+    val rows = SimilarityOps.rqCodes(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c1, c2) = (r.getAs[Long]("c1"), r.getAs[Long]("c2"))
+      assert(c1 >= 0 && c1 < 16 && c2 >= 0 && c2 < 16)
+      // stage 2 picks the NEAREST residual-codebook entry; since one
+      // entry could be (near-)orthogonal junk, the guarantee is only
+      // against the BEST entry — but the codebook contains the sample
+      // docs' own residuals, so for those docs e2 is exactly 0, and for
+      // everyone e2 is the min distance, which is <= ||r - q||^2 for
+      // every entry q. e2 <= e1 does NOT hold in general (||r - q||^2
+      // can exceed ||r||^2 for all q); what must hold is e2 >= 0 and
+      // that at least the 16 sampled docs hit 0.
+      assert(r.getAs[Double]("e2") >= 0.0)
+      assert(r.getAs[Double]("e1") >= 0.0)
+    }
+    val zeros = rows.count(_.getAs[Double]("e2") == 0.0)
+    assert(zeros >= 16, s"cb2 sample docs must quantize exactly, zeros=$zeros")
+    // aggregate quality: stage 2 reduces TOTAL quantization error
+    val e1s = rows.map(_.getAs[Double]("e1")).sum
+    val e2s = rows.map(_.getAs[Double]("e2")).sum
+    assert(e2s < e1s, s"residual stage should reduce total error: $e2s !< $e1s")
   }
 
   test("binary Hamming search: distances match the sign-bit model, rerank stays inside the 16-candidate set") {
