@@ -138,11 +138,13 @@ object SparkEntry {
     "evt_funnel"               -> EventOps.funnel _,
     "evt_retention"            -> EventOps.cohortRetention _,
     "evt_attribution"          -> EventOps.lastTouchAttribution _,
+    "evt_rfm"                  -> EventOps.rfmSegments _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
     "graph_triangles"          -> ((s: SparkSession, d: String) => GraphOps.triangleCounts(s, d)),
     "graph_clustering"         -> GraphOps.clusteringCoefficients _,
+    "graph_label_prop"         -> ((s: SparkSession, d: String) => GraphOps.labelPropagation(s, d)),
     // --- text analysis (LLM-pipeline EXT) ---
     "txt_token_stats"          -> TextOps.tokenStats _,
     "txt_quality"              -> TextOps.qualityScore _,
@@ -153,6 +155,7 @@ object SparkEntry {
     "txt_mixture_sample"       -> TextOps.mixtureSample _,
     "txt_stratified_sample"    -> TextOps.stratifiedSample _,
     "txt_weighted_sample"      -> ((s: SparkSession, d: String) => TextOps.weightedSample(s, d)),
+    "txt_collocations"         -> ((s: SparkSession, d: String) => TextOps.collocations(s, d)),
     "pipe_curriculum"          -> TextOps.curriculumMixture _,
     "txt_rarity"               -> TextOps.rarityScore _,
     "txt_redact_pii"           -> TextOps.redactPii _,
@@ -1723,6 +1726,30 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM w WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+    // RFM quintiles: exact-integer metrics, rank formula
+    // ((rank-1)*5) DIV n + 1 over (value, user_id) order — the same
+    // quintile the engine's two-level numbering produces
+    "evt_rfm" ->
+      """WITH mx AS (SELECT MAX(epoch_ms(ts)) AS mx FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    (ANY_VALUE(mx.mx) - MAX(epoch_ms(ts))) // 86400000 AS r,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS m
+        |  FROM events, mx GROUP BY user_id),
+        |n AS (SELECT COUNT(*) AS n_users FROM u),
+        |q AS (
+        |  SELECT user_id,
+        |    ((row_number() OVER (ORDER BY r, user_id) - 1) * 5)
+        |      // (SELECT n_users FROM n) + 1 AS r_q,
+        |    ((row_number() OVER (ORDER BY f, user_id) - 1) * 5)
+        |      // (SELECT n_users FROM n) + 1 AS f_q,
+        |    ((row_number() OVER (ORDER BY m, user_id) - 1) * 5)
+        |      // (SELECT n_users FROM n) + 1 AS m_q
+        |  FROM u)
+        |SELECT user_id, r_q, f_q, m_q,
+        |  r_q * 100 + f_q * 10 + m_q AS rfm_code
+        |FROM q ORDER BY user_id""".stripMargin,
     // degree-oriented triangle counting over the block-clique formula
     // graph: orient edges from the (degree, id)-smaller endpoint, wedge
     // self-join on the low endpoint, close against the undirected edges
@@ -1753,6 +1780,40 @@ object SparkEntry {
         |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
     // local clustering coefficient: same oriented wedge join, per-node
     // triangle corners outer-joined to the degree table, cc in floored
+    // synchronous LPA, 3 unrolled rounds over the rankEdges graph:
+    // per round each node adopts its neighbors' most frequent label,
+    // ties to the smallest label (deterministic min-tie LPA)
+    "graph_label_prop" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 3) % n FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 3 + 5) % n FROM documents CROSS JOIN nn
+        |  WHERE doc_id % 2 = 0),
+        |und AS (SELECT src AS v, dst AS u FROM e
+        |        UNION ALL SELECT dst, src FROM e),
+        |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+        |r1 AS (SELECT v AS node, lbl FROM (
+        |    SELECT und.v, l.lbl, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY und.v
+        |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |    FROM und JOIN l0 l ON l.node = und.u GROUP BY und.v, l.lbl) z
+        |  WHERE rn = 1),
+        |r2 AS (SELECT v AS node, lbl FROM (
+        |    SELECT und.v, l.lbl, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY und.v
+        |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |    FROM und JOIN r1 l ON l.node = und.u GROUP BY und.v, l.lbl) z
+        |  WHERE rn = 1),
+        |r3 AS (SELECT v AS node, lbl FROM (
+        |    SELECT und.v, l.lbl, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY und.v
+        |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |    FROM und JOIN r2 l ON l.node = und.u GROUP BY und.v, l.lbl) z
+        |  WHERE rn = 1)
+        |SELECT node, lbl FROM r3 ORDER BY node""".stripMargin,
     // basis points (degree-1 nodes emit 0)
     "graph_clustering" ->
       """WITH d AS (SELECT doc_id FROM documents),
@@ -2640,6 +2701,26 @@ object SparkEntry {
         |cont AS (SELECT w2, COUNT(*) AS cont_w2 FROM bgc GROUP BY w2)
         |SELECT w1, w2, cnt, cont_w2 FROM bgc JOIN cont USING (w2)
         |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
+    // collocations: lift = cnt*N/(ca*cb) as the IDENTICAL IEEE double
+    // expression both engines — monotone in PMI, so the ranking is PMI's
+    "txt_collocations" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)),
+        |bgc AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2),
+        |l AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS ca FROM bgc GROUP BY w1),
+        |r AS (SELECT w2, CAST(SUM(cnt) AS BIGINT) AS cb FROM bgc GROUP BY w2),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nb FROM bgc)
+        |SELECT w1, w2, cnt,
+        |  (CAST(cnt AS DOUBLE) * CAST(nb AS DOUBLE)) /
+        |    (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) AS lift
+        |FROM bgc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+        |WHERE cnt >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
     // bigram surprisal in whole bits: floored-log2 count ratios via
     // length(bin(x)) — no transcendentals, integer-exact both engines
     "txt_lm_surprisal" ->

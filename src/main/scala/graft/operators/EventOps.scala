@@ -908,4 +908,68 @@ object EventOps {
         expr(s"CAST(n_common * ${TextOps.HashMod} DIV theta AS BIGINT)"))
       .orderBy("type_a", "type_b")
   }
+
+  /** RFM segmentation — the classic customer-value cube (recency /
+    * frequency / monetary quintiles, Hughes 1994): each user's three
+    * metrics are quintiled over the user population and concatenated to
+    * the 111..555 segment code a marketing warehouse slices by. All
+    * three metrics are EXACT integers (days since last event vs the
+    * corpus max timestamp; event count; lifetime value in DECIMAL
+    * cents), so ranking needs no FP discipline at all.
+    *
+    * Quintiles need each user's global rank per metric — the textbook
+    * ntile spelling is a single-task global sort at 100 TB. Instead the
+    * three metrics are UNPIVOTED to (user, metric, value) rows and ranked
+    * by ONE two-level numbering (the [[graft.operators.TextOps
+    * .curriculumMixture]] pattern, shared across all three metrics
+    * instead of three copies of the machinery): range-bucket by
+    * value DIV step (monotone, so bucket order is rank order), number
+    * within (metric, bucket) in parallel, add the broadcast running
+    * offset of earlier buckets. q = ((rank−1)·5) DIV n + 1 — the exact
+    * formula the oracle's row_number() spelling reproduces. The only
+    * serial work is the O(#buckets) offset scan; every data-sized stage
+    * is partition-parallel: per-user agg (one shuffle), melt (row-local
+    * ×3), rank window (keyed on (metric, bucket)), re-pivot (one
+    * shuffle on user). */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val maxTs = ev.agg(max(unix_millis(col("ts"))).as("mx"))
+    val perUser = ev
+      .groupBy("user_id")
+      .agg(max(unix_millis(col("ts"))).as("last_ms"),
+        count(lit(1)).as("freq"),
+        sum((money(col("value")) * 100).cast("long")).as("cents"))
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        expr("(mx - last_ms) DIV 86400000").as("r"),
+        col("freq").as("f"), col("cents").as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // melt to (user_id, metric, v); bucket widths keep #buckets bounded
+    // by the VALUE RANGE / step, independent of user count
+    val melted = perUser.select(col("user_id"), explode(array(
+        struct(lit("r").as("metric"), col("r").as("vb"), col("r").as("v")),
+        struct(lit("f").as("metric"), col("f").as("vb"), col("f").as("v")),
+        struct(lit("m").as("metric"),
+          expr("m DIV 10000").as("vb"), col("m").as("v")))).as("x"))
+      .select(col("user_id"), col("x.metric").as("metric"),
+        col("x.vb").as("vb"), col("x.v").as("v"))
+    val wIn = Window.partitionBy("metric", "vb").orderBy("v", "user_id")
+    val offsets = melted.groupBy("metric", "vb").agg(count(lit(1)).as("bn"))
+      .withColumn("offset", coalesce(sum(col("bn")).over(
+        Window.partitionBy("metric").orderBy("vb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("metric", "vb", "offset")
+    val total = perUser.agg(count(lit(1)).as("n_users"))
+    melted.join(broadcast(offsets), Seq("metric", "vb"))
+      .withColumn("rnk", col("offset") + row_number().over(wIn))
+      .crossJoin(broadcast(total))
+      .withColumn("q", expr("((rnk - 1) * 5) DIV n_users + 1"))
+      .groupBy("user_id")
+      .agg(max(when(col("metric") === "r", col("q"))).as("r_q"),
+        max(when(col("metric") === "f", col("q"))).as("f_q"),
+        max(when(col("metric") === "m", col("q"))).as("m_q"))
+      .select(col("user_id"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_code"))
+      .orderBy("user_id")
+  }
 }

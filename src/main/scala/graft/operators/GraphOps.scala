@@ -254,4 +254,42 @@ object GraphOps {
     }
     visited.orderBy("node")
   }
+
+  /** Synchronous label propagation (Raghavan 2007) over the
+    * [[rankEdges]] graph — the community-detection pass that groups
+    * pages into topical neighborhoods without a cluster-count knob:
+    * every node starts labeled by itself; each round it adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label —
+    * the deterministic tie rule that makes synchronous LPA
+    * engine-portable (textbook LPA breaks ties randomly; min-label
+    * keeps both engines and every rerun identical). Multi-edges count
+    * as weight, matching the PageRank convention on this graph.
+    *
+    * Each round is exactly the CC/PageRank iteration shape: ONE
+    * equi-join of the pre-partitioned checkpointed undirected edge
+    * table with the narrow (node, lbl) state, ONE map-side-combined
+    * count per (node, label), and the argmax as `max(struct(c, -lbl))`
+    * — no window, nothing quadratic. Fixed 3 rounds (the oracle unrolls
+    * the same 3; an observe-metric fixpoint probe would work exactly as
+    * in [[pageRankOf]] but the unrolled oracle pins the round count).
+    * State stays O(N) narrow rows; the edge table shuffles once, ever. */
+  def labelPropagation(spark: SparkSession, sfDir: String,
+                       rounds: Int = 3): DataFrame = {
+    val e = rankEdges(spark, sfDir)
+    val und = e.select(col("src").as("v"), col("dst").as("u"))
+      .union(e.select(col("dst").as("v"), col("src").as("u")))
+      .repartition(col("u")).localCheckpoint()
+    var labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels, und("u") === labels("node"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c").as("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("v").as("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint() // cap lineage per round, as in the CC loop
+    }
+    labels.orderBy("node")
+  }
 }

@@ -1178,6 +1178,52 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Collocation mining — the bigrams that co-occur far MORE than their
+    * parts predict (lift = N·c(ab) / (c₁(a)·c₂(b)), the exp of PMI over
+    * the bigram event space): the phrase-dictionary pass ("new york",
+    * "machine learning") a tokenizer-vocabulary or phrase-aware index
+    * build runs over the corpus. Margins c₁/c₂ are the bigram table's
+    * own left/right sums, so everything derives from ONE bigram
+    * aggregate; a min-count floor keeps one-off pairs (whose lift is
+    * huge and meaningless) out of the ranking.
+    *
+    * Engine parity without transcendentals: PMI's log is monotone, so
+    * ranking by the RATIO is ranking by PMI — and the ratio is computed
+    * as the identical IEEE expression tree both engines ((cnt·N) /
+    * (ca·cb), each op correctly rounded) ⇒ bit-identical doubles, no
+    * qlog16 quantization needed. Doubles rather than BIGINT products
+    * because at 100 TB cnt·N overflows int64 (~1e21) while the double
+    * path degrades gracefully and identically on both engines.
+    *
+    * Scale shape: corpus collapses to the bigram table first (one
+    * map-side-combined shuffle); margins are vocabulary-sized aggs of
+    * THAT table, AQE-broadcast while they fit; the 1-row total
+    * broadcasts; TakeOrdered top-k ends the plan. */
+  def collocations(spark: SparkSession, sfDir: String,
+                   minCount: Int = 5, topN: Int = 50): DataFrame = {
+    val ws = words(col("text"))
+    val pairs = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = graft.Tables.spread(docs(spark, sfDir), col("doc_id"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = bg.groupBy("w1").agg(sum(col("cnt")).as("ca"))
+    val right = bg.groupBy("w2").agg(sum(col("cnt")).as("cb"))
+    val tot = bg.agg(sum(col("cnt")).as("nb"))
+    bg.filter(col("cnt") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("cnt"),
+        ((col("cnt").cast("double") * col("nb").cast("double")) /
+          (col("ca").cast("double") * col("cb").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Integer floor(log2(x)) for x ≥ 1, as length(bin(x)) - 1 — the bit
     * length of the binary rendering. Exact and engine-portable where a
     * float log2 could flip at powers of two. */
