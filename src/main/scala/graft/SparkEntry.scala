@@ -139,6 +139,8 @@ object SparkEntry {
     "evt_retention"            -> EventOps.cohortRetention _,
     "evt_attribution"          -> EventOps.lastTouchAttribution _,
     "evt_rfm"                  -> EventOps.rfmSegments _,
+    "evt_dau_mau"              -> EventOps.dauMau _,
+    "evt_survival"             -> EventOps.survivalCurve _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
@@ -1750,6 +1752,59 @@ object SparkEntry {
         |SELECT user_id, r_q, f_q, m_q,
         |  r_q * 100 + f_q * 10 + m_q AS rfm_code
         |FROM q ORDER BY user_id""".stripMargin,
+    // DAU / rolling-28-day MAU: the oracle spells MAU as the brute
+    // range-join COUNT(DISTINCT) the engine's disjoint-interval explode
+    // provably equals; stickiness in integer basis points
+    "evt_dau_mau" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(range(MIN(day), MAX(day) + 1)) AS day FROM p),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM p GROUP BY day),
+        |mau AS (
+        |  SELECT s.day, COUNT(DISTINCT p.user_id) AS mau
+        |  FROM spine s JOIN p ON p.day BETWEEN s.day - 27 AND s.day
+        |  GROUP BY s.day)
+        |SELECT s.day,
+        |  COALESCE(dau.dau, 0) AS dau,
+        |  COALESCE(mau.mau, 0) AS mau,
+        |  CASE WHEN COALESCE(mau.mau, 0) > 0
+        |    THEN COALESCE(dau.dau, 0) * 10000 // mau.mau
+        |    ELSE 0 END AS stickiness_bp
+        |FROM spine s LEFT JOIN mau USING (day) LEFT JOIN dau USING (day)
+        |ORDER BY day""".stripMargin,
+    // Kaplan-Meier time-to-first-purchase: never-purchasers censored at
+    // their last observed day; survival = ordered cumulative product of
+    // (n_risk - d)/n_risk, folded ascending-t from 1.0 in BOTH engines
+    "evt_survival" ->
+      """WITH u AS (SELECT user_id,
+        |    MIN(epoch_ms(ts) // 86400000) AS d0,
+        |    MAX(epoch_ms(ts) // 86400000) AS d1,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_ms(ts) // 86400000 END) AS p0
+        |  FROM events GROUP BY user_id),
+        |uu AS (SELECT
+        |    CASE WHEN p0 IS NOT NULL THEN p0 - d0 ELSE d1 - d0 END AS dur,
+        |    CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS churned
+        |  FROM u),
+        |tot AS (SELECT COUNT(*) AS n FROM uu),
+        |byt AS (SELECT dur, COUNT(*) AS n_at,
+        |    CAST(SUM(churned) AS BIGINT) AS d
+        |  FROM uu GROUP BY dur),
+        |r AS (SELECT dur, n_at, d,
+        |    CAST(n - COALESCE(SUM(n_at) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM byt, tot),
+        |f AS (SELECT dur, n_risk, d,
+        |    CAST(n_risk - d AS DOUBLE) / n_risk AS factor
+        |  FROM r WHERE d > 0)
+        |SELECT dur AS t_days, n_risk, d AS n_events,
+        |  list_reduce(list_prepend(1.0, list(factor) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |    (a, b) -> a * b) AS survival
+        |FROM f ORDER BY t_days""".stripMargin,
     // degree-oriented triangle counting over the block-clique formula
     // graph: orient edges from the (degree, id)-smaller endpoint, wedge
     // self-join on the low endpoint, close against the undirected edges

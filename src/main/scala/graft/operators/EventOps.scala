@@ -909,6 +909,96 @@ object EventOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** DAU / rolling-28-day MAU / stickiness — the engagement dashboard
+    * every event warehouse serves. The naive MAU is a rolling
+    * COUNT(DISTINCT user) over a 28-day window — per-day distinct sets,
+    * the classic scale trap. Instead each user's activity is reduced to
+    * DISTINCT (user, day) rows once, and each row CONTRIBUTES to the
+    * MAU of days [day, day+27] — truncated at the user's next active
+    * day (lead − 1), so the per-user emitted (user, target_day) rows
+    * are disjoint BY CONSTRUCTION and MAU is a plain COUNT, no distinct
+    * anywhere downstream. Per active day a user emits ≤ 28 narrow
+    * integer rows; one count agg (map-side combined) finishes it.
+    * The day spine comes from the 1-row min/max aggregate exploded
+    * row-locally — days with no activity still get their MAU row.
+    * Stickiness is DAU·10000 DIV MAU basis points — exact integers. */
+  def dauMau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val pairs = ev.select(col("user_id"),
+        expr("unix_millis(ts) DIV 86400000").as("day"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val contrib = pairs
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+      .select(col("user_id"), explode(sequence(col("day"),
+        least(col("day") + 27, coalesce(col("nxt") - 1, col("day") + 27))))
+        .as("day"))
+    val mau = contrib.groupBy("day").agg(count(lit(1)).as("mau"))
+    val spine = pairs.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(mau, Seq("day"), "left")
+      .join(dau, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .withColumn("stickiness_bp",
+        when(col("mau") > 0, expr("dau * 10000 DIV mau")).otherwise(lit(0L)))
+      .orderBy("day")
+  }
+
+  /** Kaplan–Meier time-to-conversion curve — survival analysis over
+    * "days from a user's first event to their first PURCHASE": users
+    * who never purchase are CENSORED at their last observed day (the
+    * defining subtlety K-M handles and a naive "avg days-to-convert"
+    * botches — dropping non-converters biases the estimate optimistic;
+    * counting them as converts-at-last-day biases it pessimistic). At
+    * each conversion time t: n_risk = users still unconverted and under
+    * observation at t, d = conversions at exactly t, and
+    * S(t) = Π_{t'≤t} (1 − d/n_risk) — the probability of remaining
+    * unconverted past t.
+    *
+    * Scale + parity shape: the corpus collapses to per-user (duration,
+    * censored) rows in ONE aggregate, then to the per-duration event
+    * table — bounded by the DAY RANGE, not the user count, so the
+    * cumulative windows over it are codebook-sized, never a data
+    * window. Each factor is one IEEE division; S(t) is a cumulative
+    * PRODUCT — no window primitive in either engine — computed as an
+    * ordered fold over the running collect_list (ascending t, seed 1.0,
+    * one multiply per step), which DuckDB mirrors with list() +
+    * list_reduce in the same order ⇒ bit-identical doubles. */
+  def survivalCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val day = expr("unix_millis(ts) DIV 86400000")
+    val users = ev.groupBy("user_id")
+      .agg(min(day).as("d0"), max(day).as("d1"),
+        min(when(col("event_type") === "purchase", day)).as("p0"))
+      .select(
+        when(col("p0").isNotNull, col("p0") - col("d0"))
+          .otherwise(col("d1") - col("d0")).as("dur"),
+        when(col("p0").isNotNull, lit(1L)).otherwise(lit(0L)).as("churned"))
+    val total = users.agg(count(lit(1)).as("n"))
+    val byT = users.groupBy("dur")
+      .agg(count(lit(1)).as("n_at"), sum(col("churned")).as("d"))
+    val wBefore = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wProd = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n") - coalesce(sum(col("n_at")).over(wBefore), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("factor",
+        (col("n_risk") - col("d")).cast("double") / col("n_risk"))
+      .withColumn("survival",
+        aggregate(collect_list(col("factor")).over(wProd), lit(1.0),
+          (a, v) => a * v))
+      .select(col("dur").as("t_days"), col("n_risk"),
+        col("d").as("n_events"), col("survival"))
+      .orderBy("t_days")
+  }
+
   /** RFM segmentation — the classic customer-value cube (recency /
     * frequency / monetary quintiles, Hughes 1994): each user's three
     * metrics are quintiled over the user population and concatenated to

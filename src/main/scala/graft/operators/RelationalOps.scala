@@ -593,20 +593,31 @@ object RelationalOps {
     * MAX-equality deterministic; the output casts to double only at the
     * edge. Ties on the max all survive (same in DuckDB). */
   def sqlTopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
-    Seq("supplier", "lineitem").foreach { t =>
-      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
-    }
+    Tables.load(spark, sfDir, "supplier").createOrReplaceTempView("supplier_v")
+    // spread: the revenue CTE's decimal agg is CPU-bound and the scalar
+    // MAX subquery re-runs it — both passes deserve > 3 tasks locally;
+    // identity at cluster scale (see Tables.spread)
+    Tables.spread(Tables.load(spark, sfDir, "lineitem"), col("l_orderkey"))
+      .createOrReplaceTempView("lineitem_v")
+    // the revenue view is read TWICE (equi-join probe + scalar MAX);
+    // Spark inlines WITH-CTEs, so without materialization the lineitem
+    // aggregate runs twice — persist() makes the second consumer read
+    // the cached per-supplier rows (Q15's defining "create view" step
+    // in the spec is exactly this materialization; caller releases via
+    // clearCache, the suite-wide contract)
+    val revenue = spark.sql("""
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+      FROM lineitem_v GROUP BY l_suppkey""")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    revenue.createOrReplaceTempView("revenue_v")
     spark.sql("""
-      WITH revenue AS (
-        SELECT l_suppkey AS supplier_no,
-               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
-        FROM lineitem_v GROUP BY l_suppkey)
       SELECT s_suppkey, s_name,
              CAST(total_revenue AS DOUBLE) AS total_revenue
-      FROM supplier_v, revenue
+      FROM supplier_v, revenue_v
       WHERE s_suppkey = supplier_no
-        AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        AND total_revenue = (SELECT MAX(total_revenue) FROM revenue_v)
       ORDER BY s_suppkey""")
   }
 
@@ -866,31 +877,38 @@ object RelationalOps {
         AND l_quantity < 24""")
   }
 
-  /** TPC-H Q11 shape (important stock identification): HAVING gated by
-    * an UNCORRELATED scalar aggregate over the SAME fact table — the
-    * group survives only if its value exceeds a fraction of the global
-    * total. Catalyst plans the subquery as one extra 1-row aggregate
-    * whose result broadcasts into the HAVING filter; the fact table is
-    * scanned twice but shuffled once per aggregate, and both
-    * aggregations are map-side combined. The above-1.5×-mean test is
-    * cross-multiplied (value·n·2 > total·3) so every comparison stays
-    * in exact integer/decimal products — decimal DIVISION rounds and
-    * could flip a boundary group between engines. Per-part stock value
-    * stands in for the absent partsupp availability. */
+  /** TPC-H Q11 shape (important stock identification): a group survives
+    * only if its value exceeds 1.5× the mean group value. The textbook
+    * spelling gates HAVING on TWO uncorrelated scalar subqueries
+    * (COUNT(DISTINCT part), global SUM) — three scans of the fact
+    * table. Both scalars are DERIVABLE FROM THE GROUPED AGGREGATE
+    * ITSELF (the distinct part count is the group count; the global
+    * total is the sum of group sums — exact in DECIMAL, order-
+    * independent), so this spelling computes the per-part aggregate
+    * ONCE and folds it into a 1-row (count, total) aggregate that
+    * broadcasts back into the filter: one scan, one corpus shuffle,
+    * and Catalyst reuses the per-part exchange for both consumers.
+    * The above-1.5×-mean test is cross-multiplied (value·n·2 >
+    * total·3) so every comparison stays in exact integer/decimal
+    * products — decimal DIVISION rounds and could flip a boundary
+    * group between engines. Per-part stock value stands in for the
+    * absent partsupp availability. */
   def sqlImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem_v")
+    // spread: the local file is 3 splits and the decimal-product agg is
+    // CPU-bound; identity at cluster scale (see Tables.spread)
+    Tables.spread(Tables.load(spark, sfDir, "lineitem"), col("l_orderkey"))
+      .createOrReplaceTempView("lineitem_v")
     spark.sql("""
-      SELECT l_partkey,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS stock_value
-      FROM lineitem_v
-      GROUP BY l_partkey
-      HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * CAST(l_quantity AS DECIMAL(12,2)))
-             * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem_v) * 2 > (
-        SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                   * CAST(l_quantity AS DECIMAL(12,2))) * 3
-        FROM lineitem_v)
+      WITH a AS (
+        SELECT l_partkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_quantity AS DECIMAL(12,2))) AS sv
+        FROM lineitem_v
+        GROUP BY l_partkey),
+      g AS (SELECT COUNT(*) AS cntd, SUM(sv) AS tot FROM a)
+      SELECT l_partkey, CAST(sv AS DOUBLE) AS stock_value
+      FROM a, g
+      WHERE sv * cntd * 2 > tot * 3
       ORDER BY stock_value DESC, l_partkey""")
   }
 
