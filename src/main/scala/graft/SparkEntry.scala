@@ -141,6 +141,7 @@ object SparkEntry {
     "evt_rfm"                  -> EventOps.rfmSegments _,
     "evt_dau_mau"              -> EventOps.dauMau _,
     "evt_survival"             -> EventOps.survivalCurve _,
+    "evt_path_analysis"        -> ((s: SparkSession, d: String) => EventOps.pathAnalysis(s, d)),
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
@@ -226,6 +227,7 @@ object SparkEntry {
     "sim_sparse_topk"          -> ((s: SparkSession, d: String) => TextOps.sparseRelatedDocs(s, d)),
     "sim_pq_codes"             -> SimilarityOps.pqCodes _,
     "sim_rq_codes"             -> SimilarityOps.rqCodes _,
+    "sim_graph_search"         -> ((s: SparkSession, d: String) => SimilarityOps.graphSearchTopK(s, d)),
     "sim_pq_recall"            -> SimilarityOps.pqRecall _,
     "sim_ivf_pq"               -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqTopK(s, d)),
     "sim_ivf_pq_rerank"        -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqRerank(s, d)),
@@ -1805,6 +1807,28 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |    (a, b) -> a * b) AS survival
         |FROM f ORDER BY t_days""".stripMargin,
+    // session 3-step paths: 30-min gap sessionization + two leads over
+    // the same user window; in-session iff lead(sn,2) = sn
+    "evt_path_analysis" ->
+      """WITH b AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |s AS (SELECT *, CASE WHEN prev_ms IS NULL
+        |      OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT *, lag(ts_ms) OVER
+        |      (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms
+        |    FROM b) z),
+        |t AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+        |  FROM s),
+        |g AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3,
+        |    sn, lead(sn, 2) OVER w AS sn3
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+        |FROM g WHERE sn3 = sn
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // degree-oriented triangle counting over the block-clique formula
     // graph: orient edges from the (degree, id)-smaller endpoint, wedge
     // self-join on the low endpoint, close against the undirected edges
@@ -3896,6 +3920,76 @@ object SparkEntry {
         |SELECT e0.vec_id AS a_id, r.b_id, r.score, r.rn
         |FROM e0 LEFT JOIN (SELECT * FROM r WHERE rn <= 4) r ON r.a_id = e0.vec_id
         |ORDER BY a_id, rn""".stripMargin,
+    // greedy beam search over the kNN graph (HNSW layer-0 walk): entry
+    // = hash-min vector, 3 unrolled hops of expand+score+beam(8), final
+    // top-5 excluding self; scores are the same-fold exact cosine
+    "sim_graph_search" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e0),
+        |tb AS (
+        |  SELECT vec_id, t,
+        |    CAST(list_sum(list_transform(range(0, 4), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |          j -> emb[j] * CAST((1 + (t*4+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          (x, y) -> x + y) >= 0
+        |      THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+        |  FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM tb a JOIN tb b ON a.t = b.t AND a.bkt = b.bkt
+        |  WHERE b.vec_id <> a.vec_id),
+        |es AS (
+        |  SELECT a_id, b_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(ae.emb)+1),
+        |      i -> ae.emb[i] * be.emb[i])), (x, y) -> x + y) / (ae.nrm * be.nrm) AS score
+        |  FROM cand
+        |  JOIN n ae ON ae.vec_id = cand.a_id
+        |  JOIN n be ON be.vec_id = cand.b_id),
+        |g AS (SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id,
+        |      row_number() OVER (PARTITION BY a_id ORDER BY score DESC, b_id) AS rn
+        |    FROM es) z WHERE rn <= 4),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+        |      FROM n WHERE vec_id < 5),
+        |ent AS (SELECT vec_id FROM n
+        |        ORDER BY (vec_id * 2654435761) % 1000000007, vec_id LIMIT 1),
+        |b0 AS (SELECT q_id, ent.vec_id FROM q, ent),
+        |x1 AS (SELECT DISTINCT q_id, vec_id FROM (
+        |    SELECT b0.q_id, g.b_id AS vec_id FROM b0 JOIN g ON g.a_id = b0.vec_id
+        |    UNION ALL SELECT q_id, vec_id FROM b0) z),
+        |s1 AS (SELECT x1.q_id, x1.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(n.emb)+1),
+        |      i -> n.emb[i] * q.q_emb[i])), (x, y) -> x + y) / (n.nrm * q.q_nrm) AS score
+        |  FROM x1 JOIN n ON n.vec_id = x1.vec_id JOIN q ON q.q_id = x1.q_id),
+        |b1 AS (SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |    FROM s1) z WHERE rn <= 8),
+        |x2 AS (SELECT DISTINCT q_id, vec_id FROM (
+        |    SELECT b1.q_id, g.b_id AS vec_id FROM b1 JOIN g ON g.a_id = b1.vec_id
+        |    UNION ALL SELECT q_id, vec_id FROM b1) z),
+        |s2 AS (SELECT x2.q_id, x2.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(n.emb)+1),
+        |      i -> n.emb[i] * q.q_emb[i])), (x, y) -> x + y) / (n.nrm * q.q_nrm) AS score
+        |  FROM x2 JOIN n ON n.vec_id = x2.vec_id JOIN q ON q.q_id = x2.q_id),
+        |b2 AS (SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |    FROM s2) z WHERE rn <= 8),
+        |x3 AS (SELECT DISTINCT q_id, vec_id FROM (
+        |    SELECT b2.q_id, g.b_id AS vec_id FROM b2 JOIN g ON g.a_id = b2.vec_id
+        |    UNION ALL SELECT q_id, vec_id FROM b2) z),
+        |s3 AS (SELECT x3.q_id, x3.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(n.emb)+1),
+        |      i -> n.emb[i] * q.q_emb[i])), (x, y) -> x + y) / (n.nrm * q.q_nrm) AS score
+        |  FROM x3 JOIN n ON n.vec_id = x3.vec_id JOIN q ON q.q_id = x3.q_id)
+        |SELECT q_id, vec_id, score, rn FROM (
+        |  SELECT q_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+        |  FROM s3 WHERE vec_id <> q_id) z
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     // sparse lexical top-k: bigram-term integer TF-IDF, df-capped
     // postings (stop-terms dropped before any pair forms), one unordered
     // pair per doc pair, both orientations ranked top-3

@@ -634,6 +634,41 @@ object EventOps {
       .orderBy("user_id", "session_nb")
   }
 
+  /** Session path analysis — the top N three-step event-type paths
+    * inside gap-sessionized visits ("view>click>purchase"), the
+    * navigation-mining report a product warehouse builds from raw
+    * events. Paths never cross a session boundary.
+    *
+    * ONE user-keyed window pass does everything: the gap flags and the
+    * running session number ([[sessionizeByGap]]'s spelling), then the
+    * two event-type leads AND a 2-ahead lead of the session number over
+    * the SAME (user, (ts,event_id)) window — a triple is in-session iff
+    * lead(session_nb, 2) equals the current session_nb (session numbers
+    * are monotone within a user), so no re-partition by (user, session)
+    * is ever needed: the corpus crosses one exchange, every window
+    * shares its sort. Path counting is a map-side-combined agg over
+    * ≤|event_type|³ groups; TakeOrdered ends it. */
+  def pathAnalysis(spark: SparkSession, sfDir: String,
+                   gapMinutes: Long = 30L, topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull ||
+          col("ts_ms") - col("prev_ms") > gapMinutes * 60000L, 1L)
+          .otherwise(0L))
+      .withColumn("sn",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("sn3", lead(col("sn"), 2).over(w))
+      .filter(col("sn3") === col("sn"))
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(topN)
+  }
+
   /** TIME-TRAVEL lookup against a versioned dimension — the join the
     * SCD2 history exists for: each purchase fact finds the signup
     * version whose [valid_from, valid_to) interval covers its

@@ -249,6 +249,64 @@ object SimilarityOps {
       .orderBy("a_id", "rn")
   }
 
+  /** Greedy beam search over the [[knnGraph]] — the serving walk of
+    * graph-based ANN (the HNSW/NSW layer-0 search of Malkov & Yashunin
+    * 2016, public): start every query at a fixed entry vector, and each
+    * hop expand the current beam's graph neighbors, score them exactly
+    * against the query, and keep the best `beam` candidates — after
+    * `hops` rounds the beam's top-k (self excluded) is the answer. The
+    * structural alternative to IVF probing: no partitions to probe,
+    * quality scales with hops/beam, and the index is the kNN graph the
+    * engine already builds.
+    *
+    * Determinism: beam selection ranks (score desc, vec_id) on exact
+    * cosine doubles (same fold both engines), the entry point is the
+    * multiplicative-hash minimum (the codebook sample's first element),
+    * and the query's own row rides the beam (score 1.0 — harmless seed,
+    * excluded only at the final ranking) so a query that IS the entry
+    * point still searches. The oracle unrolls the same 3 hops.
+    *
+    * Scale shape: the graph is the persisted edge table (one build,
+    * shared by every hop); per hop the per-query beam is ≤ beam·(k+1)
+    * narrow rows, so the hop joins ship |queries|·beam rows against the
+    * a_id-keyed edge table and the rank windows sort ≤ 40 rows per
+    * query — the corpus is touched only through the graph build. At
+    * 100 TB the walk state stays per-query-bounded regardless of corpus
+    * size; production raises hops (graph diameter) and adds entry-point
+    * restarts, same plan. */
+  def graphSearchTopK(spark: SparkSession, sfDir: String, hops: Int = 3,
+                      beam: Int = 8, k: Int = 5): DataFrame = {
+    val e = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = knnGraph(spark, sfDir).filter(col("b_id").isNotNull)
+      .select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val entry = e.withColumn("h", (col("vec_id") * lit(2654435761L)) % lit(1000000007L))
+      .orderBy("h", "vec_id").limit(1).select(col("vec_id"))
+    var beamDf = qs.select(col("q_id")).crossJoin(broadcast(entry))
+    var scored: DataFrame = null
+    val wb = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    for (_ <- 1 to hops) {
+      val expanded = beamDf.join(g, beamDf("vec_id") === g("a_id"))
+        .select(col("q_id"), col("b_id").as("vec_id"))
+        .union(beamDf.select(col("q_id"), col("vec_id")))
+        .distinct()
+      scored = expanded.join(e, "vec_id").join(broadcast(qs), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          cosinePre(col("emb"), col("nrm"), col("q_emb"), col("q_nrm"))
+            .as("score"))
+      beamDf = scored.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= beam).select("q_id", "vec_id")
+    }
+    scored.filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rn", row_number().over(wb).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   /** Fixed-size IVF codebook: the `k` vectors with the smallest
     * multiplicative hash of vec_id (ties by vec_id) — a deterministic
     * unbiased sample whose SIZE is independent of the corpus, so

@@ -100,6 +100,16 @@ object EventStreamOps {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
+  final case class RawEventRow(event_id: Long, ts: java.sql.Timestamp,
+                               user_id: Long, event_type: String,
+                               value: Double, props: String)
+  final case class AttribRow(event_id: Long, ts: java.sql.Timestamp,
+                             user_id: Long, event_type: String,
+                             value: Double, channel: String)
+  final case class ClickState(tsMs: Long, channel: String)
+  final case class Attribution(user_id: Long, event_id: Long,
+                               ts: java.sql.Timestamp, channel: String,
+                               value: Double)
   final case class FunnelState(stage: Int, ts: Long)
   final case class FunnelAdvance(user_id: Long, step: String,
     ts: java.sql.Timestamp)
@@ -134,6 +144,50 @@ object EventStreamOps {
             }
           }
           if (s.stage > 0) state.update(s)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** Streaming form of EventOps.lastTouchAttribution: each purchase is
+    * credited AT ARRIVAL to the user's most recent preceding click
+    * within the 3-day lookback (organic otherwise) — the real-time
+    * revenue ticker the batch query reconciles nightly. The batch form
+    * carries the latest click with a last(ignoreNulls) window; here the
+    * SAME cursor is per-user state: ONE (ts, channel) pair per user —
+    * bounded by the user population, not event volume, and each
+    * purchase emits exactly once (append mode), the same per-event
+    * discipline as [[funnelAdvances]]. The channel derivation (campaign
+    * key from props.k mod 4) is the batch expression verbatim, so the
+    * spec can assert stream-equals-batch on a replay. */
+  def lastTouchAttributions(spark: SparkSession, events: DataFrame,
+                            watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"),
+        when(col("event_type") === "click",
+          concat(lit("ch"),
+            (get_json_object(col("props"), "$.k").cast("long") % 4)
+              .cast("string"))).as("channel"))
+      .as[AttribRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[AttribRow], state: GroupState[ClickState]) =>
+          var s = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer.empty[Attribution]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (e.event_type == "click") {
+              s = ClickState(e.ts.getTime, e.channel)
+            } else if (e.event_type == "purchase") {
+              val ch = if (s != null && e.ts.getTime - s.tsMs <= 3L * 86400000L)
+                s.channel else "organic"
+              out += Attribution(uid, e.event_id, e.ts, ch, e.value)
+            }
+          }
+          if (s != null) state.update(s)
           out.iterator
       }
       .toDF()

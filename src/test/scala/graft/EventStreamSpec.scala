@@ -265,6 +265,51 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming last-touch attribution: cursor carries across batches, lookback expires, organic fallback") {
+    import spark.implicits._
+    import graft.streaming.EventStreamOps.RawEventRow
+    implicit val sql = spark.sqlContext
+    def tsd(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-${day + 1}%02d 10:$minute%02d:00")
+    val mem = MemoryStream[RawEventRow]
+    val q = EventStreamOps.lastTouchAttributions(spark, mem.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 clicks (k=5 -> ch1), then purchases same day;
+      // user 2 purchases with NO click ever -> organic
+      mem.addData(
+        RawEventRow(1L, tsd(0, 0), 1L, "click", 0.0, """{"k":5}"""),
+        RawEventRow(2L, tsd(0, 30), 1L, "purchase", 10.0, "{}"),
+        RawEventRow(3L, tsd(0, 30), 2L, "purchase", 7.0, "{}"))
+      q.processAllAvailable()
+      val got1 = spark.table("attrib")
+        .as[(Long, Long, Timestamp, String, Double)].collect().toSet
+      assert(got1 == Set(
+        (1L, 2L, tsd(0, 30), "ch1", 10.0),
+        (2L, 3L, tsd(0, 30), "organic", 7.0)))
+      // batch 2: the click cursor SURVIVES the batch boundary — a
+      // purchase 2 days later still credits ch1; a purchase 4+ days
+      // after the click is past the 3-day lookback -> organic
+      mem.addData(
+        RawEventRow(4L, tsd(2, 0), 1L, "purchase", 20.0, "{}"),
+        RawEventRow(5L, tsd(4, 1), 1L, "purchase", 30.0, "{}"))
+      q.processAllAvailable()
+      val got2 = spark.table("attrib")
+        .as[(Long, Long, Timestamp, String, Double)].collect().toSet
+      assert(got2.contains((1L, 4L, tsd(2, 0), "ch1", 20.0)))
+      assert(got2.contains((1L, 5L, tsd(4, 1), "organic", 30.0)))
+      // batch 3: a new click re-arms the cursor (k=2 -> ch2)
+      mem.addData(
+        RawEventRow(6L, tsd(5, 0), 1L, "click", 0.0, """{"k":2}"""),
+        RawEventRow(7L, tsd(5, 5), 1L, "purchase", 40.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("attrib")
+        .as[(Long, Long, Timestamp, String, Double)].collect().toSet
+        .contains((1L, 7L, tsd(5, 5), "ch2", 40.0)))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -1795,6 +1795,42 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("graph search: results reachable within hops of the entry, scores exact, ranks gapless") {
+    import spark.implicits._
+    val got = SimilarityOps.graphSearchTopK(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    // rebuild the reference pieces: embeddings + the kNN edges
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val edges = SimilarityOps.knnGraph(spark, sf0001)
+      .filter(col("b_id").isNotNull)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (a, es) => a -> es.map(_._2).toSet }
+    val entry = emb.keys.minBy(v => ((v * 2654435761L) % 1000000007L, v))
+    // reachable set after 3 beam hops is a subset of the full 3-hop ball
+    var ball = Set(entry)
+    for (_ <- 1 to 3)
+      ball = ball ++ ball.flatMap(v => edges.getOrElse(v, Set.empty))
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rn")).sorted.toSeq ==
+        (1L to rows.length).toSeq, s"gapless ranks for q=$q")
+      rows.foreach { r =>
+        val v = r.getAs[Long]("vec_id")
+        assert(v != q, "self excluded")
+        assert(ball.contains(v), s"$v not reachable in 3 hops from $entry")
+        assert(math.abs(r.getAs[Double]("score") - cos(q, v)) < 1e-12,
+          "score is the exact cosine")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("residual quantizer: stage 2 never increases error, codes in range, codebook members exact") {
     val rows = SimilarityOps.rqCodes(spark, sf0001).collect()
     assert(rows.nonEmpty)
