@@ -142,6 +142,7 @@ object SparkEntry {
     "evt_dau_mau"              -> EventOps.dauMau _,
     "evt_survival"             -> EventOps.survivalCurve _,
     "evt_path_analysis"        -> ((s: SparkSession, d: String) => EventOps.pathAnalysis(s, d)),
+    "evt_promo_sessions"       -> EventOps.promoSessionOverlap _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
@@ -672,6 +673,36 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_nb
         |ORDER BY user_id, session_nb""".stripMargin,
+    // interval-overlap join: the oracle is the brute theta join the
+    // engine's bin-then-verify plan provably equals; promos synthesized
+    // off the corpus min timestamp (12 one-day windows, every 2 days)
+    "evt_promo_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_ms
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM x),
+        |s AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_nb
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_nb, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+        |  FROM s GROUP BY user_id, session_nb),
+        |lo AS (SELECT MIN(epoch_ms(ts)) AS lo FROM events),
+        |promos AS (
+        |  SELECT p AS promo_id, lo + p * 172800000 AS ps,
+        |    lo + p * 172800000 + 86400000 AS pe
+        |  FROM (SELECT unnest(range(0, 12)) AS p) z, lo)
+        |SELECT user_id, session_nb, promo_id,
+        |  LEAST(end_ms, pe - 1) - GREATEST(start_ms, ps) + 1 AS overlap_ms
+        |FROM sess JOIN promos
+        |  ON start_ms <= pe - 1 AND ps <= end_ms
+        |ORDER BY user_id, session_nb, promo_id""".stripMargin,
     // SCD2 time-travel lookup: interval join against the versioned dim
     "evt_scd2_lookup" ->
       """WITH d0 AS (

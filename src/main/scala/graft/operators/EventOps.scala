@@ -669,6 +669,52 @@ object EventOps {
       .orderBy(col("n").desc, col("path")).limit(topN)
   }
 
+  /** Binned interval-overlap join — sessions × promo windows, the
+    * "which visits happened during which campaign" report, and the
+    * demonstration of the standard DISTRIBUTED range-join technique: a
+    * pure interval-overlap theta-join has no equi key, so the naive
+    * plan is a cartesian (broadcast-nested-loop) — instead both
+    * interval sets explode into the HOUR BINS they cover, the bin is
+    * the equi-join key (bins bound the candidates: a pair meets only
+    * in a shared hour), duplicates from multi-bin spans collapse in
+    * one distinct, and the EXACT overlap predicate verifies — the
+    * bin-then-verify shape every dedup candidate generator here uses,
+    * applied to time. Bin width trades fan-out (≤ span/width rows per
+    * interval) against candidate precision, the knob a 100 TB interval
+    * join tunes.
+    *
+    * Promo windows are synthesized deterministically off the corpus min
+    * timestamp (12 windows, one day long, every other day), so both
+    * engines build the identical calendar. Sessions are inclusive
+    * [start, end] point sets (a single-event session is a 1 ms point);
+    * promos are [ps, pe) — overlap_ms = min(e, pe−1) − max(s, ps) + 1. */
+  def promoSessionOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val BIN = 3600000L
+    val sess = sessionizeByGap(spark, sfDir)
+      .select(col("user_id"), col("session_nb"), col("start_ms"), col("end_ms"))
+    val lo = Tables.events(spark, sfDir)
+      .agg(min(unix_millis(col("ts"))).as("lo"))
+    val promos = lo.select(explode(sequence(lit(0L), lit(11L))).as("promo_id"),
+        col("lo"))
+      .select(col("promo_id"),
+        (col("lo") + col("promo_id") * (2L * 86400000L)).as("ps"))
+      .withColumn("pe", col("ps") + 86400000L)
+    val sbins = sess.select(col("user_id"), col("session_nb"),
+      col("start_ms"), col("end_ms"),
+      explode(expr(s"sequence(start_ms DIV $BIN, end_ms DIV $BIN)")).as("bin"))
+    val pbins = promos.select(col("promo_id"), col("ps"), col("pe"),
+      explode(expr(s"sequence(ps DIV $BIN, (pe - 1) DIV $BIN)")).as("bin"))
+    sbins.join(pbins, "bin")
+      .filter(col("start_ms") <= col("pe") - 1 && col("ps") <= col("end_ms"))
+      .select("user_id", "session_nb", "promo_id",
+        "start_ms", "end_ms", "ps", "pe")
+      .distinct()
+      .select(col("user_id"), col("session_nb"), col("promo_id"),
+        (least(col("end_ms"), col("pe") - 1) -
+          greatest(col("start_ms"), col("ps")) + 1).as("overlap_ms"))
+      .orderBy("user_id", "session_nb", "promo_id")
+  }
+
   /** TIME-TRAVEL lookup against a versioned dimension — the join the
     * SCD2 history exists for: each purchase fact finds the signup
     * version whose [valid_from, valid_to) interval covers its

@@ -289,17 +289,27 @@ object SimilarityOps {
     var beamDf = qs.select(col("q_id")).crossJoin(broadcast(entry))
     var scored: DataFrame = null
     val wb = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    // per hop everything beam-sided is ≤ |queries|·beam·(k+1) rows:
+    // broadcast the edge table into the expansion (no beam shuffle) and
+    // the deduped candidate set into the corpus-side scoring join
+    // (map-only over the persisted e) — the only exchanges per hop are
+    // the tiny candidate dedup and the per-query rank window
     for (_ <- 1 to hops) {
-      val expanded = beamDf.join(g, beamDf("vec_id") === g("a_id"))
+      val expanded = beamDf.join(broadcast(g), beamDf("vec_id") === g("a_id"))
         .select(col("q_id"), col("b_id").as("vec_id"))
         .union(beamDf.select(col("q_id"), col("vec_id")))
         .distinct()
-      scored = expanded.join(e, "vec_id").join(broadcast(qs), "q_id")
+      scored = e.join(broadcast(expanded), "vec_id")
+        .join(broadcast(qs), "q_id")
         .select(col("q_id"), col("vec_id"),
           cosinePre(col("emb"), col("nrm"), col("q_emb"), col("q_nrm"))
             .as("score"))
+      // localCheckpoint: every broadcast in the NEXT hop re-executes its
+      // subplan from the leaves — without cutting lineage here hop h
+      // re-runs all h-1 previous hops once per broadcast materialization
       beamDf = scored.withColumn("rn", row_number().over(wb))
         .filter(col("rn") <= beam).select("q_id", "vec_id")
+        .localCheckpoint()
     }
     scored.filter(col("vec_id") =!= col("q_id"))
       .withColumn("rn", row_number().over(wb).cast("long"))
