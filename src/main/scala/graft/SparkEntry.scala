@@ -143,6 +143,7 @@ object SparkEntry {
     "evt_survival"             -> EventOps.survivalCurve _,
     "evt_path_analysis"        -> ((s: SparkSession, d: String) => EventOps.pathAnalysis(s, d)),
     "evt_promo_sessions"       -> EventOps.promoSessionOverlap _,
+    "evt_seasonal_naive"       -> EventOps.seasonalNaiveEval _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
@@ -194,6 +195,7 @@ object SparkEntry {
     "dd_exact"                 -> DedupOps.exactDups _,
     "dd_ngram_jaccard"         -> DedupOps.ngramJaccardPairs _,
     "dd_containment"           -> DedupOps.containmentPairs _,
+    "dd_minhash_oph"           -> ((s: SparkSession, d: String) => DedupOps.minhashOph(s, d)),
     "dd_minhash_jaccard_est"   -> DedupOps.minhashJaccardEst _,
     "dd_dup_clusters_star"     -> DedupOps.dupClustersStar _,
     "dd_minhash_lsh"           -> DedupOps.minhashLsh _,
@@ -229,6 +231,7 @@ object SparkEntry {
     "sim_pq_codes"             -> SimilarityOps.pqCodes _,
     "sim_rq_codes"             -> SimilarityOps.rqCodes _,
     "sim_graph_search"         -> ((s: SparkSession, d: String) => SimilarityOps.graphSearchTopK(s, d)),
+    "sim_lsh_multiprobe"       -> ((s: SparkSession, d: String) => SimilarityOps.lshMultiprobeRecall(s, d)),
     "sim_pq_recall"            -> SimilarityOps.pqRecall _,
     "sim_ivf_pq"               -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqTopK(s, d)),
     "sim_ivf_pq_rerank"        -> ((s: SparkSession, d: String) => SimilarityOps.ivfPqRerank(s, d)),
@@ -703,6 +706,20 @@ object SparkEntry {
         |FROM sess JOIN promos
         |  ON start_ms <= pe - 1 AND ps <= end_ms
         |ORDER BY user_id, session_nb, promo_id""".stripMargin,
+    // seasonal-naive baseline: forecast(d) = actual(d-7); per
+    // day-of-week MAE, integers except the one closing division
+    "evt_seasonal_naive" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1)
+        |SELECT a.day % 7 AS dow, COUNT(*) AS n_days,
+        |  CAST(SUM(ABS(a.cents - f.cents)) AS BIGINT) AS total_abs_err_cents,
+        |  CAST(CAST(SUM(ABS(a.cents - f.cents)) AS BIGINT) AS DOUBLE)
+        |    / COUNT(*) AS mae_cents
+        |FROM daily a JOIN daily f ON a.day = f.day + 7
+        |GROUP BY 1 ORDER BY dow""".stripMargin,
     // SCD2 time-travel lookup: interval join against the versioned dim
     "evt_scd2_lookup" ->
       """WITH d0 AS (
@@ -3625,6 +3642,65 @@ object SparkEntry {
         |  JOIN f sb ON sb.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // one-permutation minhash: slot i = min hash in bin (h mod 8),
+    // empty bins densified by cyclic-right borrow + d*P offset; same
+    // band -> bucket-join -> exact-Jaccard-verify tail as minhash_lsh
+    "dd_minhash_oph" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END) AS sh
+        |  FROM w2),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |sl AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8),
+        |      i -> list_min(list_filter(sh, h -> h % 8 = i))) AS slots
+        |  FROM f),
+        |ds AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 8), i ->
+        |      [slots[((i + d) % 8) + 1] + d * 999999999999989
+        |       FOR d IN range(0, 8)
+        |       IF slots[((i + d) % 8) + 1] IS NOT NULL][1]) AS d8
+        |  FROM sl),
+        |bands AS (
+        |  SELECT doc_id, '0_' || CAST(d8[1] AS VARCHAR) || '_' || CAST(d8[2] AS VARCHAR)
+        |    || '_' || CAST(d8[3] AS VARCHAR) || '_' || CAST(d8[4] AS VARCHAR) AS bkey FROM ds
+        |  UNION ALL
+        |  SELECT doc_id, '1_' || CAST(d8[5] AS VARCHAR) || '_' || CAST(d8[6] AS VARCHAR)
+        |    || '_' || CAST(d8[7] AS VARCHAR) || '_' || CAST(d8[8] AS VARCHAR) FROM ds),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN f sa ON sa.doc_id = doc_a
+        |  JOIN f sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // end-to-end dedup decision: the dd_minhash_lsh pair pipeline, then
     // the recursive reachability closure (as in dd_dup_clusters) over
     // those pairs, then keep = min reachable id; unclustered docs keep
@@ -3951,6 +4027,59 @@ object SparkEntry {
         |SELECT e0.vec_id AS a_id, r.b_id, r.score, r.rn
         |FROM e0 LEFT JOIN (SELECT * FROM r WHERE rn <= 4) r ON r.a_id = e0.vec_id
         |ORDER BY a_id, rn""".stripMargin,
+    // multi-probe LSH: each query probes its bucket + all 1-bit flips
+    // per table; candidate recall vs the brute top-10, next to the
+    // single-probe numbers off the same signatures
+    "sim_lsh_multiprobe" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e0),
+        |ltb AS (
+        |  SELECT vec_id, t,
+        |    CAST(list_sum(list_transform(range(0, 4), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |          j -> emb[j] * CAST((1 + (t*4+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          (x, y) -> x + y) >= 0
+        |      THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+        |  FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
+        |qp AS (
+        |  SELECT vec_id AS q_id, t, 0 AS d, bkt FROM ltb WHERE vec_id < 5
+        |  UNION ALL
+        |  SELECT vec_id, t, 1, xor(bkt, p) FROM ltb,
+        |    (SELECT unnest([1, 2, 4, 8]) AS p) pp
+        |  WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT q_id, c.vec_id, CAST(MIN(d) AS BIGINT) AS d
+        |  FROM qp JOIN ltb c ON c.t = qp.t AND c.bkt = qp.bkt
+        |  WHERE c.vec_id <> qp.q_id GROUP BY 1, 2),
+        |bq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 5),
+        |bs AS (
+        |  SELECT q_id, n.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
+        |  FROM bq, n WHERE n.vec_id <> bq.q_id),
+        |br AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, vec_id) AS rn FROM bs) t
+        |  WHERE rn <= 10),
+        |tot AS (SELECT COUNT(*) AS possible FROM br),
+        |p1 AS (SELECT COUNT(*) AS n_candidates FROM cand WHERE d = 0),
+        |h1 AS (SELECT COUNT(*) AS hits FROM br WHERE EXISTS (
+        |  SELECT 1 FROM cand WHERE d = 0 AND cand.q_id = br.q_id
+        |    AND cand.vec_id = br.vec_id)),
+        |pm AS (SELECT COUNT(*) AS n_candidates FROM cand),
+        |hm AS (SELECT COUNT(*) AS hits FROM br WHERE EXISTS (
+        |  SELECT 1 FROM cand WHERE cand.q_id = br.q_id
+        |    AND cand.vec_id = br.vec_id))
+        |SELECT method, n_candidates, hits, possible,
+        |  CAST(hits AS DOUBLE) / possible AS recall FROM (
+        |  SELECT 'probe1' AS method, p1.n_candidates, h1.hits, tot.possible
+        |  FROM p1, h1, tot
+        |  UNION ALL
+        |  SELECT 'multiprobe', pm.n_candidates, hm.hits, tot.possible
+        |  FROM pm, hm, tot) z
+        |ORDER BY method""".stripMargin,
     // greedy beam search over the kNN graph (HNSW layer-0 walk): entry
     // = hash-min vector, 3 unrolled hops of expand+score+beam(8), final
     // top-5 excluding self; scores are the same-fold exact cosine

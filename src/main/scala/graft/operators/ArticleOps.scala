@@ -461,16 +461,21 @@ object ArticleOps {
     * distinct-term side of the postings index is vocabulary-sized, the
     * `levenshtein` probe runs there, matching terms semi-join back into
     * the postings for doc ids, and the corpus is touched exactly once by
-    * the final projection. Both engines ship the same plain Levenshtein
-    * (Spark `levenshtein`, DuckDB `levenshtein`), so the oracle is the
-    * scan spelling over tokens — identical result by definition of the
-    * distance. */
+    * the final projection. The probe is the THRESHOLD form
+    * `levenshtein(l, r, k)` (returns −1 past the bound): the banded DP
+    * early-exits at O(k·n) per term instead of filling the full O(m·n)
+    * matrix and comparing after — on a 100 TB corpus the term
+    * dictionary is tens of millions of rows and the probe scans all of
+    * it, so the per-term bound is the dominant constant. DuckDB's plain
+    * `levenshtein` + `<=` predicate is semantically identical at the
+    * threshold, so the oracle is unchanged. */
   def searchFuzzy(spark: SparkSession, sfDir: String,
                   keyword: String = "soft", maxDist: Int = 1): DataFrame = {
     val idxPath = graft.plans.TextIndexCatalog.ensureIndex(spark, sfDir)
     val post = spark.read.parquet(idxPath)
     val cand = post.select("term").distinct()
-      .filter(levenshtein(col("term"), lit(keyword.toLowerCase)) <= maxDist)
+      .filter(levenshtein(col("term"), lit(keyword.toLowerCase),
+        maxDist) =!= -1)
     val hits = post.join(cand, "term").select("doc_id").distinct()
     docs(spark, sfDir).join(hits, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source")

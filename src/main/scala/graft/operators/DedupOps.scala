@@ -665,6 +665,60 @@ object DedupOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** MinHash+LSH via ONE-PERMUTATION HASHING (Li/Owen/Zhang, NIPS 2012,
+    * public) — the modern signature build: instead of k permutations
+    * (k passes over every shingle — [[minhashLsh]] evaluates 8 affine
+    * hashes per shingle), hash each shingle ONCE and split the hash
+    * space into k BINS (h mod 8); slot i is the min hash landing in bin
+    * i. On a 100 TB corpus the signature build is the dominant dedup
+    * cost and OPH cuts its arithmetic k-fold. Empty bins (short docs)
+    * are filled by ROTATION densification (borrow the nearest non-empty
+    * slot to the cyclic right, offset by d·P so borrowed values can't
+    * fake agreement at different distances — Shrivastava/Li's scheme).
+    * Everything is row-local array math; downstream is the SAME band →
+    * bucket-join → exact-Jaccard-verify pipeline, same output contract
+    * as [[minhashLsh]]. The verify makes the weaker/cheaper signature
+    * safe: candidates differ, surviving pairs are still exact-Jaccard
+    * ≥ 0.5 (a SUBSET relationship with minhashLsh does NOT hold —
+    * different signature families, different candidate sets — which is
+    * exactly what the measurement shows). */
+  def minhashOph(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    val sigs0 = withShingles(corpus(spark, sfDir)).select("doc_id", "sh")
+    val slots = transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(filter(col("sh"), h => pmod(h, lit(k.toLong)) === i)))
+    val withSlots = sigs0.withColumn("slots", slots)
+    // rotation densification: first non-null slot at cyclic distance d,
+    // offset d·P — row-local, ≤ k² lookups per doc
+    val dense = transform(sequence(lit(0), lit(k - 1)), i =>
+      element_at(
+        filter(
+          transform(sequence(lit(0), lit(k - 1)), d =>
+            when(element_at(col("slots"),
+                (pmod(i + d, lit(k)) + 1).cast("int")).isNotNull,
+              element_at(col("slots"),
+                (pmod(i + d, lit(k)) + 1).cast("int")) + d * lit(MinhashP))),
+          x => x.isNotNull), 1))
+    val sigs = withSlots.withColumn("ds", dense)
+      .select(col("doc_id"), col("sh"),
+        array((0 until 2).map(b => concat_ws("_", lit(b),
+          element_at(col("ds"), 4 * b + 1), element_at(col("ds"), 4 * b + 2),
+          element_at(col("ds"), 4 * b + 3), element_at(col("ds"), 4 * b + 4))): _*)
+          .as("bands"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col("doc_id"), explode(col("bands")).as("bkey"))
+    val cands = bands.select(col("doc_id").as("doc_a"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("bkey")), Seq("bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** LSH PARAMETER SWEEP — the tuning measurement that picks (bands,
     * rows-per-band) before a 100 TB dedup run: the same 8-component
     * signature is banded four ways ((8×1), (4×2), (2×4), (1×8)) and

@@ -669,6 +669,38 @@ object EventOps {
       .orderBy(col("n").desc, col("path")).limit(topN)
   }
 
+  /** Seasonal-naive forecast evaluation — the baseline every revenue
+    * forecast is judged against (forecast(d) = actual(d − 7), the
+    * weekly-seasonal random walk): per day-of-week, how far off is the
+    * naive model in absolute cents? A model that can't beat this table
+    * isn't a model. All integers end to end: daily revenue in DECIMAL
+    * cents, absolute errors summed in BIGINT, day-of-week = day-index
+    * mod 7 (calendar-free, identical both engines); the only double is
+    * the final MAE division, one correctly-rounded op.
+    *
+    * Scale shape: the corpus collapses to ≤ one row per day in a single
+    * map-side-combined aggregate; the lag-7 alignment is a self-join of
+    * that day table with itself (day-range-bounded — never a data-row
+    * window), and the report is a 7-row aggregate. */
+  def seasonalNaiveEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_millis(ts) DIV 86400000").as("day"))
+      .agg(sum((money(col("value")) * 100).cast("long")).as("cents"))
+    val prev = daily.select((col("day") + 7).as("day"),
+      col("cents").as("forecast_cents"))
+    daily.join(prev, "day")
+      .select((col("day") % 7).as("dow"),
+        abs(col("cents") - col("forecast_cents")).as("abs_err"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("abs_err")).as("total_abs_err_cents"))
+      .select(col("dow"), col("n_days"), col("total_abs_err_cents"),
+        (col("total_abs_err_cents").cast("double") / col("n_days"))
+          .as("mae_cents"))
+      .orderBy("dow")
+  }
+
   /** Binned interval-overlap join — sessions × promo windows, the
     * "which visits happened during which campaign" report, and the
     * demonstration of the standard DISTRIBUTED range-join technique: a

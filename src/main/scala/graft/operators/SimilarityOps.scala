@@ -249,6 +249,56 @@ object SimilarityOps {
       .orderBy("a_id", "rn")
   }
 
+  /** Multi-probe LSH candidate recall — the measurement behind the
+    * standard "probe neighboring buckets instead of adding tables"
+    * trade (Lv et al., "Multi-Probe LSH", VLDB 2007, public): each
+    * query probes its own bucket PLUS every 1-bit-flip of it in each
+    * table (the nearest perturbations of a hyperplane code), and the
+    * report compares candidate volume and brute-truth candidate recall
+    * of single-probe vs multi-probe on the SAME tables/signatures —
+    * the memory-free recall knob (more probes) priced against its
+    * candidate-volume cost, next to [[DedupOps]]' band sweep which
+    * prices the banding knob.
+    *
+    * Scale shape: probes are |queries|·tables·(bits+1) narrow rows
+    * (broadcast); candidates come off the same bucket equi-join as
+    * [[lshAnnTopK]] with min-probe-depth kept per pair so BOTH methods
+    * read one candidate table; truth is the persisted brute top-10.
+    * Nothing all-pairs, nothing corpus-wide beyond the bucket explode
+    * the LSH family already pays. */
+  def lshMultiprobeRecall(spark: SparkSession, sfDir: String,
+                          tables: Int = 8, bits: Int = 4): DataFrame = {
+    val e = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eb = lshBuckets(e, tables, bits)
+    val qb = eb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("t"), col("bkt"))
+    val probeArr = array(
+      (struct(lit(0L).as("d"), col("bkt").as("pbkt")) +:
+        (0 until bits).map(b => struct(lit(1L).as("d"),
+          col("bkt").bitwiseXOR(lit(1L << b)).as("pbkt")))): _*)
+    val probes = qb.select(col("q_id"), col("t"), explode(probeArr).as("p"))
+      .select(col("q_id"), col("t"), col("p.d").as("d"), col("p.pbkt").as("bkt"))
+    val cand = eb.join(broadcast(probes), Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(min(col("d")).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val brute = bruteForceTopK(spark, sfDir).select("q_id", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val possible = brute.agg(count(lit(1)).as("possible"))
+    def stats(c: DataFrame, name: String): DataFrame =
+      c.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(brute.join(c, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits")))
+        .crossJoin(possible)
+        .select(lit(name).as("method"), col("n_candidates"), col("hits"),
+          col("possible"),
+          (col("hits").cast("double") / col("possible")).as("recall"))
+    stats(cand.filter(col("d") === 0L), "probe1")
+      .union(stats(cand, "multiprobe"))
+      .orderBy("method")
+  }
+
   /** Greedy beam search over the [[knnGraph]] — the serving walk of
     * graph-based ANN (the HNSW/NSW layer-0 search of Malkov & Yashunin
     * 2016, public): start every query at a fixed entry vector, and each
