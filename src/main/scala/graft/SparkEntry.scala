@@ -144,6 +144,7 @@ object SparkEntry {
     "evt_path_analysis"        -> ((s: SparkSession, d: String) => EventOps.pathAnalysis(s, d)),
     "evt_promo_sessions"       -> EventOps.promoSessionOverlap _,
     "evt_seasonal_naive"       -> EventOps.seasonalNaiveEval _,
+    "evt_pareto"               -> EventOps.paretoRevenue _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
@@ -720,6 +721,27 @@ object SparkEntry {
         |    / COUNT(*) AS mae_cents
         |FROM daily a JOIN daily f ON a.day = f.day + 7
         |GROUP BY 1 ORDER BY dow""".stripMargin,
+    // Pareto/Lorenz: spend deciles ranked from the top, shares in exact
+    // integer basis points off one total-cents denominator
+    "evt_pareto" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |t AS (SELECT COUNT(*) AS n_users, CAST(SUM(cents) AS BIGINT) AS tc FROM u),
+        |r AS (SELECT cents,
+        |    ((row_number() OVER (ORDER BY cents DESC, user_id) - 1) * 10)
+        |      // n_users + 1 AS decile
+        |  FROM u, t),
+        |d AS (SELECT decile, COUNT(*) AS n_users_d,
+        |    CAST(SUM(cents) AS BIGINT) AS cents_d
+        |  FROM r GROUP BY decile)
+        |SELECT decile, n_users_d, cents_d,
+        |  cents_d * 10000 // tc AS share_bp,
+        |  CAST(SUM(cents_d) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    * 10000 // tc AS cum_share_bp
+        |FROM d, t ORDER BY decile""".stripMargin,
     // SCD2 time-travel lookup: interval join against the versioned dim
     "evt_scd2_lookup" ->
       """WITH d0 AS (

@@ -1112,6 +1112,45 @@ object EventOps {
       .orderBy("t_days")
   }
 
+  /** Revenue concentration (Pareto / Lorenz table) — "what share of
+    * revenue do the top-spending users produce": users are ranked by
+    * lifetime spend and grouped into spend deciles; each decile reports
+    * its user count, exact revenue cents, share of total revenue and
+    * CUMULATIVE share from the top — the 80/20 readout a monetization
+    * review starts with, all in integer basis points (one total-cents
+    * denominator, floor division — no FP anywhere).
+    *
+    * The global spend rank reuses the [[rfmSegments]] / curriculum
+    * two-level numbering — range-bucket by cents DIV 10000 (monotone),
+    * number within buckets in parallel, add broadcast offsets — so no
+    * ntile global sort ever sees the user population; the decile table
+    * (≤10 rows) then takes one tiny cumulative window. */
+  def paretoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum((money(col("value")) * 100).cast("long")).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = perUser.agg(count(lit(1)).as("n_users"),
+      sum(col("cents")).as("total_cents"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TwoLevelRank.withRank(
+        perUser.withColumn("vb", expr("cents DIV 10000")),
+        Seq.empty, asc = false, col("cents").desc, col("user_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("decile", expr("((rnk - 1) * 10) DIV n_users + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users_d"),
+        sum(col("cents")).as("cents_d"),
+        max(col("total_cents")).as("tc"))
+      .withColumn("cum_cents", sum(col("cents_d")).over(wCum))
+      .select(col("decile"), col("n_users_d"), col("cents_d"),
+        expr("cents_d * 10000 DIV tc").as("share_bp"),
+        expr("cum_cents * 10000 DIV tc").as("cum_share_bp"))
+      .orderBy("decile")
+  }
+
   /** RFM segmentation — the classic customer-value cube (recency /
     * frequency / monetary quintiles, Hughes 1994): each user's three
     * metrics are quintiled over the user population and concatenated to
@@ -1156,15 +1195,9 @@ object EventOps {
           expr("m DIV 10000").as("vb"), col("m").as("v")))).as("x"))
       .select(col("user_id"), col("x.metric").as("metric"),
         col("x.vb").as("vb"), col("x.v").as("v"))
-    val wIn = Window.partitionBy("metric", "vb").orderBy("v", "user_id")
-    val offsets = melted.groupBy("metric", "vb").agg(count(lit(1)).as("bn"))
-      .withColumn("offset", coalesce(sum(col("bn")).over(
-        Window.partitionBy("metric").orderBy("vb")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("metric", "vb", "offset")
     val total = perUser.agg(count(lit(1)).as("n_users"))
-    melted.join(broadcast(offsets), Seq("metric", "vb"))
-      .withColumn("rnk", col("offset") + row_number().over(wIn))
+    TwoLevelRank.withRank(melted, Seq("metric"), asc = true,
+        col("v"), col("user_id"))
       .crossJoin(broadcast(total))
       .withColumn("q", expr("((rnk - 1) * 5) DIV n_users + 1"))
       .groupBy("user_id")

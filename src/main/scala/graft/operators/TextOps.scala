@@ -350,19 +350,11 @@ object TextOps {
     // contract)
     val scored = docs(spark, sfDir)
       .select(col("doc_id"), col("source"), compositeQuality.as("qs"))
-      .withColumn("qb", least(floor(col("qs") * 64).cast("long"), lit(63L)))
+      .withColumn("vb", least(floor(col("qs") * 64).cast("long"), lit(63L)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy("qb").orderBy("qs", "doc_id")
-    val offsets = scored.groupBy("qb").agg(count(lit(1)).as("bn"))
-      .withColumn("offset", coalesce(sum(col("bn")).over(
-        org.apache.spark.sql.expressions.Window.orderBy("qb")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("qb", "offset")
     val total = scored.agg(count(lit(1)).as("n_total"))
-    scored.join(broadcast(offsets), "qb")
-      .withColumn("rnk", col("offset") + row_number().over(wIn))
+    graft.operators.TwoLevelRank.withRank(scored, Seq.empty, asc = true,
+        col("qs"), col("doc_id"))
       .crossJoin(broadcast(total))
       .withColumn("decile", expr("((rnk - 1) * 10) DIV n_total"))
       .groupBy("decile", "source").agg(count(lit(1)).as("n_docs"))

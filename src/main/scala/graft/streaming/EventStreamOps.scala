@@ -41,6 +41,25 @@ object EventStreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming windowed ACTIVE USERS — the real-time face of
+    * EventOps.dauMau's DAU column: exact distinct users per tumbling
+    * window, as the two-stage plan streaming requires (COUNT(DISTINCT)
+    * is unsupported over streams because partial distinct sets can't
+    * retract): dropDuplicates on (user, window) bounds state to one row
+    * per user-window inside the watermark, and the downstream count is
+    * a plain windowed agg. State and output are both
+    * |active users per window|-bounded — the property that keeps exact
+    * stream DAU deployable; beyond memory, the drop-in relaxation is
+    * approx_count_distinct (HLL partials merge without retraction). */
+  def windowedActiveUsers(events: DataFrame,
+                          watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), window(col("ts"), "1 hour").as("win"), col("ts"))
+      .dropDuplicates("user_id", "win")
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(col("win.start").as("window_start"), col("active_users"))
+
   /** Sliding 1-hour/30-minute windows. */
   def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

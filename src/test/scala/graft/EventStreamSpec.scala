@@ -265,6 +265,33 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming windowed active users: distinct per window, deduped across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreamOps.windowedActiveUsers(mem.toDF())
+      .writeStream.format("memory").queryName("wau")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window 10:00-11:00: users 1 and 2 (user 1 twice — counts once)
+      mem.addData(EventRow(1L, ts(0), 1L, "click", 1.0),
+        EventRow(2L, ts(5), 1L, "view", 1.0),
+        EventRow(3L, ts(10), 2L, "view", 1.0))
+      q.processAllAvailable()
+      // same user in a LATER batch of the same window must not re-count
+      mem.addData(EventRow(4L, ts(20), 1L, "purchase", 1.0),
+        EventRow(5L, ts(30), 3L, "view", 1.0))
+      q.processAllAvailable()
+      // advance event time past the watermark to close the 10:00 window
+      mem.addData(EventRow(6L, Timestamp.valueOf("2026-01-01 12:30:00"),
+        9L, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("wau").as[(Timestamp, Long)].collect().toMap
+      assert(got(Timestamp.valueOf("2026-01-01 10:00:00")) == 3L,
+        s"users 1,2,3 once each: $got")
+    } finally q.stop()
+  }
+
   test("streaming last-touch attribution: cursor carries across batches, lookback expires, organic fallback") {
     import spark.implicits._
     import graft.streaming.EventStreamOps.RawEventRow
