@@ -1780,8 +1780,8 @@ object SparkEntry {
         |  SELECT user_id, ts, event_id, event_type, value,
         |    CASE WHEN event_type = 'click' THEN ts END AS cts,
         |    CASE WHEN event_type = 'click'
-        |      THEN 'ch' || CAST(CAST(json_extract_string(props, '$.k')
-        |        AS BIGINT) % 4 AS VARCHAR) END AS ch
+        |      THEN 'ch' || COALESCE(CAST(CAST(json_extract_string(props, '$.k')
+        |        AS BIGINT) % 4 AS VARCHAR), 'x') END AS ch
         |  FROM events),
         |w AS (
         |  SELECT *,
@@ -1809,7 +1809,8 @@ object SparkEntry {
         |  SELECT user_id,
         |    (ANY_VALUE(mx.mx) - MAX(epoch_ms(ts))) // 86400000 AS r,
         |    COUNT(*) AS f,
-        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS m
+        |    COALESCE(CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100)
+        |      AS BIGINT), 0) AS m
         |  FROM events, mx GROUP BY user_id),
         |n AS (SELECT COUNT(*) AS n_users FROM u),
         |q AS (

@@ -683,6 +683,8 @@ object DedupOps {
     * different signature families, different candidate sets — which is
     * exactly what the measurement shows). */
   def minhashOph(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    require(k > 0 && k % 4 == 0,
+      s"k must be a positive multiple of 4 (4 slots per band), got $k")
     val sigs0 = withShingles(corpus(spark, sfDir)).select("doc_id", "sh")
     val slots = transform(sequence(lit(0), lit(k - 1)),
       i => array_min(filter(col("sh"), h => pmod(h, lit(k.toLong)) === i)))
@@ -700,7 +702,7 @@ object DedupOps {
           x => x.isNotNull), 1))
     val sigs = withSlots.withColumn("ds", dense)
       .select(col("doc_id"), col("sh"),
-        array((0 until 2).map(b => concat_ws("_", lit(b),
+        array((0 until k / 4).map(b => concat_ws("_", lit(b),
           element_at(col("ds"), 4 * b + 1), element_at(col("ds"), 4 * b + 2),
           element_at(col("ds"), 4 * b + 3), element_at(col("ds"), 4 * b + 4))): _*)
           .as("bands"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -884,6 +884,18 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Campaign channel of a click: props.k mod 4 prefixed 'ch'; clicks
+    * whose props LACK a k key fall back to 'chx' rather than NULL (a
+    * NULL channel inside a non-null click struct would silently
+    * out-vote the organic fallback with a NULL group). ONE definition
+    * shared by the batch attribution, its oracle spelling, and the
+    * streaming twin — the stream-equals-batch contract rides on the
+    * three staying identical. */
+  private[graft] def clickChannel(props: Column): Column =
+    concat(lit("ch"), coalesce(
+      (get_json_object(props, "$.k").cast("long") % 4).cast("string"),
+      lit("x")))
+
   /** LAST-TOUCH marketing attribution — the revenue-accounting pass an
     * event warehouse runs nightly: each `purchase` is credited to the
     * user's most recent preceding `click` (channel = the click's
@@ -913,10 +925,7 @@ object EventOps {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val click = when(col("event_type") === "click",
-      struct(col("ts").as("cts"),
-        concat(lit("ch"),
-          (get_json_object(col("props"), "$.k").cast("long") % 4)
-            .cast("string")).as("ch")))
+      struct(col("ts").as("cts"), clickChannel(col("props")).as("ch")))
     ev.select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"), click.as("c"))
       .withColumn("lastc", last(col("c"), ignoreNulls = true).over(w))
@@ -1180,7 +1189,11 @@ object EventOps {
       .groupBy("user_id")
       .agg(max(unix_millis(col("ts"))).as("last_ms"),
         count(lit(1)).as("freq"),
-        sum((money(col("value")) * 100).cast("long")).as("cents"))
+        // coalesce: a user whose every value is NULL must rank at the
+        // bottom as 0 cents, not vanish through a NULL bucket key (the
+        // TwoLevelRank join is NULL-dropping; the oracle coalesces too)
+        coalesce(sum((money(col("value")) * 100).cast("long")), lit(0L))
+          .as("cents"))
       .crossJoin(broadcast(maxTs))
       .select(col("user_id"),
         expr("(mx - last_ms) DIV 86400000").as("r"),

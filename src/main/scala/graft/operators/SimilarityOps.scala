@@ -326,6 +326,7 @@ object SimilarityOps {
     * restarts, same plan. */
   def graphSearchTopK(spark: SparkSession, sfDir: String, hops: Int = 3,
                       beam: Int = 8, k: Int = 5): DataFrame = {
+    require(hops >= 1, s"at least one hop scores the beam, got $hops")
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val g = knnGraph(spark, sfDir).filter(col("b_id").isNotNull)
@@ -758,10 +759,10 @@ object SimilarityOps {
     * fold — no N·k explode, no exchange; the only corpus shuffle is the
     * presentation sort. Emitted quantization errors e1 = ‖r‖² (after
     * stage 1) and e2 = ‖r − cb2[c2]‖² (after stage 2) are same-order
-    * FP folds on both engines, hence bit-identical; e2 ≤ e1 is pinned
-    * by spec (stage 2 can always pick its nearest entry, and a zero
-    * residual beats any non-improving one only when no entry helps —
-    * the spec asserts the ≤, not strict decrease). */
+    * FP folds on both engines, hence bit-identical. Per ROW e2 may
+    * exceed e1 (‖r − q‖² can beat ‖r‖² for no entry q); the pinned
+    * guarantees are aggregate — Σe2 < Σe1 — plus e2 = 0 exactly for the
+    * 16 docs whose residuals ARE the stage-2 codebook (spec). */
   def rqCodes(spark: SparkSession, sfDir: String): DataFrame = {
     val u = vecs(spark, sfDir)
       .select(col("vec_id"), transform(col("emb"), x => x / col("nrm")).as("u"))
@@ -786,6 +787,11 @@ object SimilarityOps {
       .join(broadcast(cb1), "c1")
       .withColumn("r", zip_with(col("u"), col("cu"), (x, y) => x - y))
       .select(col("vec_id"), col("c1"), col("r"))
+      // persisted: the stage-2 codebook (broadcast of cb2) AND the final
+      // projection both read a1 — without it the whole-corpus stage-1
+      // argmax pass re-executes per consumer (caller clearCache()s, the
+      // similarity-ops contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w2 = Window.orderBy("h2", "vec_id")
     val cb2 = a1.withColumn("h2", (col("vec_id") * lit(2246822519L)) % lit(1000000007L))
       .orderBy("h2", "vec_id").limit(16)

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * serial work is the O(#buckets) offset scan, and the offset table
   * broadcasts; every data-sized stage stays partition-parallel.
   *
-  * Contract: `df` already carries the bucket column `vb` (bounded
-  * distinct values — a value range divided by a step, never an id), and
+  * Contract: `df` already carries the bucket column `vb` — NON-NULL
+  * (the rank join is an equi-join on `vb`, and SQL equi-joins drop NULL
+  * keys: callers coalesce nullable metrics BEFORE bucketing), bounded
+  * distinct values (a value range divided by a step, never an id) — and
   * `order`'s leading key is consistent with `vb`'s direction (`asc`).
   * `part` ranks independently per group (e.g. one rank per RFM metric);
   * empty ranks globally. Adds `rnk` (1-based) and drops nothing else. */

@@ -187,9 +187,7 @@ object EventStreamOps {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"),
         when(col("event_type") === "click",
-          concat(lit("ch"),
-            (get_json_object(col("props"), "$.k").cast("long") % 4)
-              .cast("string"))).as("channel"))
+          graft.operators.EventOps.clickChannel(col("props"))).as("channel"))
       .as[AttribRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[ClickState, Attribution](
