@@ -145,6 +145,7 @@ object SparkEntry {
     "evt_promo_sessions"       -> EventOps.promoSessionOverlap _,
     "evt_seasonal_naive"       -> EventOps.seasonalNaiveEval _,
     "evt_pareto"               -> EventOps.paretoRevenue _,
+    "evt_ab_test"              -> EventOps.abTest _,
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
@@ -742,6 +743,40 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    * 10000 // tc AS cum_share_bp
         |FROM d, t ORDER BY decile""".stripMargin,
+    // A/B readout: hash-assigned variants, exact-integer counts/rates,
+    // z-squared as the identical IEEE expression tree both engines
+    "evt_ab_test" ->
+      """WITH a AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    CASE WHEN (user_id * 2654435761) % 1000000007 % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS variant
+        |  FROM events),
+        |o AS (SELECT
+        |    COUNT(DISTINCT CASE WHEN variant = 'A' THEN user_id END) AS users_a,
+        |    COUNT(DISTINCT CASE WHEN variant <> 'A' THEN user_id END) AS users_b,
+        |    COUNT(DISTINCT CASE WHEN variant = 'A' AND event_type = 'purchase'
+        |      AND value > 95.0 THEN user_id END) AS conv_a,
+        |    COUNT(DISTINCT CASE WHEN variant <> 'A' AND event_type = 'purchase'
+        |      AND value > 95.0 THEN user_id END) AS conv_b,
+        |    COALESCE(CAST(SUM(CASE WHEN variant = 'A' AND event_type = 'purchase'
+        |      THEN cents END) AS BIGINT), 0) AS rev_a_cents,
+        |    COALESCE(CAST(SUM(CASE WHEN variant <> 'A' AND event_type = 'purchase'
+        |      THEN cents END) AS BIGINT), 0) AS rev_b_cents
+        |  FROM a)
+        |SELECT users_a, users_b, conv_a, conv_b, rev_a_cents, rev_b_cents,
+        |  conv_a * 10000 // users_a AS conv_a_bp,
+        |  conv_b * 10000 // users_b AS conv_b_bp,
+        |  conv_b * 10000 // users_b - conv_a * 10000 // users_a AS lift_bp,
+        |  CASE WHEN conv_a + conv_b = 0
+        |         OR conv_a + conv_b = users_a + users_b THEN 0.0
+        |  ELSE
+        |  ((CAST(conv_a AS DOUBLE) / users_a - CAST(conv_b AS DOUBLE) / users_b)
+        |    * (CAST(conv_a AS DOUBLE) / users_a - CAST(conv_b AS DOUBLE) / users_b))
+        |  / ((CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+        |    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+        |    * (1.0 / users_a + 1.0 / users_b)) END AS z2
+        |FROM o""".stripMargin,
     // SCD2 time-travel lookup: interval join against the versioned dim
     "evt_scd2_lookup" ->
       """WITH d0 AS (

@@ -1121,6 +1121,65 @@ object EventOps {
       .orderBy("t_days")
   }
 
+  /** A/B experiment readout — the two-proportion report every
+    * experimentation platform serves: users are deterministically
+    * assigned to variants by the multiplicative user-id hash (no RNG —
+    * the same assignment on every engine, every rerun, every scale: the
+    * property a reproducible experiment system needs), and the readout
+    * is per-variant users / converters / revenue, conversion rates and
+    * lift in exact basis points, and the two-proportion z² statistic
+    * (z² ≥ 3.84 ⇔ p < 0.05) — computed as the IDENTICAL IEEE expression
+    * tree from exact integer counts on both engines, so even the float
+    * is bit-stable and oracle-gated.
+    *
+    * Conversion is the PREMIUM purchase (value > 95 — roughly the top
+    * value band), not any purchase: on this corpus every user purchases
+    * eventually, and a 100%/100% experiment is degenerate — pooled
+    * p ∈ {0, 1} zeroes the z² denominator, which Spark's ANSI mode
+    * turns into a runtime error while DuckDB yields NaN. The degenerate
+    * case is still guarded explicitly (z² defined as 0.0 when pooled
+    * conversion is 0 or 1, identical CASE both engines).
+    *
+    * ONE conditional aggregate over the events scan (the distinct-user
+    * counts ride Spark's Expand with map-side combine); output is a
+    * single row — nothing downstream of the scan is data-sized. */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        (money(col("value")) * 100).cast("long").as("cents"),
+        expr("CASE WHEN (user_id * 2654435761) % 1000000007 % 2 = 0 " +
+          "THEN 'A' ELSE 'B' END").as("variant"))
+    val isA = col("variant") === "A"
+    val isBuy = col("event_type") === "purchase"
+    val isConv = isBuy && col("value") > 95.0
+    val one = a.agg(
+      count_distinct(when(isA, col("user_id"))).as("users_a"),
+      count_distinct(when(!isA, col("user_id"))).as("users_b"),
+      count_distinct(when(isA && isConv, col("user_id"))).as("conv_a"),
+      count_distinct(when(!isA && isConv, col("user_id"))).as("conv_b"),
+      // revenue is ALL purchases — the premium gate defines conversion,
+      // not the money
+      coalesce(sum(when(isA && isBuy, col("cents"))), lit(0L)).as("rev_a_cents"),
+      coalesce(sum(when(!isA && isBuy, col("cents"))), lit(0L)).as("rev_b_cents"))
+    val p1 = col("conv_a").cast("double") / col("users_a")
+    val p2 = col("conv_b").cast("double") / col("users_b")
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("users_a") + col("users_b"))
+    one.select(col("users_a"), col("users_b"), col("conv_a"), col("conv_b"),
+      col("rev_a_cents"), col("rev_b_cents"),
+      expr("conv_a * 10000 DIV users_a").as("conv_a_bp"),
+      expr("conv_b * 10000 DIV users_b").as("conv_b_bp"),
+      (expr("conv_b * 10000 DIV users_b") -
+        expr("conv_a * 10000 DIV users_a")).as("lift_bp"),
+      when(col("conv_a") + col("conv_b") === 0L ||
+          col("conv_a") + col("conv_b") === col("users_a") + col("users_b"),
+        lit(0.0))
+        .otherwise(((p1 - p2) * (p1 - p2)) /
+          (p * (lit(1.0) - p) *
+            (lit(1.0) / col("users_a") + lit(1.0) / col("users_b"))))
+        .as("z2"))
+  }
+
   /** Revenue concentration (Pareto / Lorenz table) — "what share of
     * revenue do the top-spending users produce": users are ranked by
     * lifetime spend and grouped into spend deciles; each decile reports
