@@ -1795,6 +1795,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("TwoLevelRank equals the global row_number model: asc, desc, partitioned, with ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    // duplicate-heavy values exercise the (value, id) tie-break
+    val rows = (0L until 500L).map(id =>
+      (id, rnd.nextInt(40).toLong, if (rnd.nextBoolean()) "p0" else "p1"))
+    val df = rows.toDF("id", "v", "part")
+    def model(asc: Boolean, part: Seq[String]): Map[(String, Long), Long] = {
+      val base = Window.partitionBy(part.map(col): _*)
+      val ord: Seq[org.apache.spark.sql.Column] =
+        if (asc) Seq(col("v").asc, col("id").asc)
+        else Seq(col("v").desc, col("id").asc)
+      val w = base.orderBy(ord: _*)
+      df.withColumn("rnk", row_number().over(w).cast("long"))
+        .collect().map(r => (r.getAs[String]("part"), r.getAs[Long]("id")) ->
+          r.getAs[Long]("rnk")).toMap
+    }
+    def got(asc: Boolean, part: Seq[String]): Map[(String, Long), Long] =
+      graft.operators.TwoLevelRank.withRank(
+          df.withColumn("vb", expr("v DIV 7")), part, asc,
+          (if (asc) col("v").asc else col("v").desc), col("id").asc)
+        .collect().map(r => (r.getAs[String]("part"), r.getAs[Long]("id")) ->
+          r.getAs[Long]("rnk")).toMap
+    // partitioned (per-part independent ranks), both directions
+    assert(got(asc = true, Seq("part")) == model(asc = true, Seq("part")))
+    assert(got(asc = false, Seq("part")) == model(asc = false, Seq("part")))
+    // global (no partition): the model window collapses to one task —
+    // fine at test size; the helper must agree while staying parallel
+    val gGot = got(asc = true, Seq.empty)
+    val gModel = df.withColumn("rnk",
+        row_number().over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[Long]("id")) ->
+        r.getAs[Long]("rnk")).toMap
+    assert(gGot == gModel)
+  }
+
   test("graph search: results reachable within hops of the entry, scores exact, ranks gapless") {
     import spark.implicits._
     val got = SimilarityOps.graphSearchTopK(spark, sf0001).collect()
