@@ -93,7 +93,10 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     // listener bus is async; give it a moment to drain before snapshotting
     Thread.sleep(1000)
-    Files.writeString(Paths.get("bench_journal.jsonl"), journal.toJsonLines)
+    // runtime-plan adjudications (e.g. the rel_skew_null_bucket AQE
+    // skew-split count) ride along with the task metrics
+    Files.writeString(Paths.get("bench_journal.jsonl"),
+      journal.toJsonLines + graft.tools.SkewEvidence.toJsonLines)
     spark.stop()
   }
 }

@@ -41,6 +41,7 @@ object SparkEntry {
     "rel_median_price"         -> RelationalOps.medianPricePerBrand _,
     "rel_full_outer"           -> RelationalOps.fullOuterSegments _,
     "rel_null_safe_join"       -> RelationalOps.nullSafeJoin _,
+    "rel_skew_null_bucket"     -> RelationalOps.skewNullBucketJoin _,
     "rel_sql_lateral_topk"     -> RelationalOps.sqlLateralTopItems _,
     "rel_sql_hierarchy"        -> RelationalOps.sqlHierarchyRollup _,
     "rel_table_profile"        -> RelationalOps.tableProfile _,
@@ -727,7 +728,7 @@ object SparkEntry {
     "evt_pareto" ->
       """WITH u AS (
         |  SELECT user_id,
-        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+        |    COALESCE(CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT), 0) AS cents
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
         |t AS (SELECT COUNT(*) AS n_users, CAST(SUM(cents) AS BIGINT) AS tc FROM u),
         |r AS (SELECT cents,
@@ -1075,6 +1076,20 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
         |FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
         |GROUP BY c.ck ORDER BY key_bucket NULLS FIRST""".stripMargin,
+    // unknown-dominated null-safe merge: the skewed-join driver (AQE
+    // OptimizeSkewedJoin splits the hot NULL partition at runtime;
+    // results are plan-independent, which is what this row checks)
+    "rel_skew_null_bucket" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CASE WHEN c_nationkey = 0 THEN 0 ELSE NULL END AS ck FROM customer),
+        |s AS (SELECT s_suppkey,
+        |    CASE WHEN s_nationkey = 0 THEN 0 ELSE NULL END AS sk FROM supplier)
+        |SELECT s.s_suppkey, CAST(s.sk AS BIGINT) AS key_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(SUM(c.c_custkey) AS BIGINT) AS sum_custkeys
+        |FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
+        |GROUP BY s.s_suppkey, s.sk
+        |ORDER BY s.s_suppkey""".stripMargin,
     "rel_full_outer" ->
       """WITH b AS (SELECT c_custkey AS b_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
         |p AS (SELECT o_custkey AS p_custkey, COUNT(*) AS n_pending
@@ -1980,24 +1995,27 @@ object SparkEntry {
         |und AS (SELECT src AS v, dst AS u FROM e
         |        UNION ALL SELECT dst, src FROM e),
         |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
-        |r1 AS (SELECT v AS node, lbl FROM (
-        |    SELECT und.v, l.lbl, COUNT(*) AS c,
-        |      row_number() OVER (PARTITION BY und.v
-        |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
-        |    FROM und JOIN l0 l ON l.node = und.u GROUP BY und.v, l.lbl) z
-        |  WHERE rn = 1),
-        |r2 AS (SELECT v AS node, lbl FROM (
-        |    SELECT und.v, l.lbl, COUNT(*) AS c,
-        |      row_number() OVER (PARTITION BY und.v
-        |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
-        |    FROM und JOIN r1 l ON l.node = und.u GROUP BY und.v, l.lbl) z
-        |  WHERE rn = 1),
-        |r3 AS (SELECT v AS node, lbl FROM (
-        |    SELECT und.v, l.lbl, COUNT(*) AS c,
-        |      row_number() OVER (PARTITION BY und.v
-        |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
-        |    FROM und JOIN r2 l ON l.node = und.u GROUP BY und.v, l.lbl) z
-        |  WHERE rn = 1)
+        |r1 AS (SELECT l.node, COALESCE(a.lbl, l.lbl) AS lbl FROM l0 l LEFT JOIN (
+        |    SELECT v AS node, lbl FROM (
+        |      SELECT und.v, l.lbl, COUNT(*) AS c,
+        |        row_number() OVER (PARTITION BY und.v
+        |          ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |      FROM und JOIN l0 l ON l.node = und.u GROUP BY und.v, l.lbl) z
+        |    WHERE rn = 1) a ON a.node = l.node),
+        |r2 AS (SELECT l.node, COALESCE(a.lbl, l.lbl) AS lbl FROM r1 l LEFT JOIN (
+        |    SELECT v AS node, lbl FROM (
+        |      SELECT und.v, l.lbl, COUNT(*) AS c,
+        |        row_number() OVER (PARTITION BY und.v
+        |          ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |      FROM und JOIN r1 l ON l.node = und.u GROUP BY und.v, l.lbl) z
+        |    WHERE rn = 1) a ON a.node = l.node),
+        |r3 AS (SELECT l.node, COALESCE(a.lbl, l.lbl) AS lbl FROM r2 l LEFT JOIN (
+        |    SELECT v AS node, lbl FROM (
+        |      SELECT und.v, l.lbl, COUNT(*) AS c,
+        |        row_number() OVER (PARTITION BY und.v
+        |          ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        |      FROM und JOIN r2 l ON l.node = und.u GROUP BY und.v, l.lbl) z
+        |    WHERE rn = 1) a ON a.node = l.node)
         |SELECT node, lbl FROM r3 ORDER BY node""".stripMargin,
     // basis points (degree-1 nodes emit 0)
     "graph_clustering" ->
@@ -4930,12 +4948,119 @@ object SparkEntry {
         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) AS avg_bytes
         |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
+    // mm_decode_features: rebuild all three byte-identical container
+    // corpora (PNG / WAV / MP4), then parse each with the SAME byte
+    // offsets / box walk the engine's mapPartitions decoder runs — one
+    // uniform manifest row per payload, per-container fields NULL where
+    // the format has no such field
     "mm_decode_features" ->
-      """SELECT doc_id,
-        |  CAST(32 + octet_length(encode(text)) % 256 AS BIGINT) AS width,
-        |  CAST(32 + (ascii(substr(text, 1, 1)) * 7) % 256 AS BIGINT) AS height,
-        |  CAST(1 + (octet_length(encode(text)) * 31 + ascii(substr(text, 1, 1))) % 3 AS BIGINT) AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH png AS (
+        |  SELECT doc_id,
+        |    from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
+        |      || lpad(to_hex(16 + doc_id % 2033), 8, '0')
+        |      || lpad(to_hex(16 + (doc_id * 7) % 1017), 8, '0')
+        |      || lpad(to_hex(([1,8,8,8,16])[CAST(doc_id % 5 + 1 AS INT)]), 2, '0')
+        |      || lpad(to_hex(([0,0,2,3,6])[CAST(doc_id % 5 + 1 AS INT)]), 2, '0')
+        |      || '000000' || 'DEADBEEF') || encode(text) AS payload
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |png_h AS (SELECT doc_id, upper(hex(payload)) AS h,
+        |            octet_length(payload) AS n FROM png),
+        |wf AS (
+        |  SELECT doc_id, text,
+        |    1 + doc_id % 2 AS channels,
+        |    ([8000,16000,22050,44100,48000])[CAST(doc_id % 5 + 1 AS INT)] AS rate,
+        |    ([8,16,24])[CAST(doc_id % 3 + 1 AS INT)] AS bits,
+        |    octet_length(encode(text)) AS data_size
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |wg AS (
+        |  SELECT doc_id, text, data_size,
+        |    lpad(to_hex(data_size + 36), 8, '0') AS cs,
+        |    lpad(to_hex(channels), 4, '0') AS ch,
+        |    lpad(to_hex(rate), 8, '0') AS ra,
+        |    lpad(to_hex(rate * channels * (bits // 8)), 8, '0') AS br,
+        |    lpad(to_hex(channels * (bits // 8)), 4, '0') AS ba,
+        |    lpad(to_hex(bits), 4, '0') AS bi,
+        |    lpad(to_hex(data_size), 8, '0') AS ds
+        |  FROM wf),
+        |wav AS (
+        |  SELECT doc_id,
+        |    from_hex(upper('52494646'
+        |      || substr(cs,7,2) || substr(cs,5,2) || substr(cs,3,2) || substr(cs,1,2)
+        |      || '57415645' || '666D7420' || '10000000' || '0100'
+        |      || substr(ch,3,2) || substr(ch,1,2)
+        |      || substr(ra,7,2) || substr(ra,5,2) || substr(ra,3,2) || substr(ra,1,2)
+        |      || substr(br,7,2) || substr(br,5,2) || substr(br,3,2) || substr(br,1,2)
+        |      || substr(ba,3,2) || substr(ba,1,2)
+        |      || substr(bi,3,2) || substr(bi,1,2)
+        |      || '64617461'
+        |      || substr(ds,7,2) || substr(ds,5,2) || substr(ds,3,2) || substr(ds,1,2)))
+        |      || encode(text) AS payload
+        |  FROM wg),
+        |wav_h AS (SELECT doc_id, upper(hex(payload)) AS h,
+        |            octet_length(payload) AS n FROM wav),
+        |mf AS (
+        |  SELECT doc_id, text, doc_id % 19 AS fl,
+        |    ([600,1000,12288,44100,90000])[CAST(doc_id % 5 + 1 AS INT)] AS ts
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |mg AS (SELECT doc_id, text, fl, ts,
+        |        (doc_id * 37) % 100000 + ts AS dur FROM mf),
+        |mp4 AS (SELECT doc_id,
+        |  from_hex(upper('00000014' || '66747970' || '69736F6D' || '00000200' || '6D703431'
+        |    || lpad(to_hex(fl + 8), 8, '0') || '66726565'
+        |    || repeat('41', CAST(fl AS INT))
+        |    || '00000074' || '6D6F6F76'
+        |    || '0000006C' || '6D766864' || '00000000'
+        |    || '00000000' || '00000000'
+        |    || lpad(to_hex(ts), 8, '0') || lpad(to_hex(dur), 8, '0')
+        |    || '00010000' || '0100' || '0000'
+        |    || '0000000000000000'
+        |    || '00010000' || '00000000' || '00000000'
+        |    || '00000000' || '00010000' || '00000000'
+        |    || '00000000' || '00000000' || '40000000'
+        |    || '000000000000000000000000' || '000000000000000000000000'
+        |    || '00000002'
+        |    || lpad(to_hex(octet_length(encode(text)) + 8), 8, '0') || '6D646174'))
+        |    || encode(text) AS payload
+        |  FROM mg),
+        |mp4_h AS (SELECT doc_id, upper(hex(payload)) AS h,
+        |            octet_length(payload) AS n FROM mp4),
+        |w0 AS (SELECT *, CAST(1 AS BIGINT) AS off0 FROM mp4_h),
+        |w1 AS (SELECT *, off0 + ('0x' || substr(h, CAST((off0-1)*2+1 AS INT), 8))::BIGINT AS off1 FROM w0),
+        |w2 AS (SELECT *, off1 + ('0x' || substr(h, CAST((off1-1)*2+1 AS INT), 8))::BIGINT AS off2 FROM w1),
+        |w3 AS (SELECT *, off2 + ('0x' || substr(h, CAST((off2-1)*2+1 AS INT), 8))::BIGINT AS off3 FROM w2),
+        |ms AS (SELECT *,
+        |  CASE WHEN substr(h, CAST((off0+3)*2+1 AS INT), 8) = '6D6F6F76' THEN off0
+        |       WHEN substr(h, CAST((off1+3)*2+1 AS INT), 8) = '6D6F6F76' THEN off1
+        |       WHEN substr(h, CAST((off2+3)*2+1 AS INT), 8) = '6D6F6F76' THEN off2
+        |       WHEN substr(h, CAST((off3+3)*2+1 AS INT), 8) = '6D6F6F76' THEN off3 END AS moov_off
+        |  FROM w3),
+        |mt AS (SELECT doc_id, n,
+        |  ('0x' || substr(h, CAST((moov_off+27)*2+1 AS INT), 8))::BIGINT AS timescale,
+        |  ('0x' || substr(h, CAST((moov_off+31)*2+1 AS INT), 8))::BIGINT AS duration
+        |  FROM ms)
+        |SELECT doc_id, 'png' AS container,
+        |  ('0x' || substr(h, 33, 8))::BIGINT AS width,
+        |  ('0x' || substr(h, 41, 8))::BIGINT AS height,
+        |  CAST(NULL AS BIGINT) AS sample_rate,
+        |  CAST(NULL AS BIGINT) AS duration_ms,
+        |  CAST(n AS BIGINT) AS n_bytes
+        |FROM png_h
+        |UNION ALL
+        |SELECT doc_id, 'wav' AS container,
+        |  CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |  ('0x' || substr(h,55,2) || substr(h,53,2) || substr(h,51,2) || substr(h,49,2))::BIGINT AS sample_rate,
+        |  ('0x' || substr(h,87,2) || substr(h,85,2) || substr(h,83,2) || substr(h,81,2))::BIGINT * 1000
+        |    // ('0x' || substr(h,63,2) || substr(h,61,2) || substr(h,59,2) || substr(h,57,2))::BIGINT AS duration_ms,
+        |  CAST(n AS BIGINT) AS n_bytes
+        |FROM wav_h
+        |UNION ALL
+        |SELECT doc_id, 'mp4' AS container,
+        |  CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |  CAST(NULL AS BIGINT) AS sample_rate,
+        |  (duration * 1000) // timescale AS duration_ms,
+        |  CAST(n AS BIGINT) AS n_bytes
+        |FROM mt
+        |ORDER BY doc_id""".stripMargin,
     // mm_png_ihdr: rebuild the byte-identical PNG blobs, then parse
     // them with the SAME byte offsets in hex-string space — the oracle
     // decodes the container, it does not shortcut via the generation

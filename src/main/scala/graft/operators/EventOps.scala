@@ -1197,7 +1197,12 @@ object EventOps {
     val perUser = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
-      .agg(sum((money(col("value")) * 100).cast("long")).as("cents"))
+      // coalesce: a user whose every purchase value is NULL must rank at
+      // the bottom as 0 cents, not vanish (the TwoLevelRank bucket join
+      // is NULL-dropping while n_users would still count the user — the
+      // rfmSegments contract; the oracle coalesces too)
+      .agg(coalesce(sum((money(col("value")) * 100).cast("long")), lit(0L))
+        .as("cents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = perUser.agg(count(lit(1)).as("n_users"),
       sum(col("cents")).as("total_cents"))

@@ -279,15 +279,31 @@ object GraphOps {
     val und = e.select(col("src").as("v"), col("dst").as("u"))
       .union(e.select(col("dst").as("v"), col("src").as("u")))
       .repartition(col("u")).localCheckpoint()
-    var labels = Tables.documents(spark, sfDir)
+    val nodes = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+    labelPropagationOn(und, nodes, rounds)
+  }
+
+  /** The LPA loop over an arbitrary undirected edge list `und` (v, u)
+    * and initial labeling `labels0` (node, lbl) — split out so the
+    * zero-degree contract is testable on synthetic graphs. */
+  private[graft] def labelPropagationOn(und: DataFrame, labels0: DataFrame,
+                                        rounds: Int): DataFrame = {
+    var labels = labels0
     for (_ <- 1 to rounds) {
-      labels = und
+      val adopted = und
         .join(labels, und("u") === labels("node"))
         .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("v"))
         .agg(max(struct(col("c").as("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("v").as("node"), (-col("m.nl")).as("lbl"))
+        .select(col("v").as("node"), (-col("m.nl")).as("adopted"))
+      // left-join back onto the FULL node set (ADVICE r8): a zero-degree
+      // node has no neighbor votes and must KEEP its own label, not
+      // vanish from the output — the inner-join spelling was only
+      // correct because every rankEdges doc happens to have out-edges
+      labels = labels
+        .join(adopted, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("adopted"), col("lbl")).as("lbl"))
         .localCheckpoint() // cap lineage per round, as in the CC loop
     }
     labels.orderBy("node")

@@ -317,13 +317,16 @@ object SimilarityOps {
     * point still searches. The oracle unrolls the same 3 hops.
     *
     * Scale shape: the graph is the persisted edge table (one build,
-    * shared by every hop); per hop the per-query beam is ≤ beam·(k+1)
-    * narrow rows, so the hop joins ship |queries|·beam rows against the
-    * a_id-keyed edge table and the rank windows sort ≤ 40 rows per
-    * query — the corpus is touched only through the graph build. At
-    * 100 TB the walk state stays per-query-bounded regardless of corpus
-    * size; production raises hops (graph diameter) and adds entry-point
-    * restarts, same plan. */
+    * shared by every hop); per hop the per-query beam is ≤ |queries|·beam
+    * narrow rows — TINY — so every hop join broadcasts the BEAM side and
+    * streams the corpus-scale side map-only: the expansion is
+    * `g.join(broadcast(beamDf))` (one pass over the a_id-keyed edges,
+    * never a broadcast of the N·k edge table, which at 100 TB would OOM
+    * the driver) and the scoring join likewise broadcasts the deduped
+    * candidate set into the persisted vector table. The rank windows
+    * sort ≤ 40 rows per query. At 100 TB the walk state stays
+    * per-query-bounded regardless of corpus size; production raises
+    * hops (graph diameter) and adds entry-point restarts, same plan. */
   def graphSearchTopK(spark: SparkSession, sfDir: String, hops: Int = 3,
                       beam: Int = 8, k: Int = 5): DataFrame = {
     require(hops >= 1, s"at least one hop scores the beam, got $hops")
@@ -341,12 +344,14 @@ object SimilarityOps {
     var scored: DataFrame = null
     val wb = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     // per hop everything beam-sided is ≤ |queries|·beam·(k+1) rows:
-    // broadcast the edge table into the expansion (no beam shuffle) and
-    // the deduped candidate set into the corpus-side scoring join
-    // (map-only over the persisted e) — the only exchanges per hop are
-    // the tiny candidate dedup and the per-query rank window
+    // ALWAYS broadcast that tiny side — the beam into the corpus-scale
+    // edge table (map-only pass over g; broadcasting g itself would ship
+    // N·k edges to every executor and OOM at scale) and the deduped
+    // candidate set into the corpus-side scoring join (map-only over the
+    // persisted e) — the only exchanges per hop are the tiny candidate
+    // dedup and the per-query rank window
     for (_ <- 1 to hops) {
-      val expanded = beamDf.join(broadcast(g), beamDf("vec_id") === g("a_id"))
+      val expanded = g.join(broadcast(beamDf), beamDf("vec_id") === g("a_id"))
         .select(col("q_id"), col("b_id").as("vec_id"))
         .union(beamDf.select(col("q_id"), col("vec_id")))
         .distinct()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
+import scala.collection.concurrent.TrieMap
 
 /** Text-analysis operators for a training-data pipeline over the
   * `documents` table: token counting, quality scoring, language-ID
@@ -955,7 +956,30 @@ object TextOps {
     * smaller than the input, which is why production BPE trainers use
     * this layout. */
   def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame =
-    bpeTrain(spark, sfDir, rounds)._1.reduce(_.union(_)).orderBy("round")
+    bpeTrained(spark, sfDir, rounds)._1.reduce(_.union(_)).orderBy("round")
+
+  /** Session-scoped trained-BPE cache (VERDICT r8 #2) — the
+    * [[graft.plans.TextIndexCatalog]] pattern, keyed on (corpus path,
+    * rounds): a real pipeline trains merges ONCE and every downstream
+    * encode loads them, so [[bpeEncode]] must not re-pay the
+    * checkpointed training loop per query. The cached frames are
+    * `localCheckpoint`ed inside [[bpeTrain]], i.e. pinned to
+    * materialized RDDs — reuse is a free lookup, and results are
+    * bit-identical to a fresh train (same pinned data). Entries are
+    * dropped when the owning SparkContext is gone (a fresh session
+    * retrains — checkpointed RDDs don't outlive their context). */
+  private val bpeCache = TrieMap.empty[
+    (String, Int), (Seq[DataFrame], DataFrame, org.apache.spark.SparkContext)]
+
+  private def bpeTrained(spark: SparkSession, sfDir: String,
+                         rounds: Int): (Seq[DataFrame], DataFrame) =
+    bpeCache.get((sfDir, rounds)) match {
+      case Some((m, v, sc)) if sc eq spark.sparkContext => (m, v)
+      case _ =>
+        val (m, v) = bpeTrain(spark, sfDir, rounds)
+        bpeCache.put((sfDir, rounds), (m, v, spark.sparkContext))
+        (m, v)
+    }
 
   /** The training loop itself: returns (one 1-row merge DataFrame per
     * round, final vocabulary (word, syms, cnt) with every learned merge
@@ -1013,7 +1037,7 @@ object TextOps {
     * budget starts from, with the trained-merge vocabulary rather than
     * a whitespace proxy. */
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val vocab = bpeTrain(spark, sfDir, 3)._2
+    val vocab = bpeTrained(spark, sfDir, 3)._2
     docs(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .join(vocab.select(col("word"),

@@ -178,7 +178,18 @@ object EventStreamOps {
     * purchase emits exactly once (append mode), the same per-event
     * discipline as [[funnelAdvances]]. The channel derivation (campaign
     * key from props.k mod 4) is the batch expression verbatim, so the
-    * spec can assert stream-equals-batch on a replay. */
+    * spec can assert stream-equals-batch on a replay.
+    *
+    * DELIVERY-ORDER CONTRACT (ADVICE r8): events are sorted by
+    * (ts, event_id) only WITHIN each micro-batch, so attributions are
+    * exact iff each user's events arrive batch-ordered (a click never
+    * lands in a LATER batch than a purchase with a later timestamp).
+    * Cross-batch out-of-order delivery finalizes the purchase with the
+    * state as-of its batch — append mode emits no retraction; the
+    * nightly batch reconciliation (EventOps.lastTouchAttribution) is
+    * the correction path. A retraction-free exact variant would buffer
+    * events in state until the watermark passes before emitting —
+    * trading the at-arrival latency this ticker exists for. */
   def lastTouchAttributions(spark: SparkSession, events: DataFrame,
                             watermark: String = "10 minutes"): DataFrame = {
     import spark.implicits._
@@ -335,18 +346,30 @@ object EventStreamOps {
       .select(facts("event_id"), facts("user_id"), facts("ts_ms"),
         dim("dim_version"), dim("dim_value"))
 
-  /** One key's newest version in the CDC target snapshot. Deleted keys
-    * KEEP a tombstone entry carrying the delete's (ts, event_id) — the
+  /** CDC target snapshot schema: one row per key with its newest
+    * version (user_id, value, ts_ms, event_id, tombstone). Deleted keys
+    * KEEP a tombstone row carrying the delete's (ts, event_id) — the
     * high-water mark that stops a late-arriving older write from
     * resurrecting the key (the standard compacted-log discipline;
-    * physically dropping the entry would forget when the delete
-    * happened). [[cdcSnapshot]] is the live view. */
-  final case class CdcVersion(value: Double, tsMs: Long, eventId: Long,
-                              tombstone: Boolean = false)
+    * physically dropping the row would forget when the delete
+    * happened). [[cdcLive]] is the live view. The whole CDC path stays
+    * in DataFrame space (VERDICT r8 #3): no driver-side collect —
+    * the reduce, the merge, and the snapshot are all distributed, so
+    * the pattern a user copies into a 100 TB foreachBatch is the
+    * scale-safe one. */
+  def cdcEmptySnapshot(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("user_id", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = false),
+        StructField("ts_ms", LongType, nullable = false),
+        StructField("event_id", LongType, nullable = false),
+        StructField("tombstone", BooleanType, nullable = false))))
 
-  /** The live (non-tombstone) rows of a CDC target. */
-  def cdcSnapshot(target: scala.collection.Map[Long, CdcVersion]): Map[Long, CdcVersion] =
-    target.toMap.filter(!_._2.tombstone)
+  /** The live (non-tombstone) rows of a CDC target snapshot. */
+  def cdcLive(snapshot: DataFrame): DataFrame =
+    snapshot.filter(!col("tombstone"))
 
   /** Per-micro-batch CDC reduction — the streaming face of
     * EventOps.cdcApply's changelog semantics: collapse the batch to
@@ -354,8 +377,9 @@ object EventStreamOps {
     * write is a tombstone (event_type 'view', matching the batch op's
     * delete rule). This is the Spark side of a foreachBatch MERGE: the
     * batch shrinks to one row per touched key BEFORE anything reaches
-    * the sink, so the merge input is |keys in batch|, never |events|. */
-  def cdcBatchLastWrites(batch: DataFrame): Array[(Long, CdcVersion, Boolean)] = {
+    * the merge, so the merge input is |keys in batch|, never |events|.
+    * Stays a DataFrame — never collected to the driver. */
+  def cdcBatchLastWrites(batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -363,31 +387,40 @@ object EventStreamOps {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ts_ms"),
         col("event_id"), (col("event_type") === "view").as("tombstone"))
-      .collect()
-      .map(r => (r.getLong(0),
-        CdcVersion(r.getDouble(1), r.getLong(2), r.getLong(3)),
-        r.getBoolean(4)))
   }
 
-  /** Last-write-wins merge of a reduced batch into the target
-    * snapshot: an incoming version applies only if it is NEWER than
-    * what the target holds ((ts, event_id) order — replayed batches
+  /** MERGE-shaped last-write-wins upsert of a reduced batch into the
+    * target snapshot — a full-outer join on key, keeping per key
+    * whichever version is NEWER by (ts_ms, event_id) (replayed batches
     * lose every comparison, which is what makes checkpoint-recovery
     * replays idempotent). A winning tombstone is STORED, not removed:
     * its (ts, event_id) high-water mark must keep outranking
     * late-arriving older writes in FUTURE batches, or a stale update
     * would resurrect the deleted key (streams deliver in arrival
-    * order, not event order). Swap this map for a Delta/Iceberg
-    * `MERGE INTO ... WHEN MATCHED AND source.ts > target.ts` and the
-    * same query runs against a lakehouse table whose deletes compact
-    * away only after the late-data horizon. */
-  def applyCdcBatch(target: scala.collection.mutable.Map[Long, CdcVersion],
-                    rows: Seq[(Long, CdcVersion, Boolean)]): Unit =
-    rows.foreach { case (key, v, tomb) =>
-      val newer = target.get(key).forall(cur =>
-        v.tsMs > cur.tsMs || (v.tsMs == cur.tsMs && v.eventId > cur.eventId))
-      if (newer) target.update(key, v.copy(tombstone = tomb))
-    }
+    * order, not event order). This is `MERGE INTO target USING reduced
+    * ON key WHEN MATCHED AND newer THEN UPDATE WHEN NOT MATCHED THEN
+    * INSERT` spelled as a join — swap the snapshot for a Delta/Iceberg
+    * table and the same shape runs against a lakehouse whose deletes
+    * compact away only after the late-data horizon. The caller
+    * materializes the result per batch (write/localCheckpoint), which
+    * is the `MERGE` commit; the join shuffles |keys|-sized narrow rows
+    * only, never raw events. */
+  def cdcMerge(snapshot: DataFrame, reduced: DataFrame): DataFrame = {
+    val pack = (d: DataFrame, as: String) => d.select(col("user_id"),
+      struct(col("value"), col("ts_ms"), col("event_id"),
+        col("tombstone")).as(as))
+    pack(snapshot, "cur").join(pack(reduced, "inc"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("cur").isNull, col("inc"))
+          .when(col("inc").isNull, col("cur"))
+          .when(col("inc.ts_ms") > col("cur.ts_ms") ||
+            (col("inc.ts_ms") === col("cur.ts_ms") &&
+              col("inc.event_id") > col("cur.event_id")), col("inc"))
+          .otherwise(col("cur")).as("v"))
+      .select(col("user_id"), col("v.value").as("value"),
+        col("v.ts_ms").as("ts_ms"), col("v.event_id").as("event_id"),
+        col("v.tombstone").as("tombstone"))
+  }
 
   /** O22 (rate limiting) — the engine-side form. The reference
     * throttles by sleeping between fetches (index.py:176-178,

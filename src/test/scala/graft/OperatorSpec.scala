@@ -1341,11 +1341,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Seq(("a", "1,2"), ("b", "9")))
   }
 
-  test("decode stub is deterministic and total on empty input") {
-    val f = MultimodalOps.MediaDecoder.decodeStub(7L, "abc".getBytes)
-    assert(f == MultimodalOps.MediaDecoder.decodeStub(7L, "abc".getBytes))
-    val empty = MultimodalOps.MediaDecoder.decodeStub(1L, Array.emptyByteArray)
-    assert(empty.width == 32 && empty.height == 32 && empty.channels == 1)
+  test("mapPartitions media decode agrees with the expression-space decoders, total on junk") {
+    val feat = MultimodalOps.decodeFeatures(spark, sf0001).collect()
+    assert(feat.nonEmpty)
+    val byId = feat.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // magic-byte routing lands every payload on its construction family
+    feat.foreach { r =>
+      val expected = r.getAs[Long]("doc_id") % 3 match {
+        case 0 => "png"; case 1 => "wav"; case _ => "mp4"
+      }
+      assert(r.getAs[String]("container") == expected)
+    }
+    // the imperative decoder and the codegen expression decoders are two
+    // implementations of the same container specs — they must agree
+    MultimodalOps.pngIhdrDecode(spark, sf0001).collect().foreach { p =>
+      val r = byId(p.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("width") == p.getAs[Long]("width"))
+      assert(r.getAs[Long]("height") == p.getAs[Long]("height"))
+      assert(r.isNullAt(r.fieldIndex("sample_rate")))
+    }
+    MultimodalOps.wavHeaderDecode(spark, sf0001).collect().foreach { p =>
+      val r = byId(p.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("sample_rate") == p.getAs[Long]("sample_rate"))
+      assert(r.getAs[Long]("duration_ms") == p.getAs[Long]("duration_ms"))
+    }
+    MultimodalOps.mp4BoxDecode(spark, sf0001).collect().foreach { p =>
+      val r = byId(p.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("duration_ms") == p.getAs[Long]("duration_ms"))
+    }
+    // total on junk (O24 discipline): unknown bytes route, never throw
+    val u = MultimodalOps.MediaDecoder.decode(1L, Array.emptyByteArray)
+    assert(u.container == "unknown" && u.n_bytes == 0L)
+    assert(MultimodalOps.MediaDecoder
+      .decode(2L, "plain text".getBytes).container == "unknown")
   }
 
   test("frame sample emits within-bounds offsets with stable hashes") {
@@ -1567,6 +1595,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("rel_skew_null_bucket: AQE splits the dominant NULL partition and results match the model") {
+    graft.tools.SkewEvidence.clear()
+    // sf0.01 so the hot partition clears the operator's scoped 2KB
+    // threshold (sf0.001's ~150 customers shuffle under it)
+    val got = RelationalOps.skewNullBucketJoin(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(got.nonEmpty)
+    val ev = graft.tools.SkewEvidence.lookup("rel_skew_null_bucket")
+    assert(ev.isDefined, "operator must file its runtime-plan evidence")
+    assert(ev.get.skewSplits >= 1,
+      s"OptimizeSkewedJoin did not split the hot NULL partition: $ev")
+    // plan-independence: the skew-split result equals the plain
+    // broadcast-join model computed without any scoped confs
+    val c = graft.Tables.customer(spark, "/root/testdata/sf0.01")
+      .select(col("c_custkey"),
+        when(col("c_nationkey") === 0, 0L).otherwise(lit(null).cast("long")).as("ck"))
+    val s = graft.Tables.supplier(spark, "/root/testdata/sf0.01")
+      .select(col("s_suppkey"),
+        when(col("s_nationkey") === 0, 0L).otherwise(lit(null).cast("long")).as("sk"))
+    val model = c.join(broadcast(s), col("ck") <=> col("sk"))
+      .groupBy(col("s_suppkey"), col("sk").as("key_bucket"))
+      .agg(count(lit(1)).as("n_matches"), sum(col("c_custkey")).as("sum_custkeys"))
+      .collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), Option(r.getAs[Any]("key_bucket")),
+        r.getAs[Long]("n_matches"), r.getAs[Long]("sum_custkeys"))).toSet
+    val gotSet = got.map(r => (r.getAs[Long]("s_suppkey"),
+      Option(r.getAs[Any]("key_bucket")), r.getAs[Long]("n_matches"),
+      r.getAs[Long]("sum_custkeys"))).toSet
+    assert(gotSet == model)
+    // the scoped confs were restored (spot-check the loudest one)
+    assert(!spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .contains("16KB"))
+  }
+
   test("PII redaction masks every injected email and phone") {
     val rows = TextOps.redactPii(spark, sf0001).collect()
     assert(rows.nonEmpty)
@@ -1643,6 +1705,23 @@ class OperatorSpec extends AnyFunSuite {
     pr.filter(p => !inDeg.contains(p._1)).foreach { case (_, r) =>
       assert(r == 150000L, "a node with no in-edges keeps only the damping floor")
     }
+  }
+
+  test("label propagation keeps zero-degree nodes with their own label") {
+    import spark.implicits._
+    // triangle {1,2,3} (min-label converges to 1) + isolated node 9 —
+    // the ADVICE r8 case: the isolated node must survive every round
+    // with its own label, not vanish from the output
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("v", "u")
+    val und = e.union(e.select(col("u").as("v"), col("v").as("u")))
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("node")
+      .select(col("node"), col("node").as("lbl"))
+    val got = GraphOps.labelPropagationOn(und, nodes, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 9L), s"lost nodes: $got")
+    assert(got(9L) == 9L, "isolated node must keep its own label")
+    assert(Set(got(1L), got(2L), got(3L)) == Set(1L),
+      s"triangle should converge to min label: $got")
   }
 
   test("trained-weights classifier: broadcast-array inference stays map-only, matches an independent model") {
@@ -1866,6 +1945,41 @@ class OperatorSpec extends AnyFunSuite {
       }
     }
     spark.catalog.clearCache()
+  }
+
+  test("graph search hop plan: the corpus-scale edge table is never the broadcast side") {
+    // VERDICT r8 #1: the hop expansion must broadcast the tiny beam INTO
+    // the N·k edge table, never the edge table itself (a corpus-sized
+    // collect to the driver at scale). Flag any BroadcastExchange whose
+    // subtree reaches an edge-table-shaped node (outputs both a_id and
+    // b_id) with NO intervening join/aggregate barrier — barriers bound
+    // the broadcast result to the beam-sided candidate set, so only a
+    // barrier-free pipeline over the edge scan is a raw edge broadcast.
+    // AQE off: typed traversal can't descend AdaptiveSparkPlanExec.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SimilarityOps.graphSearchTopK(spark, sf0001)
+      val plan = df.queryExecution.executedPlan
+      val bcasts = plan.collectWithSubqueries {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.nonEmpty, s"expected beam-sided broadcasts:\n$plan")
+      bcasts.foreach { b =>
+        val barrier = b.child.collectWithSubqueries {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.nonEmpty
+        val edgeShaped = b.child.collectWithSubqueries {
+          case s if Set("a_id", "b_id").subsetOf(s.output.map(_.name).toSet) => s
+        }.nonEmpty
+        assert(barrier || !edgeShaped,
+          s"raw kNN edge table on the broadcast side:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.catalog.clearCache()
+    }
   }
 
   test("residual quantizer: stage 2 never increases error, codes in range, codebook members exact") {
