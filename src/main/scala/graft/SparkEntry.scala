@@ -42,6 +42,11 @@ object SparkEntry {
     "rel_full_outer"           -> RelationalOps.fullOuterSegments _,
     "rel_null_safe_join"       -> RelationalOps.nullSafeJoin _,
     "rel_skew_null_bucket"     -> RelationalOps.skewNullBucketJoin _,
+    // DSv2 generator source (sources/SynthDocsSource.scala): corpus
+    // synthesized at scan time; doc_id bounds prune InputPartitions at
+    // planning, column pruning reaches the row builder
+    "src_synth_pushdown"       -> ((s: SparkSession, _: String) =>
+      graft.sources.SynthDocs.sliceSummary(s)),
     "rel_sql_lateral_topk"     -> RelationalOps.sqlLateralTopItems _,
     "rel_sql_hierarchy"        -> RelationalOps.sqlHierarchyRollup _,
     "rel_table_profile"        -> RelationalOps.tableProfile _,
@@ -1076,6 +1081,18 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
         |FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
         |GROUP BY c.ck ORDER BY key_bucket NULLS FIRST""".stripMargin,
+    // synthdocs DSv2 oracle: regenerate the same deterministic corpus
+    // from range() arithmetic and aggregate the same slice
+    "src_synth_pushdown" ->
+      """WITH g AS (SELECT i AS doc_id, 'synth' || (i % 5) AS source,
+        |    'alpha tok' || (i % 97) || ' tok' || ((i * 31) % 89)
+        |      || ' tok' || ((i * 7) % 83) || ' end' AS text
+        |  FROM range(0, 5000) t(i))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM g WHERE doc_id >= 1200 AND doc_id < 3800
+        |GROUP BY source ORDER BY source""".stripMargin,
     // unknown-dominated null-safe merge: the skewed-join driver (AQE
     // OptimizeSkewedJoin splits the hot NULL partition at runtime;
     // results are plan-independent, which is what this row checks)

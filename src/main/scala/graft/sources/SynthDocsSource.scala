@@ -1,0 +1,209 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector: a DETERMINISTIC synthetic document corpus
+  * generated AT SCAN TIME — `spark.read.format("synthdocs")
+  * .option("rows", N).option("partitions", P)`. The benchmark/soak
+  * seam a 100 TB engine needs: corpus size is a config constant, no
+  * bytes ever hit storage, generation is embarrassingly parallel (each
+  * InputPartition owns a doc_id range and synthesizes rows locally —
+  * the TPC-dbgen pattern as a first-class Spark table).
+  *
+  * The point of writing it as a FULL DSv2 implementation rather than
+  * `spark.range(N).select(...)` is the pushdown surface, exercised and
+  * spec-asserted:
+  *
+  *   - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the reader
+  *     materializes only the projected columns — `count(*)` over the
+  *     corpus never builds a text string.
+  *   - FILTER PUSHDOWN ([[SupportsPushDownFilters]]): doc_id range
+  *     predicates prune whole InputPartitions at PLANNING time and clip
+  *     the surviving ranges at READ time — the generator twin of
+  *     parquet row-group pruning. Pushed filters are also RETURNED as
+  *     residuals, so Spark re-evaluates them post-scan: pruning is a
+  *     pure optimization and can never change results (the conservative
+  *     contract a correctness-gated source wants).
+  *
+  * Row formula (fixed so the DuckDB oracle regenerates the identical
+  * corpus from `range()` arithmetic): source = 'synth' ∥ (id % 5),
+  * text = 'alpha tok(id%97) tok(id·31%89) tok(id·7%83) end'.
+  *
+  * Registered under the `synthdocs` short name via the standard
+  * META-INF/services [[DataSourceRegister]] mechanism. */
+class SynthDocsProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "synthdocs"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthDocs.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SynthDocsTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "8").toInt)
+}
+
+object SynthDocs {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  /** The `src_synth_pushdown` query body: slice the synthetic corpus by
+    * doc_id (pushed → partitions pruned) and summarize per source. */
+  def sliceSummary(spark: SparkSession, rows: Int = 5000,
+                   partitions: Int = 16): DataFrame =
+    spark.read.format("synthdocs")
+      .option("rows", rows).option("partitions", partitions).load()
+      .filter(col("doc_id") >= 1200 && col("doc_id") < 3800)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("source")
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  def sourceOf(id: Long): String = "synth" + (id % 5)
+  def textOf(id: Long): String =
+    s"alpha tok${id % 97} tok${id * 31 % 89} tok${id * 7 % 83} end"
+}
+
+/** Spec observability: what the LAST build planned — partitions after
+  * pruning, the pruned read schema, and which filters were pushed.
+  * Session-scoped mutable cells, same spirit as
+  * [[graft.tools.SkewEvidence]]. */
+object SynthDocsRegistry {
+  @volatile var lastPlannedPartitions: Int = -1
+  @volatile var lastReadColumns: Seq[String] = Seq.empty
+  @volatile var lastPushed: Seq[String] = Seq.empty
+}
+
+final class SynthDocsTable(rows: Long, partitions: Int)
+    extends Table with SupportsRead {
+  require(rows >= 0 && partitions >= 1,
+    s"bad synthdocs sizing: rows=$rows partitions=$partitions")
+  override def name(): String = s"synthdocs($rows,$partitions)"
+  override def schema(): StructType = SynthDocs.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthDocsScanBuilder(rows, partitions)
+}
+
+final class SynthDocsScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = SynthDocs.schema
+  private var pushed: Array[Filter] = Array.empty
+  // doc_id bounds accumulated from the pushed predicates: [lo, hi)
+  private var lo: Long = 0L
+  private var hi: Long = Long.MaxValue
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("doc_id", _: Long) => true
+      case GreaterThan("doc_id", _: Long) => true
+      case GreaterThanOrEqual("doc_id", _: Long) => true
+      case LessThan("doc_id", _: Long) => true
+      case LessThanOrEqual("doc_id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("doc_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    pushed = accepted
+    // conservative contract: hand EVERY filter back as a residual —
+    // pruning only ever skips rows the filters would reject anyway
+    rejected ++ accepted
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new SynthDocsScan(rows, partitions, required, lo, math.min(hi, rows),
+      pushed.map(_.toString).toSeq)
+}
+
+final class SynthDocsScan(rows: Long, partitions: Int, required: StructType,
+                          lo: Long, hi: Long, pushedDesc: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"synthdocs rows=$rows partitions=$partitions bounds=[$lo,$hi) " +
+      s"pushed=${pushedDesc.mkString("[", ",", "]")} " +
+      s"columns=${required.fieldNames.mkString("[", ",", "]")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // even doc_id ranges, intersected with the pushed [lo, hi) bounds —
+    // non-overlapping partitions vanish at PLANNING time (the generator
+    // twin of partition pruning), survivors are clipped at read time
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    val parts = (0 until partitions).iterator
+      .map { k =>
+        val s = k * per
+        val e = math.min(rows, s + per)
+        (math.max(s, lo), math.min(e, hi))
+      }
+      .collect { case (s, e) if s < e =>
+        SynthDocsPartition(s, e): InputPartition
+      }
+      .toArray
+    SynthDocsRegistry.lastPlannedPartitions = parts.length
+    SynthDocsRegistry.lastReadColumns = required.fieldNames.toSeq
+    SynthDocsRegistry.lastPushed = pushedDesc
+    parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthDocsReaderFactory(required.fieldNames)
+}
+
+final case class SynthDocsPartition(start: Long, end: Long)
+    extends InputPartition
+
+/** Serializable factory: only the projected column NAMES travel to the
+  * executors; each reader generates its range locally. */
+final class SynthDocsReaderFactory(columns: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SynthDocsPartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.start - 1
+      override def next(): Boolean = { id += 1; id < p.end }
+      override def get(): InternalRow = {
+        // build ONLY the projected columns — a pruned scan never pays
+        // for the text synthesis
+        val values = columns.map[Any] {
+          case "doc_id" => id
+          case "source" => UTF8String.fromString(SynthDocs.sourceOf(id))
+          case "text" => UTF8String.fromString(SynthDocs.textOf(id))
+          case other => throw new IllegalArgumentException(
+            s"unknown synthdocs column: $other")
+        }
+        new GenericInternalRow(values)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

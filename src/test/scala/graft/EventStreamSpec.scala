@@ -617,4 +617,52 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.forall(_ <= 2L), s"a batch exceeded the cap: $sizes")
     assert(sizes.length >= 3 && sizes.sum == 5L, s"got $sizes")
   }
+
+  test("per-origin pacing: domains spaced independently, state carries across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.DocStreamOps
+    import graft.streaming.DocStreamOps.FetchRequest
+    val mem = MemoryStream[FetchRequest]
+    val q = DocStreamOps.perOriginPacing(spark, mem.toDF(), minDelayMs = 60000L)
+      .writeStream.format("memory").queryName("pacing")
+      .outputMode(OutputMode.Append).start()
+    def got(): Map[String, (Long, Long, Boolean)] =
+      spark.table("pacing")
+        .select("url", "ts_ms", "scheduled_ms", "delayed")
+        .as[(String, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    try {
+      // batch 1: a 3-deep burst on domain a at the same instant, one
+      // lone request on domain b — b must NOT inherit a's backlog
+      mem.addData(
+        FetchRequest("a/1", "a.com", ts(0)),
+        FetchRequest("a/2", "a.com", ts(0)),
+        FetchRequest("a/3", "a.com", ts(0)),
+        FetchRequest("b/1", "b.com", ts(0)))
+      q.processAllAvailable()
+      val g1 = got()
+      assert(g1("a/1") == ((ts(0).getTime, ts(0).getTime, false)))
+      assert(g1("a/2") == ((ts(0).getTime, ts(1).getTime, true)))
+      assert(g1("a/3") == ((ts(0).getTime, ts(2).getTime, true)))
+      assert(g1("b/1") == ((ts(0).getTime, ts(0).getTime, false)))
+      // batch 2: a's bucket is still draining — a request at minute 1
+      // queues behind the batch-1 backlog (cross-batch state); one at
+      // minute 10 finds the bucket idle and passes untouched
+      mem.addData(
+        FetchRequest("a/4", "a.com", ts(1)),
+        FetchRequest("a/5", "a.com", ts(10)))
+      q.processAllAvailable()
+      val g2 = got()
+      assert(g2("a/4") == ((ts(1).getTime, ts(3).getTime, true)))
+      assert(g2("a/5") == ((ts(10).getTime, ts(10).getTime, false)))
+      // the politeness invariant itself: per domain, schedules are
+      // spaced >= minDelayMs apart
+      g2.toSeq.filter(_._1.startsWith("a/")).map(_._2._2).sorted
+        .sliding(2).foreach {
+          case Seq(x, y) => assert(y - x >= 60000L, s"spacing violated: $g2")
+          case _ =>
+        }
+    } finally q.stop()
+  }
 }

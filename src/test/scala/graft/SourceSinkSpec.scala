@@ -27,6 +27,38 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(seeds == Seq("https://www.example.com/a", "https://www.example.com/b"))
   }
 
+  test("synthdocs DSv2 source: deterministic rows, partition pruning, column pruning") {
+    import spark.implicits._
+    import graft.sources.{SynthDocs, SynthDocsRegistry}
+    def read() = spark.read.format("synthdocs")
+      .option("rows", 5000).option("partitions", 16).load()
+    // full scan: every row, generated to the fixed formula
+    val full = read().as[(Long, String, String)].collect()
+    assert(full.length == 5000)
+    assert(SynthDocsRegistry.lastPlannedPartitions == 16)
+    val sample = full.find(_._1 == 1234L).get
+    assert(sample._2 == SynthDocs.sourceOf(1234L))
+    assert(sample._3 == SynthDocs.textOf(1234L))
+    // filter pushdown prunes generator partitions at PLANNING time:
+    // 5000 rows / 16 partitions = 313-row ranges; [1200, 3800) overlaps
+    // exactly ranges 3..12 → 10 planned, and every returned row is
+    // in-bounds (the pushed filters also re-evaluate as residuals)
+    val sliced = read()
+      .filter(col("doc_id") >= 1200 && col("doc_id") < 3800)
+      .as[(Long, String, String)].collect()
+    assert(sliced.length == 2600)
+    assert(sliced.forall(r => r._1 >= 1200 && r._1 < 3800))
+    assert(SynthDocsRegistry.lastPlannedPartitions == 10,
+      s"expected 10 surviving ranges, planned ${SynthDocsRegistry.lastPlannedPartitions}")
+    assert(SynthDocsRegistry.lastPushed.nonEmpty, "doc_id bounds must push down")
+    // column pruning reaches the generator: a doc_id-only projection
+    // never asks the reader for text
+    assert(read().select("doc_id").as[Long].collect().sum ==
+      (0L until 5000L).sum)
+    assert(SynthDocsRegistry.lastReadColumns == Seq("doc_id"),
+      s"text synthesized for a pruned scan: ${SynthDocsRegistry.lastReadColumns}")
+  }
+
   test("Tables.spread is the identity when the scan already has >= cores splits") {
     // the split-starvation guard must never add an exchange at cluster
     // scale, where scans produce at least as many splits as cores. The
