@@ -175,6 +175,9 @@ object SparkEntry {
     "txt_repetition"           -> TextOps.repetitionScore _,
     "txt_classifier_score"     -> TextOps.classifierScore _,
     "txt_classifier_trained"   -> TextOps.classifierScoreTrained _,
+    "txt_classifier_pr"        -> ((s: SparkSession, d: String) => TextOps.classifierPr(s, d)),
+    "pipe_k_anonymity"         -> ((s: SparkSession, d: String) => TextOps.kAnonymize(s, d)),
+    "sim_bitext_mine"          -> SimilarityOps.bitextMine _,
     "txt_epoch_repeat"         -> TextOps.epochRepeat _,
     "pipe_curation"            -> TextOps.curateCorpus _,
     "pipe_source_blocklist"    -> TextOps.sourceBlocklistSurvivors _,
@@ -2236,6 +2239,99 @@ object SparkEntry {
         |  CAST(COALESCE(list_sum(list_transform(whs,
         |    h -> ((h % 1048576) * 1103515245 + 12345) % 4001 - 2000)), 0) AS BIGINT) > 0 AS kept
         |FROM w2 ORDER BY doc_id""".stripMargin,
+    // PR sweep: student (trained weights) scored against the incumbent
+    // PRF teacher's labels; one-pass cumulative tp/fp down a 16-cell
+    // score grid — identical integer arithmetic both engines
+    "txt_classifier_pr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(w, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(x, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(list_sum(list_transform(whs,
+        |      h -> ((h % 1048576) * 1103515245 + 12345) % 4001 - 2000)), 0) AS BIGINT) AS s,
+        |    CASE WHEN CAST(COALESCE(list_sum(list_transform(whs,
+        |      h -> ((h % 1048576) * 2654435761 + 13) % 2001 - 1000)), 0) AS BIGINT) > 0
+        |      THEN 1 ELSE 0 END AS pos
+        |  FROM w2),
+        |tot AS (SELECT MIN(s) AS smin, MAX(s) AS smax,
+        |          CAST(SUM(pos) AS BIGINT) AS p_total FROM sc),
+        |g AS (SELECT (s - smin) * 16 // (smax - smin + 1) AS cell,
+        |        CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |        CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+        |      FROM sc, tot GROUP BY 1),
+        |c AS (SELECT cell,
+        |        CAST(SUM(n_pos) OVER (ORDER BY cell DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |        CAST(SUM(n_neg) OVER (ORDER BY cell DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+        |      FROM g)
+        |SELECT cell AS threshold_cell, tp, fp, p_total - tp AS fn,
+        |  tp * 10000 // (tp + fp) AS precision_bp,
+        |  CASE WHEN p_total = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE tp * 10000 // p_total END AS recall_bp,
+        |  CASE WHEN 2 * tp + fp + (p_total - tp) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE 2 * tp * 10000 // (2 * tp + fp + (p_total - tp)) END AS f1_bp
+        |FROM c, tot ORDER BY threshold_cell""".stripMargin,
+    // k-anonymity generalization ladder: same level group counts, same
+    // generalized QI rendering
+    "pipe_k_anonymity" ->
+      """WITH b AS (SELECT doc_id, source, length(text) // 50 AS fine,
+        |    length(text) // 200 AS coarse FROM documents),
+        |g0 AS (SELECT source, fine, COUNT(*) AS n0 FROM b GROUP BY 1, 2),
+        |g1 AS (SELECT source, coarse, COUNT(*) AS n1 FROM b GROUP BY 1, 2),
+        |g2 AS (SELECT source, COUNT(*) AS n2 FROM b GROUP BY 1),
+        |j AS (SELECT b.doc_id, b.source, b.fine, b.coarse,
+        |    CASE WHEN n0 >= 8 THEN 0 WHEN n1 >= 8 THEN 1
+        |         WHEN n2 >= 8 THEN 2 ELSE 3 END AS gen_level
+        |  FROM b JOIN g0 USING (source, fine)
+        |         JOIN g1 USING (source, coarse)
+        |         JOIN g2 USING (source))
+        |SELECT doc_id, CAST(gen_level AS BIGINT) AS gen_level,
+        |  gen_level < 3 AS released,
+        |  CASE WHEN gen_level < 3 THEN source ELSE '*' END AS qi_source,
+        |  CASE WHEN gen_level = 0 THEN 'f' || fine
+        |       WHEN gen_level = 1 THEN 'c' || coarse ELSE '*' END AS qi_bucket
+        |FROM j ORDER BY doc_id""".stripMargin,
+    // margin-based mining: same hyperplane buckets as dd_emb_neardup
+    // (seed table 0), even ids query the odd-id pool, margin over the
+    // runner-up as the acceptance score
+    "sim_bitext_mine" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |          j -> emb[j] * CAST((1 + p*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          (x, y) -> x + y) >= 0
+        |      THEN CAST(floor(pow(2, p)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM e0),
+        |c AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.emb)+1),
+        |      i -> a.emb[i] * b.emb[i])), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON a.bucket = b.bucket
+        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_a
+        |        ORDER BY cos DESC, vec_b) AS rn FROM c),
+        |m AS (SELECT vec_a,
+        |    MAX(CASE WHEN rn = 1 THEN vec_b END) AS match_id,
+        |    MAX(CASE WHEN rn = 1 THEN cos END) AS best_cos,
+        |    MAX(CASE WHEN rn = 2 THEN cos END) AS runner_cos
+        |  FROM r WHERE rn <= 2 GROUP BY vec_a)
+        |SELECT vec_a, match_id, best_cos, runner_cos,
+        |  best_cos - COALESCE(runner_cos, 0.0) AS margin,
+        |  best_cos - COALESCE(runner_cos, 0.0) >= 0.05 AS confident
+        |FROM m ORDER BY vec_a""".stripMargin,
     "txt_classifier_score" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -539,6 +539,56 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** MARGIN-BASED BITEXT-STYLE MINING (the Artetxe & Schwenk 2018 /
+    * CCMatrix margin criterion, public): treat the even-id vectors as
+    * the QUERY corpus and the odd-id vectors as the CANDIDATE pool
+    * (standing in for two languages' encoder outputs), and for each
+    * query emit its best pool match with the MARGIN over the
+    * runner-up — absolute cosine alone over-accepts hubs (vectors
+    * similar to everything); the margin is what separates a true
+    * translation pair from a crowd of near-ties, and it is the
+    * acceptance score a parallel-corpus miner thresholds.
+    *
+    * Scale shape: candidates come from the SAME hyperplane-LSH bucket
+    * equi-join as [[embeddingNearDups]] (only colliding vectors are
+    * ever compared — never the |A|×|B| cross product; production grows
+    * bucket bits with log N and adds multi-probe for recall, exactly
+    * the [[lshMultiProbe]] knob); per-query ranking runs inside
+    * bucket-bounded groups, then one row per query survives. Queries
+    * with no bucket collision simply emit nothing — the miner's
+    * "no candidate" outcome, recovered by multi-probe, not by a scan.
+    *
+    * `confident` (margin ≥ 0.05) is emitted as a column rather than a
+    * filter so the oracle also checks the acceptance rule itself. */
+  def bitextMine(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dotd(col("emb"), col("emb"))))
+      .withColumn("bucket", hyperplaneBucket(col("emb"), 0, 8))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = e.filter(col("vec_id") % 2 === 0)
+      .select(col("bucket"), col("vec_id").as("vec_a"),
+        col("emb").as("ea"), col("nrm").as("na"))
+    val pool = e.filter(col("vec_id") % 2 === 1)
+      .select(col("bucket"), col("vec_id").as("vec_b"),
+        col("emb").as("eb"), col("nrm").as("nb"))
+    val wq = Window.partitionBy("vec_a")
+      .orderBy(col("cos").desc, col("vec_b"))
+    q.join(pool, Seq("bucket"))
+      .select(col("vec_a"), col("vec_b"),
+        cosinePre(col("ea"), col("na"), col("eb"), col("nb")).as("cos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_a")
+      .agg(max(when(col("rn") === 1, col("vec_b"))).as("match_id"),
+        max(when(col("rn") === 1, col("cos"))).as("best_cos"),
+        max(when(col("rn") === 2, col("cos"))).as("runner_cos"))
+      .withColumn("margin",
+        col("best_cos") - coalesce(col("runner_cos"), lit(0.0)))
+      .withColumn("confident", col("margin") >= 0.05)
+      .orderBy("vec_a")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication",
     * 2023 — public-knowledge pipeline pattern): cluster the corpus with

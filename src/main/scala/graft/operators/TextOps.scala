@@ -510,6 +510,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PRECISION/RECALL SWEEP of the trained classifier against the
+    * incumbent PRF teacher's labels — the model-swap eval a curation
+    * pipeline runs BEFORE replacing its quality filter: score every doc
+    * with the CANDIDATE model ([[classifierScoreTrained]]'s broadcast
+    * weights), label it with the INCUMBENT ([[classifierScore]]'s
+    * kept), and report precision/recall/F1 in exact basis points at
+    * every operating point of a score grid. The threshold that
+    * preserves incumbent recall is the swap decision.
+    *
+    * Scale shape — the one-pass cumulative spelling, NOT a
+    * threshold × corpus cross-join: both scores fold in ONE corpus
+    * scan (zero joins — teacher and student are both scan-side
+    * expressions); docs collapse to a `cells`-row (score-cell →
+    * pos/neg counts) table; tp/fp at every threshold are then
+    * cumulative sums DOWN the bounded grid (predict-positive ⇔ cell ≥
+    * θ), so the whole sweep costs one aggregate over ≤`cells` rows no
+    * matter the corpus size. All arithmetic integer-exact: grid
+    * assignment is (s−min)·cells DIV span; P=0 and empty-grid edges
+    * pinned to 0 explicitly (Spark NULL-on-DIV-0 vs DuckDB error). */
+  def classifierPr(spark: SparkSession, sfDir: String, cells: Int = 16): DataFrame = {
+    require(cells >= 2, s"need a grid: $cells")
+    val teacher = expr(
+      """aggregate(word_poly_hashes(lower(text)), 0L,
+        |  (acc, h) -> acc + ((h % 1048576) * 2654435761 + 13) % 2001 - 1000)"""
+        .stripMargin)
+    val bc = graft.functions.ModelExpressions.broadcastWeights(spark.sparkContext)
+    val student = org.apache.spark.sql.GraftSqlBridge.columnOf(
+      graft.functions.BucketWeightScoreExpr(
+        org.apache.spark.sql.GraftSqlBridge.expressionOf(
+          expr("word_poly_hashes(lower(text))")), bc))
+    val perDoc = docs(spark, sfDir)
+      .select(student.as("s"), (teacher > 0).cast("long").as("pos"))
+    val totals = perDoc.agg(min(col("s")).as("smin"), max(col("s")).as("smax"),
+      sum(col("pos")).as("p_total"))
+    val grid = perDoc.crossJoin(broadcast(totals))
+      .withColumn("cell", expr(s"(s - smin) * $cells DIV (smax - smin + 1)"))
+      .groupBy("cell")
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"))
+    val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("cell").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid // bounded: every window/sum below runs over <= cells rows
+      .withColumn("tp", sum(col("n_pos")).over(wDesc))
+      .withColumn("fp", sum(col("n_neg")).over(wDesc))
+      .crossJoin(broadcast(totals.select(col("p_total"))))
+      .select(col("cell").as("threshold_cell"), col("tp"), col("fp"),
+        (col("p_total") - col("tp")).as("fn"),
+        expr("tp * 10000 DIV (tp + fp)").as("precision_bp"),
+        expr("CASE WHEN p_total = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE tp * 10000 DIV p_total END").as("recall_bp"),
+        expr("CASE WHEN 2 * tp + fp + (p_total - tp) = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE 2 * tp * 10000 DIV (2 * tp + fp + (p_total - tp)) END")
+          .as("f1_bp"))
+      .orderBy("threshold_cell")
+  }
+
   /** Training-shard export assignment — the last step of a curation
     * pipeline: every curated doc gets a deterministic shard (fixed
     * multiplicative hash of doc_id — no RNG, identical on any engine
@@ -527,6 +584,61 @@ object TextOps {
           .cast("long"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("doc_id", "shard", "pos", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** K-ANONYMITY export gate with a GENERALIZATION LADDER (Samarati/
+    * Sweeney k-anonymity, public): before a corpus slice leaves the
+    * curation boundary, every row's quasi-identifier tuple must be
+    * shared by ≥ k released rows — otherwise the QI is GENERALIZED one
+    * level (coarser length bucket, then source only) and re-checked;
+    * rows whose coarsest generalization still fails are SUPPRESSED.
+    * This is the compliance gate a training-data release runs over
+    * provenance-ish columns; the ladder (generalize before you drop)
+    * is what separates k-anonymity proper from a bare HAVING count ≥ k.
+    *
+    * Levels: 0 = (source, len DIV 50) · 1 = (source, len DIV 200) ·
+    * 2 = (source) · 3 = suppressed. Emitted QI values are the
+    * generalized ones ('f…'/'c…'/'*'), i.e. what the release would
+    * actually show.
+    *
+    * Scale shape: everything that crosses an exchange is the NARROW
+    * (source, length-bucket) projection — the three level group counts
+    * collapse it map-side into QI-cardinality-sized tables that
+    * broadcast back onto the corpus: three map-side joins, zero corpus
+    * shuffle anywhere. Group counts are counted over ALL rows per
+    * level (standard single-pass ladder; a fixpoint variant re-counts
+    * after suppression — noted, not needed for the release-gate
+    * contract). */
+  def kAnonymize(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame =
+    kAnonymizeOn(docs(spark, sfDir), k)
+
+  /** The ladder over an arbitrary (doc_id, source, text) frame — split
+    * out so the suppression tail is testable on synthetic corpora. */
+  private[graft] def kAnonymizeOn(d: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2: $k")
+    val base = d.select(col("doc_id"), col("source"),
+      expr("length(text) DIV 50").as("fine"),
+      expr("length(text) DIV 200").as("coarse"))
+    val g0 = base.groupBy("source", "fine")
+      .agg(count(lit(1)).as("n0"))
+    val g1 = base.groupBy("source", "coarse")
+      .agg(count(lit(1)).as("n1"))
+    val g2 = base.groupBy("source").agg(count(lit(1)).as("n2"))
+    base
+      .join(broadcast(g0), Seq("source", "fine"))
+      .join(broadcast(g1), Seq("source", "coarse"))
+      .join(broadcast(g2), Seq("source"))
+      .withColumn("gen_level",
+        when(col("n0") >= k, 0L).when(col("n1") >= k, 1L)
+          .when(col("n2") >= k, 2L).otherwise(3L))
+      .select(col("doc_id"), col("gen_level"),
+        (col("gen_level") < 3).as("released"),
+        when(col("gen_level") < 3, col("source")).otherwise(lit("*"))
+          .as("qi_source"),
+        when(col("gen_level") === 0, concat(lit("f"), col("fine")))
+          .when(col("gen_level") === 1, concat(lit("c"), col("coarse")))
+          .otherwise(lit("*")).as("qi_bucket"))
       .orderBy("doc_id")
   }
 
