@@ -176,6 +176,7 @@ object SparkEntry {
     "txt_classifier_score"     -> TextOps.classifierScore _,
     "txt_classifier_trained"   -> TextOps.classifierScoreTrained _,
     "txt_classifier_pr"        -> ((s: SparkSession, d: String) => TextOps.classifierPr(s, d)),
+    "txt_readability"          -> TextOps.readability _,
     "pipe_k_anonymity"         -> ((s: SparkSession, d: String) => TextOps.kAnonymize(s, d)),
     "sim_bitext_mine"          -> SimilarityOps.bitextMine _,
     "txt_epoch_repeat"         -> TextOps.epochRepeat _,
@@ -2280,6 +2281,35 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + (p_total - tp) = 0 THEN CAST(0 AS BIGINT)
         |       ELSE 2 * tp * 10000 // (2 * tp + fp + (p_total - tp)) END AS f1_bp
         |FROM c, tot ORDER BY threshold_cell""".stripMargin,
+    // readability: same vowel-run syllable heuristic, same truncating
+    // milli-scaled Flesch arithmetic
+    "txt_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS n_words_i,
+        |    GREATEST(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      s -> length(trim(s)) > 0))) AS n_sent_i,
+    |    CAST(COALESCE(list_sum(list_transform(
+        |      list_filter(string_split(lower(text), ' '), x -> length(x) > 0),
+        |      w -> len(list_filter(string_split_regex(w, '[^aeiou]+'),
+        |        g -> length(g) > 0)))), 0) AS BIGINT) AS n_syll_i
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(n_words_i AS BIGINT) AS n_words,
+        |    CAST(n_sent_i AS BIGINT) AS n_sent,
+        |    CAST(n_syll_i AS BIGINT) AS n_syll,
+        |    CASE WHEN n_words_i = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE 206835 - (1015 * n_words_i) // n_sent_i
+        |                     - (84600 * n_syll_i) // n_words_i END AS flesch_milli
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sent, n_syll, flesch_milli,
+        |  CASE WHEN n_words = 0 THEN 'empty'
+        |       WHEN flesch_milli >= 70000 THEN 'easy'
+        |       WHEN flesch_milli >= 50000 THEN 'standard'
+        |       WHEN flesch_milli >= 30000 THEN 'difficult'
+        |       ELSE 'very_difficult' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
     // k-anonymity generalization ladder: same level group counts, same
     // generalized QI rendering
     "pipe_k_anonymity" ->

@@ -164,6 +164,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** INTEGER-EXACT READABILITY (Flesch 1948 reading ease, public):
+    * words per sentence and vowel-group "syllables" per word folded
+    * into the classic linear score, scaled to MILLI units with
+    * truncating division so both engines hash-gate bit-identically
+    * (the float spelling is fold-order-dependent). Syllables are
+    * approximated as maximal vowel runs per token (the standard cheap
+    * heuristic; a CMU-dict syllabifier swaps in row-locally without
+    * touching the plan). Readability joins length/stopword/TTR in the
+    * quality-gate family — the curation signal that separates
+    * natural prose from boilerplate and run-on template text.
+    *
+    * flesch_milli = 206835 − (1015·words) DIV sent
+    *                       − (84600·syll) DIV words — all positive
+    * integer operands, identical truncation both engines; empty docs
+    * pin to 0 explicitly (Spark NULL-on-DIV-0 vs DuckDB error).
+    *
+    * Scale shape: one row-local scan — the tokenize, the vowel-run
+    * splits, and the folds all run inside whole-stage codegen; zero
+    * shuffle at any corpus size. */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("long")
+    val nSent = greatest(lit(1L),
+      size(filter(split(col("text"), "[.!?]+"), s => length(trim(s)) > 0))
+        .cast("long"))
+    val nSyll = expr(
+      """aggregate(
+        |  transform(filter(split(lower(text), ' '), t -> length(t) > 0),
+        |    w -> CAST(size(filter(split(w, '[^aeiou]+'), g -> length(g) > 0)) AS BIGINT)),
+        |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+    docs(spark, sfDir)
+      .select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sent"),
+        nSyll.as("n_syll"))
+      .withColumn("flesch_milli", expr(
+        """CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+          | ELSE 206835 - (1015 * n_words) DIV n_sent
+          |             - (84600 * n_syll) DIV n_words END""".stripMargin))
+      .withColumn("band",
+        when(col("n_words") === 0, "empty")
+          .when(col("flesch_milli") >= 70000, "easy")
+          .when(col("flesch_milli") >= 50000, "standard")
+          .when(col("flesch_milli") >= 30000, "difficult")
+          .otherwise("very_difficult"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic: per-language stopword hit counts plus a CJK
     * codepoint count, argmax with a fixed tie-break order. (The synthetic
     * corpus shares one vocabulary across lang labels, so this scores the

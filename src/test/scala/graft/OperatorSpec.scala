@@ -1733,6 +1733,30 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("readability: vowel-run syllables and integer Flesch match the Scala model") {
+    val rows = TextOps.readability(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val sent = math.max(1, text.split("[.!?]+").count(_.trim.nonEmpty))
+      val syll = words.map(w => w.split("[^aeiou]+").count(_.nonEmpty).toLong).sum
+      assert(r.getAs[Long]("n_words") == words.length.toLong)
+      assert(r.getAs[Long]("n_sent") == sent.toLong)
+      assert(r.getAs[Long]("n_syll") == syll)
+      val f = if (words.isEmpty) 0L
+        else 206835L - 1015L * words.length / sent - 84600L * syll / words.length
+      assert(r.getAs[Long]("flesch_milli") == f)
+      val band = if (words.isEmpty) "empty"
+        else if (f >= 70000) "easy" else if (f >= 50000) "standard"
+        else if (f >= 30000) "difficult" else "very_difficult"
+      assert(r.getAs[String]("band") == band)
+    }
+  }
+
   test("PII redaction masks every injected email and phone") {
     val rows = TextOps.redactPii(spark, sf0001).collect()
     assert(rows.nonEmpty)

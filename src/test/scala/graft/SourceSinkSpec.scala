@@ -59,6 +59,31 @@ class SourceSinkSpec extends AnyFunSuite {
       s"text synthesized for a pruned scan: ${SynthDocsRegistry.lastReadColumns}")
   }
 
+  test("graftmetrics DSv2 sink: commit-message accounting, exact rows and schema-driven bytes") {
+    import spark.implicits._
+    import graft.sources.MetricsSinkRegistry
+    MetricsSinkRegistry.clear()
+    val df = Seq((1L, "ab"), (2L, "cdef"), (3L, null: String))
+      .toDF("id", "s").repartition(3)
+    df.write.format("graftmetrics").option("name", "probe")
+      .mode("append").save()
+    val t = MetricsSinkRegistry.lookup("probe").get
+    assert(t.rows == 3L && t.commits == 1L)
+    // bytes = 3 longs (8 each) + string utf8 bytes (2 + 4; null skipped)
+    assert(t.bytes == 3 * 8L + 2L + 4L, s"got $t")
+    assert(t.tasks >= 1L && t.tasks <= 3L)
+    // a second job onto the same name accumulates at COMMIT granularity
+    df.limit(1).write.format("graftmetrics").option("name", "probe")
+      .mode("append").save()
+    val t2 = MetricsSinkRegistry.lookup("probe").get
+    assert(t2.rows == 4L && t2.commits == 2L)
+    // independent sink names never share totals
+    df.write.format("graftmetrics").option("name", "other")
+      .mode("append").save()
+    assert(MetricsSinkRegistry.lookup("probe").get.rows == 4L)
+    assert(MetricsSinkRegistry.lookup("other").get.rows == 3L)
+  }
+
   test("Tables.spread is the identity when the scan already has >= cores splits") {
     // the split-starvation guard must never add an exchange at cluster
     // scale, where scans produce at least as many splits as cores. The
