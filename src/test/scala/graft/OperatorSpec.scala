@@ -2087,7 +2087,17 @@ class OperatorSpec extends AnyFunSuite {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = SimilarityOps.graphSearchTopK(spark, sf0001)
+      import spark.implicits._
+      // one hop over a synthetic edge table, exactly the loop's shape
+      // (graphSearchTopK checkpoints each hop, so the hop joins are not
+      // in the final frame's lineage — assert on the hop plan directly)
+      val e = Seq((1L, Seq(1.0, 0.0), 1.0), (2L, Seq(0.0, 1.0), 1.0))
+        .toDF("vec_id", "emb", "nrm")
+      val g = Seq((1L, 2L), (2L, 1L)).toDF("a_id", "b_id")
+      val qs = Seq((1L, Seq(1.0, 0.0), 1.0)).toDF("q_id", "q_emb", "q_nrm")
+      val beam = Seq((1L, 1L)).toDF("q_id", "vec_id")
+      val df = SimilarityOps.hopScored(g, e, qs, beam)
+      assert(df.collect().nonEmpty)
       val plan = df.queryExecution.executedPlan
       val bcasts = plan.collectWithSubqueries {
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
