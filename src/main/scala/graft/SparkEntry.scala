@@ -47,6 +47,8 @@ object SparkEntry {
     // planning, column pruning reaches the row builder
     "src_synth_pushdown"       -> ((s: SparkSession, _: String) =>
       graft.sources.SynthDocs.sliceSummary(s)),
+    "src_synth_agg_pushdown"   -> ((s: SparkSession, _: String) =>
+      graft.sources.SynthDocs.corpusSizing(s)),
     "rel_sql_lateral_topk"     -> RelationalOps.sqlLateralTopItems _,
     "rel_sql_hierarchy"        -> RelationalOps.sqlHierarchyRollup _,
     "rel_table_profile"        -> RelationalOps.tableProfile _,
@@ -158,6 +160,10 @@ object SparkEntry {
     "graph_triangles"          -> ((s: SparkSession, d: String) => GraphOps.triangleCounts(s, d)),
     "graph_clustering"         -> GraphOps.clusteringCoefficients _,
     "graph_label_prop"         -> ((s: SparkSession, d: String) => GraphOps.labelPropagation(s, d)),
+    "graph_anf"                -> ((s: SparkSession, d: String) => GraphOps.anf(s, d)),
+    "graph_hits"               -> ((s: SparkSession, d: String) => GraphOps.hits(s, d)),
+    "graph_link_predict"       -> ((s: SparkSession, d: String) => GraphOps.linkPrediction(s, d)),
+    "graph_kcore"              -> ((s: SparkSession, d: String) => GraphOps.kcorePeel(s, d)),
     // --- text analysis (LLM-pipeline EXT) ---
     "txt_token_stats"          -> TextOps.tokenStats _,
     "txt_quality"              -> TextOps.qualityScore _,
@@ -177,6 +183,7 @@ object SparkEntry {
     "txt_classifier_trained"   -> TextOps.classifierScoreTrained _,
     "txt_classifier_pr"        -> ((s: SparkSession, d: String) => TextOps.classifierPr(s, d)),
     "txt_readability"          -> TextOps.readability _,
+    "txt_gopher_rules"         -> TextOps.gopherRules _,
     "pipe_k_anonymity"         -> ((s: SparkSession, d: String) => TextOps.kAnonymize(s, d)),
     "sim_bitext_mine"          -> SimilarityOps.bitextMine _,
     "txt_epoch_repeat"         -> TextOps.epochRepeat _,
@@ -192,8 +199,10 @@ object SparkEntry {
     "txt_bpe_merges"           -> ((s: SparkSession, d: String) => TextOps.bpeMerges(s, d)),
     "txt_cdc_chunks"           -> TextOps.cdcChunks _,
     "txt_bpe_encode"           -> TextOps.bpeEncode _,
+    "txt_bpe_fertility"        -> TextOps.bpeFertility _,
     "txt_zipf_fit"             -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
+    "txt_kneser_ney"           -> ((s: SparkSession, d: String) => TextOps.kneserNeyBigrams(s, d)),
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
     "txt_dsir_weights"         -> ((s: SparkSession, d: String) => TextOps.dsirWeights(s, d)),
     "txt_oov_rate"             -> ((s: SparkSession, d: String) => TextOps.oovRate(s, d)),
@@ -203,8 +212,12 @@ object SparkEntry {
     "pipe_pack_sequences"      -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "pipe_rag_context"         -> ((s: SparkSession, d: String) => TextOps.ragContext(s, d)),
     "pipe_dataset_card"        -> TextOps.datasetCard _,
+    "pipe_corpus_diff"         -> TextOps.corpusDiff _,
+    "pipe_shuffle_order"       -> ((s: SparkSession, d: String) => TextOps.shuffleOrder(s, d)),
+    "txt_heavy_hitters"        -> ((s: SparkSession, d: String) => TextOps.heavyHitters(s, d)),
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
+    "dd_url_canonical"         -> DedupOps.urlCanonicalDups _,
     "dd_ngram_jaccard"         -> DedupOps.ngramJaccardPairs _,
     "dd_containment"           -> DedupOps.containmentPairs _,
     "dd_minhash_oph"           -> ((s: SparkSession, d: String) => DedupOps.minhashOph(s, d)),
@@ -236,9 +249,10 @@ object SparkEntry {
     "dd_semantic"              -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
     "sim_quantize_int8"        -> SimilarityOps.quantizeInt8 _,
     "sim_kmeans_step"          -> ((s: SparkSession, d: String) => SimilarityOps.kmeansStep(s, d)),
+    "sim_silhouette"           -> ((s: SparkSession, d: String) => SimilarityOps.silhouette(s, d)),
     "sim_int8_topk"            -> SimilarityOps.int8TopK _,
     "sim_binary_hamming"       -> SimilarityOps.binaryHammingTopK _,
-    "sim_knn_graph"            -> ((s: SparkSession, d: String) => SimilarityOps.knnGraph(s, d)),
+    "sim_knn_graph"            -> ((s: SparkSession, d: String) => SimilarityOps.knnGraphIndex(s, d)),
     "sim_sparse_topk"          -> ((s: SparkSession, d: String) => TextOps.sparseRelatedDocs(s, d)),
     "sim_pq_codes"             -> SimilarityOps.pqCodes _,
     "sim_rq_codes"             -> SimilarityOps.rqCodes _,
@@ -1097,6 +1111,12 @@ object SparkEntry {
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM g WHERE doc_id >= 1200 AND doc_id < 3800
         |GROUP BY source ORDER BY source""".stripMargin,
+    // synthdocs aggregate pushdown: COUNT/MIN/MAX answered from range
+    // arithmetic in the source; the oracle regenerates from range()
+    "src_synth_agg_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(i) AS BIGINT) AS min_id, CAST(MAX(i) AS BIGINT) AS max_id
+        |FROM range(0, 200000) t(i)""".stripMargin,
     // unknown-dominated null-safe merge: the skewed-join driver (AQE
     // OptimizeSkewedJoin splits the hot NULL partition at runtime;
     // results are plan-independent, which is what this row checks)
@@ -2038,6 +2058,132 @@ object SparkEntry {
         |      FROM und JOIN r2 l ON l.node = und.u GROUP BY und.v, l.lbl) z
         |    WHERE rn = 1) a ON a.node = l.node)
         |SELECT node, lbl FROM r3 ORDER BY node""".stripMargin,
+    // ANF neighbourhood function: the bottom-k sketches are EXACT below
+    // capacity (max 2-hop closed neighbourhood is 26 < k=64 at test
+    // SFs), so the oracle counts exact pairs via the reflexive-closure
+    // join; avg is floored integer milli-units
+    "graph_anf" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM d CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 3) % n FROM d CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 3 + 5) % n FROM d CROSS JOIN nn
+        |  WHERE doc_id % 2 = 0),
+        |und AS (SELECT src AS v, dst AS u FROM e
+        |        UNION SELECT dst, src FROM e
+        |        UNION SELECT doc_id, doc_id FROM d),
+        |h1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nf_pairs FROM und),
+        |h2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nf_pairs FROM (
+        |  SELECT DISTINCT a.v, b.u FROM und a JOIN und b ON a.u = b.v)),
+        |r AS (
+        |  SELECT CAST(1 AS BIGINT) AS radius, nf_pairs FROM h1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), nf_pairs FROM h2)
+        |SELECT radius, nf_pairs,
+        |  CAST(nf_pairs * 1000 // (SELECT n FROM nn) AS BIGINT) AS avg_size_milli
+        |FROM r ORDER BY radius""".stripMargin,
+    // HITS unrolled 2 rounds: unnormalized power steps over exact
+    // integers (normalization is a rank-preserving global scalar both
+    // engines skip), multi-edges contribute per copy
+    "graph_hits" ->
+      """WITH nodes AS (SELECT doc_id AS node FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 3) % n FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 3 + 5) % n FROM documents CROSS JOIN nn
+        |  WHERE doc_id % 2 = 0),
+        |h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes),
+        |a1 AS (SELECT n1.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS auth
+        |       FROM nodes n1 LEFT JOIN (
+        |         SELECT e.dst, SUM(h.hub) AS s FROM e JOIN h0 h ON h.node = e.src
+        |         GROUP BY e.dst) s ON s.dst = n1.node),
+        |h1 AS (SELECT n1.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS hub
+        |       FROM nodes n1 LEFT JOIN (
+        |         SELECT e.src, SUM(a.auth) AS s FROM e JOIN a1 a ON a.node = e.dst
+        |         GROUP BY e.src) s ON s.src = n1.node),
+        |a2 AS (SELECT n1.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS auth
+        |       FROM nodes n1 LEFT JOIN (
+        |         SELECT e.dst, SUM(h.hub) AS s FROM e JOIN h1 h ON h.node = e.src
+        |         GROUP BY e.dst) s ON s.dst = n1.node),
+        |h2 AS (SELECT n1.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS hub
+        |       FROM nodes n1 LEFT JOIN (
+        |         SELECT e.src, SUM(a.auth) AS s FROM e JOIN a2 a ON a.node = e.dst
+        |         GROUP BY e.src) s ON s.src = n1.node)
+        |SELECT a2.node AS node, a2.auth AS auth, h2.hub AS hub
+        |FROM a2 JOIN h2 ON a2.node = h2.node
+        |ORDER BY 2 DESC, 3 DESC, 1 LIMIT 20""".stripMargin,
+    // wedge join on the shared-neighbor center over the triangle graph;
+    // the deg<=64 center cap mirrors the Spark hub-cap (a no-op here —
+    // max degree is 3 — but part of the operator's contract)
+    "graph_link_predict" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |n AS (SELECT COUNT(*) AS c FROM d),
+        |und AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM d, n
+        |  WHERE doc_id % 4 < 3 AND doc_id + 1 < c
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 FROM d, n
+        |  WHERE doc_id % 4 < 2 AND doc_id + 2 < c),
+        |adj AS (SELECT a AS node, b AS nbr FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT node, COUNT(*) AS dg FROM adj GROUP BY node),
+        |ctr AS (SELECT adj.nbr AS c0, adj.node AS x
+        |        FROM adj JOIN deg ON deg.node = adj.nbr WHERE deg.dg <= 64),
+        |cand AS (
+        |  SELECT c1.x AS x, c2.x AS y, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM ctr c1 JOIN ctr c2 ON c1.c0 = c2.c0 AND c1.x < c2.x
+        |  GROUP BY 1, 2),
+        |nc AS (SELECT cand.x, cand.y, cand.cn FROM cand
+        |       WHERE NOT EXISTS (SELECT 1 FROM und
+        |                         WHERE und.a = cand.x AND und.b = cand.y))
+        |SELECT nc.x AS a, nc.y AS b, nc.cn AS cn,
+        |  CAST(nc.cn * 10000 // (dx.dg + dy.dg - nc.cn) AS BIGINT) AS jaccard_bp,
+        |  CAST(dx.dg * dy.dg AS BIGINT) AS pref_attach
+        |FROM nc JOIN deg dx ON dx.node = nc.x JOIN deg dy ON dy.node = nc.y
+        |ORDER BY cn DESC, jaccard_bp DESC, a, b LIMIT 20""".stripMargin,
+    // 3 unrolled peel rounds at k = 3 over the symmetrized, self-loop-
+    // free rank graph: survivors = degree >= 3, then both-endpoint edge
+    // filter; n_edges halves the directed count
+    "graph_kcore" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM d CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 3) % n FROM d CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 3 + 5) % n FROM d CROSS JOIN nn
+        |  WHERE doc_id % 2 = 0),
+        |und AS (SELECT src AS v, dst AS u FROM e0 WHERE src <> dst
+        |        UNION SELECT dst, src FROM e0 WHERE src <> dst),
+        |s1 AS (SELECT v FROM und GROUP BY v HAVING COUNT(*) >= 3),
+        |l1 AS (SELECT und.v, und.u FROM und
+        |       WHERE und.v IN (SELECT v FROM s1) AND und.u IN (SELECT v FROM s1)),
+        |s2 AS (SELECT v FROM l1 GROUP BY v HAVING COUNT(*) >= 3),
+        |l2 AS (SELECT l1.v, l1.u FROM l1
+        |       WHERE l1.v IN (SELECT v FROM s2) AND l1.u IN (SELECT v FROM s2)),
+        |s3 AS (SELECT v FROM l2 GROUP BY v HAVING COUNT(*) >= 3),
+        |l3 AS (SELECT l2.v, l2.u FROM l2
+        |       WHERE l2.v IN (SELECT v FROM s3) AND l2.u IN (SELECT v FROM s3)),
+        |c AS (SELECT
+        |  (SELECT n FROM nn) AS n0,
+        |  (SELECT COUNT(*) FROM s1) AS a1, (SELECT COUNT(*) FROM l1) AS e1,
+        |  (SELECT COUNT(*) FROM s2) AS a2, (SELECT COUNT(*) FROM l2) AS e2,
+        |  (SELECT COUNT(*) FROM s3) AS a3, (SELECT COUNT(*) FROM l3) AS e3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, CAST(n0 - a1 AS BIGINT) AS n_removed,
+        |    CAST(a1 AS BIGINT) AS n_alive, CAST(e1 // 2 AS BIGINT) AS n_edges FROM c
+        |  UNION ALL
+        |  SELECT 2, a1 - a2, a2, e2 // 2 FROM c
+        |  UNION ALL
+        |  SELECT 3, a2 - a3, a3, e3 // 2 FROM c)
+        |ORDER BY round""".stripMargin,
     // basis points (degree-1 nodes emit 0)
     "graph_clustering" ->
       """WITH d AS (SELECT doc_id FROM documents),
@@ -2283,6 +2429,39 @@ object SparkEntry {
         |FROM c, tot ORDER BY threshold_cell""".stripMargin,
     // readability: same vowel-run syllable heuristic, same truncating
     // milli-scaled Flesch arithmetic
+    // Gopher/MassiveText rule gate: five integer/milli rules, per-source
+    // pass + per-rule failure counts; mode count via a row-local fold
+    // (list_sum is FLOAT-typed in DuckDB — cast inside the CTE)
+    "txt_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, CAST(len(ws) AS BIGINT) AS n,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
+        |    CAST(len(list_filter(list_distinct(ws),
+        |      x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS nstop,
+        |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS wc,
+        |    CAST(list_max(list_transform(list_distinct(ws),
+        |      d -> len(list_filter(ws, x -> x = d)))) AS BIGINT) AS mf
+        |  FROM w WHERE len(ws) > 0),
+        |r AS (
+        |  SELECT source,
+        |    (n >= 30 AND n <= 1000) AS r1,
+        |    (wc * 1000 // n >= 3000 AND wc * 1000 // n <= 10000) AS r2,
+        |    (nstop >= 2) AS r3,
+        |    (nd * 1000 // n >= 200) AS r4,
+        |    (mf * 1000 // n <= 200) AS r5
+        |  FROM m)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CASE WHEN r1 THEN 0 ELSE 1 END) AS BIGINT) AS fail_wordcount,
+        |  CAST(SUM(CASE WHEN r2 THEN 0 ELSE 1 END) AS BIGINT) AS fail_meanlen,
+        |  CAST(SUM(CASE WHEN r3 THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopwords,
+        |  CAST(SUM(CASE WHEN r4 THEN 0 ELSE 1 END) AS BIGINT) AS fail_ttr,
+        |  CAST(SUM(CASE WHEN r5 THEN 0 ELSE 1 END) AS BIGINT) AS fail_dominance
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "txt_readability" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2610,6 +2789,37 @@ object SparkEntry {
     // overlapping token windows: chunk=64 advancing by stride=48;
     // DuckDB list_slice is 1-based inclusive-end (== Spark slice start/
     // length); chunk content compared via the shared polynomial hash
+    // exact ground truth for the sketch-then-recount pipeline: the MG
+    // candidate pass provably covers everything >= N/(cap+1) < 2%, and
+    // the engine's final filter runs on exact recounts, so the composed
+    // answer equals this direct exact query
+    "txt_heavy_hitters" ->
+      """WITH terms AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS total FROM terms),
+        |tc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |       FROM terms GROUP BY word)
+        |SELECT word, n_occ,
+        |  CAST(n_occ * 10000 // total AS BIGINT) AS freq_bp
+        |FROM tc, n WHERE n_occ * 1000 >= total * 20
+        |ORDER BY n_occ DESC, word""".stripMargin,
+    // deterministic seeded shuffle: global rank of md5('epoch1:' || id),
+    // shards of 64 in rank order; the window here is the oracle's
+    // single-node luxury — the engine ranks via TwoLevelRank
+    "pipe_shuffle_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    md5(concat('epoch1:', CAST(doc_id AS VARCHAR))) AS h
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY h, doc_id) AS rnk FROM d)
+        |SELECT CAST((rnk - 1) // 64 AS BIGINT) AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  MIN(h) AS first_hash
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // dataset card: per-(source, lang) release profile; quality rides as
     // a floored micro-unit integer sum (order-free), share in exact bp
     "pipe_dataset_card" ->
@@ -2636,6 +2846,25 @@ object SparkEntry {
         |SELECT source, lang, n_docs, total_tokens, min_tokens, max_tokens,
         |  quality_musum, CAST(10000 * n_docs // n_all AS BIGINT) AS share_bp
         |FROM g, t ORDER BY source, lang""".stripMargin,
+    // corpus snapshot diff: deterministic v1/v2 snapshots (disjoint drop
+    // /revise residues), full-outer join on doc_id, md5 class collapse
+    "pipe_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id AS id1, source AS src1, md5(text) AS h1
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |v2 AS (
+        |  SELECT doc_id AS id2, source AS src2,
+        |    md5(CASE WHEN doc_id % 11 = 7 THEN text || ' rev2' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT COALESCE(src1, src2) AS source,
+        |  CASE WHEN id1 IS NULL THEN 'added'
+        |       WHEN id2 IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(COALESCE(id1, id2)) AS first_doc
+        |FROM v1 FULL JOIN v2 ON id1 = id2
+        |GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
     // RAG context assembly: chunk -> per-chunk BM25 (same floored
     // integer expression tree as art_search_bm25, over chunk stats) ->
     // top-32 candidates -> prefix-pack under the 256-token budget
@@ -2931,6 +3160,78 @@ object SparkEntry {
         |  CAST(SUM(len(v4.syms)) AS BIGINT) AS n_tokens
         |FROM docw w JOIN v4 ON v4.word = w.word
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-source tokenizer fertility: the SAME unrolled 3-merge BPE
+    // training chain as txt_bpe_encode, rolled up to milli-scaled
+    // tokens-per-kiloword / chars-per-kilotoken by source
+    "txt_bpe_fertility" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+        |v1 AS (SELECT word, list_transform(range(1, length(word) + 1),
+        |         i -> substr(word, CAST(i AS INT), 1)) AS syms, cnt FROM wc),
+        |x1 AS (SELECT unnest(range(1, len(syms))) AS i, syms, cnt
+        |       FROM v1 WHERE len(syms) >= 2),
+        |c1 AS (SELECT syms[CAST(i AS INT)] AS p1, syms[CAST(i + 1 AS INT)] AS p2,
+        |         CAST(SUM(cnt) AS BIGINT) AS freq
+        |       FROM x1 GROUP BY 1, 2),
+        |b1 AS (SELECT p1, p2, freq FROM c1 ORDER BY freq DESC, p1, p2 LIMIT 1),
+        |f1 AS (
+        |  SELECT word, syms AS old, cnt, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM v1
+        |  UNION ALL
+        |  SELECT word, old, cnt, i + 1,
+        |    CASE WHEN len(acc) > 0 AND acc[len(acc)] = (SELECT p1 FROM b1)
+        |              AND old[i + 1] = (SELECT p2 FROM b1)
+        |         THEN list_append(acc[1:len(acc) - 1], (SELECT p1 || p2 FROM b1))
+        |         ELSE list_append(acc, old[i + 1]) END
+        |  FROM f1 WHERE i < len(old)),
+        |v2 AS (SELECT word, acc AS syms, cnt FROM f1 WHERE i = len(old)),
+        |x2 AS (SELECT unnest(range(1, len(syms))) AS i, syms, cnt
+        |       FROM v2 WHERE len(syms) >= 2),
+        |c2 AS (SELECT syms[CAST(i AS INT)] AS p1, syms[CAST(i + 1 AS INT)] AS p2,
+        |         CAST(SUM(cnt) AS BIGINT) AS freq
+        |       FROM x2 GROUP BY 1, 2),
+        |b2 AS (SELECT p1, p2, freq FROM c2 ORDER BY freq DESC, p1, p2 LIMIT 1),
+        |f2 AS (
+        |  SELECT word, syms AS old, cnt, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM v2
+        |  UNION ALL
+        |  SELECT word, old, cnt, i + 1,
+        |    CASE WHEN len(acc) > 0 AND acc[len(acc)] = (SELECT p1 FROM b2)
+        |              AND old[i + 1] = (SELECT p2 FROM b2)
+        |         THEN list_append(acc[1:len(acc) - 1], (SELECT p1 || p2 FROM b2))
+        |         ELSE list_append(acc, old[i + 1]) END
+        |  FROM f2 WHERE i < len(old)),
+        |v3 AS (SELECT word, acc AS syms, cnt FROM f2 WHERE i = len(old)),
+        |x3 AS (SELECT unnest(range(1, len(syms))) AS i, syms, cnt
+        |       FROM v3 WHERE len(syms) >= 2),
+        |c3 AS (SELECT syms[CAST(i AS INT)] AS p1, syms[CAST(i + 1 AS INT)] AS p2,
+        |         CAST(SUM(cnt) AS BIGINT) AS freq
+        |       FROM x3 GROUP BY 1, 2),
+        |b3 AS (SELECT p1, p2, freq FROM c3 ORDER BY freq DESC, p1, p2 LIMIT 1),
+        |f3 AS (
+        |  SELECT word, syms AS old, cnt, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM v3
+        |  UNION ALL
+        |  SELECT word, old, cnt, i + 1,
+        |    CASE WHEN len(acc) > 0 AND acc[len(acc)] = (SELECT p1 FROM b3)
+        |              AND old[i + 1] = (SELECT p2 FROM b3)
+        |         THEN list_append(acc[1:len(acc) - 1], (SELECT p1 || p2 FROM b3))
+        |         ELSE list_append(acc, old[i + 1]) END
+        |  FROM f3 WHERE i < len(old)),
+        |v4 AS (SELECT word, acc AS syms, cnt FROM f3 WHERE i = len(old)),
+        |docw AS (
+        |  SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(length(w.word)) AS BIGINT) AS n_chars,
+        |    CAST(SUM(len(v4.syms)) AS BIGINT) AS n_tokens
+        |  FROM docw w JOIN v4 ON v4.word = w.word GROUP BY source)
+        |SELECT source, n_words, n_tokens,
+        |  CAST(n_tokens * 1000 // n_words AS BIGINT) AS tokens_per_kword,
+        |  CAST(n_chars * 1000 // n_tokens AS BIGINT) AS chars_per_ktoken
+        |FROM agg ORDER BY source""".stripMargin,
     // content-defined chunking: boundaries where the 8-char rolling
     // poly-hash hits 0 mod 64 — same fold as the engine's native
     // poly_hash, recomputed per window
@@ -3047,6 +3348,27 @@ object SparkEntry {
         |cont AS (SELECT w2, COUNT(*) AS cont_w2 FROM bgc GROUP BY w2)
         |SELECT w1, w2, cnt, cont_w2 FROM bgc JOIN cont USING (w2)
         |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
+    // interpolated Kneser-Ney: the probability is the IDENTICAL IEEE
+    // expression tree both engines (each op correctly rounded), all
+    // factors exact integers off the one bigram table
+    "txt_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)),
+        |bgc AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2),
+        |lm AS (SELECT w1, SUM(cnt) AS ca, COUNT(*) AS n1p_left FROM bgc GROUP BY w1),
+        |rm AS (SELECT w2, COUNT(*) AS n1p_right FROM bgc GROUP BY w2),
+        |tot AS (SELECT COUNT(*) AS nb FROM bgc)
+        |SELECT w1, w2, cnt,
+        |  (CAST(cnt AS DOUBLE) - 0.75) / CAST(ca AS DOUBLE) +
+        |    0.75 * CAST(n1p_left AS DOUBLE) / CAST(ca AS DOUBLE) *
+        |      (CAST(n1p_right AS DOUBLE) / CAST(nb AS DOUBLE)) AS pkn
+        |FROM bgc JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+        |ORDER BY pkn DESC, w1, w2 LIMIT 20""".stripMargin,
     // collocations: lift = cnt*N/(ca*cb) as the IDENTICAL IEEE double
     // expression both engines — monotone in PMI, so the ranking is PMI's
     "txt_collocations" ->
@@ -3362,6 +3684,40 @@ object SparkEntry {
         |SELECT md5(text) AS text_md5, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies,
         |  array_to_string(list_sort(list(doc_id)), ',') AS ids
         |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY rep_id""".stripMargin,
+    // URL canonicalization dedup: the same regex/list normalization
+    // pipeline rendered in DuckDB (lowercase authority, default-port /
+    // fragment / tracking-param strip, param sort, trailing slash)
+    "dd_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTPS://WWW.EXAMPLE.COM:443/p' || (doc_id // 4) || '/#sec'
+        |      WHEN 1 THEN 'https://www.example.com/p' || (doc_id // 4) || '/?utm_campaign=x&utm_source=y'
+        |      WHEN 2 THEN 'https://www.example.com/p' || (doc_id // 4) || '?b=2&a=1'
+        |      ELSE 'https://www.example.com/p' || (doc_id // 4) || '/?a=1&gclid=zz&b=2'
+        |    END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        lower(regexp_extract(url, '^([^/]*//[^/]*)', 1)) ||
+        |          substr(url, length(regexp_extract(url, '^([^/]*//[^/]*)', 1)) + 1),
+        |        '#.*$', ''),
+        |      '^(https?://[^/:]*)(:443|:80)(/|$)', '\1\3') AS np
+        |  FROM u),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_extract(np, '^([^?]*)', 1), '/$', '') AS base,
+        |    COALESCE(array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(np, '\?(.*)$', 1), '&'),
+        |      x -> length(x) > 0 AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)='))), '&'), '') AS params
+        |  FROM c)
+        |SELECT CASE WHEN params = '' THEN base ELSE base || '?' || params END AS canonical_url,
+        |  CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_spellings,
+        |  MIN(doc_id) AS rep_id
+        |FROM p GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY canonical_url""".stripMargin,
     "dd_ngram_jaccard" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -4771,6 +5127,58 @@ object SparkEntry {
         |  CAST(SUM(u.qc) AS DOUBLE) / COUNT(*) AS qmean
         |FROM qq GROUP BY cent_id, u.dim
         |ORDER BY cent_id, dim""".stripMargin,
+    // centroid-based silhouette on int8 codes vs milli-scaled integer
+    // centroids: same assignment CTEs as sim_kmeans_step, every distance
+    // an exact BIGINT, signed s_milli truncates toward zero in BOTH
+    // engines (DuckDB // and Spark DIV agree on negatives)
+    "sim_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+        |      FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id LIMIT 16),
+        |a0 AS (
+        |  SELECT n.vec_id, n.emb, c.cent_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * cemb[i])), (x, y) -> x + y) / (nrm * cnrm) AS cscore
+        |  FROM n CROSS JOIN c),
+        |ar AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cscore DESC, cent_id) AS arn FROM a0),
+        |a AS (SELECT vec_id, emb, cent_id FROM ar WHERE arn = 1),
+        |qv AS (SELECT vec_id, cent_id, emb,
+        |  list_max(list_transform(emb, x -> abs(x))) AS scale FROM a),
+        |q AS (SELECT vec_id, cent_id,
+        |  list_transform(emb,
+        |    x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS q
+        |  FROM qv WHERE scale > 0),
+        |qq AS (
+        |  SELECT cent_id, unnest(list_transform(range(0, len(q)),
+        |    i -> {'dim': i, 'qc': q[i+1]})) AS u
+        |  FROM q),
+        |cd AS (SELECT cent_id, u.dim AS dim,
+        |    CAST(SUM(u.qc) * 1000 // COUNT(*) AS BIGINT) AS cmilli
+        |  FROM qq GROUP BY 1, 2),
+        |cml AS (SELECT cent_id AS c_id, list(cmilli ORDER BY dim) AS cm
+        |        FROM cd GROUP BY 1),
+        |sc AS (
+        |  SELECT q.vec_id, q.cent_id, cml.c_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(q.q)+1),
+        |        i -> (q.q[i]*1000 - cml.cm[i]) * (q.q[i]*1000 - cml.cm[i]))),
+        |      (x, y) -> x + y) AS d2
+        |  FROM q CROSS JOIN cml),
+        |ab AS (SELECT vec_id, cent_id,
+        |    MIN(CASE WHEN c_id = cent_id THEN d2 END) AS a,
+        |    MIN(CASE WHEN c_id <> cent_id THEN d2 END) AS b
+        |  FROM sc GROUP BY 1, 2),
+        |s AS (SELECT vec_id, cent_id, a, b,
+        |  (b - a) * 1000 // greatest(a, b, 1) AS s_milli FROM ab)
+        |SELECT cent_id, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN b > a THEN 1 ELSE 0 END) AS BIGINT) AS n_well,
+        |  CAST(SUM(s_milli) // COUNT(*) AS BIGINT) AS mean_sil_milli
+        |FROM s GROUP BY cent_id ORDER BY cent_id""".stripMargin,
     // int8 MIPS serving: exact integer dot of the quantized vectors,
     // dequantized by both scale factors in the same expression order
     "sim_int8_topk" ->

@@ -88,6 +88,66 @@ object DedupOps {
       .filter(col("n_copies") > 1)
       .orderBy("rep_id")
 
+  /** Canonicalize a URL for identity comparison — the WARC/CDX-style
+    * URL-key normalization every crawl-scale dedup runs BEFORE any
+    * content hashing (a fetch-level tier: two spellings of one address
+    * are duplicates without reading a byte of body): lowercase the
+    * scheme+authority, drop the default port (:80/:443), drop the
+    * fragment, strip tracking parameters (utm_*, gclid, fbclid), sort
+    * the surviving query parameters, and strip the trailing slash.
+    * Entirely row-local string work — composes with [[exactDups]] as
+    * the zero-content first dedup tier. The same regex/list pipeline
+    * renders into the DuckDB oracle. */
+  def canonicalUrl(u: Column): Column = {
+    val head = regexp_extract(u, "^([^/]*//[^/]*)", 1)
+    // lowercase ONLY scheme+authority — the path is case-significant
+    val cased = concat(lower(head), u.substr(length(head) + 1, length(u)))
+    val noFrag = regexp_replace(cased, "#.*$", "")
+    val noPort = regexp_replace(noFrag,
+      "^(https?://[^/:]*)(:443|:80)(/|$)", "$1$3")
+    val base0 = regexp_extract(noPort, "^([^?]*)", 1)
+    val base = regexp_replace(base0, "/$", "")
+    val qs = regexp_extract(noPort, "\\?(.*)$", 1)
+    val params = array_join(array_sort(filter(split(qs, "&"),
+      p => length(p) > 0 && !p.rlike("^(utm_[^=]*|gclid|fbclid)="))), "&")
+    when(params === "", base).otherwise(concat(base, lit("?"), params))
+  }
+
+  /** URL dedup by canonical form over a deterministic dirty-URL corpus:
+    * each document gets one of four spellings of its group's address
+    * (uppercased host + default port + fragment / tracking params /
+    * unsorted params / tracking mixed into real params — doc_id % 4
+    * picks the variant, doc_id DIV 4 the address group, so every group
+    * collapses to two canonical targets with two spellings each), and
+    * the report is the canonical groups that actually deduplicate.
+    *
+    * Scale shape: canonicalization is row-local; the group collapse is
+    * ONE hash-shuffle on the canonical string (at crawl scale: the
+    * SURT-keyed shuffle a CDX index build pays anyway) — the cheapest
+    * tier of the dedup cascade, run before any content moves. */
+  def urlCanonicalDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"), floor(col("doc_id") / lit(4)).as("g"),
+        (col("doc_id") % 4).as("v"))
+    val url = when(col("v") === 0,
+        concat(lit("HTTPS://WWW.EXAMPLE.COM:443/p"), col("g"), lit("/#sec")))
+      .when(col("v") === 1,
+        concat(lit("https://www.example.com/p"), col("g"),
+          lit("/?utm_campaign=x&utm_source=y")))
+      .when(col("v") === 2,
+        concat(lit("https://www.example.com/p"), col("g"), lit("?b=2&a=1")))
+      .otherwise(
+        concat(lit("https://www.example.com/p"), col("g"),
+          lit("/?a=1&gclid=zz&b=2")))
+    d.withColumn("url", url)
+      .groupBy(canonicalUrl(col("url")).as("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("url")).as("n_spellings"),
+        min(col("doc_id")).as("rep_id"))
+      .filter(col("n_variants") > 1)
+      .orderBy("canonical_url")
+  }
+
   /** Distinct hashed word-trigram shingle set per row of `df`.
     *
     * Shingle identity is the combined hash of the three WORD hashes

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -307,5 +307,266 @@ object GraphOps {
         .localCheckpoint() // cap lineage per round, as in the CC loop
     }
     labels.orderBy("node")
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999, public — the
+    * link-analysis dual of PageRank a crawl-quality pipeline runs next
+    * to it: a good HUB links to many good authorities, a good AUTHORITY
+    * is linked from many good hubs) in EXACT INTEGER arithmetic: both
+    * scores start at 1 and each round is the plain unnormalized power
+    * step `auth(v) = Σ_{(u,v)} hub(u)` then `hub(u) = Σ_{(u,v)} auth(v)`
+    * — every value a sum of integer products, so distributed partial
+    * sums are order-free and the DuckDB oracle (same rounds unrolled)
+    * hash-matches bitwise. Normalization is a per-round global scalar
+    * divide that never changes the RANKING — dropping it is what makes
+    * the scores exact; with max degree d the values grow ≤ d^(2·iters),
+    * far inside BIGINT at any realistic degree/round count (the
+    * spec pins the overflow margin). Multi-edges contribute per copy on
+    * both engines, same as [[pageRankOf]].
+    *
+    * Scale shape: the edge table is checkpointed ONCE, pre-partitioned
+    * on src (the window exchange doubles as layout, as in pageRank);
+    * each half-round is one equi-join of edges with the narrow
+    * (node, score) state plus one map-side-combined sum; state is
+    * checkpointed per round to cap lineage. The final report is a
+    * bounded TakeOrdered top-k — no global sort. */
+  def hits(spark: SparkSession, sfDir: String, iters: Int = 2,
+           topN: Int = 20): DataFrame =
+    hitsOn(
+      Tables.documents(spark, sfDir).select(col("doc_id").as("node")),
+      rankEdges(spark, sfDir), iters, topN)
+
+  /** The HITS loop over an arbitrary node set and directed edge list —
+    * split out so the spec can hand-check a known hub/authority graph. */
+  private[graft] def hitsOn(nodesDf: DataFrame, edgesDf: DataFrame,
+                            iters: Int, topN: Int): DataFrame = {
+    val nodes = nodesDf.select(col("node"))
+      .repartition(col("node")).localCheckpoint()
+    val e = edgesDf.select("src", "dst")
+      .repartition(col("src")).localCheckpoint()
+    var hub = nodes.select(col("node"), lit(1L).as("hub"))
+    var auth = nodes.select(col("node"), lit(1L).as("auth"))
+    for (_ <- 1 to iters) {
+      auth = nodes
+        .join(e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("s")),
+          col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("auth"))
+        .localCheckpoint()
+      hub = nodes
+        .join(e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src")).agg(sum(col("auth")).as("s")),
+          col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("hub"))
+        .localCheckpoint()
+    }
+    auth.join(hub, "node")
+      .orderBy(col("auth").desc, col("hub").desc, col("node"))
+      .limit(topN)
+      .select(col("node"), col("auth"), col("hub"))
+  }
+
+  /** Approximate Neighbourhood Function via per-node bottom-k sketches
+    * (ANF — Palmer, Gibbons & Faloutsos, KDD 2002; the HyperANF of
+    * Boldi & Vigna WWW 2011 is the HLL-register variant of the same
+    * loop; both public): N(r) = how many (source, target) pairs lie
+    * within distance ≤ r — THE statistic behind effective-diameter and
+    * reachability profiling of a web/link graph, exact computation of
+    * which is an all-pairs BFS nobody can afford. Instead every node
+    * keeps a bottom-k sketch of the hashed ids it can reach; one round
+    * of merging each node's sketch with its neighbours' extends the
+    * radius by one, and |union| is read off each sketch — k longs per
+    * node per round, independent of graph size.
+    *
+    * Exactness contract (the evt_kmv_* discipline): below capacity k
+    * the bottom-k set IS the exact distinct reachable set, and this
+    * graph's ≤2-hop closed neighbourhoods max out at 26 ≪ k = 64 at
+    * both test SFs, so the DuckDB oracle counts exact pairs through the
+    * reflexive-closure join and the hash gate is bitwise. At 100 TB
+    * neighbourhoods blow past k and the SAME loop degrades to the
+    * (k−1)/h_k estimator (spec-pinned on a dense synthetic graph); the
+    * hash (id·2654435761 mod 1000000007 — a BIJECTION below the prime,
+    * injectivity is what makes the exact regime exact) is the
+    * uniformizer the estimator needs.
+    *
+    * Scale shape: state is (node, k longs); each round is ONE equi-join
+    * of the symmetrized edge list with the state plus ONE
+    * map-side-combinable agg (array union-sort-truncate), lineage cut
+    * per round — the iterate-with-checkpoint shape of [[pageRank]] /
+    * [[frontierBfs]]. The per-round report rows are 1-row aggs. */
+  def anf(spark: SparkSession, sfDir: String, rounds: Int = 2,
+          k: Int = 64): DataFrame = {
+    val e = rankEdges(spark, sfDir)
+    val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("node"))
+    anfOn(nodes, e, rounds, k)
+  }
+
+  /** KMV cardinality readout of one bottom-k sketch (sorted ascending):
+    * EXACT size below capacity; at capacity the classic (k−1)/h_k
+    * estimate with the hash normalized to (0,1) by the modulus —
+    * floored to a long so the distributed sum stays order-free exact
+    * integers (the repo's no-float-folds discipline). */
+  private val ANF_PRIME = 1000000007L
+  private def kmvSize(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble * ANF_PRIME.toDouble) /
+        element_at(sk, k).cast("double")).cast("long"))
+
+  /** The ANF loop over an arbitrary node set and directed edge list
+    * (src, dst) — split out so the estimator regime is testable on a
+    * dense synthetic graph whose neighbourhoods exceed k. */
+  private[graft] def anfOn(nodes: DataFrame, edges: DataFrame,
+                           rounds: Int, k: Int): DataFrame = {
+    // reflexive symmetric closure: r-fold merge then reaches dist ≤ r
+    val und = edges.select(col("src").as("v"), col("dst").as("u"))
+      .union(edges.select(col("dst"), col("src")))
+      .union(nodes.select(col("node"), col("node")))
+      .distinct()
+      .localCheckpoint()
+    val nNodes = nodes.count() // metadata-scale: one number on the driver
+    var state = nodes.select(col("node"),
+      array((col("node") * lit(2654435761L)) % lit(ANF_PRIME)).as("sk"))
+      .localCheckpoint()
+    val perRound = (1 to rounds).map { r =>
+      state = und.join(state, und("u") === state("node"))
+        .groupBy(col("v").as("node"))
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+          1, k).as("sk"))
+        .localCheckpoint() // cap lineage per round
+      state.agg(sum(kmvSize(col("sk"), k)).as("nf_pairs"))
+        .select(lit(r.toLong).as("radius"), col("nf_pairs"),
+          expr(s"nf_pairs * 1000 div $nNodes").as("avg_size_milli"))
+    }
+    perRound.reduce(_.union(_)).orderBy("radius")
+  }
+
+  /** Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
+    * CIKM 2003, public) over the [[triEdges]] graph: for every
+    * NON-adjacent pair sharing ≥1 neighbor, score by common-neighbor
+    * count, Jaccard of neighborhoods (floored BASIS POINTS — the
+    * clustering-coefficient integer discipline), and preferential
+    * attachment deg·deg. On a dedup pair graph this is "which near-dup
+    * edge did LSH miss"; on a link graph, "which page should link
+    * here". On this graph the top predictions are exactly the missing
+    * (4k, 4k+3) chord of every 4-block — cn = 2, Jaccard = 10000 bp.
+    *
+    * Scale shape: candidates are generated by the wedge self-join on
+    * the shared-neighbor CENTER, so cost is Σ_z deg(z)² — inherent to
+    * the statistic (the output can be that large), and bounded the way
+    * every production link predictor bounds it: centers above a degree
+    * cap are EXCLUDED (super-node wedges predict nothing — a hub's
+    * neighbors are not similar for being co-linked by it). The cap is
+    * far above this graph's max degree (3), so the answer here is
+    * exact and the oracle applies the same cap as a no-op. Adjacent
+    * pairs leave via one anti-join; degree table is node-sized (AQE
+    * broadcasts while it fits); the report ends in TakeOrdered top-k,
+    * never a global sort. */
+  def linkPrediction(spark: SparkSession, sfDir: String, topN: Int = 20,
+                     degCap: Int = 64): DataFrame = {
+    val und = triEdges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // adjacency both ways: (node, nbr); triEdges emits each edge once
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b"), col("a")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+    // wedge join on the center: every unordered pair (x < y) of the
+    // center's neighbors is a candidate, counted once per shared nbr
+    val centered = adj.select(col("nbr").as("c"), col("node").as("x"))
+      .join(deg.select(col("node").as("c"), col("d")), "c")
+      .filter(col("d") <= degCap).drop("d")
+    val cand = centered
+      .join(centered.select(col("c"), col("x").as("y")), "c")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+      // drop pairs that are already edges (x < y matches triEdges' a < b)
+      .join(und, col("x") === col("a") && col("y") === col("b"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("d").as("dy")), "y")
+      .select(col("x").as("a"), col("y").as("b"), col("cn"),
+        expr("cn * 10000 DIV (dx + dy - cn)").as("jaccard_bp"),
+        (col("dx") * col("dy")).as("pref_attach"))
+      .orderBy(col("cn").desc, col("jaccard_bp").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
+  /** k-core peel (Seidman 1983; the distributed peel is Montresor et
+    * al.'s k-core decomposition shape, public): repeatedly delete every
+    * node of degree < k until the k-core remains — THE cheap "is this
+    * dup-cluster/community structurally dense or a fragile chain"
+    * triage before anything expensive runs on it. Runs over the
+    * symmetrized, self-loop-free [[rankEdges]] graph and reports the
+    * peel TRAJECTORY (round, n_removed, n_alive, n_edges) — the curve a
+    * graph-health dashboard plots. The registered query runs a FIXED
+    * number of rounds so the DuckDB oracle can unroll the identical
+    * rounds (the ANF/HITS/LPA convention); the spec drives the
+    * fixpoint form on a hand graph.
+    *
+    * Scale shape: each round is one map-side-combined degree count +
+    * one semi-join of the edge list against survivors on EACH endpoint
+    * — the iterate-with-checkpoint discipline of [[frontierBfs]] (live
+    * edge set localCheckpointed per round, lineage never stacks).
+    * State is the edge list itself, shrinking monotonically; no
+    * per-node auxiliary structure. */
+  def kcorePeel(spark: SparkSession, sfDir: String, k: Int = 3,
+                rounds: Int = 3): DataFrame = {
+    val e = rankEdges(spark, sfDir)
+    val nNodes = Tables.documents(spark, sfDir).count() // metadata-scale
+    val und = e.filter(col("src") =!= col("dst"))
+      .select(col("src").as("v"), col("dst").as("u"))
+      .union(e.filter(col("src") =!= col("dst"))
+        .select(col("dst"), col("src")))
+      .distinct()
+      .localCheckpoint()
+    kcorePeelOn(spark, und, nNodes, k, rounds)
+  }
+
+  /** The peel loop over a symmetrized edge list `und` (v, u) carrying
+    * each edge in BOTH directions, and `nNodes` total nodes (isolated
+    * nodes have no edge row; they peel in round 1 with degree 0).
+    * Textbook staging: round r computes degrees over the CURRENT live
+    * edges, removes every node with degree < k (a survivor whose
+    * neighbors all peeled keeps "alive" status this round and peels
+    * next round at degree 0), then drops edges touching removed nodes.
+    * `rounds` < 0 runs to the fixpoint (removed = 0, probed by the
+    * survivor checkpoint's observe metric — spec path); ≥ 0 runs
+    * exactly that many rounds (the unrolled-oracle path). */
+  private[graft] def kcorePeelOn(spark: SparkSession, und: DataFrame,
+                                 nNodes: Long, k: Int,
+                                 rounds: Int): DataFrame = {
+    var live = und
+    var alive = nNodes
+    var r = 0
+    var done = false
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    while (!done && (rounds < 0 || r < rounds)) {
+      r += 1
+      // survivors: nodes with current degree ≥ k (each edge appears in
+      // both directions, so group-by v counts the undirected degree);
+      // the survivor count rides the checkpoint job as an observe
+      // metric — the frontierBfs probe discipline, no second action
+      val obsS = org.apache.spark.sql.Observation(s"kcore_surv_${r}_${System.nanoTime}")
+      val surv = live.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k)
+        .select(col("v").as("s"))
+        .observe(obsS, count(lit(1)).as("n_alive"))
+        .localCheckpoint()
+      // keep only edges whose BOTH endpoints survive
+      val obsE = org.apache.spark.sql.Observation(s"kcore_edges_${r}_${System.nanoTime}")
+      live = live
+        .join(surv, live("v") === surv("s"), "left_semi")
+        .join(surv, live("u") === surv("s"), "left_semi")
+        .observe(obsE, count(lit(1)).as("n_edges"))
+        .localCheckpoint() // cap lineage per round
+      val nAlive = obsS.get("n_alive").asInstanceOf[Long]
+      val nEdges = obsE.get("n_edges").asInstanceOf[Long]
+      val removed = alive - nAlive
+      out += ((r.toLong, removed, nAlive, nEdges / 2))
+      done = rounds < 0 && (removed == 0L || nAlive == 0L)
+      alive = nAlive
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "n_removed", "n_alive", "n_edges")
+      .orderBy("round")
   }
 }

@@ -249,6 +249,35 @@ object SimilarityOps {
       .orderBy("a_id", "rn")
   }
 
+  /** Session-scoped SERVING catalog of the [[knnGraph]] index, keyed on
+    * (corpus path, k, tables, bits) — the graph-ANN twin of the BPE
+    * trained-vocab cache and [[graft.plans.TextIndexCatalog]]: a real
+    * pipeline builds the kNN graph ONCE and every consumer (the serving
+    * walk, diversity sampling, SemDeDup clustering) loads it, so
+    * [[graphSearchTopK]] must not re-pay the LSH self-join + pair
+    * scoring per query. The cached frame is `localCheckpoint`ed, i.e.
+    * pinned to materialized RDDs — reuse is a free lookup, results
+    * bit-identical to a fresh build (same pinned rows) — and is dropped
+    * when the owning SparkContext is gone (checkpointed RDDs don't
+    * outlive their context; a fresh session rebuilds). The first
+    * consumer pays the build exactly once; at 100 TB the catalog entry
+    * is a table location (the graph is written bucketed on a_id), same
+    * contract, durable instead of session-scoped. */
+  private val knnIndexCache = scala.collection.concurrent.TrieMap.empty[
+    (String, Int, Int, Int), (DataFrame, org.apache.spark.SparkContext)]
+
+  /** [[knnGraph]] through the session index catalog: build on first
+    * request, materialized reuse after. */
+  def knnGraphIndex(spark: SparkSession, sfDir: String, k: Int = 4,
+                    tables: Int = 8, bits: Int = 4): DataFrame =
+    knnIndexCache.get((sfDir, k, tables, bits)) match {
+      case Some((df, sc)) if sc eq spark.sparkContext => df
+      case _ =>
+        val df = knnGraph(spark, sfDir, k, tables, bits).localCheckpoint()
+        knnIndexCache.put((sfDir, k, tables, bits), (df, spark.sparkContext))
+        df
+    }
+
   /** Multi-probe LSH candidate recall — the measurement behind the
     * standard "probe neighboring buckets instead of adding tables"
     * trade (Lv et al., "Multi-Probe LSH", VLDB 2007, public): each
@@ -316,8 +345,9 @@ object SimilarityOps {
     * excluded only at the final ranking) so a query that IS the entry
     * point still searches. The oracle unrolls the same 3 hops.
     *
-    * Scale shape: the graph is the persisted edge table (one build,
-    * shared by every hop); per hop the per-query beam is ≤ |queries|·beam
+    * Scale shape: the graph comes off the session index catalog
+    * ([[knnGraphIndex]] — built once, materialized reuse across every
+    * consumer and every hop); per hop the per-query beam is ≤ |queries|·beam
     * narrow rows — TINY — so every hop join broadcasts the BEAM side and
     * streams the corpus-scale side map-only: the expansion is
     * `g.join(broadcast(beamDf))` (one pass over the a_id-keyed edges,
@@ -332,9 +362,10 @@ object SimilarityOps {
     require(hops >= 1, s"at least one hop scores the beam, got $hops")
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val g = knnGraph(spark, sfDir).filter(col("b_id").isNotNull)
+    // off the index catalog: already checkpoint-materialized, so the
+    // per-hop filter+select is a cheap map over pinned rows — no persist
+    val g = knnGraphIndex(spark, sfDir).filter(col("b_id").isNotNull)
       .select(col("a_id"), col("b_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint: the ≤5-row query table is re-broadcast every hop;
     // without the checkpoint each broadcast re-runs the corpus filter
     val qs = e.filter(col("vec_id") < 5)
@@ -1446,5 +1477,74 @@ object SimilarityOps {
         col("rrf_score"))
       .withColumn("rn", row_number().over(wF).cast("long"))
       .orderBy("rn")
+  }
+
+  /** Per-cluster silhouette (Rousseeuw 1987, public) over the IVF
+    * assignment — the clustering-quality readout that tells a corpus
+    * curator whether the [[ivfAnn]]/[[kmeansStep]] partition is real
+    * structure or noise before anything expensive (semantic dedup,
+    * stratified sampling) trusts it. Simplified (centroid-based)
+    * silhouette per vector: a = squared distance to the OWN cluster
+    * center, b = min squared distance to any OTHER center, s =
+    * (b−a)/max(a,b) ∈ [−1, 1], reported per cluster in MILLI units
+    * with the mean over members.
+    *
+    * Exactness: distances are computed on the int8-QUANTIZED codes
+    * ([[quantizeInt8]]'s exact floor map) against MILLI-scaled integer
+    * centroids (qsum·1000 DIV cnt — exact BIGINT), so every distance
+    * is an exact integer and s_milli is one integral division. s can
+    * be NEGATIVE (a misassigned vector), and both engines truncate
+    * integral division toward zero (Spark `DIV`, DuckDB `//` —
+    * verified, e.g. −7/2 → −3 in both), so the signed milli values
+    * hash-gate bitwise — the first place the repo's integer discipline
+    * needed the negative-operand case.
+    *
+    * Scale shape: assignment and scoring are both MAP-ONLY broadcast-
+    * codebook passes ([[withNearestCentroid]]'s contract); the only
+    * exchanges are the k·dims centroid partial sums and the final
+    * k-row cluster rollup. The corpus is scanned twice (assign+quantize,
+    * then score) and shuffled never. */
+  def silhouette(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val cents = ivfCentroids(e, k)
+    val assigned = withNearestCentroid(e, cents)
+      .withColumn("scale", array_max(transform(col("emb"), x => abs(x))))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), col("cent_id"),
+        transform(col("emb"),
+          x => floor(x * lit(127.0) / col("scale") + lit(0.5))).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // milli-scaled integer centroid codes: k·dims partials cross the
+    // one exchange, then fold to ONE broadcastable array-of-structs row
+    val cm = assigned
+      .select(col("cent_id"), posexplode(col("q")).as(Seq("dim", "qc")))
+      .groupBy("cent_id", "dim")
+      .agg(expr("SUM(qc) * 1000 DIV COUNT(1)").as("cmilli"))
+      .groupBy("cent_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cmilli"))))
+        .as("dims"))
+      .select(col("cent_id").as("c_id"),
+        transform(col("dims"), d => d.getField("cmilli")).as("cm"))
+      .agg(collect_list(struct(col("c_id"), col("cm"))).as("carr"))
+    val scored = assigned.crossJoin(broadcast(cm))
+      .withColumn("d2arr", transform(col("carr"), c => struct(
+        c.getField("c_id").as("cid"),
+        aggregate(zip_with(col("q"), c.getField("cm"),
+            (x, y) => (x * lit(1000L) - y) * (x * lit(1000L) - y)),
+          lit(0L), (acc, v) => acc + v).as("d2"))))
+      .select(col("vec_id"), col("cent_id"),
+        element_at(filter(col("d2arr"),
+          c => c.getField("cid") === col("cent_id")), 1)
+          .getField("d2").as("a"),
+        array_min(transform(filter(col("d2arr"),
+          c => c.getField("cid") =!= col("cent_id")),
+          c => c.getField("d2"))).as("b"))
+      .withColumn("s_milli",
+        expr("(b - a) * 1000 DIV greatest(a, b, CAST(1 AS BIGINT))"))
+    scored.groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("b") > col("a"), 1L).otherwise(0L)).as("n_well"),
+        expr("SUM(s_milli) DIV COUNT(1)").as("mean_sil_milli"))
+      .orderBy("cent_id")
   }
 }

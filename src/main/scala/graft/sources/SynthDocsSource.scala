@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -69,6 +71,18 @@ object SynthDocs {
         sum(col("doc_id")).as("sum_ids"))
       .orderBy("source")
 
+  /** The `src_synth_agg_pushdown` query body: size a 200k-doc corpus
+    * via the pushed-aggregate path — COUNT/MIN/MAX answered from
+    * partition range arithmetic (one summary row per partition reaches
+    * Spark's final merge agg; no document text is ever synthesized). */
+  def corpusSizing(spark: SparkSession, rows: Int = 200000,
+                   partitions: Int = 32): DataFrame =
+    spark.read.format("synthdocs")
+      .option("rows", rows).option("partitions", partitions).load()
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("source", StringType, nullable = false),
@@ -87,6 +101,7 @@ object SynthDocsRegistry {
   @volatile var lastPlannedPartitions: Int = -1
   @volatile var lastReadColumns: Seq[String] = Seq.empty
   @volatile var lastPushed: Seq[String] = Seq.empty
+  @volatile var lastAggPushed: Seq[String] = Seq.empty
 }
 
 final class SynthDocsTable(rows: Long, partitions: Int)
@@ -103,15 +118,49 @@ final class SynthDocsTable(rows: Long, partitions: Int)
 
 final class SynthDocsScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = SynthDocs.schema
   private var pushed: Array[Filter] = Array.empty
+  // agg functions accepted by pushAggregation, in request order; empty
+  // = normal row scan
+  private var pushedAggs: Seq[AggregateFunc] = Seq.empty
   // doc_id bounds accumulated from the pushed predicates: [lo, hi)
   private var lo: Long = 0L
   private var hi: Long = Long.MaxValue
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** AGGREGATE PUSHDOWN ([[SupportsPushDownAggregates]]): COUNT(*) /
+    * MIN(doc_id) / MAX(doc_id) with no grouping are answered from the
+    * partition RANGE ARITHMETIC — the reader emits ONE summary row per
+    * surviving partition and never synthesizes a document. The
+    * metadata-count path every warehouse source ships (parquet footer
+    * counts, JDBC pushDownAggregate): sizing a 100 TB corpus costs P
+    * arithmetic rows, not N generated ones. PARTIAL pushdown contract
+    * (supportCompletePushDown stays false): Spark still runs the final
+    * merge agg (SUM of partial counts, MIN of mins, MAX of maxes), so
+    * pushing is a pure optimization and can never change results —
+    * the same conservative stance as the filter residuals above. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val ok = aggregation.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => m.column match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("doc_id"))
+        case _ => false
+      }
+      case m: Max => m.column match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("doc_id"))
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!ok || aggregation.aggregateExpressions.isEmpty) return false
+    pushedAggs = aggregation.aggregateExpressions.toSeq
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -139,19 +188,31 @@ final class SynthDocsScanBuilder(rows: Long, partitions: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    // pushed-agg scans read the summary schema: one LongType field per
+    // accepted function, in request order (Spark maps them by POSITION)
+    val aggCols = pushedAggs.map {
+      case _: CountStar => "count_star"
+      case _: Min => "min_doc_id"
+      case _: Max => "max_doc_id"
+    }
     new SynthDocsScan(rows, partitions, required, lo, math.min(hi, rows),
-      pushed.map(_.toString).toSeq)
+      pushed.map(_.toString).toSeq, aggCols)
+  }
 }
 
 final class SynthDocsScan(rows: Long, partitions: Int, required: StructType,
-                          lo: Long, hi: Long, pushedDesc: Seq[String])
+                          lo: Long, hi: Long, pushedDesc: Seq[String],
+                          aggCols: Seq[String])
     extends Scan with Batch {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (aggCols.isEmpty) required
+    else StructType(aggCols.map(StructField(_, LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String =
     s"synthdocs rows=$rows partitions=$partitions bounds=[$lo,$hi) " +
       s"pushed=${pushedDesc.mkString("[", ",", "]")} " +
+      s"aggs=${aggCols.mkString("[", ",", "]")} " +
       s"columns=${required.fieldNames.mkString("[", ",", "]")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -172,15 +233,42 @@ final class SynthDocsScan(rows: Long, partitions: Int, required: StructType,
     SynthDocsRegistry.lastPlannedPartitions = parts.length
     SynthDocsRegistry.lastReadColumns = required.fieldNames.toSeq
     SynthDocsRegistry.lastPushed = pushedDesc
+    SynthDocsRegistry.lastAggPushed = aggCols
     parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthDocsReaderFactory(required.fieldNames)
+    if (aggCols.isEmpty) new SynthDocsReaderFactory(required.fieldNames)
+    else new SynthDocsAggReaderFactory(aggCols.toArray)
 }
 
 final case class SynthDocsPartition(start: Long, end: Long)
     extends InputPartition
+
+/** Pushed-aggregate reader: ONE row per partition, every value pure
+  * range arithmetic over [start, end) — count = end−start, min = start,
+  * max = end−1. No document is ever synthesized. */
+final class SynthDocsAggReaderFactory(aggCols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SynthDocsPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val values = aggCols.map[Any] {
+          case "count_star" => p.end - p.start
+          case "min_doc_id" => p.start
+          case "max_doc_id" => p.end - 1
+          case other => throw new IllegalArgumentException(
+            s"unknown synthdocs agg column: $other")
+        }
+        new GenericInternalRow(values)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
 
 /** Serializable factory: only the projected column NAMES travel to the
   * executors; each reader generates its range locally. */

@@ -1852,6 +1852,136 @@ class OperatorSpec extends AnyFunSuite {
       s"triangle should converge to min label: $got")
   }
 
+  test("ANF: exact regime matches brute-force reachability; estimator bounded on a dense graph") {
+    import spark.implicits._
+    // exact regime: a path 1-2-3-4-5 plus isolated 9. Closed
+    // neighbourhoods are tiny (< k), so nf_pairs must be the EXACT
+    // count of (source, target) pairs within distance <= r.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphOps.anfOn(nodes, edges, rounds = 2, k = 64)
+      .select("radius", "nf_pairs").as[(Long, Long)].collect().toMap
+    // r=1: path interior nodes see 3, ends see 2, isolated sees 1 =>
+    // 2+3+3+3+2+1 = 14; r=2: 3+4+5+4+3+1 = 20
+    assert(got == Map(1L -> 14L, 2L -> 20L), s"exact regime broke: $got")
+    // estimator regime: a 300-clique's closed 1-hop neighbourhood is 300,
+    // far over k=32 — every sketch saturates and the (k-1)/h_k readout
+    // must land within 25% of the true 300*300 pairs (deterministic:
+    // fixed hash, fixed graph)
+    val cn = (1L to 300L).toDF("node")
+    val ce = (1L to 300L).map(a => (a, a % 300 + 1))
+      .toDF("src", "dst") // ring; dense reach comes from the clique below
+    val clique = (1L to 300L).flatMap(a => (a + 1 to 300L).filter(_ % 7 == a % 7)
+      .map(b => (a, b))).toDF("src", "dst")
+    val dense = GraphOps.anfOn(cn, ce.union(clique), rounds = 2, k = 32)
+      .select("radius", "nf_pairs").as[(Long, Long)].collect().toMap
+    // truth for r=2 on this graph, computed by brute joins
+    val und = ce.union(clique).select(col("src").as("v"), col("dst").as("u"))
+      .union(ce.union(clique).select(col("dst"), col("src")))
+      .union(cn.select(col("node"), col("node")))
+      .distinct()
+    val truth2 = und.as("a").join(und.as("b"), col("a.u") === col("b.v"))
+      .select(col("a.v").as("s"), col("b.u").as("t")).distinct().count()
+    val est2 = dense(2L).toDouble
+    assert(math.abs(est2 - truth2) / truth2 < 0.25,
+      s"estimator too far off: est $est2 vs true $truth2")
+  }
+
+  test("HITS: hand-checked hub/authority scores on a known graph, exact integers") {
+    import spark.implicits._
+    // hubs 10, 11 -> authorities 1, 2, 3; weak hub 20 -> 1 only
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("node")
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L), (20L, 1L)).toDF("src", "dst")
+    val got = GraphOps.hitsOn(nodes, edges, iters = 2, topN = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    // round 1: a=(3,2,2), h=(7,7,3); round 2: a=(17,14,14), h=(45,45,17)
+    val expected = Seq((1L, 17L, 0L), (2L, 14L, 0L), (3L, 14L, 0L),
+      (10L, 0L, 45L), (11L, 0L, 45L), (20L, 0L, 17L))
+    assert(got == expected, s"HITS scores diverged: $got")
+    // overflow margin on the real graph: 2 rounds over degree <= 3
+    // edges keeps scores orders of magnitude inside Long
+    val real = GraphOps.hits(spark, sf0001).as[(Long, Long, Long)].collect()
+    assert(real.nonEmpty && real.forall(r => r._2 >= 0 && r._2 < 1000000L))
+  }
+
+  test("Gopher rule gate: per-source counts match an independent Scala model") {
+    import spark.implicits._
+    val got = TextOps.gopherRules(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // independent model: recompute every rule in plain Scala
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+    val stop = Set("the", "a", "of", "and", "to")
+    val model = docs.toSeq
+      .map { case (src, text) =>
+        (src, text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq) }
+      .filter(_._2.nonEmpty)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, ds) =>
+        val flags = ds.map { case (_, ws) =>
+          val n = ws.size.toLong
+          val wc = ws.map(_.length.toLong).sum
+          val mf = ws.groupBy(identity).values.map(_.size).max.toLong
+          val nd = ws.distinct.size.toLong
+          (n >= 30 && n <= 1000,
+            wc * 1000 / n >= 3000 && wc * 1000 / n <= 10000,
+            ws.distinct.count(stop).toLong >= 2,
+            nd * 1000 / n >= 200, mf * 1000 / n <= 200)
+        }
+        (src, flags.size.toLong,
+          flags.count(f => f._1 && f._2 && f._3 && f._4 && f._5).toLong,
+          flags.count(!_._1).toLong, flags.count(!_._2).toLong,
+          flags.count(!_._3).toLong, flags.count(!_._4).toLong,
+          flags.count(!_._5).toLong)
+      }
+    assert(got == model, s"gate diverged from the Scala model:\n$got\n$model")
+    // the gate must be discriminating at this SF: some pass, some fail
+    assert(got.map(_._3).sum > 0, "no document passed — thresholds broken")
+    assert(got.exists(r => r._3 < r._2), "every document passed — gate vacuous")
+  }
+
+  test("BPE fertility: per-source rollup consistent with bpeEncode totals") {
+    import spark.implicits._
+    val fert = TextOps.bpeFertility(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(fert.map(_._1) == fert.map(_._1).sorted && fert.nonEmpty)
+    // a token never spans a word and never goes below one char: both
+    // milli ratios are >= 1000 by construction
+    assert(fert.forall(r => r._4 >= 1000L && r._5 >= 1000L))
+    // totals agree with the doc-level encode joined back to sources
+    val enc = TextOps.bpeEncode(spark, sf0001).withColumnRenamed("doc_id", "d")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val rolled = enc.join(docs, enc("d") === docs("doc_id"))
+      .groupBy("source")
+      .agg(sum("n_words").as("w"), sum("n_tokens").as("t"))
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    assert(fert.map(r => (r._1, r._2, r._3)) == rolled)
+  }
+
+  test("URL canonicalization: spelling variants collapse, real params survive sorted") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.EXAMPLE.COM:443/a/b/#frag",
+      "https://www.example.com/a/b/",
+      "https://www.example.com/a/b?utm_source=x&utm_medium=y",
+      "https://www.example.com/a/b?z=2&a=1&gclid=k",
+      "https://www.example.com/a/b?a=1&z=2",
+      "http://Host.Example.com:80/Path/Case", // path case preserved
+      "https://www.example.com" // bare authority, no path
+    ).toDF("url")
+    val got = urls.select(DedupOps.canonicalUrl(col("url")).as("c"))
+      .as[String].collect()
+    assert(got(0) == "https://www.example.com/a/b")
+    assert(got(1) == "https://www.example.com/a/b")
+    assert(got(2) == "https://www.example.com/a/b")
+    assert(got(3) == "https://www.example.com/a/b?a=1&z=2")
+    assert(got(4) == "https://www.example.com/a/b?a=1&z=2")
+    assert(got(5) == "http://host.example.com/Path/Case")
+    assert(got(6) == "https://www.example.com")
+  }
+
   test("trained-weights classifier: broadcast-array inference stays map-only, matches an independent model") {
     import spark.implicits._
     val df = TextOps.classifierScoreTrained(spark, sf0001)
@@ -2475,6 +2605,18 @@ class OperatorSpec extends AnyFunSuite {
     val got = GraphOps.triangleCounts(spark, sf0001).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toSeq
     assert(got == expected)
+  }
+
+  test("kNN index catalog: one build per session, reuse bit-identical to a fresh build") {
+    // first request builds and checkpoints; the second is a catalog hit
+    // returning the SAME materialized frame (no rebuild — the serving
+    // contract: graphSearchTopK and any other consumer share one build)
+    val first = SimilarityOps.knnGraphIndex(spark, sf0001)
+    val second = SimilarityOps.knnGraphIndex(spark, sf0001)
+    assert(first eq second, "catalog miss on the second lookup")
+    // reuse is bit-identical to building from scratch
+    val fresh = SimilarityOps.knnGraph(spark, sf0001).collect().map(_.toString)
+    assert(first.collect().map(_.toString).toSeq == fresh.toSeq)
   }
 
   test("kNN graph: bounded-aggregator plan, valid per-anchor ranking, recall vs exact neighbors") {
@@ -3706,5 +3848,98 @@ class OperatorSpec extends AnyFunSuite {
       s"k=32 estimate $est outside the plausible band for exact=100")
     assert(rows(("a", "c")).getAs[Long]("est_kmv") == 0L)
     assert(rows(("b", "c")).getAs[Long]("est_kmv") == 0L)
+  }
+
+  test("Misra-Gries retains every item above N/(cap+1) through skewed folds and merges") {
+    import spark.implicits._
+    // 3 heavy items (1000/600/400 of N=2600) drowned in a 600-word tail
+    // vocabulary (~0.02% each) — vocab 603 >> cap 15, so the decrement
+    // branch fires constantly; guarantee: freq > N/16 = 162.5 retained
+    val rows = Seq.fill(1000)("alpha") ++ Seq.fill(600)("beta") ++
+      Seq.fill(400)("gamma") ++ (0 until 600).map(i => s"tail$i")
+    // deterministic spread across partitions so merge() is exercised
+    val df = rows.zipWithIndex.toDF("word", "i").repartition(8, col("i"))
+    val cands = df.agg(
+      graft.functions.MisraGries.candidates(15)(col("word"))).as[Seq[String]].head()
+    assert(cands.size <= 15, s"summary exceeded capacity: ${cands.size}")
+    assert(Set("alpha", "beta", "gamma").subsetOf(cands.toSet),
+      s"guaranteed heavy items missing from $cands")
+    // sketch-then-recount composition: exact threshold filter on the
+    // candidates reproduces the exact heavy-hitter answer
+    val n = rows.size.toLong
+    val exact = df.groupBy("word").count()
+      .filter(col("count") * 1000 >= n * 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recount = df.filter(col("word").isin(cands: _*))
+      .groupBy("word").count()
+      .filter(col("count") * 1000 >= n * 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(recount == exact)
+    assert(exact.keySet == Set("alpha", "beta", "gamma"))
+  }
+
+  test("k-core peel: fixpoint trajectory on a clique-plus-chain hand graph") {
+    import spark.implicits._
+    // 4-clique {0,1,2,3} with a pendant chain 3-4-5: at k=2 the chain
+    // peels from the outside in (5 and isolated 6 in round 1 — 5 has
+    // degree 1, 6 degree 0; then 4; then fixpoint on the clique)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L))
+    val und = (edges.map { case (a, b) => (a, b) } ++
+      edges.map { case (a, b) => (b, a) }).toDF("v", "u")
+    val tr = GraphOps.kcorePeelOn(spark, und, nNodes = 7L, k = 2, rounds = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tr(0) == ((1L, 2L, 5L, 7L)), s"round 1 was ${tr(0)}")
+    assert(tr(1) == ((2L, 1L, 4L, 6L)), s"round 2 was ${tr(1)}")
+    assert(tr(2) == ((3L, 0L, 4L, 6L)), s"fixpoint round was ${tr(2)}")
+    assert(tr.length == 3, "loop must stop at the fixpoint")
+  }
+
+  test("link prediction recovers the missing chord of every 4-block") {
+    val top = GraphOps.linkPrediction(spark, sf0001, topN = 20).collect()
+    assert(top.length == 20)
+    top.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(a % 4 == 0 && b == a + 3,
+        s"top prediction ($a,$b) is not a missing block chord")
+      assert(r.getAs[Long]("cn") == 2L)
+      assert(r.getAs[Long]("jaccard_bp") == 10000L,
+        "both endpoints' neighborhoods are exactly the shared pair")
+      assert(r.getAs[Long]("pref_attach") == 4L)
+    }
+  }
+
+  test("seeded shuffle is reproducible per seed and reshuffles across seeds") {
+    val e1a = TextOps.shuffleOrder(spark, sf0001, seed = "epoch1")
+      .collect().map(_.toSeq)
+    val e1b = TextOps.shuffleOrder(spark, sf0001, seed = "epoch1")
+      .collect().map(_.toSeq)
+    assert(e1a.sameElements(e1b), "same seed must give byte-identical shards")
+    val e2 = TextOps.shuffleOrder(spark, sf0001, seed = "epoch2").collect()
+    val h1 = e1a.map(_(4)).toSeq
+    val h2 = e2.map(_.getAs[String]("first_hash")).toSeq
+    assert(h1 != h2, "a new seed must produce a different order")
+    // every doc lands in exactly one shard regardless of seed
+    val n = Tables.documents(spark, sf0001).count()
+    assert(e1a.map(_(1).asInstanceOf[Long]).sum == n)
+    assert(e2.map(_.getAs[Long]("n_docs")).sum == n)
+  }
+
+  test("silhouette: bounded milli scores, full coverage, self-cluster distance is the 'a' arm") {
+    val rows = SimilarityOps.silhouette(spark, sf0001).collect()
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs,
+      "every vector must be scored exactly once")
+    rows.foreach { r =>
+      val m = r.getAs[Long]("mean_sil_milli")
+      assert(m >= -1000L && m <= 1000L, s"silhouette $m outside [-1, 1]")
+      assert(r.getAs[Long]("n_well") <= r.getAs[Long]("n_vecs"))
+    }
+    // the centroid SEED vectors quantize to distance 0 from themselves
+    // only if they dominate their cluster mean — not asserted; what IS
+    // structural: at least one cluster separates (mean > 0) on real
+    // embeddings, else the assignment would be noise
+    assert(rows.exists(_.getAs[Long]("mean_sil_milli") > 0L),
+      "no cluster shows positive silhouette — assignment degenerated")
   }
 }

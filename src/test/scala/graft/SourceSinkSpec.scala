@@ -59,6 +59,57 @@ class SourceSinkSpec extends AnyFunSuite {
       s"text synthesized for a pruned scan: ${SynthDocsRegistry.lastReadColumns}")
   }
 
+  test("synthdocs DSv2 aggregate pushdown: COUNT/MIN/MAX from range arithmetic, one row per partition") {
+    import spark.implicits._
+    import graft.sources.{SynthDocs, SynthDocsRegistry}
+    val df = SynthDocs.corpusSizing(spark, rows = 200000, partitions = 32)
+    // collect df ITSELF (not a derived .as dataset — that would execute
+    // a different QueryExecution and leave df's scan metrics at zero)
+    val row = df.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((200000L, 0L, 199999L)))
+    // the agg reached the source: the scan read the summary schema
+    assert(SynthDocsRegistry.lastAggPushed ==
+      Seq("count_star", "min_doc_id", "max_doc_id"),
+      s"agg not pushed: ${SynthDocsRegistry.lastAggPushed}")
+    // and only one summary row per partition crossed the scan boundary.
+    // Under AQE the scan sits inside materialized QueryStageExec nodes,
+    // which are LEAVES of the final plan's tree — recurse through each
+    // stage's inner plan to reach the BatchScanExec metrics
+    val fin = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+    val scanRows = scans(fin).headOption.map(_.metrics("numOutputRows").value)
+    assert(scanRows.contains(32L),
+      s"expected 32 partition-summary rows off the scan, got $scanRows")
+    // an aggregate the source can't answer (min over a synthesized
+    // column) must NOT push — and still be correct via the row path
+    val fallback = spark.read.format("synthdocs")
+      .option("rows", 5000).option("partitions", 8).load()
+      .agg(min(col("source")).as("min_src"))
+      .as[String].collect().head
+    assert(SynthDocsRegistry.lastAggPushed.isEmpty,
+      "min(source) must not push into the generator")
+    assert(fallback == "synth0")
+    // grouped aggregation likewise stays on the row path
+    val grouped = spark.read.format("synthdocs")
+      .option("rows", 5000).option("partitions", 8).load()
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    assert(grouped.collect().length == 5)
+    assert(SynthDocsRegistry.lastAggPushed.isEmpty,
+      "grouped agg must not push into the generator")
+  }
+
   test("graftmetrics DSv2 sink: commit-message accounting, exact rows and schema-driven bytes") {
     import spark.implicits._
     import graft.sources.MetricsSinkRegistry
