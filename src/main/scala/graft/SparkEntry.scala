@@ -215,6 +215,7 @@ object SparkEntry {
     "pipe_corpus_diff"         -> TextOps.corpusDiff _,
     "pipe_shuffle_order"       -> ((s: SparkSession, d: String) => TextOps.shuffleOrder(s, d)),
     "txt_heavy_hitters"        -> ((s: SparkSession, d: String) => TextOps.heavyHitters(s, d)),
+    "txt_ngram_novelty"        -> ((s: SparkSession, d: String) => TextOps.ngramNovelty(s, d)),
     // --- dedup ladder (LLM-pipeline EXT; generalizes reference O7) ---
     "dd_exact"                 -> DedupOps.exactDups _,
     "dd_url_canonical"         -> DedupOps.urlCanonicalDups _,
@@ -250,6 +251,7 @@ object SparkEntry {
     "sim_quantize_int8"        -> SimilarityOps.quantizeInt8 _,
     "sim_kmeans_step"          -> ((s: SparkSession, d: String) => SimilarityOps.kmeansStep(s, d)),
     "sim_silhouette"           -> ((s: SparkSession, d: String) => SimilarityOps.silhouette(s, d)),
+    "sim_cluster_purity"       -> ((s: SparkSession, d: String) => SimilarityOps.clusterPurity(s, d)),
     "sim_int8_topk"            -> SimilarityOps.int8TopK _,
     "sim_binary_hamming"       -> SimilarityOps.binaryHammingTopK _,
     "sim_knn_graph"            -> ((s: SparkSession, d: String) => SimilarityOps.knnGraphIndex(s, d)),
@@ -2805,6 +2807,34 @@ object SparkEntry {
         |  CAST(n_occ * 10000 // total AS BIGINT) AS freq_bp
         |FROM tc, n WHERE n_occ * 1000 >= total * 20
         |ORDER BY n_occ DESC, word""".stripMargin,
+    // per-release-batch first-seen 3-gram rate; gram hash = polyHash of
+    // the space-joined shingle STRING (the Spark side's exact spelling)
+    "txt_ngram_novelty" ->
+      """WITH nn AS (
+        |  SELECT CAST((COUNT(*) + 7) // 8 AS BIGINT) AS bs FROM documents),
+        |t AS (SELECT doc_id // bs AS batch,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents, nn),
+        |sh AS (SELECT batch, unnest(CASE WHEN len(ws) >= 3 THEN
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE [] END) AS gram FROM t),
+        |g AS (SELECT DISTINCT batch,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(gram, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS gh
+        |  FROM sh),
+        |pb AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |       FROM g GROUP BY batch),
+        |fn AS (SELECT gh, MIN(batch) AS batch FROM g GROUP BY gh),
+        |nw AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_new
+        |       FROM fn GROUP BY batch)
+        |SELECT pb.batch AS batch, n_distinct,
+        |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(COALESCE(n_new, 0) * 10000 // n_distinct AS BIGINT) AS novelty_bp,
+        |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY pb.batch
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct
+        |FROM pb LEFT JOIN nw ON pb.batch = nw.batch ORDER BY 1""".stripMargin,
     // deterministic seeded shuffle: global rank of md5('epoch1:' || id),
     // shards of 64 in rank order; the window here is the oracle's
     // single-node luxury — the engine ranks via TwoLevelRank
@@ -5127,6 +5157,36 @@ object SparkEntry {
         |  CAST(SUM(u.qc) AS DOUBLE) / COUNT(*) AS qmean
         |FROM qq GROUP BY cent_id, u.dim
         |ORDER BY cent_id, dim""".stripMargin,
+    // supervised cluster quality: same IVF assignment, majority label
+    // per cluster (ties to the SMALLEST label), purity in floored bp
+    "sim_cluster_purity" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, label, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm
+        |      FROM n ORDER BY (vec_id * 2654435761) % 1000000007, vec_id LIMIT 16),
+        |a0 AS (
+        |  SELECT n.vec_id, n.label, c.cent_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |      i -> emb[i] * cemb[i])), (x, y) -> x + y) / (nrm * cnrm) AS cscore
+        |  FROM n CROSS JOIN c),
+        |ar AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cscore DESC, cent_id) AS arn FROM a0),
+        |a AS (SELECT vec_id, label, cent_id FROM ar WHERE arn = 1),
+        |lc AS (SELECT cent_id, label, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM a GROUP BY 1, 2),
+        |r AS (SELECT cent_id, label, c,
+        |    row_number() OVER (PARTITION BY cent_id ORDER BY c DESC, label) AS rn,
+        |    SUM(c) OVER (PARTITION BY cent_id) AS n_vecs,
+        |    COUNT(*) OVER (PARTITION BY cent_id) AS n_labels
+        |  FROM lc)
+        |SELECT cent_id, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(n_labels AS BIGINT) AS n_labels, c AS top_n,
+        |  label AS top_label,
+        |  CAST(c * 10000 // n_vecs AS BIGINT) AS purity_bp
+        |FROM r WHERE rn = 1 ORDER BY cent_id""".stripMargin,
     // centroid-based silhouette on int8 codes vs milli-scaled integer
     // centroids: same assignment CTEs as sim_kmeans_step, every distance
     // an exact BIGINT, signed s_milli truncates toward zero in BOTH

@@ -1547,4 +1547,30 @@ object SimilarityOps {
         expr("SUM(s_milli) DIV COUNT(1)").as("mean_sil_milli"))
       .orderBy("cent_id")
   }
+
+  /** Cluster purity against the LABEL column — the supervised twin of
+    * [[silhouette]]'s geometric readout: per IVF cluster, the majority
+    * label's share in floored basis points plus the label spread. The
+    * "do my clusters mean anything" check when ground truth exists
+    * (labels here; at production scale, a labeled eval slice), and the
+    * standard external cluster-quality metric next to the internal one.
+    * Ties on the majority count break to the SMALLEST label — the LPA
+    * min-label convention, engine-portable by construction.
+    *
+    * Scale shape: map-only broadcast-codebook assignment, then the only
+    * exchange carries (cent_id, label) pairs — k·|labels| rows. The
+    * argmax is `max(struct(c, -label))`, no window. */
+  def clusterPurity(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val lc = withNearestCentroid(e, ivfCentroids(e, k))
+      .groupBy("cent_id", "label").agg(count(lit(1)).as("c"))
+    lc.groupBy("cent_id")
+      .agg(sum(col("c")).as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        max(struct(col("c").as("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("cent_id"), col("n_vecs"), col("n_labels"),
+        col("m.c").as("top_n"), (-col("m.nl")).as("top_label"),
+        expr("m.c * 10000 DIV n_vecs").as("purity_bp"))
+      .orderBy("cent_id")
+  }
 }

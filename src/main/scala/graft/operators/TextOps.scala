@@ -1964,6 +1964,45 @@ object TextOps {
     * group-by on shard. The hash is effectively collision-free, but
     * doc_id still rides as the rank tiebreaker so determinism never
     * rests on that assumption. */
+  /** N-gram novelty curve across release batches — the "is more data
+    * still adding information" diagnostic a corpus-growth decision
+    * hangs on (the saturation curves in web-scale dedup literature):
+    * documents are split into `batches` release batches by doc_id, and
+    * each batch reports how many of its distinct word-3-gram hashes are
+    * FIRST SEEN in that batch (novelty, floored bp) plus the cumulative
+    * distinct-gram count — the knee of that curve is where another
+    * crawl of the same sources stops paying.
+    *
+    * Scale shape: the corpus collapses to distinct (batch, gram-hash)
+    * pairs in ONE map-side-combined shuffle (the dedup-tier discipline);
+    * first-seen is a min over the ≤batches values per hash; every
+    * report row is batch-count-sized, and the cumulative window runs
+    * over `batches` rows, not data. */
+  def ngramNovelty(spark: SparkSession, sfDir: String, n: Int = 3,
+                   batches: Int = 8): DataFrame = {
+    val d = Tables.spread(docs(spark, sfDir), col("doc_id"))
+    val total = d.count() // metadata-scale: one number on the driver
+    val bs = (total + batches - 1) / batches
+    val g = d
+      .select(expr(s"doc_id DIV $bs").as("batch"),
+        explode(wordShingles(words(col("text")), n)).as("gram"))
+      .select(col("batch"), polyHash(col("gram")).as("gh"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perBatch = g.groupBy("batch").agg(count(lit(1)).as("n_distinct"))
+    val news = g.groupBy("gh").agg(min(col("batch")).as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("n_new"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.orderBy("batch")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    perBatch.join(news, Seq("batch"), "left")
+      .select(col("batch"), col("n_distinct"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("novelty_bp", expr("n_new * 10000 DIV n_distinct"))
+      .withColumn("cum_distinct", sum(col("n_new")).over(wCum))
+      .orderBy("batch")
+  }
+
   def shuffleOrder(spark: SparkSession, sfDir: String,
                    seed: String = "epoch1", shardSize: Int = 64): DataFrame = {
     val d = Tables.spread(docs(spark, sfDir), col("doc_id"))

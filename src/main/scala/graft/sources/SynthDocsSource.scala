@@ -51,7 +51,8 @@ class SynthDocsProvider extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table =
     new SynthDocsTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "8").toInt)
+      properties.getOrDefault("partitions", "8").toInt,
+      properties.getOrDefault("maxRowsPerTrigger", "100").toLong)
 }
 
 object SynthDocs {
@@ -104,19 +105,22 @@ object SynthDocsRegistry {
   @volatile var lastAggPushed: Seq[String] = Seq.empty
 }
 
-final class SynthDocsTable(rows: Long, partitions: Int)
+final class SynthDocsTable(rows: Long, partitions: Int,
+                           maxRowsPerTrigger: Long = 100L)
     extends Table with SupportsRead {
   require(rows >= 0 && partitions >= 1,
     s"bad synthdocs sizing: rows=$rows partitions=$partitions")
   override def name(): String = s"synthdocs($rows,$partitions)"
   override def schema(): StructType = SynthDocs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthDocsScanBuilder(rows, partitions)
+    new SynthDocsScanBuilder(rows, partitions, maxRowsPerTrigger)
 }
 
-final class SynthDocsScanBuilder(rows: Long, partitions: Int)
+final class SynthDocsScanBuilder(rows: Long, partitions: Int,
+                                 maxRowsPerTrigger: Long = 100L)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -197,18 +201,23 @@ final class SynthDocsScanBuilder(rows: Long, partitions: Int)
       case _: Max => "max_doc_id"
     }
     new SynthDocsScan(rows, partitions, required, lo, math.min(hi, rows),
-      pushed.map(_.toString).toSeq, aggCols)
+      pushed.map(_.toString).toSeq, aggCols, maxRowsPerTrigger)
   }
 }
 
 final class SynthDocsScan(rows: Long, partitions: Int, required: StructType,
                           lo: Long, hi: Long, pushedDesc: Seq[String],
-                          aggCols: Seq[String])
+                          aggCols: Seq[String],
+                          maxRowsPerTrigger: Long = 100L)
     extends Scan with Batch {
   override def readSchema(): StructType =
     if (aggCols.isEmpty) required
     else StructType(aggCols.map(StructField(_, LongType, nullable = false)))
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthDocsMicroBatchStream(rows, partitions, required.fieldNames,
+      maxRowsPerTrigger)
   override def description(): String =
     s"synthdocs rows=$rows partitions=$partitions bounds=[$lo,$hi) " +
       s"pushed=${pushedDesc.mkString("[", ",", "]")} " +
@@ -244,6 +253,77 @@ final class SynthDocsScan(rows: Long, partitions: Int, required: StructType,
 
 final case class SynthDocsPartition(start: Long, end: Long)
     extends InputPartition
+
+/** Offset for the streaming read: the next unread doc_id. JSON is the
+  * bare number, so checkpoints are human-auditable. */
+final case class SynthDocsOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** MICRO-BATCH STREAM over the same deterministic corpus — the read
+  * half of the streaming DSv2 surface (next to [[MetricsSinkProvider]]'s
+  * write half): offsets are doc_id positions, each trigger admits at
+  * most `maxRowsPerTrigger` rows ([[SupportsAdmissionControl]], the
+  * public rate-source contract — the engine asks "how far may I read
+  * given this limit" instead of the source guessing trigger shape), and
+  * `planInputPartitions(start, end)` splits the admitted range across
+  * the configured parallelism with the SAME partition/reader classes as
+  * the batch path — the replayable-by-range discipline every
+  * exactly-once source (kafka offsets, file lists, CDC LSNs) follows:
+  * a restarted query re-plans the identical [start, end) from the
+  * checkpoint and regenerates identical rows. Backlog admission is
+  * O(1) arithmetic; no state lives in the source. */
+final class SynthDocsMicroBatchStream(rows: Long, partitions: Int,
+                                      columns: Array[String],
+                                      maxRowsPerTrigger: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // Trigger.AvailableNow drains in admitted steps until the backlog
+  // head CAPTURED AT START is reached; the corpus bound is a config
+  // constant, so the capture is a no-op — rows IS the drain target
+  // (a file/kafka source would snapshot its listing here)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = SynthDocsOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    SynthDocsOffset(json.trim.toLong)
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(maxRowsPerTrigger)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control path")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthDocsOffset].pos
+    val cap = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        m.maxRows()
+      case _ => maxRowsPerTrigger
+    }
+    SynthDocsOffset(math.min(rows, s + math.max(1L, cap)))
+  }
+  /** Unthrottled backlog head — what AvailableNow uses to decide when
+    * the stream has drained. */
+  override def reportLatestOffset(): Offset = SynthDocsOffset(rows)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthDocsOffset].pos
+    val e = end.asInstanceOf[SynthDocsOffset].pos
+    val per = math.max(1L, (e - s + partitions - 1) / partitions)
+    (0 until partitions).iterator
+      .map { k => (s + k * per, math.min(e, s + (k + 1) * per)) }
+      .collect { case (a, b) if a < b => SynthDocsPartition(a, b): InputPartition }
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthDocsReaderFactory(columns)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** Pushed-aggregate reader: ONE row per partition, every value pure
   * range arithmetic over [start, end) — count = end−start, min = start,

@@ -3925,6 +3925,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(e2.map(_.getAs[Long]("n_docs")).sum == n)
   }
 
+  test("cluster purity: full coverage, majority share consistent, bounded bp") {
+    val rows = SimilarityOps.clusterPurity(spark, sf0001).collect()
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs)
+    rows.foreach { r =>
+      val (n, topN, bp) = (r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("top_n"), r.getAs[Long]("purity_bp"))
+      assert(topN >= 1L && topN <= n)
+      assert(bp == topN * 10000 / n, "purity must be the floored majority share")
+      assert(r.getAs[Long]("n_labels") >= 1L)
+    }
+  }
+
+  test("ngram novelty: first batch is all-new, cumulative count reaches the corpus distinct total") {
+    import spark.implicits._
+    val rows = TextOps.ngramNovelty(spark, sf0001).collect()
+    assert(rows.head.getAs[Long]("batch") == 0L)
+    assert(rows.head.getAs[Long]("novelty_bp") == 10000L,
+      "every gram in the first batch is first-seen by definition")
+    val cums = rows.map(_.getAs[Long]("cum_distinct"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    // the curve's endpoint is the corpus-wide distinct gram count
+    val totalDistinct = Tables.documents(spark, sf0001)
+      .select(explode(TextOps.wordShingles(
+        TextOps.words(col("text")), 3)).as("g"))
+      .select(TextOps.polyHash(col("g"))).distinct().count()
+    assert(cums.last == totalDistinct)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == totalDistinct)
+  }
+
   test("silhouette: bounded milli scores, full coverage, self-cluster distance is the 'a' arm") {
     val rows = SimilarityOps.silhouette(spark, sf0001).collect()
     val nVecs = Tables.embeddings(spark, sf0001).count()
