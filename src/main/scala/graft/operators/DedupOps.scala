@@ -397,9 +397,14 @@ object DedupOps {
         struct(col("v").as("u"), col("u").as("v")))).as("p"))
         .select(col("p.u").as("u"), col("p.v").as("v"))
       val m = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      // NO dedup here: the consumer is always smallStar, whose min-agg
+      // is duplicate-insensitive and whose tail distinct restores the
+      // set property — dropping this distinct removes one shuffle per
+      // star pair (2 per materialized job) at the price of duplicate
+      // rows in ONE intermediate (bounded: ≤2× the round's edge list)
       sym.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val ori = e.select(greatest(col("u"), col("v")).as("u"),

@@ -148,4 +148,106 @@ object DocStreamOps {
       }
       .toDF()
   }
+
+  final case class BudgetedDoc(source: String, doc_id: Long, n_tokens: Long,
+    ingest_ts: java.sql.Timestamp)
+  /** kind = "doc" (per-document admit/reject decision, spent_after =
+    * window consumption after it) or "summary" (timer-fired window
+    * close: doc_id = admitted count, n_tokens = tokens consumed). */
+  final case class GateOut(source: String, kind: String, doc_id: Long,
+    window_id: Long, n_tokens: Long, spent_after: Long, admitted: Boolean)
+  // NOT private: the MapState value encoder generates public-access
+  // constructor calls against this class
+  final case class WinAcct(spent: Long, nAdmitted: Long)
+
+  /** Per-source ingestion budget gate on `transformWithState` — the
+    * Spark 4 arbitrary-state API (SPARK-46815 line, public), exercised
+    * end-to-end: MULTIPLE named state variables (a [[org.apache.spark
+    * .sql.streaming.MapState]] of per-window accounts), EVENT-TIME
+    * TIMERS (each window registers one at its end; the expiry callback
+    * emits the window summary and frees the account), and
+    * watermark-late drop inside the processor. The LLM-crawl semantics:
+    * every source gets `budget` tokens per tumbling window — a hot
+    * domain is throttled the moment its window budget is spent, cold
+    * domains flow untouched; the summary row per (source, window) is
+    * the admission ledger the crawl dashboard reads. Complements
+    * [[perOriginPacing]] (request SPACING) with volume capping.
+    *
+    * Scale shape: state is one (spent, admitted) pair per OPEN window
+    * per source — freed by its timer, so perpetual ingest holds
+    * O(sources · open windows), never history; per-batch work per key
+    * is a sort of that key's batch slice (bounded by the trigger), and
+    * rows older than the watermark are dropped, not re-opened.
+    * Admission decisions within a key are event-time ordered and
+    * therefore replay-deterministic. */
+  def budgetGate(docs: org.apache.spark.sql.Dataset[BudgetedDoc],
+                 budget: Long, windowMs: Long,
+                 watermark: String = "10 seconds")
+      : org.apache.spark.sql.Dataset[GateOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.withWatermark("ingest_ts", watermark)
+      .groupByKey(_.source)
+      .transformWithState(new BudgetGateProcessor(budget, windowMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The [[budgetGate]] processor. One MapState: window_id → account.
+    * A window's timer fires when the WATERMARK passes its end — the
+    * summary is emitted exactly once, then the account is freed. */
+  private[graft] class BudgetGateProcessor(budget: Long, windowMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, BudgetedDoc, GateOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var acct
+      : org.apache.spark.sql.streaming.MapState[Long, WinAcct] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      acct = getHandle.getMapState[Long, WinAcct]("acct",
+        E.scalaLong, E.product[WinAcct],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BudgetedDoc],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[GateOut] = {
+      val wm = timers.getCurrentWatermarkInMs
+      // event-time order inside the batch slice = replay determinism
+      val sorted = rows.toSeq.sortBy(r => (r.ingest_ts.getTime, r.doc_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[GateOut]
+      sorted.foreach { r =>
+        val t = r.ingest_ts.getTime
+        if (t >= wm) { // watermark-late rows never re-open a closed window
+          val w = t / windowMs
+          val cur =
+            if (acct.containsKey(w)) acct.getValue(w)
+            else {
+              // first doc of the window: arm the close timer at its end
+              getHandle.registerTimer((w + 1) * windowMs)
+              WinAcct(0L, 0L)
+            }
+          val admit = cur.spent + r.n_tokens <= budget
+          val next = if (admit) WinAcct(cur.spent + r.n_tokens,
+            cur.nAdmitted + 1) else cur
+          acct.updateValue(w, next)
+          out += GateOut(key, "doc", r.doc_id, w, r.n_tokens,
+            next.spent, admit)
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[GateOut] = {
+      val w = expired.getExpiryTimeInMs / windowMs - 1
+      if (acct.containsKey(w)) {
+        val a = acct.getValue(w)
+        acct.removeKey(w) // the account is freed — state never grows
+        Iterator.single(GateOut(key, "summary", a.nAdmitted, w, a.spent,
+          a.spent, admitted = true))
+      } else Iterator.empty
+    }
+  }
 }

@@ -443,6 +443,68 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState budget gate: per-source window budgets, timer-fired summaries, state freed") {
+    import spark.implicits._
+    import graft.streaming.DocStreamOps
+    import graft.streaming.DocStreamOps.{BudgetedDoc, GateOut}
+    implicit val sql = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider —
+    // scope it to this query and restore the session default after
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[BudgetedDoc]
+    // 5-minute tumbling windows (ts() speaks in minutes)
+    val q = DocStreamOps.budgetGate(mem.toDS(), budget = 10L,
+        windowMs = 300000L)
+      .writeStream.format("memory").queryName("gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // first window: "hot" spends 4+4, the third doc would overflow the
+      // 10-token budget and is rejected; "cold" flows untouched
+      mem.addData(
+        BudgetedDoc("hot", 1L, 4L, ts(1)),
+        BudgetedDoc("hot", 2L, 4L, ts(2)),
+        BudgetedDoc("hot", 3L, 4L, ts(3)),
+        BudgetedDoc("cold", 10L, 5L, ts(2)))
+      q.processAllAvailable()
+      // next window: the budget RESETS per window — "hot" admits again
+      mem.addData(BudgetedDoc("hot", 4L, 4L, ts(6)))
+      q.processAllAvailable()
+      // advance the watermark past the first window's end (+10 s delay):
+      // both first-window timers fire and emit their admission summaries
+      mem.addData(BudgetedDoc("cold", 11L, 1L, ts(8)))
+      q.processAllAvailable()
+      val rows = spark.table("gate").as[GateOut].collect()
+      val docs = rows.filter(_.kind == "doc")
+        .map(r => r.doc_id -> r.admitted).toMap
+      assert(docs == Map(1L -> true, 2L -> true, 3L -> false,
+        10L -> true, 4L -> true, 11L -> true), s"decisions: $docs")
+      // window ids are absolute (epoch ms DIV window): read them off the
+      // doc decisions so the summary asserts are calendar-independent
+      val byDoc = rows.filter(_.kind == "doc")
+        .map(r => r.doc_id -> r.window_id).toMap
+      val (w0, w1) = (byDoc(1L), byDoc(4L))
+      assert(w1 == w0 + 1)
+      val sums = rows.filter(_.kind == "summary")
+        .map(r => (r.source, r.window_id) -> (r.doc_id, r.n_tokens)).toMap
+      // summary doc_id carries the admitted count, n_tokens the spend
+      assert(sums.get(("hot", w0)).contains((2L, 8L)),
+        s"hot first-window summary wrong: $sums")
+      assert(sums.get(("cold", w0)).contains((1L, 5L)),
+        s"cold first-window summary wrong: $sums")
+      assert(!sums.contains(("hot", w1)),
+        "the second window is still open — its timer must not have fired")
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("streaming novel-vs-snapshot filter drops every doc the static snapshot holds") {
     import spark.implicits._
     import graft.streaming.DocStreamOps
