@@ -118,6 +118,7 @@ object SparkEntry {
     "evt_asof_purchase_signup" -> EventOps.asofPurchaseSignup _,
     "evt_asof_merge"           -> AsOfJoinOps.purchaseSignupMerge _,
     "evt_json_props"           -> EventOps.jsonPropsStats _,
+    "evt_variant_props"        -> EventOps.variantProps _,
     "evt_running_totals"       -> EventOps.userRunningTotals _,
     "evt_gaps"                 -> EventOps.eventGaps _,
     "evt_dedup_first"          -> EventOps.earliestEventPerUserType _,
@@ -1815,6 +1816,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the VARIANT twin: identical values through DuckDB's JSON reads —
+    // the engine-side difference is the parse-once binary encoding
+    "evt_variant_props" ->
+      """WITH k AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CAST(json_extract_string(props, '$.missing') AS BIGINT) AS miss
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(k) AS n_with_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k,
+        |  COUNT(miss) AS n_missing_path
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
     "evt_running_totals" ->
       """SELECT user_id, event_id, ts,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (

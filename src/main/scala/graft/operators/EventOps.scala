@@ -86,6 +86,35 @@ object EventOps {
            max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Semi-structured props via VARIANT (the Spark 4 open variant
+    * encoding — the lakehouse answer to schemaless JSON columns): the
+    * JSON string parses ONCE into the binary variant form and every
+    * extraction is a typed path read on that, vs [[jsonPropsStats]]'
+    * `get_json_object` which re-parses the string per path (the classic
+    * N-paths-N-parses tax this type exists to remove). Missing paths
+    * read as NULL through `try_variant_get` — counted here as the
+    * schema-drift signal an ingest monitor watches. At 100 TB the
+    * variant column is what lands in parquet (shredded by the writer),
+    * and this row-local decode is the scan-adjacent shape.
+    *
+    * Plan: one scan, one map-side-combined aggregate — identical
+    * exchange budget to the JSON-string twin, so the two queries price
+    * the FORMAT, not the plan. */
+  def variantProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_type"),
+        expr("try_variant_get(v, '$.k', 'long')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'long')").as("miss"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("miss")).as("n_missing_path"))
+      .orderBy("event_type")
+
   /** Per-user running total of value over time (cumulative frame window).
     * Explicit ROWS frame + unique (ts, event_id) ordering keeps it
     * deterministic under ties. */
