@@ -52,6 +52,7 @@ object SparkEntry {
     "rel_sql_lateral_topk"     -> RelationalOps.sqlLateralTopItems _,
     "rel_sql_hierarchy"        -> RelationalOps.sqlHierarchyRollup _,
     "rel_table_profile"        -> RelationalOps.tableProfile _,
+    "rel_benford"              -> RelationalOps.benfordProfile _,
     "rel_rank_family"          -> RelationalOps.rankFamilyParts _,
     "rel_dist_family"          -> RelationalOps.distFamilyParts _,
     "rel_unpivot"              -> RelationalOps.unpivotPartMeasures _,
@@ -148,6 +149,9 @@ object SparkEntry {
     "evt_retention"            -> EventOps.cohortRetention _,
     "evt_attribution"          -> EventOps.lastTouchAttribution _,
     "evt_rfm"                  -> EventOps.rfmSegments _,
+    "evt_ltv_cohort"           -> EventOps.ltvCohortCurve _,
+    "evt_position_attribution" -> EventOps.positionAttribution _,
+    "evt_markov_attribution"   -> ((s: SparkSession, d: String) => EventOps.markovAttribution(s, d)),
     "evt_dau_mau"              -> EventOps.dauMau _,
     "evt_survival"             -> EventOps.survivalCurve _,
     "evt_path_analysis"        -> ((s: SparkSession, d: String) => EventOps.pathAnalysis(s, d)),
@@ -202,6 +206,7 @@ object SparkEntry {
     "txt_bpe_encode"           -> TextOps.bpeEncode _,
     "txt_bpe_fertility"        -> TextOps.bpeFertility _,
     "txt_zipf_fit"             -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
+    "txt_good_turing"          -> ((s: SparkSession, d: String) => TextOps.goodTuring(s, d)),
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "txt_kneser_ney"           -> ((s: SparkSession, d: String) => TextOps.kneserNeyBigrams(s, d)),
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
@@ -236,6 +241,7 @@ object SparkEntry {
     "dd_exact_substr"          -> DedupOps.exactSubstrDedup _,
     "dd_block_dedup"           -> ((s: SparkSession, d: String) => DedupOps.blockDedup(s, d)),
     "dd_record_linkage"        -> DedupOps.recordLinkage _,
+    "dd_soft_dedup"            -> DedupOps.softDedupWeights _,
     "dd_pipeline_survivors"    -> DedupOps.dedupSurvivors _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
@@ -1092,6 +1098,27 @@ object SparkEntry {
         |  MIN(o_orderpriority), MAX(o_orderpriority)
         |FROM orders, n GROUP BY n_rows
         |ORDER BY col_name""".stripMargin,
+    // Benford first-digit screen: exact basis points, expectation as
+    // precomputed integer constants — no float log10 in either engine
+    "rel_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents
+        |  FROM orders WHERE o_totalprice > 0),
+        |d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    COUNT(*) AS n
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+        |SELECT digit, n, n * 10000 // total AS obs_bp,
+        |  CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+        |    WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580
+        |    WHEN 8 THEN 512 ELSE 458 END AS BIGINT) AS exp_bp,
+        |  ABS(n * 10000 // total -
+        |    CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+        |      WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580
+        |      WHEN 8 THEN 512 ELSE 458 END) AS dev_bp
+        |FROM d, t ORDER BY digit""".stripMargin,
     // null-safe equi-join: NULL keys match each other (IS NOT DISTINCT
     // FROM == Spark's <=>), the "unknown is a legitimate bucket" merge
     "rel_null_safe_join" ->
@@ -1933,6 +1960,154 @@ object SparkEntry {
         |SELECT user_id, r_q, f_q, m_q,
         |  r_q * 100 + f_q * 10 + m_q AS rfm_code
         |FROM q ORDER BY user_id""".stripMargin,
+    // cohort LTV: weekly cohorts (retention's datediff-div-7 offsets),
+    // cumulative BIGINT-cents revenue per cohort along the age axis
+    "evt_ltv_cohort" ->
+      """WITH co AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |sz AS (SELECT cohort_week, COUNT(*) AS n_users FROM co GROUP BY 1),
+        |p AS (
+        |  SELECT co.cohort_week,
+        |    CAST(date_diff('day', co.cohort_week,
+        |      date_trunc('week', e.ts)) // 7 AS BIGINT) AS age_wk,
+        |    e.user_id,
+        |    CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events e JOIN co USING (user_id)
+        |  WHERE e.event_type = 'purchase'),
+        |a AS (
+        |  SELECT cohort_week, age_wk, COUNT(*) AS n_purchases,
+        |    COUNT(DISTINCT user_id) AS buyers,
+        |    COALESCE(CAST(SUM(cents) AS BIGINT), 0) AS rev_cents
+        |  FROM p GROUP BY 1, 2),
+        |w AS (
+        |  SELECT a.cohort_week, a.age_wk, sz.n_users, a.n_purchases,
+        |    a.buyers, a.rev_cents,
+        |    CAST(SUM(a.rev_cents) OVER (PARTITION BY a.cohort_week
+        |      ORDER BY a.age_wk ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cum_rev_cents
+        |  FROM a JOIN sz USING (cohort_week))
+        |SELECT cohort_week, age_wk, n_users, n_purchases, buyers, rev_cents,
+        |  cum_rev_cents, cum_rev_cents // n_users AS ltv_cents_per_user
+        |FROM w ORDER BY cohort_week, age_wk""".stripMargin,
+    // U-shaped multi-touch: integer basis-point split 4000/2000/4000,
+    // floor remainder folded into the last touch — sums to 10000 exactly
+    "evt_position_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id, ts AS pts,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS cts, event_id AS cid,
+        |    'ch' || COALESCE(CAST(CAST(json_extract_string(props, '$.k')
+        |      AS BIGINT) % 4 AS VARCHAR), 'x') AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.pid, p.cents, c.cts, c.cid, c.channel
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts
+        |    AND epoch_ms(p.pts) - epoch_ms(c.cts) <= 3 * 86400000),
+        |r AS (
+        |  SELECT pid, cents, channel, cid,
+        |    CASE WHEN cid IS NOT NULL THEN
+        |      row_number() OVER (PARTITION BY pid ORDER BY cts, cid) END AS pos,
+        |    COUNT(cid) OVER (PARTITION BY pid) AS k
+        |  FROM j),
+        |cr AS (
+        |  SELECT COALESCE(channel, 'organic') AS channel, cents,
+        |    CAST(CASE WHEN k <= 1 THEN 10000 WHEN k = 2 THEN 5000
+        |      WHEN pos = 1 THEN 4000
+        |      WHEN pos = k THEN 4000 + 2000 - (k - 2) * (2000 // (k - 2))
+        |      ELSE 2000 // (k - 2) END AS BIGINT) AS credit_bp
+        |  FROM r)
+        |SELECT channel, COUNT(*) AS n_credits,
+        |  CAST(SUM(credit_bp) AS BIGINT) AS credit_bp_sum,
+        |  CAST(SUM(cents * credit_bp) AS BIGINT) AS rev_cents_bp,
+        |  CAST(SUM(cents * credit_bp) AS BIGINT) // 10000 AS rev_cents
+        |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
+    // Markov removal-effect attribution: transition probs in exact ppm,
+    // 6 absorption steps unrolled with per-edge floor — BIGINT all the way
+    "evt_markov_attribution" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'conv'
+        |      ELSE 'ch' || COALESCE(CAST(CAST(json_extract_string(props, '$.k')
+        |        AS BIGINT) % 4 AS VARCHAR), 'x') END AS state
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |s2 AS (
+        |  SELECT user_id, ts, event_id, state,
+        |    COUNT(CASE WHEN state = 'conv' THEN 1 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+        |  FROM seq),
+        |s3 AS (
+        |  SELECT state,
+        |    COALESCE(lag(state) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), 'start') AS prev,
+        |    lead(state) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) IS NULL AS is_last
+        |  FROM s2 WHERE cb = 0),
+        |tr AS (SELECT src, dst, COUNT(*) AS cnt FROM (
+        |    SELECT prev AS src, state AS dst FROM s3
+        |    UNION ALL
+        |    SELECT state, 'null' FROM s3 WHERE is_last AND state <> 'conv')
+        |  GROUP BY src, dst),
+        |deg AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS deg FROM tr GROUP BY src),
+        |tp AS (SELECT tr.src, tr.dst, cnt * 1000000 // deg AS t_ppm
+        |  FROM tr JOIN deg USING (src)),
+        |scen AS (
+        |  SELECT DISTINCT ch AS removed FROM (
+        |    SELECT src AS ch FROM tp UNION ALL SELECT dst FROM tp)
+        |  WHERE ch NOT IN ('start', 'conv', 'null')
+        |  UNION ALL SELECT 'none'),
+        |edges AS (
+        |  SELECT removed, src, dst, CAST(SUM(t_ppm) AS BIGINT) AS t_ppm FROM (
+        |    SELECT s.removed, t.src,
+        |      CASE WHEN t.dst = s.removed THEN 'null' ELSE t.dst END AS dst,
+        |      t.t_ppm
+        |    FROM scen s CROSS JOIN tp t
+        |    UNION ALL
+        |    SELECT s.removed, x.src, x.dst, CAST(x.t_ppm AS BIGINT)
+        |    FROM scen s CROSS JOIN (VALUES ('conv', 'conv', 1000000),
+        |      ('null', 'null', 1000000)) AS x(src, dst, t_ppm))
+        |  GROUP BY removed, src, dst),
+        |p0 AS (SELECT removed, 'start' AS state,
+        |  CAST(1000000 AS BIGINT) AS p_ppm FROM scen),
+        |p1 AS (SELECT e.removed, e.dst AS state,
+        |  CAST(SUM(p.p_ppm * e.t_ppm // 1000000) AS BIGINT) AS p_ppm
+        |  FROM p0 p JOIN edges e ON p.removed = e.removed AND p.state = e.src
+        |  GROUP BY 1, 2),
+        |p2 AS (SELECT e.removed, e.dst AS state,
+        |  CAST(SUM(p.p_ppm * e.t_ppm // 1000000) AS BIGINT) AS p_ppm
+        |  FROM p1 p JOIN edges e ON p.removed = e.removed AND p.state = e.src
+        |  GROUP BY 1, 2),
+        |p3 AS (SELECT e.removed, e.dst AS state,
+        |  CAST(SUM(p.p_ppm * e.t_ppm // 1000000) AS BIGINT) AS p_ppm
+        |  FROM p2 p JOIN edges e ON p.removed = e.removed AND p.state = e.src
+        |  GROUP BY 1, 2),
+        |p4 AS (SELECT e.removed, e.dst AS state,
+        |  CAST(SUM(p.p_ppm * e.t_ppm // 1000000) AS BIGINT) AS p_ppm
+        |  FROM p3 p JOIN edges e ON p.removed = e.removed AND p.state = e.src
+        |  GROUP BY 1, 2),
+        |p5 AS (SELECT e.removed, e.dst AS state,
+        |  CAST(SUM(p.p_ppm * e.t_ppm // 1000000) AS BIGINT) AS p_ppm
+        |  FROM p4 p JOIN edges e ON p.removed = e.removed AND p.state = e.src
+        |  GROUP BY 1, 2),
+        |p6 AS (SELECT e.removed, e.dst AS state,
+        |  CAST(SUM(p.p_ppm * e.t_ppm // 1000000) AS BIGINT) AS p_ppm
+        |  FROM p5 p JOIN edges e ON p.removed = e.removed AND p.state = e.src
+        |  GROUP BY 1, 2),
+        |conv AS (SELECT removed, p_ppm AS p_conv_ppm FROM p6
+        |  WHERE state = 'conv'),
+        |base AS (SELECT p_conv_ppm AS p_base_ppm FROM conv
+        |  WHERE removed = 'none'),
+        |eff AS (
+        |  SELECT removed AS channel, p_conv_ppm, p_base_ppm,
+        |    p_base_ppm - p_conv_ppm AS removal_ppm
+        |  FROM conv, base WHERE removed <> 'none'),
+        |tot AS (SELECT CAST(SUM(removal_ppm) AS BIGINT) AS tot_removal FROM eff)
+        |SELECT channel, p_conv_ppm, p_base_ppm, removal_ppm,
+        |  removal_ppm * 10000 // tot_removal AS share_bp
+        |FROM eff, tot ORDER BY channel""".stripMargin,
     // DAU / rolling-28-day MAU: the oracle spells MAU as the brute
     // range-join COUNT(DISTINCT) the engine's disjoint-interval explode
     // provably equals; stickiness in integer basis points
@@ -3137,6 +3312,21 @@ object SparkEntry {
         |    ELSE -((slope_milli * sum_x16 - sum_y16 * 1000) // (16 * n_terms)) END
         |    AS BIGINT) AS intercept_milli
         |FROM sl""".stripMargin,
+    // Good-Turing count-of-counts: r* in exact thousandths via BIGINT
+    // floor division; 0 where N_{r+1} is empty (estimator undefined)
+    "txt_good_turing" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0) AS w
+        |  FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS r FROM (
+        |    SELECT unnest(w) AS word FROM t) GROUP BY word),
+        |cc AS (SELECT r, COUNT(*) AS n_types FROM wc GROUP BY r)
+        |SELECT cc.r, cc.n_types,
+        |  COALESCE((cc.r + 1) * 1000 * nx.n_types // cc.n_types,
+        |    CAST(0 AS BIGINT)) AS rstar_milli
+        |FROM cc LEFT JOIN cc nx ON nx.r = cc.r + 1
+        |WHERE cc.r <= 30 ORDER BY cc.r""".stripMargin,
     // BPE ENCODE: train the same 3 rounds (word column carried through
     // the lockstep folds), apply ALL three merges (f3/v4), then join the
     // per-doc word stream to the encoded vocabulary for token accounting
@@ -3678,6 +3868,69 @@ object SparkEntry {
         |SELECT n_id, CAST(c_custkey AS BIGINT) AS matched_custkey,
         |       CAST(dist AS BIGINT) AS dist
         |FROM best WHERE rn = 1 ORDER BY n_id""".stripMargin,
+    // soft dedup: the dd_dup_clusters pipeline, ending in 1e6/csize
+    // weights LEFT-joined back onto the full corpus (singletons weigh 1e6)
+    "dd_soft_dedup" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, source, 'extra words added ' || text
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END) AS sh
+        |  FROM w2),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM f),
+        |dfq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+        |pr AS (SELECT doc_id, n, s FROM (
+        |    SELECT ex.doc_id, ex.s, ex.n,
+        |      row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfq.df, ex.s) AS rn
+        |    FROM ex JOIN dfq USING (s)) z
+        |  WHERE rn <= n // 2 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    AND 2 * LEAST(a.n, b.n) >= GREATEST(a.n, b.n)),
+        |v AS (SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE)
+        |      / (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN f fa ON fa.doc_id = doc_a
+        |  JOIN f fb ON fb.doc_id = doc_b),
+        |pairs AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |r AS (
+        |  SELECT src AS node, src AS reach FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.reach),
+        |lab AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node),
+        |sz AS (SELECT cluster_id, COUNT(*) AS csize FROM lab GROUP BY cluster_id),
+        |cl AS (SELECT l.doc_id, l.cluster_id, sz.csize
+        |  FROM lab l JOIN sz USING (cluster_id))
+        |SELECT c.doc_id, c.source,
+        |  COALESCE(cl.cluster_id, c.doc_id) AS cluster_id,
+        |  COALESCE(cl.csize, CAST(1 AS BIGINT)) AS csize,
+        |  1000000 // COALESCE(cl.csize, CAST(1 AS BIGINT)) AS weight_ppm
+        |FROM corpus c LEFT JOIN cl USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dd_exact_substr" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents

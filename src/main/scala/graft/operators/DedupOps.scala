@@ -1236,4 +1236,32 @@ object DedupOps {
       .select(col("n_id"), col("c_custkey").as("matched_custkey"), col("dist"))
       .orderBy("n_id")
   }
+
+  /** SOFT dedup — keep every duplicate but DOWNWEIGHT it by its cluster
+    * size (SoftDeDup: w = 1/|cluster|, so each duplicate FAMILY
+    * contributes one document's worth of training mass in expectation;
+    * the sampling-weight alternative to [[dupClusters]]' keep-one
+    * decision that recent pretraining-data work prefers, because hard
+    * removal also deletes the natural up-weighting of genuinely popular
+    * content). Weights are exact PARTS PER MILLION (1e6 div csize);
+    * docs outside any dup cluster weigh 1e6. The corpus-level check row
+    * is the effective-mass total: Σw ≈ |unique families|.
+    *
+    * Scale shape: rides [[dupClustersOf]] (checkpointed min-label CC —
+    * only docs that appear in a candidate PAIR enter the iteration);
+    * the full corpus then LEFT-joins the cluster table once on doc_id
+    * (cluster table ≤ dup docs, AQE broadcasts while it fits;
+    * co-partitioned on doc_id at 100 TB). No new corpus shuffles. */
+  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = dupClustersOf(ngramJaccardPairsUnsorted(spark, sfDir))
+      .select(col("doc_id"), col("cluster_id"), col("csize"))
+    corpus(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("csize"), lit(1L)).as("csize"),
+        expr("1000000 DIV coalesce(csize, 1)").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
 }

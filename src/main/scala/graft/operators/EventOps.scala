@@ -1314,4 +1314,198 @@ object EventOps {
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_code"))
       .orderBy("user_id")
   }
+
+  /** Cohort LTV curve — cumulative revenue per signup cohort by account
+    * age, the lifetime-value readout every subscription/commerce
+    * warehouse plots next to [[cohortRetention]]: users are cohorted by
+    * the WEEK of their FIRST event (retention's granularity — the
+    * events table spans weeks), every purchase lands at its week-offset
+    * from that cohort, and revenue accumulates along the age axis so
+    * the curve answers "how much has the week-1 cohort earned per user
+    * by week 3". Week offsets are [[cohortRetention]]'s exact integer
+    * datediff-div-7; revenue is exact BIGINT cents; the per-user
+    * normalization is integer division — both engines bit-agree.
+    *
+    * Scale shape: one per-user min() agg (shuffle on user_id) builds
+    * the cohort map; purchases join it ON user_id — at 100 TB both
+    * sides co-partition on user_id (the map is users-sized, AQE
+    * broadcasts while it fits); the (cohort, age) aggregate is
+    * weeks²-bounded, so the cumulative window runs over a tiny table
+    * partitioned BY cohort (no global sort). */
+  def ltvCohortCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_users"))
+    val perAge = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        (money(col("value")) * 100).cast("long").as("cents"))
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(date_trunc('week', ts), cohort_week) DIV 7")
+          .cast("long").as("age_wk"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("buyers"),
+        coalesce(sum(col("cents")), lit(0L)).as("rev_cents"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("age_wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perAge.join(broadcast(sizes), "cohort_week")
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .select(col("cohort_week"), col("age_wk"), col("n_users"),
+        col("n_purchases"), col("buyers"), col("rev_cents"),
+        col("cum_rev_cents"),
+        expr("cum_rev_cents DIV n_users").as("ltv_cents_per_user"))
+      .orderBy("cohort_week", "age_wk")
+  }
+
+  /** U-shaped (position-based) multi-touch attribution — the
+    * complement of [[lastTouchAttribution]]'s winner-take-all: each
+    * purchase's credit is SPLIT over every qualifying click in the
+    * 3-day lookback, 40% to the first touch, 40% to the last, the
+    * middle 20% divided evenly among interior touches (the standard
+    * position-based scheme). Credit is integer BASIS POINTS so the
+    * split is exact and engine-portable: k=1 → 10000; k=2 → 5000/5000;
+    * k≥3 → 4000 / floor(2000/(k−2)) each middle / 4000 + the floor
+    * remainder folded into the LAST touch (credits always sum to
+    * exactly 10000 per purchase). Purchases with no qualifying click
+    * credit `organic` in full.
+    *
+    * Scale shape: purchases join clicks on user_id with the lookback
+    * range predicate — per-user fan-out is bounded by the 3-day window,
+    * the same bound [[lastTouchAttribution]] rides; position rank and
+    * touch count are ONE window pass partitioned by purchase; the final
+    * channel rollup is channels-sized. No global sort, no driver state. */
+  def positionAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"), (money(col("value")) * 100).cast("long").as("cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        col("event_id").as("cid"), clickChannel(col("props")).as("channel"))
+    val joined = p.join(c,
+      p("user_id") === c("user_id") && col("cts") <= col("pts") &&
+        unix_millis(col("pts")) - unix_millis(col("cts")) <= lit(3L * 86400000L),
+      "left")
+    val w = Window.partitionBy("pid").orderBy("cts", "cid")
+    val credited = joined
+      .withColumn("pos", when(col("cid").isNotNull, row_number().over(w)))
+      .withColumn("k", count(col("cid")).over(Window.partitionBy("pid")))
+      .withColumn("mid_bp", when(col("k") >= 3, expr("2000 DIV (k - 2)")))
+      .withColumn("credit_bp",
+        when(col("k") === 0, lit(10000L))
+          .when(col("k") === 1, lit(10000L))
+          .when(col("k") === 2, lit(5000L))
+          .when(col("pos") === 1, lit(4000L))
+          .when(col("pos") === col("k"),
+            lit(4000L) + lit(2000L) - (col("k") - 2) * col("mid_bp"))
+          .otherwise(col("mid_bp")))
+      .select(coalesce(col("channel"), lit("organic")).as("channel"),
+        col("pid"), col("cents"), col("credit_bp"))
+    credited.groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit_bp")).as("credit_bp_sum"),
+        sum(col("cents") * col("credit_bp")).as("rev_cents_bp"))
+      .select(col("channel"), col("n_credits"), col("credit_bp_sum"),
+        col("rev_cents_bp"),
+        expr("rev_cents_bp DIV 10000").as("rev_cents"))
+      .orderBy("channel")
+  }
+
+  /** Markov removal-effect attribution (first-order chain; Anderl et
+    * al. 2014, public) — the data-driven alternative to positional
+    * heuristics: model each user's click journey as a Markov chain
+    * (start → channel⁺ → conv|null), then score a channel by how much
+    * the chain's conversion probability DROPS when every transition
+    * into that channel is redirected to `null` (the removal effect).
+    * Journeys truncate at the first purchase; users with no purchase
+    * end at `null`.
+    *
+    * Engine parity: transition probabilities are integer PARTS PER
+    * MILLION (cnt·1e6 div out-degree); the K=6-step absorption sweep
+    * floors each edge contribution (p·t div 1e6) before summing, so
+    * every intermediate is an exact BIGINT both engines reproduce —
+    * float matrix powers would drift. Absorbing states carry a 1e6
+    * self-loop. K=6 bounds the horizon identically on both sides
+    * (journeys here are short; the residual non-absorbed mass is
+    * reported so the truncation is visible, not silent).
+    *
+    * Scale shape: the corpus collapses ONCE to the transition count
+    * table (≤ (channels+3)² rows) via a per-user sequence window; the
+    * K-step sweep iterates joins over that tiny (scenario × state)
+    * frame — driver-looped but executor-evaluated, bounded by
+    * channels², never touching event rows again. The removal scenarios
+    * (1 + channels) ride the SAME sweep as a scenario key, one pass. */
+  def markovAttribution(spark: SparkSession, sfDir: String,
+                        steps: Int = 6): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // per-user click/purchase sequence, truncated at the first purchase
+    val seqq = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", lit("conv"))
+          .otherwise(clickChannel(col("props"))).as("state"))
+      .withColumn("conv_before", count(when(col("state") === "conv", lit(1)))
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("conv_before") === 0) // truncate after first conversion
+      .withColumn("prev", lag(col("state"), 1, "start").over(wSeq))
+      .withColumn("is_last", lead(col("state"), 1).over(wSeq).isNull)
+    // transitions: every consecutive pair, plus terminal → null for
+    // journeys that never convert
+    val trans0 = seqq.select(col("prev").as("src"), col("state").as("dst"))
+      .union(seqq.filter(col("is_last") && col("state") =!= "conv")
+        .select(col("state").as("src"), lit("null").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val outDeg = trans0.groupBy("src").agg(sum(col("cnt")).as("deg"))
+    val tppm = trans0.join(outDeg, "src")
+      .select(col("src"), col("dst"),
+        expr("cnt * 1000000 DIV deg").as("t_ppm"))
+    val channels = tppm.select(col("src").as("ch"))
+      .union(tppm.select(col("dst").as("ch")))
+      .filter(!col("ch").isin("start", "conv", "null")).distinct()
+    // scenario table: 'none' (full chain) + one removal per channel;
+    // removal redirects edges INTO the channel to null
+    val scen = channels.select(col("ch").as("removed"))
+      .union(spark.range(1).select(lit("none").as("removed")))
+    val edges = scen.crossJoin(tppm)
+      .select(col("removed"), col("src"),
+        when(col("dst") === col("removed"), lit("null"))
+          .otherwise(col("dst")).as("dst"), col("t_ppm"))
+      .union(scen.crossJoin(
+        spark.createDataFrame(Seq(("conv", "conv", 1000000L),
+            ("null", "null", 1000000L)))
+          .toDF("src", "dst", "t_ppm")))
+      // redirection can alias two edges onto (src, null): merge them so
+      // the per-edge floor below is over a UNIQUE-keyed edge table —
+      // the oracle replicates the same merge
+      .groupBy("removed", "src", "dst").agg(sum(col("t_ppm")).as("t_ppm"))
+      .localCheckpoint() // tiny: scenarios × states²
+    var pState = scen.select(col("removed"), lit("start").as("state"),
+      lit(1000000L).as("p_ppm")).localCheckpoint()
+    for (_ <- 1 to steps) {
+      pState = pState.join(edges,
+          pState("removed") === edges("removed") &&
+            pState("state") === edges("src"))
+        .groupBy(pState("removed").as("removed"), col("dst").as("state"))
+        .agg(sum(expr("p_ppm * t_ppm DIV 1000000")).as("p_ppm"))
+        .localCheckpoint()
+    }
+    val conv = pState.filter(col("state") === "conv")
+      .select(col("removed"), col("p_ppm").as("p_conv_ppm"))
+    val base = conv.filter(col("removed") === "none")
+      .select(col("p_conv_ppm").as("p_base_ppm"))
+    val eff = conv.filter(col("removed") =!= "none")
+      .crossJoin(broadcast(base))
+      .select(col("removed").as("channel"), col("p_conv_ppm"),
+        col("p_base_ppm"),
+        (col("p_base_ppm") - col("p_conv_ppm")).as("removal_ppm"))
+    val tot = eff.agg(sum(col("removal_ppm")).as("tot_removal"))
+    eff.crossJoin(broadcast(tot))
+      .select(col("channel"), col("p_conv_ppm"), col("p_base_ppm"),
+        col("removal_ppm"),
+        expr("removal_ppm * 10000 DIV tot_removal").as("share_bp"))
+      .orderBy("channel")
+  }
 }

@@ -1235,4 +1235,38 @@ object RelationalOps {
       .select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
       .orderBy("col_name")
   }
+
+  /** Benford first-digit profile — the fraud/aberration screen a
+    * warehouse runs over any naturally-grown monetary column (Benford
+    * 1938, public): leading digits of amounts spanning several orders
+    * of magnitude should follow P(d) = log10(1 + 1/d); a column that
+    * deviates hard was generated, capped, or tampered with. Reported
+    * per digit as exact basis points — observed share (n·10000 div
+    * total), the Benford expectation (precomputed integer constants:
+    * 3010, 1761, ... bp), and the absolute deviation — so the readout
+    * is engine-exact with no float log10 anywhere. The deviation sum is
+    * the screen's headline number; per-digit rows show WHERE it
+    * concentrates. (TPC-H's uniform o_totalprice is expected to FAIL
+    * Benford — that, not conformance, is the informative readout on
+    * synthetic data.)
+    *
+    * Scale shape: one map-side-combined groupBy on a 9-value key; the
+    * 1-row total broadcasts back. Nothing else moves. */
+  def benfordProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val expBp = typedLit(Map(1 -> 3010L, 2 -> 1761L, 3 -> 1249L,
+      4 -> 969L, 5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L))
+    val byDigit = Tables.orders(spark, sfDir)
+      .select((money(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = byDigit.agg(sum(col("n")).as("total"))
+    byDigit.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 10000 DIV total").as("obs_bp"),
+        element_at(expBp, col("digit").cast("int")).as("exp_bp"))
+      .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+      .orderBy("digit")
+  }
 }
