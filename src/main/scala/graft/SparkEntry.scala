@@ -53,6 +53,9 @@ object SparkEntry {
     "rel_sql_hierarchy"        -> RelationalOps.sqlHierarchyRollup _,
     "rel_table_profile"        -> RelationalOps.tableProfile _,
     "rel_benford"              -> RelationalOps.benfordProfile _,
+    "rel_constraint_suite"     -> RelationalOps.constraintSuite _,
+    "rel_fd_check"             -> RelationalOps.fdCheck _,
+    "rel_incremental_agg"      -> RelationalOps.incrementalAggMerge _,
     "rel_rank_family"          -> RelationalOps.rankFamilyParts _,
     "rel_dist_family"          -> RelationalOps.distFamilyParts _,
     "rel_unpivot"              -> RelationalOps.unpivotPartMeasures _,
@@ -152,6 +155,8 @@ object SparkEntry {
     "evt_ltv_cohort"           -> EventOps.ltvCohortCurve _,
     "evt_position_attribution" -> EventOps.positionAttribution _,
     "evt_markov_attribution"   -> ((s: SparkSession, d: String) => EventOps.markovAttribution(s, d)),
+    "evt_sequence_match"       -> EventOps.sequenceMatch _,
+    "evt_holt_linear"          -> EventOps.holtLinear _,
     "evt_dau_mau"              -> EventOps.dauMau _,
     "evt_survival"             -> EventOps.survivalCurve _,
     "evt_path_analysis"        -> ((s: SparkSession, d: String) => EventOps.pathAnalysis(s, d)),
@@ -1119,6 +1124,80 @@ object SparkEntry {
         |      WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580
         |      WHEN 8 THEN 512 ELSE 458 END) AS dev_bp
         |FROM d, t ORDER BY digit""".stripMargin,
+    // Deequ-style validation battery: one row per declared check
+    "rel_constraint_suite" ->
+      """WITH nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+        |checks AS (
+        |  SELECT 'o_orderkey_not_null' AS check_name,
+        |    CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+        |      AS n_violations FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey_not_null',
+        |    CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate_not_null',
+        |    CAST(COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus_in_domain',
+        |    CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      OR o_orderstatus IS NULL THEN 1 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice_positive',
+        |    CAST(COUNT(CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) <= 0
+        |      OR o_totalprice IS NULL THEN 1 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey_unique',
+        |    CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'o_custkey_references_customer', CAST(COUNT(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE o_custkey IS NOT NULL) o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey))
+        |SELECT check_name, n_rows AS n_checked, n_violations,
+        |  n_violations = 0 AS ok
+        |FROM checks CROSS JOIN nr ORDER BY check_name""".stripMargin,
+    // FD audit: lhs -> rhs holds iff |distinct lhs| = |distinct pairs|
+    "rel_fd_check" ->
+      """WITH cand AS (
+        |  SELECT 'n_nationkey' AS lhs, 'n_regionkey' AS rhs,
+        |    CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS n_lhs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM (SELECT DISTINCT n_nationkey, n_regionkey FROM nation)
+        |  UNION ALL
+        |  SELECT 'c_custkey', 'c_mktsegment',
+        |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT c_custkey, c_mktsegment FROM customer)
+        |  UNION ALL
+        |  SELECT 'c_nationkey', 'c_mktsegment',
+        |    CAST(COUNT(DISTINCT c_nationkey) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', 'c_nationkey',
+        |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        |  FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer))
+        |SELECT lhs, rhs, n_lhs, n_pairs, n_pairs - n_lhs AS n_violating,
+        |  n_pairs = n_lhs AS holds
+        |FROM cand ORDER BY lhs, rhs""".stripMargin,
+    // MV maintenance: merge(partial(base), partial(delta)) == recompute —
+    // the oracle IS the full recompute, proving the algebraic merge
+    "rel_incremental_agg" ->
+      """SELECT o_orderpriority AS prio,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS min_cents,
+        |  CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS max_cents,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) // COUNT(*) AS avg_cents
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
     // null-safe equi-join: NULL keys match each other (IS NOT DISTINCT
     // FROM == Spark's <=>), the "unknown is a legitimate bucket" merge
     "rel_null_safe_join" ->
@@ -2108,6 +2187,62 @@ object SparkEntry {
         |SELECT channel, p_conv_ppm, p_base_ppm, removal_ppm,
         |  removal_ppm * 10000 // tot_removal AS share_bp
         |FROM eff, tot ORDER BY channel""".stripMargin,
+    // MATCH_RECOGNIZE-lite: journeys as order-pinned symbol strings,
+    // patterns in the Java-regex ∩ RE2 common subset
+    "evt_sequence_match" ->
+      """WITH j AS (
+        |  SELECT user_id, string_agg(
+        |    CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+        |      WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+        |      WHEN 'error' THEN 'E' ELSE 'O' END,
+        |    '' ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(COUNT(CASE WHEN regexp_matches(journey, 'V.*C.*P')
+        |      THEN 1 END) AS BIGINT) AS m_funnel,
+        |    CAST(COUNT(CASE WHEN regexp_matches(journey, 'CP')
+        |      THEN 1 END) AS BIGINT) AS m_impulse,
+        |    CAST(COUNT(CASE WHEN regexp_matches(journey, 'E.*P')
+        |      THEN 1 END) AS BIGINT) AS m_error,
+        |    CAST(COUNT(CASE WHEN regexp_matches(journey, '^S')
+        |      THEN 1 END) AS BIGINT) AS m_signup,
+        |    CAST(COUNT(CASE WHEN regexp_matches(journey, 'P.*P')
+        |      THEN 1 END) AS BIGINT) AS m_repeat
+        |  FROM j),
+        |rows_ AS (
+        |  SELECT 'funnel_view_click_purchase' AS pattern, m_funnel AS n_matched,
+        |    n_users FROM m
+        |  UNION ALL SELECT 'impulse_click_purchase', m_impulse, n_users FROM m
+        |  UNION ALL SELECT 'error_then_purchase', m_error, n_users FROM m
+        |  UNION ALL SELECT 'starts_with_signup', m_signup, n_users FROM m
+        |  UNION ALL SELECT 'repeat_purchaser', m_repeat, n_users FROM m)
+        |SELECT pattern, n_matched, n_users,
+        |  n_matched * 10000 // n_users AS share_bp
+        |FROM rows_ ORDER BY pattern""".stripMargin,
+    // Holt linear smoothing: milli-scaled BIGINT recurrence, truncating
+    // division both sides (Spark DIV == DuckDB // == toward zero)
+    "evt_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |  day, y FROM daily),
+        |h AS (
+        |  SELECT i.i, i.day, i.y,
+        |    CAST(i.y * 1000 AS BIGINT) AS l,
+        |    CAST((i2.y - i.y) * 1000 AS BIGINT) AS b
+        |  FROM idx i JOIN idx i2 ON i2.i = 2 WHERE i.i = 1
+        |  UNION ALL
+        |  SELECT d.i, d.day, d.y,
+        |    CAST((300 * d.y * 1000 + 700 * (h.l + h.b)) // 1000 AS BIGINT),
+        |    CAST((200 * ((300 * d.y * 1000 + 700 * (h.l + h.b)) // 1000 - h.l)
+        |      + 800 * h.b) // 1000 AS BIGINT)
+        |  FROM h JOIN idx d ON d.i = h.i + 1)
+        |SELECT day, y, l AS level_milli, b AS trend_milli,
+        |  l + b AS forecast_milli
+        |FROM h ORDER BY day""".stripMargin,
     // DAU / rolling-28-day MAU: the oracle spells MAU as the brute
     // range-join COUNT(DISTINCT) the engine's disjoint-interval explode
     // provably equals; stickiness in integer basis points

@@ -1432,11 +1432,13 @@ object EventOps {
     * reported so the truncation is visible, not silent).
     *
     * Scale shape: the corpus collapses ONCE to the transition count
-    * table (≤ (channels+3)² rows) via a per-user sequence window; the
-    * K-step sweep iterates joins over that tiny (scenario × state)
-    * frame — driver-looped but executor-evaluated, bounded by
-    * channels², never touching event rows again. The removal scenarios
-    * (1 + channels) ride the SAME sweep as a scenario key, one pass. */
+    * table (≤ (channels+3)² rows) via a per-user sequence window; that
+    * table is a constant-size MODEL — like a k-means codebook — so it
+    * is collected to the driver (metadata-scale, ≤ ~50 rows regardless
+    * of corpus size) and the K-step absorption sweep runs as plain
+    * Scala integer arithmetic: zero per-step jobs, zero checkpoints,
+    * event rows touched exactly once. The removal scenarios
+    * (1 + channels) ride the SAME local sweep as a scenario key. */
   def markovAttribution(spark: SparkSession, sfDir: String,
                         steps: Int = 6): DataFrame = {
     val ev = Tables.events(spark, sfDir)
@@ -1462,50 +1464,136 @@ object EventOps {
     val tppm = trans0.join(outDeg, "src")
       .select(col("src"), col("dst"),
         expr("cnt * 1000000 DIV deg").as("t_ppm"))
-    val channels = tppm.select(col("src").as("ch"))
-      .union(tppm.select(col("dst").as("ch")))
-      .filter(!col("ch").isin("start", "conv", "null")).distinct()
-    // scenario table: 'none' (full chain) + one removal per channel;
-    // removal redirects edges INTO the channel to null
-    val scen = channels.select(col("ch").as("removed"))
-      .union(spark.range(1).select(lit("none").as("removed")))
-    val edges = scen.crossJoin(tppm)
-      .select(col("removed"), col("src"),
-        when(col("dst") === col("removed"), lit("null"))
-          .otherwise(col("dst")).as("dst"), col("t_ppm"))
-      .union(scen.crossJoin(
-        spark.createDataFrame(Seq(("conv", "conv", 1000000L),
-            ("null", "null", 1000000L)))
-          .toDF("src", "dst", "t_ppm")))
-      // redirection can alias two edges onto (src, null): merge them so
-      // the per-edge floor below is over a UNIQUE-keyed edge table —
-      // the oracle replicates the same merge
-      .groupBy("removed", "src", "dst").agg(sum(col("t_ppm")).as("t_ppm"))
-      .localCheckpoint() // tiny: scenarios × states²
-    var pState = scen.select(col("removed"), lit("start").as("state"),
-      lit(1000000L).as("p_ppm")).localCheckpoint()
-    for (_ <- 1 to steps) {
-      pState = pState.join(edges,
-          pState("removed") === edges("removed") &&
-            pState("state") === edges("src"))
-        .groupBy(pState("removed").as("removed"), col("dst").as("state"))
-        .agg(sum(expr("p_ppm * t_ppm DIV 1000000")).as("p_ppm"))
-        .localCheckpoint()
+    // the model is constant-size (≤ (channels+3)² transitions, ~50
+    // rows at ANY corpus scale) — collect it and sweep on the driver,
+    // the same contract as broadcasting a k-means codebook
+    val tRows = tppm.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = tRows.flatMap(t => Seq(t._1, t._2))
+      .filterNot(Set("start", "conv", "null")).distinct.sorted
+    // scenario sweep: 'none' (full chain) + one removal per channel;
+    // removal redirects edges INTO the channel to null. Redirection can
+    // alias two edges onto (src, null): merge them so the per-edge
+    // floor below runs over a UNIQUE-keyed edge table — the oracle
+    // replicates the same merge.
+    val results = ("none" +: channels).map { removed =>
+      val redirected = tRows.map { case (src, dst, t) =>
+        ((src, if (dst == removed) "null" else dst), t) } ++
+        Seq((("conv", "conv"), 1000000L), (("null", "null"), 1000000L))
+      val edges = redirected.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq
+        .map { case ((src, dst), t) => (src, dst, t) }
+      var p = Map("start" -> 1000000L)
+      for (_ <- 1 to steps) {
+        p = edges.flatMap { case (src, dst, t) =>
+          p.get(src).map(pp => dst -> pp * t / 1000000L) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+      removed -> p.getOrElse("conv", 0L)
     }
-    val conv = pState.filter(col("state") === "conv")
-      .select(col("removed"), col("p_ppm").as("p_conv_ppm"))
-    val base = conv.filter(col("removed") === "none")
-      .select(col("p_conv_ppm").as("p_base_ppm"))
-    val eff = conv.filter(col("removed") =!= "none")
-      .crossJoin(broadcast(base))
-      .select(col("removed").as("channel"), col("p_conv_ppm"),
-        col("p_base_ppm"),
-        (col("p_base_ppm") - col("p_conv_ppm")).as("removal_ppm"))
-    val tot = eff.agg(sum(col("removal_ppm")).as("tot_removal"))
-    eff.crossJoin(broadcast(tot))
-      .select(col("channel"), col("p_conv_ppm"), col("p_base_ppm"),
-        col("removal_ppm"),
-        expr("removal_ppm * 10000 DIV tot_removal").as("share_bp"))
+    val pBase = results.head._2
+    val eff = results.tail.map { case (ch, pc) => (ch, pc, pBase - pc) }
+    val totRemoval = eff.map(_._3).sum
+    import spark.implicits._
+    eff.toSeq.toDF("channel", "p_conv_ppm", "removal_ppm")
+      .select(col("channel"), col("p_conv_ppm"),
+        lit(pBase).as("p_base_ppm"), col("removal_ppm"),
+        expr(s"removal_ppm * 10000 DIV $totRemoval").as("share_bp"))
       .orderBy("channel")
+  }
+
+  /** Sequence-pattern matching over per-user journeys — the
+    * MATCH_RECOGNIZE problem (SQL:2016, public) in its scalable
+    * compiled-to-regex form: each user's event history collapses to a
+    * compact symbol string (one char per event, time-ordered), declared
+    * patterns compile to regexes over that alphabet, and every pattern
+    * is evaluated against every journey in ONE row-local pass. The
+    * funnel/path queries answer "how many did A then B"; this answers
+    * arbitrary ordered patterns (immediacy, repetition, prefix anchors)
+    * without a per-pattern query.
+    *
+    * Engine parity: symbols are single chars, patterns stay in the
+    * Java-regex ∩ RE2 common subset (literals, `.`, `*`, `+`, anchors
+    * — the BpeTokenRe discipline), and the journey string is built
+    * with an ORDER-PINNED sort on (ts, event_id) so ties collapse
+    * identically in both engines.
+    *
+    * Scale shape: one groupBy(user) shuffle builds the journey strings
+    * (map-side combined collect_list of 1-char structs; per-user state
+    * is journey-length-bounded, the sessionization contract); ALL
+    * patterns then evaluate as fused row-local regexes on the SAME
+    * pass — adding a pattern is a new conditional agg, not a new scan
+    * — and the report is pattern-count-sized. */
+  def sequenceMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val patterns = Seq(
+      "funnel_view_click_purchase" -> "V.*C.*P",
+      "impulse_click_purchase"     -> "CP",
+      "error_then_purchase"        -> "E.*P",
+      "starts_with_signup"         -> "^S",
+      "repeat_purchaser"           -> "P.*P")
+    val code = when(col("event_type") === "view", "V")
+      .when(col("event_type") === "click", "C")
+      .when(col("event_type") === "purchase", "P")
+      .when(col("event_type") === "signup", "S")
+      .when(col("event_type") === "error", "E").otherwise("O")
+    val journeys = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), code.as("c"))
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("c")))), x => x.getField("c")), "").as("journey"))
+    val aggs = count(lit(1)).as("n_users") +:
+      patterns.map { case (name, re) =>
+        count(when(col("journey").rlike(re), 1)).as(s"m_$name") }
+    val one = journeys.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = patterns.map { case (name, _) =>
+      s"'$name', m_$name" }.mkString(", ")
+    one.select(col("n_users"),
+        expr(s"stack(${patterns.size}, $stackArgs) AS (pattern, n_matched)"))
+      .select(col("pattern"), col("n_matched"), col("n_users"),
+        expr("n_matched * 10000 DIV n_users").as("share_bp"))
+      .orderBy("pattern")
+  }
+
+  /** Holt linear (double-exponential) smoothing over the daily event
+    * series — the trend-aware forecast next to [[seasonalNaive]] and
+    * [[ewmaDaily]] (Holt 1957, public): level and trend states update
+    * recursively with α=0.3, β=0.2, all in MILLI-scaled BIGINTs
+    * (y·1000) with truncating division, so both engines walk the
+    * identical integer recurrence (float exponential smoothing drifts;
+    * and Scala `/`, Spark DIV and DuckDB `//` all truncate toward
+    * zero, so the occasional NEGATIVE trend state divides identically
+    * too). Emits per day the observed count, level, trend, and the
+    * one-step-ahead forecast that day's states imply.
+    *
+    * Scale shape: the corpus collapses to ONE daily-count row per day
+    * (map-side combined groupBy) — a ~year-sized series at any corpus
+    * scale — and the inherently-sequential recurrence then runs on the
+    * driver over that metadata-scale table (the [[markovAttribution]]
+    * model contract: collect ≤365 rows, never event rows). A window
+    * spelling would serialize the same computation through one
+    * partition with none of the clarity. */
+  def holtLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(daily.length >= 2, "Holt needs >= 2 days")
+    val out = Array.newBuilder[(String, Long, Long, Long, Long)]
+    var l = daily(0)._2 * 1000L
+    var b = (daily(1)._2 - daily(0)._2) * 1000L
+    out += ((daily(0)._1, daily(0)._2, l, b, l + b))
+    for (i <- 1 until daily.length) {
+      val y = daily(i)._2
+      val lNew = (300L * y * 1000L + 700L * (l + b)) / 1000L
+      val bNew = (200L * (lNew - l) + 800L * b) / 1000L
+      l = lNew; b = bNew
+      out += ((daily(i)._1, y, l, b, l + b))
+    }
+    import spark.implicits._
+    out.result().toSeq
+      .toDF("day", "y", "level_milli", "trend_milli", "forecast_milli")
+      .orderBy("day")
   }
 }

@@ -1269,4 +1269,139 @@ object RelationalOps {
       .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
       .orderBy("digit")
   }
+
+  /** Declarative data-validation suite (the Deequ/Great-Expectations
+    * check model, both public): run a battery of constraint checks —
+    * completeness (NOT NULL), domain membership, value range, key
+    * uniqueness, referential integrity — over `orders` and report one
+    * row per check with its violation count and verdict. This is the
+    * gate a 100 TB ingest runs BEFORE publishing a partition: checks
+    * are declared once, evaluated in as few passes as their class
+    * allows, and a single failing row blocks the release.
+    *
+    * Scale shape, by check class: the four row-local checks (nulls,
+    * domain, range, negative price) FUSE into ONE conditional-agg scan
+    * of orders — adding a check is a new aggregate expression, not a
+    * new pass. Uniqueness is one map-side-combined groupBy on the key
+    * (count>1 groups summed); referential integrity joins the DISTINCT
+    * foreign-key projection (narrow, pre-collapsed map-side) against
+    * the parent keys — at scale both sides shuffle only key columns,
+    * never rows. The report is a union of 1-row frames: driver-sized,
+    * like every release gate. */
+  def constraintSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    // class 1: row-local predicates — ONE fused scan, one agg row
+    val scan = o.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("o_orderkey").isNull, 1)).as("null_key"),
+      count(when(col("o_custkey").isNull, 1)).as("null_cust"),
+      count(when(col("o_orderdate").isNull, 1)).as("null_date"),
+      // NULL fails a domain/range check too (three-valued logic would
+      // silently skip it — the oracle counts it the same way)
+      count(when(!col("o_orderstatus").isin("O", "F", "P") ||
+        col("o_orderstatus").isNull, 1)).as("bad_status"),
+      count(when(money(col("o_totalprice")) <= 0 ||
+        col("o_totalprice").isNull, 1)).as("bad_price"))
+      .localCheckpoint() // evaluate the fused scan once, slice it below
+    def check(name: String, viol: Column): DataFrame =
+      scan.select(lit(name).as("check_name"), col("n_rows").as("n_checked"),
+        viol.cast("long").as("n_violations"))
+    // class 2: key uniqueness — one groupBy on the key, excess rows only
+    val dup = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("c") - 1), lit(0L)).as("n_dup_rows"))
+    // class 3: referential integrity — distinct FK projection (collapses
+    // map-side) anti-joined against parent keys; only keys shuffle
+    val orphans = o.select(col("o_custkey")).filter(col("o_custkey").isNotNull)
+      .distinct()
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_keys"))
+    check("o_orderkey_not_null", col("null_key"))
+      .unionAll(check("o_custkey_not_null", col("null_cust")))
+      .unionAll(check("o_orderdate_not_null", col("null_date")))
+      .unionAll(check("o_orderstatus_in_domain", col("bad_status")))
+      .unionAll(check("o_totalprice_positive", col("bad_price")))
+      .unionAll(scan.crossJoin(dup)
+        .select(lit("o_orderkey_unique").as("check_name"),
+          col("n_rows").as("n_checked"),
+          col("n_dup_rows").cast("long").as("n_violations")))
+      .unionAll(scan.crossJoin(orphans)
+        .select(lit("o_custkey_references_customer").as("check_name"),
+          col("n_rows").as("n_checked"),
+          col("n_orphan_keys").cast("long").as("n_violations")))
+      .withColumn("ok", col("n_violations") === 0)
+      .orderBy("check_name")
+  }
+
+  /** Functional-dependency audit (the TANE/metanome problem family,
+    * public; here the CHECK form over declared candidates, not
+    * discovery): a dependency lhs → rhs holds iff every lhs value maps
+    * to exactly one rhs value, i.e. |distinct(lhs)| = |distinct(lhs,
+    * rhs)|. Reported per candidate with the violating-group count —
+    * the schema-inference signal a warehouse uses to find undeclared
+    * keys and denormalization drift before they bite a join.
+    *
+    * Scale shape: each candidate collapses its table to DISTINCT
+    * (lhs, rhs) pairs in one map-side-combined exchange — the table's
+    * rows never move, only the pair projection — then one tiny agg
+    * (count + count-distinct over pairs). Candidates on the same table
+    * still scan independently (they need different distinct sets);
+    * at 100 TB one would stage the distinct-pair tables off a shared
+    * scan, which Spark's scan reuse already gives when the projections
+    * agree. */
+  def fdCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    def fd(df: DataFrame, lhs: String, rhs: String): DataFrame =
+      df.select(col(lhs), col(rhs)).distinct()
+        .agg(countDistinct(col(lhs)).as("n_lhs"),
+          count(lit(1)).as("n_pairs"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_lhs"), col("n_pairs"),
+          (col("n_pairs") - col("n_lhs")).as("n_violating"),
+          (col("n_pairs") === col("n_lhs")).as("holds"))
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    fd(n, "n_nationkey", "n_regionkey")
+      .unionAll(fd(c, "c_custkey", "c_mktsegment"))
+      .unionAll(fd(c, "c_nationkey", "c_mktsegment"))
+      .unionAll(fd(c, "c_mktsegment", "c_nationkey"))
+      .orderBy("lhs", "rhs")
+  }
+
+  /** Incremental materialized-view maintenance — the algebraic
+    * partial-aggregate merge (Gray et al. 1997 data-cube algebra,
+    * public): a stored per-priority aggregate over the BASE partitions
+    * (o_orderkey mod 10 < 9, standing in for "yesterday's published
+    * MV") absorbs a DELTA partition's partial aggregate by merging
+    * mergeable state — counts add, sums add, mins least, maxes
+    * greatest — and the derived mean is recomputed from merged sums.
+    * The contract proven by the oracle: merge(partial(base),
+    * partial(delta)) == recompute(full), bit-exact in BIGINT cents.
+    *
+    * Scale shape: THIS is how a 100 TB rollup stays fresh — the base
+    * is never rescanned (here both partials are built in-query for
+    * the oracle's sake, but the merge subtree only ever sees the two
+    * priority-sized partial tables); the delta pass touches one
+    * day's partition and the merge is a union + re-agg over 2×|groups|
+    * rows. AVG-class (algebraic) measures ride as (sum, count) state;
+    * only holistic measures (exact median) would force a rescan. */
+  def incrementalAggMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("prio"),
+        (money(col("o_totalprice")) * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 10 < 9).as("is_base"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("prio").agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    // the merge: union the two partial-state tables, re-aggregate with
+    // each measure's MERGE operator (count+, sum+, min-least, max-greatest)
+    partial(o.filter(col("is_base")))
+      .unionAll(partial(o.filter(!col("is_base"))))
+      .groupBy("prio").agg(
+        sum(col("n")).as("n_orders"), sum(col("s")).as("sum_cents"),
+        min(col("mn")).as("min_cents"), max(col("mx")).as("max_cents"))
+      .withColumn("avg_cents", expr("sum_cents DIV n_orders"))
+      .orderBy("prio")
+  }
 }
