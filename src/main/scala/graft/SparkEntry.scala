@@ -212,6 +212,8 @@ object SparkEntry {
     "txt_bpe_fertility"        -> TextOps.bpeFertility _,
     "txt_zipf_fit"             -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
     "txt_good_turing"          -> ((s: SparkSession, d: String) => TextOps.goodTuring(s, d)),
+    "txt_textrank"             -> ((s: SparkSession, d: String) => TextOps.textrankKeywords(s, d)),
+    "txt_l_diversity"          -> ((s: SparkSession, d: String) => TextOps.lDiversity(s, d)),
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "txt_kneser_ney"           -> ((s: SparkSession, d: String) => TextOps.kneserNeyBigrams(s, d)),
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
@@ -247,6 +249,7 @@ object SparkEntry {
     "dd_block_dedup"           -> ((s: SparkSession, d: String) => DedupOps.blockDedup(s, d)),
     "dd_record_linkage"        -> DedupOps.recordLinkage _,
     "dd_soft_dedup"            -> DedupOps.softDedupWeights _,
+    "dd_source_overlap"        -> DedupOps.sourceOverlapMatrix _,
     "dd_pipeline_survivors"    -> DedupOps.dedupSurvivors _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
@@ -255,6 +258,7 @@ object SparkEntry {
     "sim_ivf_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.ivfAnnTopK(s, d)),
     "sim_recall"               -> SimilarityOps.annRecall _,
     "sim_mrr"                  -> SimilarityOps.annMrr _,
+    "sim_ndcg"                 -> SimilarityOps.annNdcg _,
     "sim_hybrid_rrf"           -> SimilarityOps.hybridRrf _,
     "sim_matryoshka_recall"    -> ((s: SparkSession, d: String) => SimilarityOps.matryoshkaRecall(s, d)),
     "sim_training_triplets"    -> ((s: SparkSession, d: String) => SimilarityOps.trainingTriplets(s, d)),
@@ -3462,6 +3466,56 @@ object SparkEntry {
         |    CAST(0 AS BIGINT)) AS rstar_milli
         |FROM cc LEFT JOIN cc nx ON nx.r = cc.r + 1
         |WHERE cc.r <= 30 ORDER BY cc.r""".stripMargin,
+    // TextRank: integer PageRank (the graph_pagerank recurrence) over
+    // the distinct adjacent-word co-occurrence graph, words >= 4 chars
+    "txt_textrank" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |pp AS (SELECT unnest([struct_pack(a := ws[i], b := ws[i+1])
+        |    for i in range(1, len(ws))]) AS p FROM w),
+        |pairs AS (
+        |  SELECT p.a AS a, p.b AS b FROM pp
+        |  WHERE length(p.a) >= 4 AND length(p.b) >= 4 AND p.a <> p.b),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs)),
+        |nodes AS (SELECT DISTINCT wd AS node FROM (
+        |  SELECT unnest(ws) AS wd FROM w) WHERE length(wd) >= 4),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        |it1 AS (
+        |  SELECT n1.node, CAST(150000 + (85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n1 LEFT JOIN (
+        |    SELECT e.dst, SUM(p.pr // d.outdeg) AS cs
+        |    FROM edges e JOIN deg d ON e.src = d.src JOIN it0 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.dst = n1.node),
+        |it2 AS (
+        |  SELECT n1.node, CAST(150000 + (85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n1 LEFT JOIN (
+        |    SELECT e.dst, SUM(p.pr // d.outdeg) AS cs
+        |    FROM edges e JOIN deg d ON e.src = d.src JOIN it1 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.dst = n1.node),
+        |it3 AS (
+        |  SELECT n1.node, CAST(150000 + (85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n1 LEFT JOIN (
+        |    SELECT e.dst, SUM(p.pr // d.outdeg) AS cs
+        |    FROM edges e JOIN deg d ON e.src = d.src JOIN it2 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.dst = n1.node),
+        |ranked AS (SELECT node, pr,
+        |  CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rank_pos
+        |  FROM it3)
+        |SELECT rank_pos, node AS word, pr FROM ranked
+        |WHERE rank_pos <= 20 ORDER BY rank_pos""".stripMargin,
+    // l-diversity: distinct sensitive values per QI group (the coarse
+    // kAnonymize lattice level), l >= 2 gate
+    "txt_l_diversity" ->
+      """SELECT source, length(text) // 200 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS l_langs,
+        |  COUNT(DISTINCT lang) >= 2 AS diverse
+        |FROM documents GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
     // BPE ENCODE: train the same 3 rounds (word column carried through
     // the lockstep folds), apply ALL three merges (f3/v4), then join the
     // per-doc word stream to the encoded vocabulary for token accounting
@@ -4066,6 +4120,42 @@ object SparkEntry {
         |  1000000 // COALESCE(cl.csize, CAST(1 AS BIGINT)) AS weight_ppm
         |FROM corpus c LEFT JOIN cl USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // source-level containment matrix over distinct trigram-shingle sets
+    "dd_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |w2 AS (
+        |  SELECT source,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |s AS (
+        |  SELECT source,
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END) AS sh
+        |  FROM w2),
+        |g AS (SELECT DISTINCT source, unnest(sh) AS gh
+        |  FROM s WHERE len(sh) > 0),
+        |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM g GROUP BY source),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS sh_n
+        |  FROM g a JOIN g b ON a.gh = b.gh AND a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS n_a,
+        |  COALESCE(sh_n, CAST(0 AS BIGINT)) AS n_shared,
+        |  COALESCE(sh_n, CAST(0 AS BIGINT)) * 10000 // sa.n AS containment_bp
+        |FROM sizes sa CROSS JOIN sizes sb
+        |LEFT JOIN shared ON shared.src_a = sa.source AND shared.src_b = sb.source
+        |WHERE sa.source <> sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "dd_exact_substr" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents
@@ -5393,6 +5483,63 @@ object SparkEntry {
         |  CAST(CASE WHEN lr.rn IS NOT NULL THEN 2520 // lr.rn ELSE 0 END AS BIGINT) AS contrib_scaled
         |FROM tn LEFT JOIN lr ON lr.q_id = tn.q_id AND lr.vec_id = tn.true_nn
         |ORDER BY tn.q_id""".stripMargin,
+    // NDCG@10: binary relevance vs exact top-10; discounts are the
+    // precomputed ⌊1e6/log2(i+1)⌋ integer constants — no runtime log
+    "sim_ndcg" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e0),
+        |bq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 5),
+        |bs AS (
+        |  SELECT q_id, n.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
+        |  FROM bq, n WHERE n.vec_id <> bq.q_id),
+        |gold AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM bs) t WHERE rn <= 10),
+        |ltb AS (
+        |  SELECT vec_id, t,
+        |    CAST(list_sum(list_transform(range(0, 4), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |          j -> emb[j] * CAST((1 + (t*4+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          (x, y) -> x + y) >= 0
+        |      THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+        |  FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
+        |lcand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+        |  FROM ltb q JOIN ltb c ON q.t = c.t AND q.bkt = c.bkt
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |ls AS (SELECT q_id, lcand.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(qe.emb)+1),
+        |      i -> qe.emb[i] * ce.emb[i])), (x, y) -> x + y) / (qe.nrm * ce.nrm) AS score
+        |  FROM lcand
+        |  JOIN n qe ON qe.vec_id = lcand.q_id
+        |  JOIN n ce ON ce.vec_id = lcand.vec_id),
+        |lr AS (SELECT q_id, vec_id, rn FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM ls) t
+        |  WHERE rn <= 10),
+        |wtab AS (SELECT * FROM (VALUES (1, 1000000), (2, 630929), (3, 500000),
+        |  (4, 430676), (5, 386852), (6, 356207), (7, 333333), (8, 315464),
+        |  (9, 301029), (10, 289064)) AS t(rnk, w)),
+        |cumt AS (SELECT * FROM (VALUES (1, 1000000), (2, 1630929), (3, 2130929),
+        |  (4, 2561605), (5, 2948457), (6, 3304664), (7, 3637997), (8, 3953461),
+        |  (9, 4254490), (10, 4543554)) AS c(ng, cw)),
+        |gn AS (SELECT q_id, COUNT(*) AS n_gold FROM gold GROUP BY q_id),
+        |dcg AS (
+        |  SELECT lr.q_id, CAST(SUM(w) AS BIGINT) AS dcg_scaled,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM lr JOIN gold g ON g.q_id = lr.q_id AND g.vec_id = lr.vec_id
+        |  JOIN wtab ON wtab.rnk = lr.rn GROUP BY lr.q_id)
+        |SELECT gn.q_id, CAST(n_gold AS BIGINT) AS n_gold,
+        |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+        |  CAST(cw AS BIGINT) AS idcg_scaled,
+        |  CAST(COALESCE(dcg_scaled, 0) * 10000 // cw AS BIGINT) AS ndcg_bp
+        |FROM gn LEFT JOIN dcg ON dcg.q_id = gn.q_id
+        |JOIN cumt ON cumt.ng = LEAST(n_gold, 10)
+        |ORDER BY gn.q_id""".stripMargin,
     // hybrid RRF: BM25 top-10 (art_search_bm25's exact score tree)
     // fused with exact-cosine top-10 of doc 0's embedding; integer
     // contributions 1000000 DIV (60+rank), absent arm contributes 0

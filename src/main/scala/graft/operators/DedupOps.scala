@@ -1264,4 +1264,47 @@ object DedupOps {
         expr("1000000 DIV coalesce(csize, 1)").as("weight_ppm"))
       .orderBy("doc_id")
   }
+
+  /** Pairwise source-overlap (containment) matrix — the corpus-level
+    * contamination diagnostic run BEFORE mixing sources into a
+    * training set: for every ordered source pair (a, b), what share of
+    * a's distinct word-trigram shingles also appears in b
+    * (|Sₐ ∩ S_b| · 10000 div |Sₐ|, exact basis points)? High
+    * containment means b republishes a (mirror sites, syndication) and
+    * the mixture weights double-count; the asymmetric direction says
+    * WHICH side is the subset. The per-document families
+    * ([[ngramJaccardDedup]], [[containmentJoin]]) answer "which pairs
+    * of documents"; this answers the curation-level "which pairs of
+    * SOURCES", on the same shingle identity.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    * in one map-side-combined exchange — the same first move as every
+    * dedup tier — then the self-join keys on the shingle hash with a
+    * ≤|sources| fan-out per key and collapses immediately to the
+    * |sources|²-sized matrix; document text never crosses a second
+    * exchange. The complete matrix (zero-overlap pairs included) comes
+    * from crossing the source-size table with itself: sources are a
+    * bounded catalog (the mixture-weight contract), so that cross is
+    * driver-scale. */
+  def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = withShingles(
+        Tables.documents(spark, sfDir).select("doc_id", "source", "text"))
+      .select(col("source"), explode(col("sh")).as("gh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val shared = g.select(col("source").as("src_a"), col("gh"))
+      .join(g.select(col("source").as("src_b"), col("gh")), Seq("gh"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    sizes.select(col("source").as("src_a"), col("n_grams").as("n_a"))
+      .crossJoin(broadcast(
+        sizes.select(col("source").as("src_b"))))
+      .filter(col("src_a") =!= col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"),
+        coalesce(col("shared"), lit(0L)).as("n_shared"))
+      .withColumn("containment_bp", expr("n_shared * 10000 DIV n_a"))
+      .orderBy("src_a", "src_b")
+  }
 }

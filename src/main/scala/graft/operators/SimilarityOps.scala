@@ -1573,4 +1573,44 @@ object SimilarityOps {
         expr("m.c * 10000 DIV n_vecs").as("purity_bp"))
       .orderBy("cent_id")
   }
+
+  /** NDCG@10 of the LSH index against the exact top-10 (Järvelin &
+    * Kekäläinen 2002, public) — the position-weighted companion to
+    * recall@k ([[annRecall]] — did we find them) and MRR ([[annMrr]] —
+    * where is the best one): NDCG credits EVERY relevant item the
+    * index surfaces, discounted by how far down it ranks. Relevance is
+    * binary membership in the exact top-10; discounts 1/log2(rank+1)
+    * are PRECOMPUTED integer constants (⌊1e6/log2(i+1)⌋, i = 1..10 —
+    * the Benford-expectation idiom: no runtime float log on either
+    * engine), so DCG sums are order-independent BIGINTs and
+    * NDCG = DCG·10000 div IDCG is one exact division. IDCG is the
+    * cumulative weight of a perfect head — all |gold| items ranked
+    * first. Per-query rows keep the readout debuggable; the mean is
+    * one trivial fold away.
+    *
+    * Scale shape: both arms end in bounded top-10 tables (|queries|·10
+    * rows); the hit join, weight lookup (broadcast literal map) and
+    * per-query sum never see the corpus. */
+  def annNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    // ⌊1e6 / log2(i+1)⌋ and its running sum, i = 1..10
+    val w = Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+    val wMap = typedLit((1 to 10).map(i => i -> w(i - 1)).toMap)
+    val cumMap = typedLit((1 to 10).map(i => i -> w.take(i).sum).toMap)
+    val gold = bruteForceTopK(spark, sfDir).select("q_id", "vec_id")
+    val goldN = gold.groupBy("q_id").agg(count(lit(1)).as("n_gold"))
+    val dcg = lshAnnTopK(spark, sfDir)
+      .join(gold, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id")
+      .agg(sum(element_at(wMap, col("rn").cast("int"))).as("dcg_scaled"),
+        count(lit(1)).as("n_hits"))
+    goldN.join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_gold"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+        element_at(cumMap, least(col("n_gold"), lit(10L)).cast("int"))
+          .as("idcg_scaled"))
+      .withColumn("ndcg_bp", expr("dcg_scaled * 10000 DIV idcg_scaled"))
+      .orderBy("q_id")
+  }
 }

@@ -2064,4 +2064,70 @@ object TextOps {
           .as("rstar_milli"))
       .orderBy("r")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, public) — the
+    * unsupervised graph-ranking alternative to TF-IDF term weighting:
+    * words become nodes, adjacent-word co-occurrence becomes undirected
+    * edges, and [[graft.operators.GraphOps.pageRankOf]]'s integer-exact
+    * power iteration scores centrality; the top of the ranking is the
+    * corpus's keyword vocabulary (the seed list for taxonomy build-out
+    * or quality-filter lexicons). Words under 4 chars are stopword-
+    * proxied out; self-loops (stuttered words) dropped.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT co-occurrence
+    * edge set in one map-side-combined exchange (vocabulary², sparse —
+    * grows ~log with corpus size, the bounded-term-table discipline of
+    * the diagnostics family), and the rank iteration runs entirely on
+    * that vocabulary-sized graph with the shared pageRankOf machinery
+    * (checkpointed rounds, observe-metric fixpoint). Top-20 is a
+    * TakeOrdered over the vocabulary table — no global sort. The
+    * 20-row rank window runs AFTER the limit: driver-sized. */
+  def textrankKeywords(spark: SparkSession, sfDir: String,
+                       iters: Int = 3, topK: Int = 20): DataFrame = {
+    val ws = Tables.spread(docs(spark, sfDir), col("doc_id"))
+      .select(words(col("text")).as("ws"))
+    val pairs = ws
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("a"),
+          element_at(col("ws"), i + 2).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(length(col("a")) >= 4 && length(col("b")) >= 4 &&
+        col("a") =!= col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    val nodes = ws.select(explode(col("ws")).as("node"))
+      .filter(length(col("node")) >= 4).distinct()
+    val (ranks, _) = GraphOps.pageRankOf(nodes, edges, iters)
+    val top = ranks.orderBy(col("pr").desc, col("node"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pr").desc, col("node"))
+    top.select(row_number().over(w).cast("long").as("rank_pos"),
+        col("node").as("word"), col("pr"))
+      .orderBy("rank_pos")
+  }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007, public) — the
+    * release gate that catches what k-anonymity misses: a
+    * quasi-identifier group can be large (k-safe) yet expose everyone
+    * in it because the SENSITIVE attribute is uniform. Over the same
+    * QI lattice as [[kAnonymize]]'s coarse level (source ×
+    * length-div-200 bucket), report each group's size, its distinct
+    * sensitive values (lang), and whether it clears l ≥ 2 — groups
+    * that fail need suppression or further generalization before
+    * export even when k passes.
+    *
+    * Scale shape: ONE map-side-combined groupBy on the narrow QI
+    * projection with a distinct-count of a low-cardinality attribute —
+    * the corpus never moves; the report is QI-lattice-sized. */
+  def lDiversity(spark: SparkSession, sfDir: String, l: Int = 2): DataFrame =
+    docs(spark, sfDir)
+      .select(col("source"), expr("length(text) DIV 200").as("bucket"),
+        col("lang"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("l_langs"))
+      .withColumn("diverse", col("l_langs") >= l)
+      .orderBy("source", "bucket")
 }

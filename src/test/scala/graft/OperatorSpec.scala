@@ -3972,4 +3972,164 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("mean_sil_milli") > 0L),
       "no cluster shows positive silhouette — assignment degenerated")
   }
+
+  test("constraint suite: every declared check present, clean data passes, n_checked is the table size") {
+    val rows = RelationalOps.constraintSuite(spark, sf0001).collect()
+    val expected = Set("o_orderkey_not_null", "o_custkey_not_null",
+      "o_orderdate_not_null", "o_orderstatus_in_domain",
+      "o_totalprice_positive", "o_orderkey_unique",
+      "o_custkey_references_customer")
+    assert(rows.map(_.getAs[String]("check_name")).toSet == expected)
+    val nOrders = Tables.orders(spark, sf0001).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_checked") == nOrders)
+      assert(r.getAs[Long]("n_violations") == 0L,
+        s"synthetic data should be clean: ${r.getAs[String]("check_name")}")
+      assert(r.getAs[Boolean]("ok"))
+    }
+  }
+
+  test("FD check: keys determine everything, n_pairs never below n_lhs") {
+    val rows = RelationalOps.fdCheck(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") >= r.getAs[Long]("n_lhs"))
+      assert(r.getAs[Boolean]("holds") ==
+        (r.getAs[Long]("n_violating") == 0L))
+    }
+    val byLhs = rows.map(r =>
+      r.getAs[String]("lhs") -> r.getAs[Boolean]("holds")).toMap
+    assert(byLhs("n_nationkey"), "a key column determines every column")
+    assert(byLhs("c_custkey"), "a key column determines every column")
+  }
+
+  test("incremental agg merge equals direct recompute, measure by measure") {
+    import graft.operators.RelationalOps.money
+    val merged = RelationalOps.incrementalAggMerge(spark, sf0001)
+    val direct = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority").as("prio"),
+        (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy("prio").agg(
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .withColumn("avg_cents", expr("sum_cents DIV n_orders"))
+      .orderBy("prio")
+    assert(merged.collect().toSeq == direct.collect().toSeq,
+      "merge(partial(base), partial(delta)) must equal recompute(full)")
+  }
+
+  test("sequence match agrees with a driver-side regex model of the journeys") {
+    val evs = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), (r.getAs[Any](1).toString, r.getLong(2),
+        r.getString(3))))
+    val codeOf = Map("view" -> "V", "click" -> "C", "purchase" -> "P",
+      "signup" -> "S", "error" -> "E")
+    val journeys = evs.groupBy(_._1).map { case (_, es) =>
+      es.map(_._2).sortBy(e => (e._1, e._2))
+        .map(e => codeOf.getOrElse(e._3, "O")).mkString }
+    val expected = Map(
+      "funnel_view_click_purchase" -> "V.*C.*P",
+      "impulse_click_purchase"     -> "CP",
+      "error_then_purchase"        -> "E.*P",
+      "starts_with_signup"         -> "^S",
+      "repeat_purchaser"           -> "P.*P"
+    ).map { case (n, re) =>
+      n -> journeys.count(j => re.r.findFirstIn(j).isDefined).toLong }
+    val got = EventOps.sequenceMatch(spark, sf0001).collect()
+      .map(r => r.getAs[String]("pattern") -> r.getAs[Long]("n_matched"))
+      .toMap
+    assert(got == expected)
+    assert(EventOps.sequenceMatch(spark, sf0001).collect()
+      .forall(r => r.getAs[Long]("share_bp") <= 10000L))
+  }
+
+  test("Holt linear: init states pinned, forecast is level+trend, one row per day") {
+    val rows = EventOps.holtLinear(spark, sf0001).collect()
+    val nDays = Tables.events(spark, sf0001)
+      .select(date_format(col("ts"), "yyyy-MM-dd")).distinct().count()
+    assert(rows.length == nDays)
+    val y0 = rows(0).getAs[Long]("y"); val y1 = rows(1).getAs[Long]("y")
+    assert(rows(0).getAs[Long]("level_milli") == y0 * 1000)
+    assert(rows(0).getAs[Long]("trend_milli") == (y1 - y0) * 1000)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("forecast_milli") ==
+        r.getAs[Long]("level_milli") + r.getAs[Long]("trend_milli"))
+    }
+    // recurrence spot-check at t=1 (truncating integer division)
+    val l1 = (300L * y1 * 1000L +
+      700L * (rows(0).getAs[Long]("level_milli") +
+        rows(0).getAs[Long]("trend_milli"))) / 1000L
+    assert(rows(1).getAs[Long]("level_milli") == l1)
+  }
+
+  test("Markov attribution: removal never helps, shares bounded and near-complete") {
+    val rows = EventOps.markovAttribution(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("removal_ppm") >= 0L,
+        "redirecting a channel to null can only lose conversion mass")
+      assert(r.getAs[Long]("p_conv_ppm") <= r.getAs[Long]("p_base_ppm"))
+    }
+    val shares = rows.map(_.getAs[Long]("share_bp")).sum
+    // floor division loses < 1 bp per channel
+    assert(shares <= 10000L && shares > 10000L - rows.length)
+  }
+
+  test("source overlap matrix: complete off-diagonal, symmetric intersections, bounded bp") {
+    val rows = DedupOps.sourceOverlapMatrix(spark, sf0001).collect()
+    val nSrc = Tables.documents(spark, sf0001)
+      .select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1), "every ordered pair reported")
+    val shared = rows.map(r => (r.getAs[String]("src_a"),
+      r.getAs[String]("src_b")) -> r.getAs[Long]("n_shared")).toMap
+    shared.foreach { case ((a, b), n) =>
+      assert(shared((b, a)) == n, "the intersection is symmetric") }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("containment_bp") <= 10000L)
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_a")) }
+  }
+
+  test("NDCG: bounded by 10000, hits within gold, perfect index iff full head match") {
+    val rows = SimilarityOps.annNdcg(spark, sf0001).collect()
+    spark.catalog.clearCache()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ndcg_bp") <= 10000L)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_gold"))
+      assert(r.getAs[Long]("dcg_scaled") <= r.getAs[Long]("idcg_scaled"))
+      if (r.getAs[Long]("ndcg_bp") == 10000L)
+        assert(r.getAs[Long]("n_hits") == r.getAs[Long]("n_gold"))
+    }
+  }
+
+  test("TextRank: full top-20, long words only, ranks contiguous from 1") {
+    val rows = TextOps.textrankKeywords(spark, sf0001).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rank_pos")).toSeq == (1L to 20L))
+    rows.foreach { r =>
+      assert(r.getAs[String]("word").length >= 4)
+      assert(r.getAs[Long]("pr") > 0L)
+    }
+    // every ranked word sits above the 150000 dangling-node floor: the
+    // top of the ranking is genuinely connected. (Score DIFFERENTIATION
+    // is not asserted: sf0.001's synthetic vocabulary co-occurs near-
+    // uniformly, so the regular graph legitimately converges to a tie
+    // — ties break alphabetically, identically in the oracle.)
+    assert(rows.forall(_.getAs[Long]("pr") > 150000L))
+  }
+
+  test("l-diversity: one row per QI group, sensitive cardinality within bounds") {
+    val rows = TextOps.lDiversity(spark, sf0001).collect()
+    val nGroups = Tables.documents(spark, sf0001)
+      .select(col("source"), expr("length(text) DIV 200")).distinct().count()
+    assert(rows.length == nGroups)
+    val nLangs = Tables.documents(spark, sf0001)
+      .select("lang").distinct().count()
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l_langs")
+      assert(l >= 1L && l <= nLangs)
+      assert(l <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Boolean]("diverse") == (l >= 2L))
+    }
+  }
 }
