@@ -214,6 +214,7 @@ object SparkEntry {
     "txt_good_turing"          -> ((s: SparkSession, d: String) => TextOps.goodTuring(s, d)),
     "txt_textrank"             -> ((s: SparkSession, d: String) => TextOps.textrankKeywords(s, d)),
     "txt_l_diversity"          -> ((s: SparkSession, d: String) => TextOps.lDiversity(s, d)),
+    "txt_winnowing"            -> ((s: SparkSession, d: String) => TextOps.winnowing(s, d)),
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "txt_kneser_ney"           -> ((s: SparkSession, d: String) => TextOps.kneserNeyBigrams(s, d)),
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
@@ -250,6 +251,7 @@ object SparkEntry {
     "dd_record_linkage"        -> DedupOps.recordLinkage _,
     "dd_soft_dedup"            -> DedupOps.softDedupWeights _,
     "dd_source_overlap"        -> DedupOps.sourceOverlapMatrix _,
+    "dd_lsh_quality"           -> DedupOps.lshQuality _,
     "dd_pipeline_survivors"    -> DedupOps.dedupSurvivors _,
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
@@ -3508,6 +3510,37 @@ object SparkEntry {
         |  FROM it3)
         |SELECT rank_pos, node AS word, pr FROM ranked
         |WHERE rank_pos <= 20 ORDER BY rank_pos""".stripMargin,
+    // winnowing (MOSS): min-hash of every 4-window over POSITIONAL
+    // trigram hashes, distinct selection, density vs window count
+    "txt_winnowing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END AS hs
+        |  FROM w2),
+        |f AS (SELECT doc_id, hs FROM s WHERE len(hs) >= 4),
+        |fp AS (
+        |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+        |    list_distinct([list_min(hs[i:i+3])
+        |      for i in range(1, len(hs) - 2)]) AS fps
+        |  FROM f)
+        |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fps,
+        |  CAST(len(fps) AS BIGINT) * 10000 // (n_grams - 3) AS density_bp,
+        |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM fp ORDER BY doc_id""".stripMargin,
     // l-diversity: distinct sensitive values per QI group (the coarse
     // kAnonymize lattice level), l >= 2 gate
     "txt_l_diversity" ->
@@ -4740,6 +4773,80 @@ object SparkEntry {
         |  JOIN f sb ON sb.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // LSH candidate quality: banded candidates (pre-verify) scored
+    // against the exact prefix-filtered Jaccard >= 0.5 ground truth
+    "dd_lsh_quality" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+        |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END) AS sh
+        |  FROM w2),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM f),
+        |dfq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+        |pr AS (SELECT doc_id, n, s FROM (
+        |    SELECT ex.doc_id, ex.s, ex.n,
+        |      row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfq.df, ex.s) AS rn
+        |    FROM ex JOIN dfq USING (s)) z
+        |  WHERE rn <= n // 2 + 1),
+        |tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    AND 2 * LEAST(a.n, b.n) >= GREATEST(a.n, b.n)),
+        |truth AS (SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE)
+        |      / (len(fa.sh) + len(fb.sh) - len(list_intersect(fa.sh, fb.sh))) AS jaccard
+        |  FROM tcand
+        |  JOIN f fa ON fa.doc_id = doc_a
+        |  JOIN f fb ON fb.doc_id = doc_b) v WHERE jaccard >= 0.5),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2654435761 + 1) % 999999999999989)) AS mh0,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2246822519 + 7) % 999999999999989)) AS mh1,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3266489917 + 13) % 999999999999989)) AS mh2,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 668265263 + 31) % 999999999999989)) AS mh3,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 374761393 + 101) % 999999999999989)) AS mh4,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 3141592653 + 1009) % 999999999999989)) AS mh5,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 1597334677 + 10007) % 999999999999989)) AS mh6,
+        |    list_min(list_transform(sh, h -> ((h % 2147483647) * 2869860233 + 100003) % 999999999999989)) AS mh7
+        |  FROM f),
+        |bands AS (
+        |  SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+        |    || '_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bkey FROM m
+        |  UNION ALL
+        |  SELECT doc_id, '1_' || CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+        |    || '_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM m),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+        |tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tp FROM cand
+        |  WHERE EXISTS (SELECT 1 FROM truth t2
+        |    WHERE t2.doc_a = cand.doc_a AND t2.doc_b = cand.doc_b))
+        |SELECT n_candidates, n_true, n_tp,
+        |  n_tp * 10000 // n_candidates AS precision_bp,
+        |  n_tp * 10000 // n_true AS recall_bp
+        |FROM nc, nt, tp""".stripMargin,
     // one-permutation minhash: slot i = min hash in bin (h mod 8),
     // empty bins densified by cyclic-right borrow + d*P offset; same
     // band -> bucket-join -> exact-Jaccard-verify tail as minhash_lsh

@@ -1307,4 +1307,40 @@ object DedupOps {
       .withColumn("containment_bp", expr("n_shared * 10000 DIV n_a"))
       .orderBy("src_a", "src_b")
   }
+
+  /** Candidate-generation quality of the MinHash-LSH index — the
+    * measurement a 100 TB dedup runs before TRUSTING its bands:
+    * precision (what share of bucket-join candidates survive exact
+    * verify) prices the wasted verify work; recall (what share of the
+    * true J ≥ 0.5 pairs the bands surface at all) prices the silent
+    * misses that no verify stage can recover. Ground truth is the
+    * EXACT prefix-filtered Jaccard join ([[ngramJaccardPairs]] — never
+    * all-pairs); candidates are the banded bucket pairs BEFORE their
+    * verify tail. [[minhashBandSweep]] predicts these curves from the
+    * signature model; this measures them against the real corpus.
+    *
+    * Scale shape: both arms are the existing key-partitioned pipelines
+    * (each builds its own signatures here — a production run would
+    * stage the shared shingle build once, the band-sweep pattern);
+    * the TP semi-join and all three counts collapse to 1-row frames.
+    * Caller releases persisted stages via clearCache(). */
+  def lshQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = ngramJaccardPairsUnsorted(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsOf(corpus(spark, sfDir))
+    val cands = bands.select(col("doc_id").as("doc_a"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("bkey")), Seq("bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nT = truth.agg(count(lit(1)).as("n_true"))
+    val nC = cands.agg(count(lit(1)).as("n_candidates"))
+    val nTp = cands.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_tp"))
+    nC.crossJoin(nT).crossJoin(nTp) // three 1-row frames
+      .select(col("n_candidates"), col("n_true"), col("n_tp"),
+        expr("n_tp * 10000 DIV n_candidates").as("precision_bp"),
+        expr("n_tp * 10000 DIV n_true").as("recall_bp"))
+  }
 }

@@ -2121,6 +2121,40 @@ object TextOps {
     * Scale shape: ONE map-side-combined groupBy on the narrow QI
     * projection with a distinct-count of a low-cardinality attribute —
     * the corpus never moves; the report is QI-lattice-sized. */
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    * — the MOSS algorithm, public): from each document's POSITIONAL
+    * trigram-hash sequence, select the minimum hash of every
+    * w-consecutive window — the provably-gap-bounded fingerprint set
+    * that catches any shared run of ≥ w+2 words regardless of
+    * alignment (the guarantee threshold), at an expected density of
+    * 2/(w+1) instead of every gram. The selected set is the
+    * plagiarism/near-copy index tier BETWEEN block dedup (cheaper,
+    * alignment-fragile) and full shingle Jaccard (denser): only
+    * fingerprints, never full gram sets, go to the shared-hash join.
+    * Reported per document: gram count, selected-fingerprint count,
+    * realized density in bp, and the fingerprint extrema as identity.
+    *
+    * Scale shape: selection is entirely ROW-LOCAL higher-order array
+    * math inside the projection (windows via transform over an index
+    * sequence, min per slice, distinct) — zero shuffle; the one
+    * ordering is presentation. At 100 TB the fingerprint EXPLODE that
+    * would follow (doc_id, fp) is ~2/(w+1) of the shingle explode the
+    * Jaccard tier pays — that ratio is this operator's value. */
+  def winnowing(spark: SparkSession, sfDir: String, w: Int = 4): DataFrame =
+    Tables.spread(docs(spark, sfDir), col("doc_id"))
+      .select(col("doc_id"),
+        expr("shingle3_hashes(word_poly_hashes(lower(text)))").as("hs"))
+      .filter(size(col("hs")) >= w)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+        array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
+          i => array_min(slice(col("hs"), i + 1, lit(w))))).as("fps"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        expr(s"size(fps) * 10000 DIV (n_grams - ${w - 1})").as("density_bp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+
   def lDiversity(spark: SparkSession, sfDir: String, l: Int = 2): DataFrame =
     docs(spark, sfDir)
       .select(col("source"), expr("length(text) DIV 200").as("bucket"),

@@ -4118,6 +4118,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("pr") > 150000L))
   }
 
+  test("winnowing agrees with an independent Scala model on the first document") {
+    val w = 4
+    val row = TextOps.winnowing(spark, sf0001).filter(col("doc_id") === 0)
+      .collect().head
+    // independent JVM model: polyHash words -> combined trigram hashes
+    // -> min per 4-window -> distinct
+    val text = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") === 0).select("text").collect().head.getString(0)
+    val M = TextOps.HashMod
+    def ph(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % M)
+    val whs = text.toLowerCase.split(" ").filter(_.nonEmpty).map(ph)
+    val hs = whs.sliding(3).map(t =>
+      ((t(0) * 31 + t(1)) % M * 31 + t(2)) % M).toArray
+    val fps = hs.sliding(w).map(_.min).toArray.distinct
+    assert(row.getAs[Long]("n_grams") == hs.length)
+    assert(row.getAs[Long]("n_fps") == fps.length)
+    assert(row.getAs[Long]("min_fp") == fps.min)
+    assert(row.getAs[Long]("max_fp") == fps.max)
+    assert(row.getAs[Long]("density_bp") ==
+      fps.length.toLong * 10000 / (hs.length - w + 1))
+  }
+
+  test("LSH quality: TP count equals the verified-survivor count, rates bounded") {
+    val r = DedupOps.lshQuality(spark, sf0001).collect().head
+    val survivors = DedupOps.minhashLsh(spark, sf0001).count()
+    spark.catalog.clearCache()
+    // a banded candidate with exact J >= 0.5 IS a verify survivor —
+    // the two pipelines must agree on that set's size
+    assert(r.getAs[Long]("n_tp") == survivors)
+    assert(r.getAs[Long]("n_tp") <= r.getAs[Long]("n_candidates"))
+    assert(r.getAs[Long]("n_tp") <= r.getAs[Long]("n_true"))
+    assert(r.getAs[Long]("precision_bp") <= 10000L)
+    assert(r.getAs[Long]("recall_bp") <= 10000L)
+  }
+
   test("l-diversity: one row per QI group, sensitive cardinality within bounds") {
     val rows = TextOps.lDiversity(spark, sf0001).collect()
     val nGroups = Tables.documents(spark, sf0001)
