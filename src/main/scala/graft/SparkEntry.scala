@@ -215,6 +215,7 @@ object SparkEntry {
     "txt_textrank"             -> ((s: SparkSession, d: String) => TextOps.textrankKeywords(s, d)),
     "txt_l_diversity"          -> ((s: SparkSession, d: String) => TextOps.lDiversity(s, d)),
     "txt_winnowing"            -> ((s: SparkSession, d: String) => TextOps.winnowing(s, d)),
+    "txt_doremi_step"          -> ((s: SparkSession, d: String) => TextOps.doremiStep(s, d)),
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "txt_kneser_ney"           -> ((s: SparkSession, d: String) => TextOps.kneserNeyBigrams(s, d)),
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
@@ -3146,15 +3147,18 @@ object SparkEntry {
         |t AS (SELECT doc_id // bs AS batch,
         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
         |  FROM documents, nn),
-        |sh AS (SELECT batch, unnest(CASE WHEN len(ws) >= 3 THEN
-        |    list_transform(range(1, len(ws) - 1),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-        |    ELSE [] END) AS gram FROM t),
+        |w2 AS (SELECT batch,
+        |    list_transform(ws, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
         |g AS (SELECT DISTINCT batch,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(gram, ''), c -> ascii(c))),
-        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS gh
-        |  FROM sh),
+        |    unnest(CASE WHEN len(whs) >= 3 THEN
+        |      list_transform(range(1, len(whs) - 1),
+        |        i -> ((whs[i] * 31 + whs[i+1]) % 1000000000000000 * 31
+        |              + whs[i+2]) % 1000000000000000)
+        |    ELSE [] END) AS gh
+        |  FROM w2),
         |pb AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_distinct
         |       FROM g GROUP BY batch),
         |fn AS (SELECT gh, MIN(batch) AS batch FROM g GROUP BY gh),
@@ -3869,6 +3873,50 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, surprisal_bits,
         |  CAST(FLOOR(1000 * surprisal_bits / n_bigrams) AS BIGINT) AS surprisal_milli
         |FROM s ORDER BY doc_id""".stripMargin,
+    // DoReMi step, linearized: per-source excess surprisal over the
+    // corpus mean -> clamped integer multiplicative factor -> ppm
+    "txt_doremi_step" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        |        FROM t WHERE len(w) >= 2)),
+        |db AS (SELECT doc_id, source, w1, w2, COUNT(*) AS tf
+        |  FROM bg GROUP BY doc_id, source, w1, w2),
+        |lm AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cnt
+        |  FROM db GROUP BY w1, w2),
+        |lt AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS left_cnt
+        |  FROM lm GROUP BY w1),
+        |s AS (
+        |  SELECT doc_id, source, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(tf * (CAST(LENGTH(bin(left_cnt)) - 1 AS BIGINT)
+        |            - CAST(LENGTH(bin(cnt)) - 1 AS BIGINT))) AS BIGINT) AS sb
+        |  FROM db JOIN lm USING (w1, w2) JOIN lt USING (w1)
+        |  GROUP BY doc_id, source),
+        |src AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_bigrams) AS BIGINT) AS nb,
+        |    CAST(SUM(sb) AS BIGINT) AS sbs
+        |  FROM s GROUP BY source),
+        |tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS tnb,
+        |  CAST(SUM(sbs) AS BIGINT) AS tsb FROM src),
+        |sc AS (
+        |  SELECT source, n_docs, 1000 * sbs // nb AS src_milli,
+        |    1000 * sbs // nb - 1000 * tsb // tnb AS excess_milli
+        |  FROM src, tot),
+        |fac AS (
+        |  SELECT source, n_docs, src_milli, excess_milli,
+        |    1000 + GREATEST(CAST(0 AS BIGINT),
+        |      LEAST(excess_milli, CAST(1000 AS BIGINT))) AS factor_milli
+        |  FROM sc),
+        |fs AS (SELECT CAST(SUM(factor_milli) AS BIGINT) AS fsum FROM fac)
+        |SELECT source, n_docs, src_milli AS mean_surprisal_milli,
+        |  excess_milli, factor_milli,
+        |  factor_milli * 1000000 // fsum AS weight_ppm
+        |FROM fac, fs ORDER BY source""".stripMargin,
     // DSIR importance weights: hashed-unigram target-vs-raw log ratios
     // in SIXTEENTHS of a bit (linear-mantissa-interpolated integer
     // log2), Laplace-smoothed — integer-exact in both engines

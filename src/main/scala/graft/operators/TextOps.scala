@@ -1987,16 +1987,21 @@ object TextOps {
     * pairs in ONE map-side-combined shuffle (the dedup-tier discipline);
     * first-seen is a min over the ≤batches values per hash; every
     * report row is batch-count-sized, and the cumulative window runs
-    * over `batches` rows, not data. */
+    * over `batches` rows, not data. Gram identity is the dedup tiers'
+    * COMBINED word-hash trigram (native codegen shingle3_hashes — one
+    * tight loop per row) rather than a materialized "w1 w2 w3" string
+    * hashed char-by-char: the string spelling priced this query at the
+    * top of the sf0.1 sweep for the identical information. */
   def ngramNovelty(spark: SparkSession, sfDir: String, n: Int = 3,
                    batches: Int = 8): DataFrame = {
+    require(n == 3, s"gram identity is the shared trigram family: $n")
     val d = Tables.spread(docs(spark, sfDir), col("doc_id"))
     val total = d.count() // metadata-scale: one number on the driver
     val bs = (total + batches - 1) / batches
     val g = d
       .select(expr(s"doc_id DIV $bs").as("batch"),
-        explode(wordShingles(words(col("text")), n)).as("gram"))
-      .select(col("batch"), polyHash(col("gram")).as("gh"))
+        explode(expr("shingle3_hashes(word_poly_hashes(lower(text)))"))
+          .as("gh"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val perBatch = g.groupBy("batch").agg(count(lit(1)).as("n_distinct"))
@@ -2121,6 +2126,49 @@ object TextOps {
     * Scale shape: ONE map-side-combined groupBy on the narrow QI
     * projection with a distinct-count of a low-cardinality attribute —
     * the corpus never moves; the report is QI-lattice-sized. */
+  /** One domain-reweighting step of the DoReMi scheme (Xie et al.
+    * 2023, "Doremi: Optimizing Data Mixtures" — public), linearized:
+    * DoReMi upweights domains where the proxy model's EXCESS LOSS over
+    * a reference is largest (multiplicative-weights update). Here the
+    * proxy loss is the integer bigram surprisal ([[lmSurprisal]] —
+    * mean milli-bits per source), the reference is the corpus mean,
+    * and the exponential update is LINEARIZED to stay integer-exact:
+    * factor = 1000 + clamp(excess_milli, 0, 1000) per source (only
+    * hard-er-than-average domains move, one learning-rate-1 step),
+    * renormalized to ppm. The real recipe iterates this with a
+    * retrained proxy; ONE deterministic step is the engine's unit of
+    * work and the whole loop is this query re-run against new proxy
+    * scores.
+    *
+    * Scale shape: rides [[lmSurprisal]]'s two-exchange budget; the
+    * source rollup, corpus total and factor normalization all happen
+    * on the |sources|-bounded table with broadcast 1-row totals. */
+  def doremiStep(spark: SparkSession, sfDir: String,
+                 clampMilli: Long = 1000L): DataFrame = {
+    val perDoc = lmSurprisal(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+    val bySrc = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("nb"),
+        sum(col("surprisal_bits")).as("sb"))
+      .withColumn("src_milli", expr("1000 * sb DIV nb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = bySrc.agg(sum(col("nb")).as("tnb"), sum(col("sb")).as("tsb"))
+    val scored = bySrc.crossJoin(broadcast(tot))
+      .withColumn("excess_milli",
+        col("src_milli") - expr("1000 * tsb DIV tnb"))
+      .withColumn("factor_milli", lit(1000L) +
+        greatest(lit(0L), least(col("excess_milli"), lit(clampMilli))))
+    val fsum = scored.agg(sum(col("factor_milli")).as("fsum"))
+    scored.crossJoin(broadcast(fsum))
+      .select(col("source"), col("n_docs"),
+        col("src_milli").as("mean_surprisal_milli"),
+        col("excess_milli"), col("factor_milli"),
+        expr("factor_milli * 1000000 DIV fsum").as("weight_ppm"))
+      .orderBy("source")
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
     * — the MOSS algorithm, public): from each document's POSITIONAL
     * trigram-hash sequence, select the minimum hash of every

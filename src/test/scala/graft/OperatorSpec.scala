@@ -3947,10 +3947,11 @@ class OperatorSpec extends AnyFunSuite {
     val cums = rows.map(_.getAs[Long]("cum_distinct"))
     assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
     // the curve's endpoint is the corpus-wide distinct gram count
+    // (combined word-hash trigram identity, the dedup-tier family)
     val totalDistinct = Tables.documents(spark, sf0001)
-      .select(explode(TextOps.wordShingles(
-        TextOps.words(col("text")), 3)).as("g"))
-      .select(TextOps.polyHash(col("g"))).distinct().count()
+      .select(explode(
+        expr("shingle3_hashes(word_poly_hashes(lower(text)))")).as("gh"))
+      .distinct().count()
     assert(cums.last == totalDistinct)
     assert(rows.map(_.getAs[Long]("n_new")).sum == totalDistinct)
   }
@@ -4152,6 +4153,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_tp") <= r.getAs[Long]("n_true"))
     assert(r.getAs[Long]("precision_bp") <= 10000L)
     assert(r.getAs[Long]("recall_bp") <= 10000L)
+  }
+
+  test("DoReMi step: factors clamped, weights near-normalized and monotone in excess") {
+    val rows = TextOps.doremiStep(spark, sf0001).collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("factor_milli")
+      assert(f >= 1000L && f <= 2000L, "linearized update is clamped to [1, 2]x")
+      val ex = r.getAs[Long]("excess_milli")
+      assert(f == 1000L + math.max(0L, math.min(ex, 1000L)))
+    }
+    val wsum = rows.map(_.getAs[Long]("weight_ppm")).sum
+    assert(wsum <= 1000000L && wsum > 1000000L - rows.length,
+      "floor renormalization loses < 1 ppm per source")
+    // weights order exactly as factors (same denominator)
+    val byFactor = rows.sortBy(r => (r.getAs[Long]("factor_milli"),
+      r.getAs[Long]("weight_ppm")))
+    assert(byFactor.map(_.getAs[Long]("weight_ppm")).toSeq ==
+      byFactor.map(_.getAs[Long]("weight_ppm")).sortBy(identity).toSeq)
   }
 
   test("l-diversity: one row per QI group, sensitive cardinality within bounds") {
