@@ -216,9 +216,14 @@ object DedupOps {
   def ngramJaccardPairsOf(corpusDf: DataFrame): DataFrame =
     ngramJaccardPairsRaw(corpusDf).orderBy("doc_a", "doc_b")
 
-  private def ngramJaccardPairsRaw(corpusDf: DataFrame): DataFrame = {
-    val sigs = withShingles(corpusDf)
-      .select(col("doc_id"), col("sh"))
+  private def ngramJaccardPairsRaw(corpusDf: DataFrame): DataFrame =
+    ngramJaccardPairsFromShingles(
+      withShingles(corpusDf).select(col("doc_id"), col("sh")))
+
+  /** The exact-Jaccard join from an ALREADY-SHINGLED (doc_id, sh)
+    * frame — the shared-signature-build seam ([[lshQuality]]). */
+  private def ngramJaccardPairsFromShingles(shingled: DataFrame): DataFrame = {
+    val sigs = shingled
       .withColumn("n", size(col("sh")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ex = sigs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
@@ -676,8 +681,13 @@ object DedupOps {
     * random pairs Jaccard ≈ 0.1, and 2-row bands admit j² ≈ 1% of all
     * pairs as candidates (quadratic blowup at sf0.1); 4-row bands admit
     * j⁴ ≈ 0.01% while still catching the j ≥ 0.5 near-dups. */
-  private def withMinhashBands(df: DataFrame): DataFrame = {
-    val hashed = withShingles(df)
+  private def withMinhashBands(df: DataFrame): DataFrame =
+    minhashBandsFromShingles(withShingles(df))
+
+  /** The band build from an ALREADY-SHINGLED (doc_id, sh, ...) frame —
+    * split out so consumers that need BOTH the exact-Jaccard and the
+    * LSH arm ([[lshQuality]]) pay the shingle build once. */
+  private def minhashBandsFromShingles(hashed: DataFrame): DataFrame = {
     val sigs = MinhashParams.zipWithIndex.foldLeft(hashed) {
       case (acc, ((a, b), i)) =>
         acc.withColumn(s"mh$i",
@@ -1320,15 +1330,20 @@ object DedupOps {
     * signature model; this measures them against the real corpus.
     *
     * Scale shape: both arms are the existing key-partitioned pipelines
-    * (each builds its own signatures here — a production run would
-    * stage the shared shingle build once, the band-sweep pattern);
-    * the TP semi-join and all three counts collapse to 1-row frames.
-    * Caller releases persisted stages via clearCache(). */
+    * running off ONE shared persisted shingle build (the band-sweep
+    * pattern — the signature build is the dominant cost of any dedup
+    * tier and must never be paid twice); the TP semi-join and all
+    * three counts collapse to 1-row frames. Caller releases persisted
+    * stages via clearCache(). */
   def lshQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = ngramJaccardPairsUnsorted(spark, sfDir)
+    val shingled = withShingles(corpus(spark, sfDir))
+      .select(col("doc_id"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val truth = ngramJaccardPairsFromShingles(shingled)
       .select("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = bandsOf(corpus(spark, sfDir))
+    val bands = minhashBandsFromShingles(shingled)
+      .select(col("doc_id"), explode(col("bands")).as("bkey"))
     val cands = bands.select(col("doc_id").as("doc_a"), col("bkey"))
       .join(bands.select(col("doc_id").as("doc_b"), col("bkey")), Seq("bkey"))
       .filter(col("doc_a") < col("doc_b"))
