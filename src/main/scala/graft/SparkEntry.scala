@@ -2192,7 +2192,7 @@ object SparkEntry {
         |  FROM conv, base WHERE removed <> 'none'),
         |tot AS (SELECT CAST(SUM(removal_ppm) AS BIGINT) AS tot_removal FROM eff)
         |SELECT channel, p_conv_ppm, p_base_ppm, removal_ppm,
-        |  removal_ppm * 10000 // tot_removal AS share_bp
+        |  removal_ppm * 10000 // NULLIF(tot_removal, 0) AS share_bp
         |FROM eff, tot ORDER BY channel""".stripMargin,
     // MATCH_RECOGNIZE-lite: journeys as order-pinned symbol strings,
     // patterns in the Java-regex ∩ RE2 common subset

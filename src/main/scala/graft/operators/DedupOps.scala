@@ -1254,8 +1254,9 @@ object DedupOps {
     * decision that recent pretraining-data work prefers, because hard
     * removal also deletes the natural up-weighting of genuinely popular
     * content). Weights are exact PARTS PER MILLION (1e6 div csize);
-    * docs outside any dup cluster weigh 1e6. The corpus-level check row
-    * is the effective-mass total: Σw ≈ |unique families|.
+    * docs outside any dup cluster weigh 1e6. The per-document frame is
+    * the output contract (a consumer folds Σw itself — it approximates
+    * |unique families| ppm, the sanity check the weighting exists for).
     *
     * Scale shape: rides [[dupClustersOf]] (checkpointed min-label CC —
     * only docs that appear in a candidate PAIR enter the iteration);
@@ -1295,7 +1296,9 @@ object DedupOps {
     * exchange. The complete matrix (zero-overlap pairs included) comes
     * from crossing the source-size table with itself: sources are a
     * bounded catalog (the mixture-weight contract), so that cross is
-    * driver-scale. */
+    * driver-scale. The distinct (source, shingle) frame is persisted
+    * (sizes and both self-join sides read it); caller releases via
+    * clearCache() after the consuming action. */
   def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val g = withShingles(
         Tables.documents(spark, sfDir).select("doc_id", "source", "text"))

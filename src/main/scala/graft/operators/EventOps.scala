@@ -1428,8 +1428,12 @@ object EventOps {
     * every intermediate is an exact BIGINT both engines reproduce —
     * float matrix powers would drift. Absorbing states carry a 1e6
     * self-loop. K=6 bounds the horizon identically on both sides
-    * (journeys here are short; the residual non-absorbed mass is
-    * reported so the truncation is visible, not silent).
+    * (journeys here are short; the truncation shows up as base-chain
+    * conversion mass p_base_ppm below the chain's untruncated value —
+    * the reported column to sanity-check K against). A scenario whose
+    * chain never reaches `conv` at all (a purchase-free slice) emits
+    * NO row, matching the oracle's empty conv table; a zero total
+    * removal effect yields NULL shares on both sides (NULLIF guard).
     *
     * Scale shape: the corpus collapses ONCE to the transition count
     * table (≤ (channels+3)² rows) via a per-user sequence window; that
@@ -1476,7 +1480,11 @@ object EventOps {
     // alias two edges onto (src, null): merge them so the per-edge
     // floor below runs over a UNIQUE-keyed edge table — the oracle
     // replicates the same merge.
-    val results = ("none" +: channels).map { removed =>
+    // a scenario contributes a row only if its chain REACHES conv
+    // (key present, even at floored mass 0) — the oracle's conv CTE
+    // has exactly that membership, so a purchase-free slice is empty
+    // on both sides instead of fabricating zero rows here
+    val results = ("none" +: channels.toSeq).flatMap { removed =>
       val redirected = tRows.map { case (src, dst, t) =>
         ((src, if (dst == removed) "null" else dst), t) } ++
         Seq((("conv", "conv"), 1000000L), (("null", "null"), 1000000L))
@@ -1489,16 +1497,19 @@ object EventOps {
           p.get(src).map(pp => dst -> pp * t / 1000000L) }
           .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
       }
-      removed -> p.getOrElse("conv", 0L)
+      p.get("conv").map(removed -> _)
     }
-    val pBase = results.head._2
-    val eff = results.tail.map { case (ch, pc) => (ch, pc, pBase - pc) }
-    val totRemoval = eff.map(_._3).sum
+    val pBaseOpt = results.find(_._1 == "none").map(_._2)
+    val eff = pBaseOpt.toSeq.flatMap { pBase =>
+      results.filter(_._1 != "none")
+        .map { case (ch, pc) => (ch, pc, pBase, pBase - pc) } }
+    val totRemoval = eff.map(_._4).sum
     import spark.implicits._
-    eff.toSeq.toDF("channel", "p_conv_ppm", "removal_ppm")
-      .select(col("channel"), col("p_conv_ppm"),
-        lit(pBase).as("p_base_ppm"), col("removal_ppm"),
-        expr(s"removal_ppm * 10000 DIV $totRemoval").as("share_bp"))
+    val shareExpr = if (totRemoval == 0) lit(null).cast("long")
+      else expr(s"removal_ppm * 10000 DIV $totRemoval")
+    eff.toDF("channel", "p_conv_ppm", "p_base_ppm", "removal_ppm")
+      .select(col("channel"), col("p_conv_ppm"), col("p_base_ppm"),
+        col("removal_ppm"), shareExpr.as("share_bp"))
       .orderBy("channel")
   }
 

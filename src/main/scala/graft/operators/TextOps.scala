@@ -1992,9 +1992,8 @@ object TextOps {
     * tight loop per row) rather than a materialized "w1 w2 w3" string
     * hashed char-by-char: the string spelling priced this query at the
     * top of the sf0.1 sweep for the identical information. */
-  def ngramNovelty(spark: SparkSession, sfDir: String, n: Int = 3,
+  def ngramNovelty(spark: SparkSession, sfDir: String,
                    batches: Int = 8): DataFrame = {
-    require(n == 3, s"gram identity is the shared trigram family: $n")
     val d = Tables.spread(docs(spark, sfDir), col("doc_id"))
     val total = d.count() // metadata-scale: one number on the driver
     val bs = (total + batches - 1) / batches
@@ -2086,18 +2085,31 @@ object TextOps {
     * that vocabulary-sized graph with the shared pageRankOf machinery
     * (checkpointed rounds, observe-metric fixpoint). Top-20 is a
     * TakeOrdered over the vocabulary table — no global sort. The
-    * 20-row rank window runs AFTER the limit: driver-sized. */
+    * 20-row rank window runs AFTER the limit: driver-sized. The
+    * tokenized frame is persisted: the pairs build and the node list
+    * both read it (and edges reads pairs twice), so without the pin
+    * the corpus tokenize scan runs three times — the shared-build
+    * discipline of [[graft.operators.DedupOps.lshQuality]]. Caller
+    * releases via clearCache() after the consuming action. */
   def textrankKeywords(spark: SparkSession, sfDir: String,
                        iters: Int = 3, topK: Int = 20): DataFrame = {
     val ws = Tables.spread(docs(spark, sfDir), col("doc_id"))
       .select(words(col("text")).as("ws"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // sub-2-word docs: sequence(0, size-2) would run DESCENDING into
+    // element_at(ws, 0) and throw — guard like [[wordShingles]] (the
+    // DuckDB range(1, len) spelling is simply empty there)
     val pairs = ws
-      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
-        i => struct(element_at(col("ws"), i + 1).as("a"),
-          element_at(col("ws"), i + 2).as("b")))).as("p"))
+      .select(explode(when(size(col("ws")) >= 2,
+        transform(sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("a"),
+            element_at(col("ws"), i + 2).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>")))
+        .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .filter(length(col("a")) >= 4 && length(col("b")) >= 4 &&
         col("a") =!= col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
@@ -2113,19 +2125,6 @@ object TextOps {
       .orderBy("rank_pos")
   }
 
-  /** l-diversity audit (Machanavajjhala et al. 2007, public) — the
-    * release gate that catches what k-anonymity misses: a
-    * quasi-identifier group can be large (k-safe) yet expose everyone
-    * in it because the SENSITIVE attribute is uniform. Over the same
-    * QI lattice as [[kAnonymize]]'s coarse level (source ×
-    * length-div-200 bucket), report each group's size, its distinct
-    * sensitive values (lang), and whether it clears l ≥ 2 — groups
-    * that fail need suppression or further generalization before
-    * export even when k passes.
-    *
-    * Scale shape: ONE map-side-combined groupBy on the narrow QI
-    * projection with a distinct-count of a low-cardinality attribute —
-    * the corpus never moves; the report is QI-lattice-sized. */
   /** One domain-reweighting step of the DoReMi scheme (Xie et al.
     * 2023, "Doremi: Optimizing Data Mixtures" — public), linearized:
     * DoReMi upweights domains where the proxy model's EXCESS LOSS over
@@ -2203,6 +2202,19 @@ object TextOps {
         array_max(col("fps")).as("max_fp"))
       .orderBy("doc_id")
 
+  /** l-diversity audit (Machanavajjhala et al. 2007, public) — the
+    * release gate that catches what k-anonymity misses: a
+    * quasi-identifier group can be large (k-safe) yet expose everyone
+    * in it because the SENSITIVE attribute is uniform. Over the same
+    * QI lattice as [[kAnonymize]]'s coarse level (source ×
+    * length-div-200 bucket), report each group's size, its distinct
+    * sensitive values (lang), and whether it clears l ≥ 2 — groups
+    * that fail need suppression or further generalization before
+    * export even when k passes.
+    *
+    * Scale shape: ONE map-side-combined groupBy on the narrow QI
+    * projection with a distinct-count of a low-cardinality attribute —
+    * the corpus never moves; the report is QI-lattice-sized. */
   def lDiversity(spark: SparkSession, sfDir: String, l: Int = 2): DataFrame =
     docs(spark, sfDir)
       .select(col("source"), expr("length(text) DIV 200").as("bucket"),

@@ -4078,6 +4078,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("source overlap matrix: complete off-diagonal, symmetric intersections, bounded bp") {
     val rows = DedupOps.sourceOverlapMatrix(spark, sf0001).collect()
+    spark.catalog.clearCache()
     val nSrc = Tables.documents(spark, sf0001)
       .select("source").distinct().count()
     assert(rows.length == nSrc * (nSrc - 1), "every ordered pair reported")
@@ -4105,6 +4106,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("TextRank: full top-20, long words only, ranks contiguous from 1") {
     val rows = TextOps.textrankKeywords(spark, sf0001).collect()
+    spark.catalog.clearCache()
     assert(rows.length == 20)
     assert(rows.map(_.getAs[Long]("rank_pos")).toSeq == (1L to 20L))
     rows.foreach { r =>
