@@ -201,6 +201,7 @@ object SparkEntry {
     "pipe_source_blocklist"    -> TextOps.sourceBlocklistSurvivors _,
     "pipe_training_corpus"     -> ((s: SparkSession, d: String) => TextOps.trainingCorpusDecision(s, d)),
     "pipe_shard_export"        -> ((s: SparkSession, d: String) => TextOps.shardExport(s, d)),
+    "pipe_shard_rebalance"     -> ((s: SparkSession, d: String) => TextOps.shardRebalance(s, d)),
     "pipe_split_groups"        -> ((s: SparkSession, d: String) => TextOps.trainValSplit(s, d)),
     "txt_term_drift"           -> ((s: SparkSession, d: String) => TextOps.termDrift(s, d)),
     "txt_chunks"               -> ((s: SparkSession, d: String) => TextOps.chunkDocs(s, d)),
@@ -3045,6 +3046,49 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS pos,
         |  n_tokens
         |FROM sharded ORDER BY doc_id""".stripMargin,
+    // shard-rebalance cost N=16 -> 17: hash-mod moves ~N/(N+1), HRW
+    // (rendezvous) moves ~1/(N+1); same integer hash family both sides,
+    // HRW winner = FIRST index attaining the list max (ties to smallest)
+    "pipe_shard_rebalance" ->
+      """WITH dh AS (
+        |  SELECT doc_id,
+        |    (doc_id * 2246822519 + 7) % 999999937 AS d_hash
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id,
+        |    (doc_id * 2654435761) % 999999937 % 16 AS mod_old,
+        |    (doc_id * 2654435761) % 999999937 % 17 AS mod_new,
+        |    CAST(list_position(
+        |      [(d_hash + (k * 2654435761 + 40503) % 999999937)
+        |         * (d_hash + (k * 2654435761 + 40503) % 999999937) % 999999937
+        |       for k in range(0, 16)],
+        |      list_max(
+        |      [(d_hash + (k * 2654435761 + 40503) % 999999937)
+        |         * (d_hash + (k * 2654435761 + 40503) % 999999937) % 999999937
+        |       for k in range(0, 16)]))
+        |      - 1 AS BIGINT) AS hrw_old,
+        |    CAST(list_position(
+        |      [(d_hash + (k * 2654435761 + 40503) % 999999937)
+        |         * (d_hash + (k * 2654435761 + 40503) % 999999937) % 999999937
+        |       for k in range(0, 17)],
+        |      list_max(
+        |      [(d_hash + (k * 2654435761 + 40503) % 999999937)
+        |         * (d_hash + (k * 2654435761 + 40503) % 999999937) % 999999937
+        |       for k in range(0, 17)]))
+        |      - 1 AS BIGINT) AS hrw_new
+        |  FROM dh),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(CASE WHEN mod_old <> mod_new THEN 1 END) AS BIGINT)
+        |      AS mod_moved,
+        |    CAST(COUNT(CASE WHEN hrw_old <> hrw_new THEN 1 END) AS BIGINT)
+        |      AS hrw_moved
+        |  FROM a),
+        |r AS (
+        |  SELECT 'mod' AS scheme, n_docs, mod_moved AS n_moved FROM c
+        |  UNION ALL SELECT 'rendezvous', n_docs, hrw_moved FROM c)
+        |SELECT scheme, n_docs, n_moved, n_moved * 10000 // n_docs AS moved_bp
+        |FROM r ORDER BY scheme""".stripMargin,
     // same semantics as art_search_bm25 (the TRANSPARENT index rewrite
     // must not change results) — the Spark plan folds both tokenize
     // subtrees into the postings via DocLenMatch/TermTfMatch

@@ -4177,6 +4177,18 @@ class OperatorSpec extends AnyFunSuite {
       byFactor.map(_.getAs[Long]("weight_ppm")).sortBy(identity).toSeq)
   }
 
+  test("shard rebalance: mod moves nearly everything, rendezvous lands near 1/(N+1)") {
+    val rows = TextOps.shardRebalance(spark, sf0001).collect()
+      .map(r => r.getAs[String]("scheme") -> r.getAs[Long]("moved_bp")).toMap
+    // hash-mod 16 -> 17 reassigns ~16/17 of keys (9412 bp)
+    assert(rows("mod") > 8000L, s"mod moved only ${rows("mod")} bp")
+    // rendezvous moves only the docs the NEW node wins: ~1/17 (588 bp);
+    // allow generous sampling noise at sf0.001 doc counts
+    assert(rows("rendezvous") < 2000L,
+      s"rendezvous moved ${rows("rendezvous")} bp — mixing degenerated")
+    assert(rows("rendezvous") < rows("mod") / 4)
+  }
+
   test("l-diversity: one row per QI group, sensitive cardinality within bounds") {
     val rows = TextOps.lDiversity(spark, sf0001).collect()
     val nGroups = Tables.documents(spark, sf0001)
