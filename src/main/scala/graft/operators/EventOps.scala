@@ -1444,8 +1444,14 @@ object EventOps {
     * event rows touched exactly once. The removal scenarios
     * (1 + channels) ride the SAME local sweep as a scenario key. */
   def markovAttribution(spark: SparkSession, sfDir: String,
-                        steps: Int = 6): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+                        steps: Int = 6): DataFrame =
+    markovAttributionOn(spark, Tables.events(spark, sfDir), steps)
+
+  /** The chain over an arbitrary events frame — split out so the
+    * empty-conversion contract (purchase-free slice ⇒ zero rows, the
+    * oracle's empty conv table) is testable on synthetic frames. */
+  private[graft] def markovAttributionOn(spark: SparkSession, ev: DataFrame,
+                                         steps: Int = 6): DataFrame = {
     val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     // per-user click/purchase sequence, truncated at the first purchase
     val seqq = ev.filter(col("event_type").isin("click", "purchase"))

@@ -2148,8 +2148,15 @@ object TextOps {
     * discipline of [[graft.operators.DedupOps.lshQuality]]. Caller
     * releases via clearCache() after the consuming action. */
   def textrankKeywords(spark: SparkSession, sfDir: String,
-                       iters: Int = 3, topK: Int = 20): DataFrame = {
-    val ws = Tables.spread(docs(spark, sfDir), col("doc_id"))
+                       iters: Int = 3, topK: Int = 20): DataFrame =
+    textrankKeywordsOn(docs(spark, sfDir), iters, topK)
+
+  /** The ranking over an arbitrary (doc_id, text) frame — split out so
+    * the sub-2-word guard is testable on synthetic corpora. */
+  private[graft] def textrankKeywordsOn(d: DataFrame,
+                                        iters: Int = 3,
+                                        topK: Int = 20): DataFrame = {
+    val ws = Tables.spread(d, col("doc_id"))
       .select(words(col("text")).as("ws"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // sub-2-word docs: sequence(0, size-2) would run DESCENDING into

@@ -4177,6 +4177,33 @@ class OperatorSpec extends AnyFunSuite {
       byFactor.map(_.getAs[Long]("weight_ppm")).sortBy(identity).toSeq)
   }
 
+  test("Markov attribution on a purchase-free slice emits zero rows, like the oracle's empty conv table") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10L, "click", 1.0, """{"k":1}"""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 10L, "click", 1.0, """{"k":2}"""),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 11L, "click", 1.0, """{"k":3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.markovAttributionOn(spark, ev)
+    assert(out.columns.toSeq == Seq("channel", "p_conv_ppm", "p_base_ppm",
+      "removal_ppm", "share_bp"))
+    assert(out.count() == 0L,
+      "no chain reaches conv, so no scenario may emit a row")
+  }
+
+  test("TextRank survives one-word and empty documents (the descending-sequence guard)") {
+    import spark.implicits._
+    val d = Seq((0L, "solitary"), (1L, ""), (2L, "   "),
+      (3L, "alpha beta alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.textrankKeywordsOn(d).collect()
+    spark.catalog.clearCache()
+    // alpha/beta/gamma (>= 4 chars) rank; 'solitary' is an isolated
+    // node (no >= 4-char neighbor) and must still appear with a rank
+    val words = rows.map(_.getAs[String]("word")).toSet
+    assert(words == Set("alpha", "beta", "gamma", "solitary"))
+  }
+
   test("shard rebalance: mod moves nearly everything, rendezvous lands near 1/(N+1)") {
     val rows = TextOps.shardRebalance(spark, sf0001).collect()
       .map(r => r.getAs[String]("scheme") -> r.getAs[Long]("moved_bp")).toMap
