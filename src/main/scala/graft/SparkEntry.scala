@@ -2780,7 +2780,7 @@ object SparkEntry {
         |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS wc,
         |    CAST(list_max(list_transform(list_distinct(ws),
         |      d -> len(list_filter(ws, x -> x = d)))) AS BIGINT) AS mf
-        |  FROM w WHERE len(ws) > 0),
+        |  FROM w),
         |r AS (
         |  SELECT source,
         |    (n >= 30 AND n <= 1000) AS r1,
@@ -4349,10 +4349,12 @@ object SparkEntry {
         |  SELECT doc_id, url,
         |    regexp_replace(
         |      regexp_replace(
-        |        lower(regexp_extract(url, '^([^/]*//[^/]*)', 1)) ||
-        |          substr(url, length(regexp_extract(url, '^([^/]*//[^/]*)', 1)) + 1),
-        |        '#.*$', ''),
-        |      '^(https?://[^/:]*)(:443|:80)(/|$)', '\1\3') AS np
+        |        regexp_replace(
+        |          lower(regexp_extract(url, '^([^/]*//[^/]*)', 1)) ||
+        |            substr(url, length(regexp_extract(url, '^([^/]*//[^/]*)', 1)) + 1),
+        |          '#.*$', ''),
+        |        '^(https://[^/:]*):443(/|$)', '\1\2'),
+        |      '^(http://[^/:]*):80(/|$)', '\1\2') AS np
         |  FROM u),
         |p AS (
         |  SELECT doc_id, url,

@@ -92,7 +92,9 @@ object DedupOps {
     * URL-key normalization every crawl-scale dedup runs BEFORE any
     * content hashing (a fetch-level tier: two spellings of one address
     * are duplicates without reading a byte of body): lowercase the
-    * scheme+authority, drop the default port (:80/:443), drop the
+    * scheme+authority, drop the SCHEME'S OWN default port only
+    * (https: :443, http: :80 — http://host:443 addresses a different
+    * resource than http://host and must NOT merge), drop the
     * fragment, strip tracking parameters (utm_*, gclid, fbclid), sort
     * the surviving query parameters, and strip the trailing slash.
     * Entirely row-local string work — composes with [[exactDups]] as
@@ -103,8 +105,9 @@ object DedupOps {
     // lowercase ONLY scheme+authority — the path is case-significant
     val cased = concat(lower(head), u.substr(length(head) + 1, length(u)))
     val noFrag = regexp_replace(cased, "#.*$", "")
-    val noPort = regexp_replace(noFrag,
-      "^(https?://[^/:]*)(:443|:80)(/|$)", "$1$3")
+    val noPort = regexp_replace(
+      regexp_replace(noFrag, "^(https://[^/:]*):443(/|$)", "$1$2"),
+      "^(http://[^/:]*):80(/|$)", "$1$2")
     val base0 = regexp_extract(noPort, "^([^?]*)", 1)
     val base = regexp_replace(base0, "/$", "")
     val qs = regexp_extract(noPort, "\\?(.*)$", 1)

@@ -102,7 +102,12 @@ object EventOps {
     * the FORMAT, not the plan. */
   def variantProps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
-      .withColumn("v", expr("parse_json(props)"))
+      // try_parse_json: a malformed props row becomes a NULL variant
+      // (every path reads NULL, so the row drops out of the n_with_k /
+      // path counters but still counts in n_events) instead of failing
+      // the query — the tolerance the json-string twin
+      // (get_json_object) and the DuckDB oracle already have
+      .withColumn("v", expr("try_parse_json(props)"))
       .select(col("event_type"),
         expr("try_variant_get(v, '$.k', 'long')").as("k"),
         expr("try_variant_get(v, '$.missing', 'long')").as("miss"))

@@ -270,12 +270,20 @@ object SimilarityOps {
     * request, materialized reuse after. */
   def knnGraphIndex(spark: SparkSession, sfDir: String, k: Int = 4,
                     tables: Int = 8, bits: Int = 4): DataFrame =
-    knnIndexCache.get((sfDir, k, tables, bits)) match {
-      case Some((df, sc)) if sc eq spark.sparkContext => df
-      case _ =>
-        val df = knnGraph(spark, sfDir, k, tables, bits).localCheckpoint()
-        knnIndexCache.put((sfDir, k, tables, bits), (df, spark.sparkContext))
-        df
+    // serialized build + dead-context purge on lookup (the TextOps
+    // bpeTrained discipline): concurrent first consumers must not both
+    // pay the graph build, and stopped-context entries must not pin
+    // analyzed plans across sessions
+    knnIndexCache.synchronized {
+      knnIndexCache.filterInPlace { case (_, (_, sc)) => !sc.isStopped }
+      knnIndexCache.get((sfDir, k, tables, bits)) match {
+        case Some((df, sc)) if sc eq spark.sparkContext => df
+        case _ =>
+          val df = knnGraph(spark, sfDir, k, tables, bits).localCheckpoint()
+          knnIndexCache.put((sfDir, k, tables, bits),
+            (df, spark.sparkContext))
+          df
+      }
     }
 
   /** Multi-probe LSH candidate recall — the measurement behind the

@@ -187,9 +187,12 @@ object TextOps {
     val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
     // per-doc integer measures, all row-local in one codegen stage;
     // mf = per-doc mode count via a fold over the distinct-word list
+    // zero-word docs are KEPT: they are exactly what rule 1 exists to
+    // kill, and dropping them pre-rollup would report a boilerplate
+    // source as near-100% pass. Their undefined ratios (DIV 0 → NULL
+    // in both engines) fall to the fail branch of every CASE.
     val measured = docs(spark, sfDir)
       .select(col("source"), ws.as("ws"))
-      .filter(size(col("ws")) > 0)
       .select(col("source"),
         size(col("ws")).cast("long").as("n"),
         size(array_distinct(col("ws"))).cast("long").as("nd"),
@@ -199,12 +202,17 @@ object TextOps {
         array_max(transform(array_distinct(col("ws")),
           w => size(filter(col("ws"), x => x === w)))).cast("long").as("mf"))
     // milli-scaled ratios via truncating INTEGER division (Column./ is
-    // DOUBLE division, which would not hash-gate against DuckDB //)
+    // DOUBLE division, which would not hash-gate against DuckDB //).
+    // Ratio rules guard n > 0 with a CaseWhen (conditional EVALUATION:
+    // ANSI mode throws on DIV 0, while DuckDB // 0 is NULL — the guard
+    // makes the NULL explicit on the Spark side, and NULL comparisons
+    // fall to every rule's fail branch)
     val r1 = col("n") >= 30L && col("n") <= 1000L
-    val r2 = expr("wc * 1000 DIV n").between(3000L, 10000L)
+    val r2 = when(col("n") > 0L, expr("wc * 1000 DIV n"))
+      .between(3000L, 10000L)
     val r3 = col("nstop") >= 2L
-    val r4 = expr("nd * 1000 DIV n") >= 200L
-    val r5 = expr("mf * 1000 DIV n") <= 200L
+    val r4 = when(col("n") > 0L, expr("nd * 1000 DIV n")) >= 200L
+    val r5 = when(col("n") > 0L, expr("mf * 1000 DIV n")) <= 200L
     def failCnt(ok: Column, name: String) =
       sum(when(ok, 0L).otherwise(1L)).as(name)
     measured
@@ -646,6 +654,11 @@ object TextOps {
           expr("word_poly_hashes(lower(text))")), bc))
     val perDoc = docs(spark, sfDir)
       .select(student.as("s"), (teacher > 0).cast("long").as("pos"))
+      // both scoring folds feed TWO actions (the min/max/total pass and
+      // the grid pass after the crossJoin) — pin the scored frame so
+      // the corpus scan and both model folds run once, the
+      // heavyHitters two-pass discipline. Caller clearCache()s.
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val totals = perDoc.agg(min(col("s")).as("smin"), max(col("s")).as("smax"),
       sum(col("pos")).as("p_total"))
     val grid = perDoc.crossJoin(broadcast(totals))
@@ -1286,12 +1299,19 @@ object TextOps {
 
   private def bpeTrained(spark: SparkSession, sfDir: String,
                          rounds: Int): (Seq[DataFrame], DataFrame) =
-    bpeCache.get((sfDir, rounds)) match {
-      case Some((m, v, sc)) if sc eq spark.sparkContext => (m, v)
-      case _ =>
-        val (m, v) = bpeTrain(spark, sfDir, rounds)
-        bpeCache.put((sfDir, rounds), (m, v, spark.sparkContext))
-        (m, v)
+    // synchronized: two concurrent first consumers must not both pay
+    // the checkpointed training loop (the loser's pinned RDDs would
+    // strand until context GC); dead-context entries are purged on
+    // every lookup so stale plans never accumulate across sessions
+    bpeCache.synchronized {
+      bpeCache.filterInPlace { case (_, (_, _, sc)) => !sc.isStopped }
+      bpeCache.get((sfDir, rounds)) match {
+        case Some((m, v, sc)) if sc eq spark.sparkContext => (m, v)
+        case _ =>
+          val (m, v) = bpeTrain(spark, sfDir, rounds)
+          bpeCache.put((sfDir, rounds), (m, v, spark.sparkContext))
+          (m, v)
+      }
     }
 
   /** The training loop itself: returns (one 1-row merge DataFrame per
@@ -1519,22 +1539,27 @@ object TextOps {
     TrieMap.empty[String, (DataFrame, org.apache.spark.SparkContext)]
 
   private def bigramCounts(spark: SparkSession, sfDir: String): DataFrame =
-    bigramCache.get(sfDir) match {
-      case Some((bg, sc)) if sc eq spark.sparkContext => bg
-      case _ =>
-        val ws = words(col("text"))
-        val pairs = when(size(ws) >= 2,
-          transform(sequence(lit(0), size(ws) - 2),
-            i => struct(element_at(ws, i + 1).as("w1"),
-              element_at(ws, i + 2).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-        val bg = graft.Tables.spread(docs(spark, sfDir), col("doc_id"))
-          .select(explode(pairs).as("p"))
-          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-          .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint()
-        bigramCache.put(sfDir, (bg, spark.sparkContext))
-        bg
+    // same build-once discipline as [[bpeTrained]]: serialized build,
+    // dead-context entries purged on lookup
+    bigramCache.synchronized {
+      bigramCache.filterInPlace { case (_, (_, sc)) => !sc.isStopped }
+      bigramCache.get(sfDir) match {
+        case Some((bg, sc)) if sc eq spark.sparkContext => bg
+        case _ =>
+          val ws = words(col("text"))
+          val pairs = when(size(ws) >= 2,
+            transform(sequence(lit(0), size(ws) - 2),
+              i => struct(element_at(ws, i + 1).as("w1"),
+                element_at(ws, i + 2).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+          val bg = graft.Tables.spread(docs(spark, sfDir), col("doc_id"))
+            .select(explode(pairs).as("p"))
+            .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+            .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+            .localCheckpoint()
+          bigramCache.put(sfDir, (bg, spark.sparkContext))
+          bg
+      }
     }
 
   /** Bigram language-model count table — the Kneser–Ney ingredient pass:
@@ -2014,22 +2039,6 @@ object TextOps {
       .orderBy(col("n_occ").desc, col("word"))
   }
 
-  /** Deterministic seeded corpus shuffle + shard assignment — the
-    * reproducible "random" document order a pretraining run needs
-    * (same seed ⇒ byte-identical epoch order on any cluster, any
-    * partitioning, any rerun; a new seed reshuffles): order = md5 of
-    * (seed, doc_id), position = exact global rank of that hash, shard
-    * = position DIV shardSize. Reported per shard (count, distinct
-    * sources, id checksum, first hash) — the manifest a shard-export
-    * job writes next to the data ([[shardExport]]'s ordering twin).
-    *
-    * Scale shape: the global rank uses [[TwoLevelRank]] with the
-    * hash's first hex nibble as the monotone range bucket — 16-way
-    * parallel numbering plus a broadcast offset table, never a
-    * single-task global sort; everything else is one map-side-combined
-    * group-by on shard. The hash is effectively collision-free, but
-    * doc_id still rides as the rank tiebreaker so determinism never
-    * rests on that assumption. */
   /** N-gram novelty curve across release batches — the "is more data
     * still adding information" diagnostic a corpus-growth decision
     * hangs on (the saturation curves in web-scale dedup literature):
@@ -2073,6 +2082,22 @@ object TextOps {
       .orderBy("batch")
   }
 
+  /** Deterministic seeded corpus shuffle + shard assignment — the
+    * reproducible "random" document order a pretraining run needs
+    * (same seed ⇒ byte-identical epoch order on any cluster, any
+    * partitioning, any rerun; a new seed reshuffles): order = md5 of
+    * (seed, doc_id), position = exact global rank of that hash, shard
+    * = position DIV shardSize. Reported per shard (count, distinct
+    * sources, id checksum, first hash) — the manifest a shard-export
+    * job writes next to the data ([[shardExport]]'s ordering twin).
+    *
+    * Scale shape: the global rank uses [[TwoLevelRank]] with the
+    * hash's first hex nibble as the monotone range bucket — 16-way
+    * parallel numbering plus a broadcast offset table, never a
+    * single-task global sort; everything else is one map-side-combined
+    * group-by on shard. The hash is effectively collision-free, but
+    * doc_id still rides as the rank tiebreaker so determinism never
+    * rests on that assumption. */
   def shuffleOrder(spark: SparkSession, sfDir: String,
                    seed: String = "epoch1", shardSize: Int = 64): DataFrame = {
     val d = Tables.spread(docs(spark, sfDir), col("doc_id"))

@@ -71,7 +71,14 @@ final class MetricsSinkTable(writeSchema: StructType, sinkName: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    // SupportsTruncate backs the advertised TRUNCATE capability:
+    // Overwrite mode plans truncate() + write, and a metrics-only sink
+    // (no stored rows) truncates as a no-op. Declaring the capability
+    // without the trait fails at write PLANNING on mode("overwrite") —
+    // past the capability check, before any data moves.
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new MetricsBatchWrite(sinkName, info.schema())

@@ -1969,7 +1969,9 @@ class OperatorSpec extends AnyFunSuite {
       "https://www.example.com/a/b?z=2&a=1&gclid=k",
       "https://www.example.com/a/b?a=1&z=2",
       "http://Host.Example.com:80/Path/Case", // path case preserved
-      "https://www.example.com" // bare authority, no path
+      "https://www.example.com", // bare authority, no path
+      "http://example.com:443/p", // 443 is NOT http's default port
+      "https://example.com:80/p"  // 80 is NOT https's default port
     ).toDF("url")
     val got = urls.select(DedupOps.canonicalUrl(col("url")).as("c"))
       .as[String].collect()
@@ -1980,6 +1982,10 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(4) == "https://www.example.com/a/b?a=1&z=2")
     assert(got(5) == "http://host.example.com/Path/Case")
     assert(got(6) == "https://www.example.com")
+    // scheme-aware default-port strip: a NON-default port is part of
+    // the address and must survive canonicalization
+    assert(got(7) == "http://example.com:443/p")
+    assert(got(8) == "https://example.com:80/p")
   }
 
   test("trained-weights classifier: broadcast-array inference stays map-only, matches an independent model") {

@@ -165,6 +165,13 @@ class SourceSinkSpec extends AnyFunSuite {
       .mode("append").save()
     assert(MetricsSinkRegistry.lookup("probe").get.rows == 4L)
     assert(MetricsSinkRegistry.lookup("other").get.rows == 3L)
+    // overwrite mode plans truncate() + write: the advertised TRUNCATE
+    // capability must be backed by SupportsTruncate (declaring it
+    // without the trait fails at write planning) — truncation itself
+    // is a no-op for a metrics-only sink, so totals keep accumulating
+    df.write.format("graftmetrics").option("name", "other")
+      .mode("overwrite").save()
+    assert(MetricsSinkRegistry.lookup("other").get.rows == 6L)
   }
 
   test("Tables.spread is the identity when the scan already has >= cores splits") {
