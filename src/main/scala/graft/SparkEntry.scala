@@ -1114,10 +1114,11 @@ object SparkEntry {
     // Benford first-digit screen: exact basis points, expectation as
     // precomputed integer constants — no float log10 in either engine
     "rel_benford" ->
-      """WITH c AS (
+      """WITH c0 AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
         |    AS cents
-        |  FROM orders WHERE o_totalprice > 0),
+        |  FROM orders),
+        |c AS (SELECT cents FROM c0 WHERE cents > 0),
         |d AS (
         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
         |    COUNT(*) AS n

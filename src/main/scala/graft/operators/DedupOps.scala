@@ -1341,8 +1341,14 @@ object DedupOps {
     * tier and must never be paid twice); the TP semi-join and all
     * three counts collapse to 1-row frames. Caller releases persisted
     * stages via clearCache(). */
-  def lshQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val shingled = withShingles(corpus(spark, sfDir))
+  def lshQuality(spark: SparkSession, sfDir: String): DataFrame =
+    lshQualityOn(corpus(spark, sfDir))
+
+  /** [[lshQuality]] with the corpus injected — spec seam for the
+    * no-candidate ANSI contract (0 candidates / 0 true pairs → NULL
+    * rates, not DIVIDE_BY_ZERO). */
+  private[graft] def lshQualityOn(corpusDf: DataFrame): DataFrame = {
+    val shingled = withShingles(corpusDf)
       .select(col("doc_id"), col("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val truth = ngramJaccardPairsFromShingles(shingled)
@@ -1361,7 +1367,12 @@ object DedupOps {
       .agg(count(lit(1)).as("n_tp"))
     nC.crossJoin(nT).crossJoin(nTp) // three 1-row frames
       .select(col("n_candidates"), col("n_true"), col("n_tp"),
-        expr("n_tp * 10000 DIV n_candidates").as("precision_bp"),
-        expr("n_tp * 10000 DIV n_true").as("recall_bp"))
+        // ANSI guard: a corpus too small to produce banded candidates
+        // (or any true pairs) must yield NULL rates like the oracle's
+        // `// 0`, not a DIVIDE_BY_ZERO throw.
+        when(col("n_candidates") > 0,
+          expr("n_tp * 10000 DIV n_candidates")).as("precision_bp"),
+        when(col("n_true") > 0,
+          expr("n_tp * 10000 DIV n_true")).as("recall_bp"))
   }
 }

@@ -1546,7 +1546,12 @@ object EventOps {
     * patterns then evaluate as fused row-local regexes on the SAME
     * pass — adding a pattern is a new conditional agg, not a new scan
     * — and the report is pattern-count-sized. */
-  def sequenceMatch(spark: SparkSession, sfDir: String): DataFrame = {
+  def sequenceMatch(spark: SparkSession, sfDir: String): DataFrame =
+    sequenceMatchOn(Tables.events(spark, sfDir))
+
+  /** [[sequenceMatch]] with the events frame injected — spec seam for
+    * the empty-corpus ANSI contract (n_users=0 → share_bp NULL). */
+  private[graft] def sequenceMatchOn(events: DataFrame): DataFrame = {
     val patterns = Seq(
       "funnel_view_click_purchase" -> "V.*C.*P",
       "impulse_click_purchase"     -> "CP",
@@ -1558,7 +1563,7 @@ object EventOps {
       .when(col("event_type") === "purchase", "P")
       .when(col("event_type") === "signup", "S")
       .when(col("event_type") === "error", "E").otherwise("O")
-    val journeys = Tables.events(spark, sfDir)
+    val journeys = events
       .select(col("user_id"), col("ts"), col("event_id"), code.as("c"))
       .groupBy("user_id")
       .agg(array_join(transform(
@@ -1573,7 +1578,11 @@ object EventOps {
     one.select(col("n_users"),
         expr(s"stack(${patterns.size}, $stackArgs) AS (pattern, n_matched)"))
       .select(col("pattern"), col("n_matched"), col("n_users"),
-        expr("n_matched * 10000 DIV n_users").as("share_bp"))
+        // ANSI guard: an empty events table yields n_users=0; DuckDB's
+        // `// 0` is NULL while unguarded Spark DIV throws — same
+        // discipline as the gopherRules ratio guards.
+        when(col("n_users") > 0, expr("n_matched * 10000 DIV n_users"))
+          .as("share_bp"))
       .orderBy("pattern")
   }
 
@@ -1595,13 +1604,25 @@ object EventOps {
     * model contract: collect ≤365 rows, never event rows). A window
     * spelling would serialize the same computation through one
     * partition with none of the clarity. */
-  def holtLinear(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.events(spark, sfDir)
+  def holtLinear(spark: SparkSession, sfDir: String): DataFrame =
+    holtLinearOn(Tables.events(spark, sfDir))
+
+  /** [[holtLinear]] with the events frame injected — spec seam for the
+    * degenerate-series contract (0/1 days → empty frame, not throw). */
+  private[graft] def holtLinearOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("y"))
       .orderBy("day")
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(daily.length >= 2, "Holt needs >= 2 days")
+    import spark.implicits._
+    // Degenerate-data contract: the recursive oracle's base case joins
+    // i2.i = 2, so a 0- or 1-day corpus yields an EMPTY result there —
+    // return the same empty frame (declared schema) instead of throwing.
+    if (daily.length < 2)
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("day", "y", "level_milli", "trend_milli", "forecast_milli")
     val out = Array.newBuilder[(String, Long, Long, Long, Long)]
     var l = daily(0)._2 * 1000L
     var b = (daily(1)._2 - daily(0)._2) * 1000L
@@ -1613,7 +1634,6 @@ object EventOps {
       l = lNew; b = bNew
       out += ((daily(i)._1, y, l, b, l + b))
     }
-    import spark.implicits._
     out.result().toSeq
       .toDF("day", "y", "level_milli", "trend_milli", "forecast_milli")
       .orderBy("day")
