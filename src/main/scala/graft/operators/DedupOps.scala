@@ -430,7 +430,33 @@ object DedupOps {
       .distinct()
       .repartition(col("u"))
       .localCheckpoint()
-    var edges = edges0
+    // SEED: hook every node onto l(n) = min(n ∪ N(n)) — the min-label
+    // engine's fused one-agg seed, applied here as a CONTRACTION. The
+    // hook is sound because n is adjacent to l(n) (l(n) is n itself or
+    // one of its neighbors), so merging n into l(n) only ever merges
+    // connected nodes, and each component's minimum m survives as a
+    // contracted node (l(m) = m — no neighbor of the component min is
+    // smaller). Star components collapse to singletons AT SEED TIME and
+    // chains halve, so the star alternation below starts on a graph one
+    // materialized job closer to its fixpoint. Cost: one agg over the
+    // symmetric list plus two map-sized-or-not joins — cheaper than the
+    // 2-large + 2-small star rounds of the loop job it replaces.
+    val sym0 = edges0.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val seed = sym0.groupBy("u")
+      .agg(least(col("u"), min(col("v"))).as("l"))
+      .localCheckpoint() // one (node, hook-target) row per vertex
+    val edges1 = edges0
+      .join(seed.select(col("u"), col("l").as("lu")), Seq("u"))
+      .join(seed.select(col("u").as("v"), col("l").as("lv")), Seq("v"))
+      .select(col("lu").as("u"), col("lv").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(col("u"))
+      .localCheckpoint()
+    var edges = edges1
     // TWO star rounds per materialized job (the ccLabels lesson: the
     // per-action scheduling floor dominates these loops locally, and
     // the lineage between checkpoints — two agg+join+distinct pairs —
@@ -470,18 +496,18 @@ object DedupOps {
       prev = Some(cur)
       edges = next
     }
-    // the converged star: every non-min node has exactly one edge to
-    // its component min; minima and singletons label themselves. The
-    // node list reads off the CHECKPOINTED initial edge list (u∪v of
-    // edges0), not `pairs` — reading `pairs` here would re-execute the
-    // entire upstream pair-generation plan (the prefix-filtered
-    // Jaccard join, the most expensive subplan in the query) a second
-    // time just to enumerate vertices.
-    val nodes = edges0.select(explode(array(col("u"), col("v"))).as("node"))
-      .distinct()
-    val tgt = edges.groupBy(col("u").as("node")).agg(min(col("v")).as("t"))
-    nodes.join(tgt, Seq("node"), "left")
-      .select(col("node"), coalesce(col("t"), col("node")).as("label"))
+    // the converged star labels CONTRACTED nodes: every non-min
+    // contracted node has exactly one edge to its component min;
+    // minima and singletons label themselves. Original nodes map back
+    // through the seed (label(n) = starLabel(l(n))) — the seed table
+    // already enumerates the vertex set (it has one row per node of
+    // the symmetric list), so no separate node scan of edges0 is
+    // needed, and `pairs` is never re-read (reading it here would
+    // re-execute the entire upstream pair-generation plan, the most
+    // expensive subplan in the query, just to enumerate vertices).
+    val tgt = edges.groupBy(col("u").as("l")).agg(min(col("v")).as("t"))
+    seed.join(tgt, Seq("l"), "left")
+      .select(col("u").as("node"), coalesce(col("t"), col("l")).as("label"))
   }
 
   /** [[dupClustersOf]] on the star-contraction engine — identical
