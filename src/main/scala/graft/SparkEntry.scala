@@ -251,6 +251,7 @@ object SparkEntry {
     "dd_exact_substr"          -> DedupOps.exactSubstrDedup _,
     "dd_block_dedup"           -> ((s: SparkSession, d: String) => DedupOps.blockDedup(s, d)),
     "dd_record_linkage"        -> DedupOps.recordLinkage _,
+    "dd_linkage_block_sweep"   -> DedupOps.linkageBlockSweep _,
     "dd_soft_dedup"            -> DedupOps.softDedupWeights _,
     "dd_source_overlap"        -> DedupOps.sourceOverlapMatrix _,
     "dd_lsh_quality"           -> DedupOps.lshQuality _,
@@ -4183,6 +4184,61 @@ object SparkEntry {
         |SELECT n_id, CAST(c_custkey AS BIGINT) AS matched_custkey,
         |       CAST(dist AS BIGINT) AS dist
         |FROM best WHERE rn = 1 ORDER BY n_id""".stripMargin,
+    // blocking-key sweep: both key widths on one corpus — block bound,
+    // pre-verify candidate volume, and linkage accuracy per scheme
+    "dd_linkage_block_sweep" ->
+      """WITH noisy AS (
+        |  SELECT c_custkey AS n_id,
+        |    CASE CAST(c_custkey % 4 AS INT)
+        |      WHEN 0 THEN replace(c_name, '#', '-')
+        |      WHEN 1 THEN lower(c_name)
+        |      WHEN 2 THEN substr(c_name, 2)
+        |      ELSE concat(c_name, 'X') END AS n_name
+        |  FROM customer),
+        |s4_nb AS (SELECT n_id, n_name,
+        |  substr(regexp_replace(n_name, '[^0-9]', '', 'g'), -4) AS blk FROM noisy),
+        |s4_cb AS (SELECT c_custkey, c_name,
+        |  substr(regexp_replace(c_name, '[^0-9]', '', 'g'), -4) AS blk FROM customer),
+        |s4_blocks AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(MAX(bn) AS BIGINT) AS max_block
+        |  FROM (SELECT blk, COUNT(*) AS bn FROM s4_cb GROUP BY blk) z),
+        |s4_cand AS (SELECT n_id, c_custkey,
+        |    levenshtein(lower(n_name), lower(c_name)) AS dist
+        |  FROM s4_nb JOIN s4_cb USING (blk)),
+        |s4_ncand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM s4_cand),
+        |s4_best AS (SELECT n_id, c_custkey,
+        |    row_number() OVER (PARTITION BY n_id ORDER BY dist, c_custkey) AS rn
+        |  FROM s4_cand WHERE dist <= 2),
+        |s4_acc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_linked,
+        |    CAST(COUNT(CASE WHEN n_id = c_custkey THEN 1 END) AS BIGINT)
+        |      AS n_correct
+        |  FROM s4_best WHERE rn = 1),
+        |s6_nb AS (SELECT n_id, n_name,
+        |  substr(regexp_replace(n_name, '[^0-9]', '', 'g'), -6) AS blk FROM noisy),
+        |s6_cb AS (SELECT c_custkey, c_name,
+        |  substr(regexp_replace(c_name, '[^0-9]', '', 'g'), -6) AS blk FROM customer),
+        |s6_blocks AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(MAX(bn) AS BIGINT) AS max_block
+        |  FROM (SELECT blk, COUNT(*) AS bn FROM s6_cb GROUP BY blk) z),
+        |s6_cand AS (SELECT n_id, c_custkey,
+        |    levenshtein(lower(n_name), lower(c_name)) AS dist
+        |  FROM s6_nb JOIN s6_cb USING (blk)),
+        |s6_ncand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM s6_cand),
+        |s6_best AS (SELECT n_id, c_custkey,
+        |    row_number() OVER (PARTITION BY n_id ORDER BY dist, c_custkey) AS rn
+        |  FROM s6_cand WHERE dist <= 2),
+        |s6_acc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_linked,
+        |    CAST(COUNT(CASE WHEN n_id = c_custkey THEN 1 END) AS BIGINT)
+        |      AS n_correct
+        |  FROM s6_best WHERE rn = 1)
+        |SELECT 'digits4' AS scheme, n_blocks, max_block, n_cand, n_linked,
+        |    n_correct, n_correct * 10000 // n_linked AS acc_bp
+        |  FROM s4_blocks, s4_ncand, s4_acc
+        |UNION ALL
+        |SELECT 'digits6', n_blocks, max_block, n_cand, n_linked,
+        |    n_correct, n_correct * 10000 // n_linked
+        |  FROM s6_blocks, s6_ncand, s6_acc
+        |ORDER BY scheme""".stripMargin,
     // soft dedup: the dd_dup_clusters pipeline, ending in 1e6/csize
     // weights LEFT-joined back onto the full corpus (singletons weigh 1e6)
     "dd_soft_dedup" ->

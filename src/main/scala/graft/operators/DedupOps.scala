@@ -1246,8 +1246,10 @@ object DedupOps {
     *
     * Scale shape: block sizes are |table| / 10^4 here; at 100 TB the
     * block key widens with log N (more digit entropy, or a compound
-    * key) to hold the per-block candidate volume constant — the
-    * documented knob, same role as LSH band width. A hot block (one
+    * key) to hold the per-block candidate volume constant — the knob
+    * [[linkageBlockSweep]] MEASURES (dd_linkage_block_sweep: both key
+    * widths on the same corpus, candidate volume + accuracy per
+    * scheme), same role as LSH band width. A hot block (one
     * shared key) is the AQE skew-join case. The verify predicate runs
     * only inside blocks, and the resolve window partitions candidate
     * rows by dirty id — never the corpus. */
@@ -1274,6 +1276,71 @@ object DedupOps {
       .filter(col("rn") === 1)
       .select(col("n_id"), col("c_custkey").as("matched_custkey"), col("dist"))
       .orderBy("n_id")
+  }
+
+  /** Blocking-key SWEEP for [[recordLinkage]] — the measured form of
+    * the scale knob that used to be documentation-only: the same
+    * master/dirty corpus is blocked under BOTH the production last-4-
+    * digit key (10^4 block space) and the widened last-6-digit key
+    * (10^6 space), and each scheme reports its block-population bound
+    * (n_blocks, max_block), its candidate volume BEFORE the verify
+    * distance filter (n_cand — the cost the key exists to bound), and
+    * its end-to-end linkage accuracy (n_linked, n_correct, acc_bp).
+    * The [[minhashBandSweep]] pattern: what the per-block candidate
+    * curve claims, a query measures. The readout a capacity planner
+    * acts on: as N grows 100× the wide key holds max_block (and hence
+    * per-block candidate volume, which grows as Σ|A_b|·|B_b|) near
+    * constant while accuracy is UNCHANGED — the digit run is noise-
+    * invariant under all four corruption variants, so widening the key
+    * never splits a true match pair across blocks.
+    *
+    * Scale shape: per scheme, one block equi-join (never |A|×|B|), one
+    * window over candidate rows partitioned by dirty id, and three
+    * 1-row aggregates; the candidate frame is persisted so the volume
+    * count and the resolve arm share one build (the lshQuality
+    * discipline). Caller releases via clearCache(). */
+  def linkageBlockSweep(spark: SparkSession, sfDir: String): DataFrame =
+    linkageBlockSweepOn(Tables.load(spark, sfDir, "customer"))
+
+  /** [[linkageBlockSweep]] with the master table injected — spec seam
+    * for the boundedness contrast, which only materializes once N
+    * exceeds the narrow key's 10^4 block space (the spec feeds a
+    * synthetic master above that threshold; the sf0.01 oracle corpus
+    * sits below it and blocks as singletons under both keys). */
+  private[graft] def linkageBlockSweepOn(cust: DataFrame): DataFrame = {
+    val variant = col("c_custkey") % 4
+    val noisy = cust.select(
+      col("c_custkey").as("n_id"),
+      when(variant === 0, regexp_replace(col("c_name"), "#", "-"))
+        .when(variant === 1, lower(col("c_name")))
+        .when(variant === 2, expr("substr(c_name, 2)"))
+        .otherwise(concat(col("c_name"), lit("X"))).as("n_name"))
+    def blk(c: Column, w: Int): Column =
+      substring(regexp_replace(c, "[^0-9]", ""), -w, w)
+    val perScheme = Seq("digits4" -> 4, "digits6" -> 6).map { case (scheme, w) =>
+      val nb = noisy.withColumn("blk", blk(col("n_name"), w))
+      val cb = cust.select(col("c_custkey"), col("c_name"),
+        blk(col("c_name"), w).as("blk"))
+      val blocks = cb.groupBy("blk").agg(count(lit(1)).as("bn"))
+        .agg(count(lit(1)).as("n_blocks"), max(col("bn")).as("max_block"))
+      val cand = nb.join(cb, Seq("blk"))
+        .withColumn("dist",
+          levenshtein(lower(col("n_name")), lower(col("c_name"))).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val wN = org.apache.spark.sql.expressions.Window.partitionBy("n_id")
+        .orderBy(col("dist"), col("c_custkey"))
+      val acc = cand.filter(col("dist") <= 2)
+        .withColumn("rn", row_number().over(wN)).filter(col("rn") === 1)
+        .agg(count(lit(1)).as("n_linked"),
+          count(when(col("n_id") === col("c_custkey"), 1)).as("n_correct"))
+      blocks.crossJoin(nCand).crossJoin(acc) // three 1-row frames
+        .select(lit(scheme).as("scheme"), col("n_blocks"), col("max_block"),
+          col("n_cand"), col("n_linked"), col("n_correct"),
+          when(col("n_linked") > 0,
+            expr("n_correct * 10000 DIV n_linked")).as("acc_bp"))
+    }
+    perScheme.reduce(_ unionAll _).orderBy("scheme")
   }
 
   /** SOFT dedup — keep every duplicate but DOWNWEIGHT it by its cluster

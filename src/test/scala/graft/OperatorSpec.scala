@@ -948,6 +948,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(starReal == minReal)
   }
 
+  test("linkage block sweep: widened key bounds blocks past 10^4 rows, accuracy unchanged") {
+    import spark.implicits._
+    // synthetic master ABOVE the narrow key's 10^4 block space: 20k
+    // customers → digits4 must collide (max_block ≥ 2, candidate volume
+    // super-linear) while digits6 still blocks every row alone — and
+    // the wide key never splits a true pair, so accuracy is identical
+    val master = (1L to 20000L)
+      .map(k => (k, f"Customer#$k%09d"))
+      .toDF("c_custkey", "c_name")
+    val got = DedupOps.linkageBlockSweepOn(master)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (s4, s6) = (got("digits4"), got("digits6"))
+    assert(s4.getAs[Long]("max_block") >= 2L, "narrow key must collide at 2e4 rows")
+    assert(s6.getAs[Long]("max_block") == 1L, "wide key must hold blocks singleton")
+    assert(s4.getAs[Long]("n_cand") > s6.getAs[Long]("n_cand"))
+    assert(s6.getAs[Long]("n_cand") == 20000L) // exactly one candidate per dirty row
+    // blocking is lossless under both keys: every dirty row links, correctly
+    Seq(s4, s6).foreach { s =>
+      assert(s.getAs[Long]("n_linked") == 20000L)
+      assert(s.getAs[Long]("acc_bp") == 10000L)
+    }
+    spark.catalog.clearCache() // release the sweep's persisted candidate frames
+  }
+
   test("dedup survivors: total function over the corpus, keeps agree with CC labels") {
     import spark.implicits._
     val surv = DedupOps.dedupSurvivors(spark, sf0001)
