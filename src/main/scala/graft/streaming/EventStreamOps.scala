@@ -187,9 +187,10 @@ object EventStreamOps {
     * Cross-batch out-of-order delivery finalizes the purchase with the
     * state as-of its batch — append mode emits no retraction; the
     * nightly batch reconciliation (EventOps.lastTouchAttribution) is
-    * the correction path. A retraction-free exact variant would buffer
-    * events in state until the watermark passes before emitting —
-    * trading the at-arrival latency this ticker exists for. */
+    * the correction path, and [[lastTouchAttributionsExact]] is the
+    * retraction-free exact spelling (events buffer in state until the
+    * watermark passes before emitting — trading the at-arrival latency
+    * this ticker exists for). */
   def lastTouchAttributions(spark: SparkSession, events: DataFrame,
                             watermark: String = "10 minutes"): DataFrame = {
     import spark.implicits._
@@ -216,6 +217,81 @@ object EventStreamOps {
             }
           }
           if (s != null) state.update(s)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  final case class BufEvent(event_id: Long, tsMs: Long, event_type: String,
+                            channel: String, value: Double)
+  final case class ExactAttribState(clickTsMs: Long, channel: String,
+                                    buf: List[BufEvent])
+
+  /** Retraction-free EXACT form of [[lastTouchAttributions]] — the
+    * watermark-buffered variant that closes the delivery-order gap the
+    * low-latency ticker documents: instead of finalizing each purchase
+    * with the cursor as-of its arrival batch, events BUFFER in per-user
+    * state until the watermark passes their event time, then replay in
+    * exact (ts, event_id) order — so a click that lands in a LATER
+    * micro-batch than a purchase with a later timestamp still wins the
+    * attribution, and append mode never needs a retraction. The price
+    * is latency (one watermark delay) and state (the buffer holds at
+    * most one watermark-window of events per user — watermark-bounded,
+    * the same bound every windowed agg in this file lives under).
+    *
+    * Mechanics: an event-time timer on the earliest buffered timestamp
+    * re-invokes the group when the watermark passes it even if the user
+    * never sends another event, so buffered purchases drain without new
+    * input. Rows older than the watermark are dropped by the stateful
+    * operator itself (standard late-data semantics); everything younger
+    * is exact. The click cursor that survives draining is the same ONE
+    * (ts, channel) pair as the ticker's — buffer and cursor together
+    * stay bounded by users × watermark-window, never event volume. */
+  def lastTouchAttributionsExact(spark: SparkSession, events: DataFrame,
+                                 watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"),
+        when(col("event_type") === "click",
+          graft.operators.EventOps.clickChannel(col("props"))).as("channel"))
+      .as[AttribRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ExactAttribState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[AttribRow], state: GroupState[ExactAttribState]) =>
+          val prev = state.getOption
+            .getOrElse(ExactAttribState(Long.MinValue, null, Nil))
+          // only the two event types the attribution reads ever buffer
+          val incoming = rows
+            .filter(e => e.event_type == "click" || e.event_type == "purchase")
+            .map(e => BufEvent(e.event_id, e.ts.getTime, e.event_type,
+              e.channel, e.value))
+            .toList
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, pending) = (prev.buf ++ incoming).partition(_.tsMs <= wm)
+          var cursorTs = prev.clickTsMs
+          var cursorCh = prev.channel
+          val out = scala.collection.mutable.ListBuffer.empty[Attribution]
+          ripe.sortBy(e => (e.tsMs, e.event_id)).foreach { e =>
+            if (e.event_type == "click") {
+              cursorTs = e.tsMs; cursorCh = e.channel
+            } else {
+              val ch = if (cursorCh != null && e.tsMs - cursorTs <= 3L * 86400000L)
+                cursorCh else "organic"
+              out += Attribution(uid, e.event_id,
+                new java.sql.Timestamp(e.tsMs), ch, e.value)
+            }
+          }
+          if (pending.isEmpty && cursorCh == null) state.remove()
+          else {
+            state.update(ExactAttribState(cursorTs, cursorCh, pending))
+            if (pending.nonEmpty)
+              // must be strictly past the current watermark; the min
+              // pending ts is by construction, but guard the boundary
+              state.setTimeoutTimestamp(math.max(pending.map(_.tsMs).min, wm + 1L))
+          }
           out.iterator
       }
       .toDF()

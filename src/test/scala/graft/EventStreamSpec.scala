@@ -345,6 +345,45 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("exact attribution: cross-batch out-of-order click wins once the watermark passes") {
+    import spark.implicits._
+    import graft.streaming.EventStreamOps.RawEventRow
+    implicit val sql = spark.sqlContext
+    def t(hm: String): Timestamp = Timestamp.valueOf(s"2026-01-01 $hm:00")
+    val mem = MemoryStream[RawEventRow]
+    val q = EventStreamOps.lastTouchAttributionsExact(spark, mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("attrib_exact")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: the purchase arrives FIRST (out of order) — it must
+      // buffer, not finalize as organic the way the ticker would
+      mem.addData(
+        RawEventRow(2L, t("10:30"), 1L, "purchase", 10.0, "{}"),
+        RawEventRow(90L, t("10:00"), 9L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("attrib_exact").isEmpty,
+        "purchase must not emit before the watermark passes it")
+      // batch 2: the click lands LATER in arrival order but EARLIER in
+      // event time (10:00 < 10:30), still within the 1h watermark
+      // (watermark at this batch = 10:30 - 1h = 09:30); another user's
+      // event advances max event time to 14:00
+      mem.addData(
+        RawEventRow(1L, t("10:00"), 1L, "click", 0.0, """{"k":5}"""),
+        RawEventRow(91L, t("14:00"), 9L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      // batch 3: any new data triggers the event-time timer now that
+      // the watermark (13:00) has passed both buffered events
+      mem.addData(RawEventRow(92L, t("15:00"), 9L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("attrib_exact")
+        .as[(Long, Long, Timestamp, String, Double)].collect().toSet
+      // exact replay: the click sorts before the purchase, so the
+      // purchase credits ch1 — the ticker variant would have said
+      // organic and needed the nightly batch to correct it
+      assert(got == Set((1L, 2L, t("10:30"), "ch1", 10.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
