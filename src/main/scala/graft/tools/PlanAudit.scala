@@ -27,12 +27,9 @@ object PlanAudit {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        def n(p: String) = p.r.findAllIn(plan).length
-        // codegen spans print as "*(id)" prefixes; distinct ids = spans
-        val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
-        println(s"| $name | ${n("Exchange (?:hash|range|SinglePartition)")} " +
-          s"| ${n("BroadcastExchange")} | ${n("Scan parquet")} " +
-          s"| ${n("\\bSort \\[")} | $spans |")
+        val s = PlanGate.shapeOf(plan) // shared with the regression gate
+        println(s"| $name | ${s.shuffles} | ${s.broadcasts} | ${s.scans} " +
+          s"| ${s.sorts} | ${s.spans} |")
       } catch {
         case e: Throwable =>
           val msg = String.valueOf(e.getMessage).replace("|", "/").take(60)

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.PlanGate
+import graft.tools.PlanGate.Shape
+
+/** Pins the plan-audit regression gate: the comparator must go RED on
+  * an injected shuffle/scan growth (the "unpersisted a shared frame" /
+  * "dropped a broadcast hint" regression), stay green on improvement
+  * drift, and flag unaudited queries — all as pure-function checks so
+  * the spec never builds 260+ plans. The end-to-end run is the
+  * driver-facing `runMain graft.tools.PlanGate` against the committed
+  * tools/plan_audit.tsv. */
+class PlanGateSpec extends AnyFunSuite {
+
+  private val base = Map(
+    "q_join" -> Shape(shuffles = 2, broadcasts = 1, scans = 2, sorts = 0, spans = 3),
+    "q_agg"  -> Shape(shuffles = 1, broadcasts = 0, scans = 1, sorts = 1, spans = 2))
+
+  test("injected shuffle growth is a hard violation") {
+    val cur = base.updated("q_join", base("q_join").copy(shuffles = 3))
+    val (hard, _) = PlanGate.violations(base, cur)
+    assert(hard.exists(_.contains("q_join: shuffles grew 2 -> 3")), hard)
+  }
+
+  test("injected scan growth (lost a shared persist) is a hard violation") {
+    val cur = base.updated("q_agg", base("q_agg").copy(scans = 2))
+    val (hard, _) = PlanGate.violations(base, cur)
+    assert(hard.exists(_.contains("q_agg: scans grew 1 -> 2")), hard)
+  }
+
+  test("a query missing from the committed audit is a hard violation") {
+    val cur = base + ("q_new" -> Shape(1, 0, 1, 0, 1))
+    val (hard, _) = PlanGate.violations(base, cur)
+    assert(hard.exists(_.startsWith("q_new:")), hard)
+  }
+
+  test("improvements and broadcast/sort/span drift only warn") {
+    val cur = Map(
+      "q_join" -> base("q_join").copy(shuffles = 1),          // improvement
+      "q_agg"  -> base("q_agg").copy(broadcasts = 1, sorts = 0)) // benign drift
+    val (hard, soft) = PlanGate.violations(base, cur)
+    assert(hard.isEmpty, hard)
+    assert(soft.exists(_.startsWith("q_join: shape drift")), soft)
+    assert(soft.exists(_.startsWith("q_agg: shape drift")), soft)
+  }
+
+  test("identical shapes are silent, removed queries warn") {
+    val (hard0, soft0) = PlanGate.violations(base, base)
+    assert(hard0.isEmpty && soft0.isEmpty)
+    val (hard1, soft1) = PlanGate.violations(base, base - "q_agg")
+    assert(hard1.isEmpty)
+    assert(soft1.exists(_.contains("q_agg: in committed audit but no longer")), soft1)
+  }
+
+  test("tsv round-trip: parse(write(x)) == x, comments and blanks skipped") {
+    val body = Seq("# query\tshuffles\tbroadcasts\tscans\tsorts\tspans", "",
+      s"q_join\t${base("q_join").tsv}", s"q_agg\t${base("q_agg").tsv}")
+    assert(PlanGate.parseTsv(body.iterator) == base)
+  }
+
+  test("shapeOf counts exchanges, scans, sorts, and distinct codegen spans") {
+    val plan =
+      """*(3) HashAggregate
+        |+- Exchange hashpartitioning(k, 8)
+        |   +- *(2) HashAggregate
+        |      +- *(2) BroadcastHashJoin
+        |         :- BroadcastExchange HashedRelationBroadcastMode
+        |         :  +- *(1) Scan parquet [a]
+        |         +- Sort [k ASC]
+        |            +- Exchange rangepartitioning(k, 8)
+        |               +- Scan parquet [b]""".stripMargin
+    val s = PlanGate.shapeOf(plan)
+    assert(s == Shape(shuffles = 2, broadcasts = 1, scans = 2, sorts = 1, spans = 3))
+  }
+}
