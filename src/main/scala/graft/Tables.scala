@@ -18,7 +18,72 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    sfDir match {
+      case SynthDir(n, p) =>
+        val parts = Option(p).map(_.toInt)
+          .getOrElse(spark.sparkContext.defaultParallelism)
+        synthTable(spark, name, n.toLong, parts)
+      case _ => spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** `sfDir = "synth:<nDocs>[:<partitions>]"` swaps the parquet corpus
+    * for a SCAN-TIME synthetic twin — the scale-soak seam: corpus size
+    * becomes a config constant, nothing hits storage, and any
+    * registered query runs unmodified at 10×/100× sf0.1 volume
+    * (`runMain graft.tools.ScaleSoak`). Generation is embarrassingly
+    * parallel (spark.range partitions own id ranges) and DETERMINISTIC,
+    * so two runs at the same N see byte-identical data. */
+  private val SynthDir = "^synth:(\\d+)(?::(\\d+))?$".r
+
+  /** Synthetic twins statistically shaped like the driver tables the
+    * soak families read: `documents` draws 40-69 words (mean ~54, the
+    * sf0.1 mean) from the same ~40-word vocabulary family the real
+    * generator uses — small vocab is what gives the corpus natural
+    * shingle overlap, the load profile the dedup ladder exists for —
+    * and `embeddings` are 64-dim float vectors clustered on 8 label
+    * centroids with per-vector noise, so LSH/IVF bucketing has real
+    * structure to find. Seeded near-dups are NOT generated here:
+    * DedupOps.corpus / SimilarityOps.embCorpus seed them over any base
+    * table, synthetic or parquet. Only the two soak tables exist —
+    * asking for a TPC-H table under synth: is an error by design. */
+  private[graft] def synthTable(spark: SparkSession, name: String,
+                                nDocs: Long, parts: Int): DataFrame = name match {
+    case "documents" =>
+      val vocab = Seq("spark", "batch", "part", "line", "column", "order",
+        "small", "sort", "vector", "scan", "fast", "query", "agg", "slow",
+        "value", "filter", "customer", "stream", "join", "shuffle", "cache",
+        "disk", "memory", "node", "task", "stage", "row", "group", "key",
+        "hash", "range", "merge", "index", "store", "read", "write", "plan",
+        "cost", "skew", "limit")
+      spark.range(0, nDocs, 1, parts).select(
+        col("id").as("doc_id"),
+        // word choice needs a REAL mixing hash of (id, position): any
+        // affine formula mod a 40-word vocab aliases docs into exact-
+        // or rotation-dup cliques (id ≡ id' mod 40 ⇒ identical text)
+        // and the corpus degenerates into millions of false near-dup
+        // pairs. xxhash64 is codegen'd, deterministic, and structure-free.
+        array_join(transform(
+          sequence(lit(0L), lit(39L) + pmod(col("id") * 13L, lit(30L))),
+          i => element_at(typedLit(vocab),
+            pmod(xxhash64(col("id"), i), lit(vocab.size.toLong))
+              .cast("int") + 1)), " ").as("text"),
+        element_at(typedLit(Seq("en", "de", "fr")),
+          pmod(col("id"), lit(3L)).cast("int") + 1).as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(5L))).as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    case "embeddings" =>
+      val nVecs = math.max(1L, nDocs * 2L / 5L) // the sf0.1 docs:vecs ratio
+      spark.range(0, nVecs, 1, parts).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1L), lit(64L)), i =>
+          ((pmod(pmod(col("id"), lit(8L)) * 2654435761L + i * 40503L,
+            lit(2000L)) / 1000.0 - 1.0) +
+           (pmod(col("id") * 1000003L + i * 7919L,
+            lit(400L)) / 1000.0 - 0.2)).cast("float")).as("embedding"),
+        pmod(col("id"), lit(8L)).cast("int").as("label"))
+    case other =>
+      sys.error(s"synth: tables exist only for documents/embeddings, got $other")
+  }
 
   /** Input-split starvation guard for CPU-bound derivations (shingle /
     * signature / token computation): the local test tables are tiny

@@ -50,6 +50,25 @@ object TextIndexCatalog {
 
   def clear(): Unit = { indexes.clear(); stemmedIndexes.clear() }
 
+  /** Delete the ON-DISK index directories for `sfDir` (both variants,
+    * current layouts) — the scale-soak seam: a cold index-build timing
+    * must rebuild postings, not find a prior run's _SUCCESS in tmpdir.
+    * Key derivation mirrors ensureVariant. */
+  private[graft] def purgeDirs(sfDir: String): Unit =
+    Seq("" -> "#p1", "#stemmed" -> "#s1").foreach { case (variant, ver) =>
+      val key = java.security.MessageDigest.getInstance("SHA-1")
+        .digest((s"$sfDir/documents.parquet" + variant + ver).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val dir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft-text-index"), key)
+      if (dir.exists) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
+
   def lookup(docsPath: String): Option[String] = indexes.get(docsPath)
 
   def lookupStemmed(docsPath: String): Option[String] =
@@ -162,9 +181,17 @@ object TextIndexCatalog {
       registerFn: (String, String) => Unit): String = synchronized {
     val docsPath = s"$sfDir/documents.parquet"
     val hconf = spark.sessionState.newHadoopConf()
-    val dPath = new Path(docsPath)
-    val fs = dPath.getFileSystem(hconf)
-    val current = dataFileEntries(fs, dPath)
+    // scale-soak seam: a synth: corpus is deterministic and immutable
+    // for a given N, so its manifest is one constant entry — built
+    // once per (N, variant), never delta'd, never stale. docsPath then
+    // serves only as the index-directory key (no file ever exists).
+    val synthCorpus = sfDir.startsWith("synth:")
+    val current: Seq[String] =
+      if (synthCorpus) Seq(s"$sfDir:immutable")
+      else {
+        val dPath = new Path(docsPath)
+        dataFileEntries(dPath.getFileSystem(hconf), dPath)
+      }
     // "#p1" versions the LAYOUT of the variant whose schema changed:
     // adding the tf (then positions) column to the BASE postings would
     // otherwise serve an old narrower directory off its manifest to the
@@ -210,10 +237,11 @@ object TextIndexCatalog {
     val prevSet = prev.toSet
     if (prev.nonEmpty && prevSet == current.toSet && !pendingDelta) {
       lastBuild = Seq.empty // up to date
-    } else if (prev.nonEmpty && prevSet.subsetOf(current.toSet) && !pendingDelta) {
+    } else if (prev.nonEmpty && prevSet.subsetOf(current.toSet) &&
+               !pendingDelta && !synthCorpus) {
       val delta = current.filterNot(prevSet)
       val deltaFiles = delta.map(e =>
-        new Path(dPath, e.substring(0, e.indexOf(':'))).toString)
+        new Path(new Path(docsPath), e.substring(0, e.indexOf(':'))).toString)
       val out = ifs.create(intentPath, true)
       out.close()
       bucketedWrite(build(spark.read.parquet(deltaFiles: _*)), "append")
@@ -221,7 +249,9 @@ object TextIndexCatalog {
       ifs.delete(intentPath, false)
       lastBuild = delta.map(e => e.substring(0, e.indexOf(':')))
     } else {
-      bucketedWrite(build(spark.read.parquet(docsPath)), "overwrite")
+      // Tables.load resolves both the parquet and the synth: corpus
+      bucketedWrite(build(graft.Tables.load(spark, sfDir, "documents")),
+        "overwrite")
       writeManifest()
       if (pendingDelta) ifs.delete(intentPath, false)
       lastBuild = current.map(e => e.substring(0, e.indexOf(':')))
