@@ -262,6 +262,7 @@ object SparkEntry {
     "sim_lsh_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.lshAnnTopK(s, d)),
     "sim_ivf_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.ivfAnnTopK(s, d)),
     "sim_recall"               -> SimilarityOps.annRecall _,
+    "sim_bits_sweep"           -> ((s: SparkSession, d: String) => SimilarityOps.bitsSweep(s, d)),
     "sim_mrr"                  -> SimilarityOps.annMrr _,
     "sim_ndcg"                 -> SimilarityOps.annNdcg _,
     "sim_hybrid_rrf"           -> SimilarityOps.hybridRrf _,
@@ -5859,6 +5860,89 @@ object SparkEntry {
         |SELECT doc_id, lex_rank, sem_rank, rrf_score,
         |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rn
         |FROM g ORDER BY rn""".stripMargin,
+    // LSH bits sweep: bucket bound, deduped candidate-pair volume, and
+    // recall@10 vs brute truth at 4 and 6 sign bits over the same tables
+    "sim_bits_sweep" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e0),
+        |bq AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 5),
+        |bs AS (
+        |  SELECT q_id, n.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q_emb)+1),
+        |      i -> q_emb[i] * emb[i])), (x, y) -> x + y) / (q_nrm * nrm) AS score
+        |  FROM bq, n WHERE n.vec_id <> bq.q_id),
+        |br AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM bs) t
+        |  WHERE rn <= 10),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM br),
+        |b4tb AS (
+        |  SELECT vec_id, t,
+        |    CAST(list_sum(list_transform(range(0, 4), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |          j -> emb[j] * CAST((1 + (t*4+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          (x, y) -> x + y) >= 0
+        |      THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+        |  FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
+        |b4st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(MAX(bn) AS BIGINT) AS max_bucket
+        |  FROM (SELECT t, bkt, COUNT(*) AS bn FROM b4tb GROUP BY t, bkt) z),
+        |b4nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS cand_pairs FROM (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM b4tb a JOIN b4tb b ON a.t = b.t AND a.bkt = b.bkt
+        |  WHERE a.vec_id < b.vec_id) z),
+        |b4cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+        |  FROM b4tb q JOIN b4tb c ON q.t = c.t AND q.bkt = c.bkt
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |b4s AS (SELECT q_id, b4cand.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(qe.emb)+1),
+        |      i -> qe.emb[i] * ce.emb[i])), (x, y) -> x + y) / (qe.nrm * ce.nrm) AS score
+        |  FROM b4cand
+        |  JOIN n qe ON qe.vec_id = b4cand.q_id
+        |  JOIN n ce ON ce.vec_id = b4cand.vec_id),
+        |b4r AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM b4s) t
+        |  WHERE rn <= 10),
+        |b4h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM br WHERE EXISTS (
+        |  SELECT 1 FROM b4r WHERE b4r.q_id = br.q_id AND b4r.vec_id = br.vec_id)),
+        |b6tb AS (
+        |  SELECT vec_id, t,
+        |    CAST(list_sum(list_transform(range(0, 6), b ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |          j -> emb[j] * CAST((1 + (t*6+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          (x, y) -> x + y) >= 0
+        |      THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
+        |  FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
+        |b6st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(MAX(bn) AS BIGINT) AS max_bucket
+        |  FROM (SELECT t, bkt, COUNT(*) AS bn FROM b6tb GROUP BY t, bkt) z),
+        |b6nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS cand_pairs FROM (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM b6tb a JOIN b6tb b ON a.t = b.t AND a.bkt = b.bkt
+        |  WHERE a.vec_id < b.vec_id) z),
+        |b6cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+        |  FROM b6tb q JOIN b6tb c ON q.t = c.t AND q.bkt = c.bkt
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |b6s AS (SELECT q_id, b6cand.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(qe.emb)+1),
+        |      i -> qe.emb[i] * ce.emb[i])), (x, y) -> x + y) / (qe.nrm * ce.nrm) AS score
+        |  FROM b6cand
+        |  JOIN n qe ON qe.vec_id = b6cand.q_id
+        |  JOIN n ce ON ce.vec_id = b6cand.vec_id),
+        |b6r AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM b6s) t
+        |  WHERE rn <= 10),
+        |b6h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM br WHERE EXISTS (
+        |  SELECT 1 FROM b6r WHERE b6r.q_id = br.q_id AND b6r.vec_id = br.vec_id))
+        |SELECT bits, n_buckets, max_bucket, cand_pairs, hits, possible,
+        |  CAST(hits AS DOUBLE) / possible AS recall FROM (
+        |  SELECT CAST(4 AS BIGINT) AS bits, b4st.n_buckets, b4st.max_bucket,
+        |    b4nc.cand_pairs, b4h.hits, tot.possible FROM b4st, b4nc, b4h, tot
+        |  UNION ALL
+        |  SELECT CAST(6 AS BIGINT), b6st.n_buckets, b6st.max_bucket,
+        |    b6nc.cand_pairs, b6h.hits, tot.possible FROM b6st, b6nc, b6h, tot) u
+        |ORDER BY bits""".stripMargin,
     "sim_recall" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,

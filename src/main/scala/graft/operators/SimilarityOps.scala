@@ -198,17 +198,26 @@ object SimilarityOps {
     * shuffle every scored pair into per-anchor sort groups).
     *
     * Scale: candidate volume is Σ_buckets |b|² per table; `bits` is the
-    * knob that keeps expected bucket size constant as the corpus grows
-    * (production sizes bits ≈ log₂(N / target bucket) — 4 bits suits
-    * the test corpus; nothing else changes). Hot buckets are the usual
-    * AQE-skew story. The payload join ships one 64-double embedding per
+    * knob that keeps expected bucket size constant as the corpus grows,
+    * and it is now AUTO-SIZED by [[autoBits]] (bits ≈ log₂(N / target
+    * bucket), floor 4) rather than documented — the r10 cold scale soak
+    * measured the fixed-width build super-linear and the sized build
+    * ~linear. Hot buckets are the usual AQE-skew story. The payload join ships one 64-double embedding per
     * pair side; at 100 TB the vector table is bucketed on vec_id so
     * both payload joins co-locate. */
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = 4,
-               tables: Int = 8, bits: Int = 4): DataFrame = {
+               tables: Int = 8, bits: Int = 0): DataFrame = {
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eb = lshBuckets(e, tables, bits)
+    // bits ≤ 0 = AUTO: the scaladoc's sizing rule applied instead of
+    // documented — the r10 cold scale-soak measured the fixed-4-bits
+    // build at exponent 1.3 (3.4 s → 68 s at 10×) because Σ|b|² grows
+    // quadratically once buckets stop splitting; autoBits holds the
+    // expected bucket near the target so candidate volume stays ~linear
+    // (same soak after: 3.4 s → 9.5 s, exponent 0.44). One count() over
+    // the already-persisted scan prices it.
+    val useBits = if (bits > 0) bits else autoBits(e.count())
+    val eb = lshBuckets(e, tables, useBits)
     // candidates as UNORDERED pairs (a < b): each pair is scored once —
     // cosine is symmetric and the dot product's fold order is the same
     // either way, so mirroring the scored row afterward is bit-identical
@@ -266,10 +275,29 @@ object SimilarityOps {
   private val knnIndexCache = scala.collection.concurrent.TrieMap.empty[
     (String, Int, Int, Int), (DataFrame, org.apache.spark.SparkContext)]
 
+  /** Drop every catalog entry — the scale-soak seam: cold timings must
+    * pay the graph build, not a catalog hit. */
+  private[graft] def clearKnnIndexCache(): Unit = knnIndexCache.clear()
+
+  /** [[knnGraph]]'s bucket-width sizing rule, bits ≈ log₂(N / target
+    * bucket): expected bucket size stays near `target`, so the LSH
+    * self-join's candidate volume Σ_b C(|b|,2) grows ~linearly with the
+    * corpus instead of quadratically. Floor 4 keeps every corpus of
+    * ≤ 512 vectors — including the sf0.01 oracle corpus (500) — on the
+    * exact banding the committed DuckDB oracles render (range(0,4));
+    * a regenerated driver corpus above 512 vectors would auto-size to
+    * 5 bits and intentionally trip the correctness gate on
+    * sim_knn_graph/sim_graph_search, at which point the oracle's
+    * banding constant follows the formula. */
+  private[graft] def autoBits(n: Long, target: Long = 32L): Int =
+    if (n <= target) 4
+    else math.max(4,
+      math.ceil(math.log(n.toDouble / target) / math.log(2.0)).toInt)
+
   /** [[knnGraph]] through the session index catalog: build on first
     * request, materialized reuse after. */
   def knnGraphIndex(spark: SparkSession, sfDir: String, k: Int = 4,
-                    tables: Int = 8, bits: Int = 4): DataFrame =
+                    tables: Int = 8, bits: Int = 0): DataFrame =
     // serialized build + dead-context purge on lookup (the TextOps
     // bpeTrained discipline): concurrent first consumers must not both
     // pay the graph build, and stopped-context entries must not pin
@@ -1212,6 +1240,50 @@ object SimilarityOps {
     one(ivfAnnTopK(spark, sfDir), "ivf")
       .unionAll(one(lshAnnTopK(spark, sfDir), "lsh"))
       .orderBy("method")
+  }
+
+  /** LSH `bits` SWEEP — the measured form of the [[knnGraph]] scale
+    * knob (bits ≈ log₂(N / target bucket)): the SAME corpus and table
+    * count bucketed under 4 and 6 sign bits, each setting reporting its
+    * bucket-population bound (n_buckets, max_bucket), the cross-table-
+    * deduped candidate-pair volume Σ_b C(|b|,2) actually materialized
+    * (the knn-graph build cost the knob exists to bound), and the
+    * end-to-end LSH recall@10 against the exact brute top-10 — the
+    * accuracy price of the volume cut, measured not asserted. The
+    * [[DedupOps.minhashBandSweep]] / linkageBlockSweep pattern applied
+    * to the last documented-only knob.
+    *
+    * Scale shape: bucket stats and candidate counts are equi-join +
+    * 1-row aggregates per setting off one persisted bucket explode;
+    * the recall arm is [[lshAnnTopK]] at that bits against one shared
+    * persisted brute truth. Caller releases via clearCache(). */
+  def bitsSweep(spark: SparkSession, sfDir: String,
+                tables: Int = 8): DataFrame = {
+    val e = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val brute = bruteForceTopK(spark, sfDir).select("q_id", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bTot = brute.agg(count(lit(1)).as("possible"))
+    val per = Seq(4, 6).map { bits =>
+      val eb = lshBuckets(e, tables, bits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bstats = eb.groupBy("t", "bkt").agg(count(lit(1)).as("bn"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("bn")).as("max_bucket"))
+      val nCand = eb.select(col("vec_id").as("a_id"), col("t"), col("bkt"))
+        .join(eb.select(col("vec_id").as("b_id"), col("t"), col("bkt")),
+          Seq("t", "bkt"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .agg(count(lit(1)).as("cand_pairs"))
+      val hits = brute.join(lshAnnTopK(spark, sfDir, tables, bits)
+          .select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      bstats.crossJoin(nCand).crossJoin(hits).crossJoin(bTot) // 1-row frames
+        .select(lit(bits.toLong).as("bits"), col("n_buckets"),
+          col("max_bucket"), col("cand_pairs"), col("hits"), col("possible"),
+          (col("hits").cast("double") / col("possible")).as("recall"))
+    }
+    per.reduce(_ unionAll _).orderBy("bits")
   }
 
   /** Contrastive-training triplet materialization — the dataset a

@@ -972,6 +972,24 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the sweep's persisted candidate frames
   }
 
+  test("knnGraph autoBits: oracle corpora stay on 4 bits, bucket width tracks log N") {
+    import graft.operators.SimilarityOps.autoBits
+    // ORACLE-PARITY PIN: every driver corpus ≤ 512 vectors must resolve
+    // to the exact banding the committed DuckDB oracles render
+    // (range(0,4)); sf0.01 has 500 — if a regenerated corpus crosses
+    // 512, the gate trips and the oracle constant follows the formula
+    assert(autoBits(500) == 4, "sf0.01 oracle corpus must auto-size to 4 bits")
+    assert(autoBits(512) == 4)
+    assert(autoBits(1) == 4 && autoBits(32) == 4) // floor on tiny corpora
+    // the scale path: width grows with log2(N / 32), holding the
+    // expected bucket (N / 2^bits) in (16, 32] — bounded candidates
+    Seq(2000L, 20000L, 200000L, 2000000L).foreach { n =>
+      val b = autoBits(n)
+      val expBucket = n.toDouble / (1L << b)
+      assert(expBucket <= 32.0 && expBucket > 16.0, s"n=$n bits=$b bucket=$expBucket")
+    }
+  }
+
   test("dedup survivors: total function over the corpus, keeps agree with CC labels") {
     import spark.implicits._
     val surv = DedupOps.dedupSurvivors(spark, sf0001)
@@ -2517,6 +2535,59 @@ class OperatorSpec extends AnyFunSuite {
       assert(journal.toJsonLines.contains("\"query\":\"spec_query\""))
       assert(journal.toJsonLines.contains("\"gc_time_ms\":"))
     } finally spark.sparkContext.removeSparkListener(journal)
+  }
+
+  test("spill soak: the window's partition buffer spills external, result unchanged") {
+    // the 100 TB memory-pressure story, exercised rather than asserted:
+    // the session buffer thresholds force the window's partition buffer
+    // EXTERNAL (ExternalAppendOnlyUnsafeRowArray → UnsafeExternalSorter,
+    // the same code path a memory-starved executor takes, and the same
+    // array the sort-merge join's match buffer rides), the journal
+    // proves bytes actually spilled, and the result must match the
+    // in-memory run. memory.fraction itself is static per JVM — the
+    // session thresholds are the testable seam for the same path.
+    // Thresholds are sized to the data (≤88 rows per user partition at
+    // sf0.001): in.memory=8 hands real partitions to the sorter,
+    // spill=16 forces it to disk; pathological 1-row thresholds OOM the
+    // JVM on one-sorter-page-per-buffer allocation and test nothing.
+    val names = Seq("evt_running_totals")
+    def run(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf0001)
+        .collect().map(_.toString).sorted.toSeq
+    val baseline = names.map(n => n -> run(n)).toMap
+    spark.catalog.clearCache()
+    val forced = Seq(
+      // in.memory.threshold hands the buffer to the spillable sorter;
+      // spill.threshold then forces it external — BOTH must drop, the
+      // spill knob alone never engages below the 4096-row default
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "8",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "16")
+    val saved = forced.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val journal = new graft.tools.QueryJournal
+    spark.sparkContext.addSparkListener(journal)
+    try {
+      forced.foreach { case (k, v) => spark.conf.set(k, v) }
+      journal.start("spill_soak")
+      names.foreach { n =>
+        assert(run(n) == baseline(n), s"$n result changed under forced spill")
+        spark.catalog.clearCache()
+      }
+      // listener bus is async — poll until the spill evidence lands
+      val deadline = System.currentTimeMillis() + 15000
+      def spilled = journal.snapshot.get("spill_soak")
+        .map(e => e.memSpilledBytes + e.diskSpilledBytes).getOrElse(0L)
+      while (spilled == 0L && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(spilled > 0L, "forced thresholds produced no spill evidence")
+      assert(journal.toJsonLines.contains("\"disk_spilled_bytes\":"))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.sparkContext.removeSparkListener(journal)
+      spark.catalog.clearCache()
+    }
   }
 
   test("frontier BFS reaches only nodes on the synthetic ring and labels minimum depth") {
