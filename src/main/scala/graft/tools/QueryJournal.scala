@@ -35,6 +35,8 @@ class QueryJournal extends SparkListener {
     val runTimeMs = new LongAdder
     val cpuTimeNs = new LongAdder
     val peakExecMemory = new LongAccumulator(Math.max(_, _), 0L)
+    val memSpilledBytes = new LongAdder
+    val diskSpilledBytes = new LongAdder
     // driver heap in use when the query was tagged (set once by start)
     @volatile var driverHeapStartMb: Long = -1L
   }
@@ -73,6 +75,8 @@ class QueryJournal extends SparkListener {
       c.runTimeMs.add(tm.executorRunTime)
       c.cpuTimeNs.add(tm.executorCpuTime)
       c.peakExecMemory.accumulate(tm.peakExecutionMemory)
+      c.memSpilledBytes.add(tm.memoryBytesSpilled)
+      c.diskSpilledBytes.add(tm.diskBytesSpilled)
     }
   }
 
@@ -80,7 +84,8 @@ class QueryJournal extends SparkListener {
     tasks: Long, inputRecords: Long, inputBytes: Long,
     shuffleReadBytes: Long, shuffleWriteBytes: Long, outputRecords: Long,
     gcTimeMs: Long, runTimeMs: Long, cpuTimeMs: Long,
-    peakExecMemory: Long, driverHeapStartMb: Long)
+    peakExecMemory: Long, driverHeapStartMb: Long,
+    memSpilledBytes: Long, diskSpilledBytes: Long)
 
   def snapshot: Map[String, Entry] = {
     val b = Map.newBuilder[String, Entry]
@@ -89,7 +94,7 @@ class QueryJournal extends SparkListener {
         c.shuffleReadBytes.sum, c.shuffleWriteBytes.sum,
         c.outputRecords.sum, c.gcTimeMs.sum, c.runTimeMs.sum,
         c.cpuTimeNs.sum / 1000000L, c.peakExecMemory.get,
-        c.driverHeapStartMb)
+        c.driverHeapStartMb, c.memSpilledBytes.sum, c.diskSpilledBytes.sum)
     }
     b.result()
   }
@@ -102,6 +107,8 @@ class QueryJournal extends SparkListener {
         s""""shuffle_write_bytes":${e.shuffleWriteBytes},"output_records":${e.outputRecords},""" +
         s""""gc_time_ms":${e.gcTimeMs},"run_time_ms":${e.runTimeMs},""" +
         s""""cpu_time_ms":${e.cpuTimeMs},"peak_exec_memory":${e.peakExecMemory},""" +
-        s""""driver_heap_start_mb":${e.driverHeapStartMb}}"""
+        s""""driver_heap_start_mb":${e.driverHeapStartMb},""" +
+        s""""mem_spilled_bytes":${e.memSpilledBytes},""" +
+        s""""disk_spilled_bytes":${e.diskSpilledBytes}}"""
     }.mkString("", "\n", "\n")
 }
