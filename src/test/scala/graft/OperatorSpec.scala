@@ -972,6 +972,27 @@ class OperatorSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the sweep's persisted candidate frames
   }
 
+  test("synth corpus seam: deterministic, driver-table-shaped, unknown tables rejected") {
+    import spark.implicits._
+    val d1 = graft.Tables.load(spark, "synth:300", "documents")
+    val d2 = graft.Tables.load(spark, "synth:300", "documents")
+    assert(d1.columns.toSeq == Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(d1.count() == 300)
+    // byte-identical across scans — the property resume/oracle work needs
+    assert(d1.exceptAll(d2).isEmpty && d2.exceptAll(d1).isEmpty)
+    // word counts live in the driver corpus band (40-69, mean ~54)
+    val wc = d1.select(size(split(col("text"), " ")).as("n")).as[Int].collect()
+    assert(wc.forall(n => n >= 40 && n <= 69), s"word counts ${wc.min}..${wc.max}")
+    val e = graft.Tables.load(spark, "synth:300", "embeddings")
+    assert(e.columns.toSeq == Seq("vec_id", "embedding", "label"))
+    assert(e.count() == 120) // the sf0.1 docs:vecs ratio (2/5)
+    assert(e.select(size(col("embedding"))).as[Int].head() == 64)
+    val err = intercept[RuntimeException] {
+      graft.Tables.load(spark, "synth:300", "orders")
+    }
+    assert(err.getMessage.contains("synth"))
+  }
+
   test("knnGraph autoBits: oracle corpora stay on 4 bits, bucket width tracks log N") {
     import graft.operators.SimilarityOps.autoBits
     // ORACLE-PARITY PIN: every driver corpus ≤ 512 vectors must resolve
