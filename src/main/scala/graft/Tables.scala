@@ -57,16 +57,34 @@ object Tables {
         "cost", "skew", "limit")
       spark.range(0, nDocs, 1, parts).select(
         col("id").as("doc_id"),
-        // word choice needs a REAL mixing hash of (id, position): any
-        // affine formula mod a 40-word vocab aliases docs into exact-
-        // or rotation-dup cliques (id ≡ id' mod 40 ⇒ identical text)
-        // and the corpus degenerates into millions of false near-dup
-        // pairs. xxhash64 is codegen'd, deterministic, and structure-free.
+        // Two load-bearing generator properties, both learned the hard
+        // way in the r10 soaks:
+        // (1) word choice needs a REAL mixing hash of (id, position) —
+        //     any affine formula mod a small vocab aliases docs into
+        //     exact/rotation-dup cliques (id ≡ id' mod 40 ⇒ identical
+        //     text) and the corpus degenerates into millions of false
+        //     near-dup pairs; xxhash64 is codegen'd and structure-free.
+        // (2) the vocabulary must GROW with the corpus (Heaps' law,
+        //     V ≈ K·n^0.5): a FIXED 40-word vocab at 600k docs makes
+        //     every shingle hot (df ~ N/64k) and the exact-Jaccard
+        //     prefix join quadratic — the 100× soak ground for 30+ min
+        //     on what real open-vocabulary text never produces. The mix
+        //     below is Zipf-flavored: ~30% of tokens from the 40-word
+        //     hot head (keeps skew/hot-shingle stress real), the rest
+        //     from a ~37·√N synthetic tail, so rarest-first prefix
+        //     filters operate in the regime SSJoin assumes.
         array_join(transform(
           sequence(lit(0L), lit(39L) + pmod(col("id") * 13L, lit(30L))),
-          i => element_at(typedLit(vocab),
-            pmod(xxhash64(col("id"), i), lit(vocab.size.toLong))
-              .cast("int") + 1)), " ").as("text"),
+          i => {
+            val pick = xxhash64(col("id"), i)
+            val word = xxhash64(col("id"), i, lit(1L))
+            when(pmod(pick, lit(10L)) < 3L,
+              element_at(typedLit(vocab),
+                pmod(word, lit(vocab.size.toLong)).cast("int") + 1))
+              .otherwise(concat(lit("w"),
+                pmod(word, lit(math.max(40L,
+                  (37.0 * math.sqrt(nDocs.toDouble)).toLong)))))
+          }), " ").as("text"),
         element_at(typedLit(Seq("en", "de", "fr")),
           pmod(col("id"), lit(3L)).cast("int") + 1).as("lang"),
         concat(lit("src"), pmod(col("id"), lit(5L))).as("source"))

@@ -213,19 +213,40 @@ object SimilarityOps {
     // documented — the r10 cold scale-soak measured the fixed-4-bits
     // build at exponent 1.3 (3.4 s → 68 s at 10×) because Σ|b|² grows
     // quadratically once buckets stop splitting; autoBits holds the
-    // expected bucket near the target so candidate volume stays ~linear
-    // (same soak after: 3.4 s → 9.5 s, exponent 0.44). One count() over
-    // the already-persisted scan prices it.
+    // expected bucket near the target so candidate volume stays bounded
+    // (same soak after: 3.8 s → 21.1 s, exponent 0.74 — the residual is
+    // cluster-correlated hot buckets, BASELINE.md §soak). One count()
+    // over the already-persisted scan prices it.
     val useBits = if (bits > 0) bits else autoBits(e.count())
-    val eb = lshBuckets(e, tables, useBits)
+    // BOUNDED BUCKETS — the hot-bucket remedy the soak forced: more
+    // bits cannot split a cluster tighter than its own noise (all
+    // members share the sign pattern), so a tight 2500-vector cluster
+    // keeps a 2500²/2-pair bucket at ANY width and the build goes
+    // quadratic in cluster size (measured: cold exponent 1.2 at 10× on
+    // the 8-cluster synth corpus). Any bucket above `cap` is salt-split
+    // into ⌈|b|/cap⌉ sub-buckets by hash(vec_id, t) — PER TABLE, so
+    // vectors separated in one table reunite in others and each anchor
+    // still meets ~tables·cap cluster-mates, far above k. Buckets ≤ cap
+    // get nsub=1 and are BIT-IDENTICAL to the uncapped build — the
+    // sf0.01 oracle corpus maxes at 68/bucket (sim_bits_sweep), so the
+    // committed oracles hold exactly; the cap only engages at scale,
+    // where exactness within a bucket was already approximate by
+    // construction. Costs one narrow bucket-count agg + join on the
+    // bucket-explode frame.
+    val cap = 256L
+    val eb0 = lshBuckets(e, tables, useBits)
+    val bn = eb0.groupBy("t", "bkt").agg(count(lit(1)).as("bn"))
+    val eb = eb0.join(bn, Seq("t", "bkt"))
+      .withColumn("sub", pmod(xxhash64(col("vec_id"), col("t")),
+        expr(s"(bn + ${cap - 1}) DIV $cap")).cast("int"))
     // candidates as UNORDERED pairs (a < b): each pair is scored once —
     // cosine is symmetric and the dot product's fold order is the same
     // either way, so mirroring the scored row afterward is bit-identical
     // to scoring both orientations at half the dot products and half
     // the payload-join volume
-    val cand = eb.select(col("vec_id").as("a_id"), col("t"), col("bkt"))
-      .join(eb.select(col("vec_id").as("b_id"), col("t"), col("bkt")),
-        Seq("t", "bkt"))
+    val cand = eb.select(col("vec_id").as("a_id"), col("t"), col("bkt"), col("sub"))
+      .join(eb.select(col("vec_id").as("b_id"), col("t"), col("bkt"), col("sub")),
+        Seq("t", "bkt", "sub"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val top = graft.functions.TopKAggregator.topKPairs(k)

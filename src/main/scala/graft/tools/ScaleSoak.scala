@@ -41,41 +41,51 @@ object ScaleSoak {
     spark.sparkContext.setLogLevel("ERROR")
     val qs = graft.SparkEntry.queries
     // (query, scale) -> (coldSecs, warmSecs, rows, metricsString).
-    // COLD = first rep with every session cache dropped (knn index
-    // catalog, text-index registry AND its on-disk directories,
-    // persisted frames) — the build-inclusive cost a fresh consumer
-    // pays. WARM = min of later reps with the session catalogs left
-    // hot — the steady-state reuse cost. Scaling exponents read off
-    // COLD; a catalog hit at 10× would otherwise report the lookup,
-    // not the build (the r10 lesson: sim_knn_graph "scaled" at 0.02 s).
+    // COLD = MIN over `reps` runs that each start with every session
+    // cache dropped (knn index catalog, text-index registry AND its
+    // on-disk directories, persisted frames) — the build-inclusive cost
+    // a fresh consumer pays, under the same min-of-N discipline as the
+    // bench (a single cold sample swung 21 → 38 s between identical
+    // runs on this box). WARM = one extra run with the catalogs left
+    // hot from the last cold rep — the steady-state reuse cost. A
+    // catalog hit in the cold path would report the lookup, not the
+    // build (the r10 lesson: sim_knn_graph "scaled" at 0.02 s).
     val results = scala.collection.mutable.LinkedHashMap
       .empty[(String, Int), (Double, Double, Long, String)]
     for (scale <- Seq(1, mult)) {
       val sfDir = s"synth:${base * scale}"
-      graft.plans.TextIndexCatalog.purgeDirs(sfDir)
+      // follow the repo's own §8 sizing advice INSIDE the soak: shuffle
+      // partitions grow with the corpus so per-task state keeps fitting
+      // (the 100× ANN build OOMed a 64 GB heap at the 1×-sized 32
+      // partitions; AQE coalesces any oversizing back down)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(256, cpus.toInt * math.max(1, scale / 4)).toString)
       for (q <- families) {
-        graft.operators.SimilarityOps.clearKnnIndexCache()
-        graft.plans.TextIndexCatalog.clear()
-        spark.catalog.clearCache()
-        var cold = 0.0
-        var warm = Double.MaxValue
+        var cold = Double.MaxValue
         var rows = 0L
         var metrics = ""
-        (1 to reps).foreach { r =>
+        def run(): Double = {
           val t0 = System.nanoTime()
           val collected = qs(q)(spark, sfDir).collect() // full materialization
           val secs = (System.nanoTime() - t0) / 1e9
-          if (r == 1) cold = secs else warm = math.min(warm, secs)
           rows = collected.length.toLong
           // 1-row measurement queries carry the candidate-volume /
           // recall evidence — surface them verbatim
           if (rows <= 4 && collected.nonEmpty)
             metrics = collected.map(_.toString).mkString(" ")
           spark.catalog.clearCache() // intra-query persists only
+          secs
         }
-        val warmOut = if (warm == Double.MaxValue) cold else warm
-        results((q, scale)) = (cold, warmOut, rows, metrics)
-        println(f"""{"query":"$q","n_docs":${base * scale},"cold_secs":$cold%.3f,"warm_secs":$warmOut%.3f,"rows":$rows}""")
+        (1 to reps).foreach { _ =>
+          graft.operators.SimilarityOps.clearKnnIndexCache()
+          graft.plans.TextIndexCatalog.clear()
+          graft.plans.TextIndexCatalog.purgeDirs(sfDir)
+          spark.catalog.clearCache()
+          cold = math.min(cold, run())
+        }
+        val warm = run() // catalogs hot from the last cold rep
+        results((q, scale)) = (cold, warm, rows, metrics)
+        println(f"""{"query":"$q","n_docs":${base * scale},"cold_secs":$cold%.3f,"warm_secs":$warm%.3f,"rows":$rows}""")
       }
     }
     println()
