@@ -5359,14 +5359,16 @@ object SparkEntry {
         |n AS (SELECT vec_id, emb,
         |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
         |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e0),
+        |nb AS (SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(count(*), 1) / 32.0)) AS INT)) AS bits
+        |       FROM e0),
         |tb AS (
         |  SELECT vec_id, t,
-        |    CAST(list_sum(list_transform(range(0, 4), b ->
+        |    CAST(list_sum(list_transform(range(0, bits), b ->
         |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
-        |          j -> emb[j] * CAST((1 + (t*4+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          j -> emb[j] * CAST((1 + (t*bits+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
         |          (x, y) -> x + y) >= 0
         |      THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
-        |  FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
+        |  FROM n, nb, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM tb a JOIN tb b ON a.t = b.t AND a.bkt = b.bkt
         |  WHERE b.vec_id <> a.vec_id),
@@ -5445,14 +5447,16 @@ object SparkEntry {
         |n AS (SELECT vec_id, emb,
         |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
         |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e0),
+        |nb AS (SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(count(*), 1) / 32.0)) AS INT)) AS bits
+        |       FROM e0),
         |tb AS (
         |  SELECT vec_id, t,
-        |    CAST(list_sum(list_transform(range(0, 4), b ->
+        |    CAST(list_sum(list_transform(range(0, bits), b ->
         |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
-        |          j -> emb[j] * CAST((1 + (t*4+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
+        |          j -> emb[j] * CAST((1 + (t*bits+b)*73 + (j-1)*179) * 2654435761 % 1024 - 512 AS DOUBLE))),
         |          (x, y) -> x + y) >= 0
         |      THEN CAST(floor(pow(2, b)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bkt
-        |  FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
+        |  FROM n, nb, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) tt),
         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM tb a JOIN tb b ON a.t = b.t AND a.bkt = b.bkt
         |  WHERE b.vec_id <> a.vec_id),

@@ -166,7 +166,16 @@ object SimilarityOps {
     // as the other similarity ops (caller clearCache()s after the action)
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eb = lshBuckets(e, tables, bits)
+    lshAnnTopKOn(e, lshBuckets(e, tables, bits))
+  }
+
+  /** [[lshAnnTopK]] over an INJECTED corpus and bucket frame — the
+    * shared-persist seam (the pattern of the other injected-corpus
+    * seams): [[bitsSweep]] already holds `e` persisted and one bucket
+    * explode per setting, so its recall arm must reuse both rather than
+    * stack a second persisted vecs scan + a recomputed explode per
+    * setting on the executor store until the caller's clearCache(). */
+  private[graft] def lshAnnTopKOn(e: DataFrame, eb: DataFrame): DataFrame = {
     val qKeys = eb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("t"), col("bkt"))
     val cand = eb.join(broadcast(qKeys), Seq("t", "bkt"))
@@ -303,13 +312,16 @@ object SimilarityOps {
   /** [[knnGraph]]'s bucket-width sizing rule, bits ≈ log₂(N / target
     * bucket): expected bucket size stays near `target`, so the LSH
     * self-join's candidate volume Σ_b C(|b|,2) grows ~linearly with the
-    * corpus instead of quadratically. Floor 4 keeps every corpus of
-    * ≤ 512 vectors — including the sf0.01 oracle corpus (500) — on the
-    * exact banding the committed DuckDB oracles render (range(0,4));
-    * a regenerated driver corpus above 512 vectors would auto-size to
-    * 5 bits and intentionally trip the correctness gate on
-    * sim_knn_graph/sim_graph_search, at which point the oracle's
-    * banding constant follows the formula. */
+    * corpus instead of quadratically. ORACLE COUPLING: the committed
+    * DuckDB oracles for sim_knn_graph/sim_graph_search render this SAME
+    * formula in SQL (`GREATEST(4, CEIL(LOG2(count/32.0)))` — the `nb`
+    * CTE in SparkEntry.oracleSql), so the two engines band identically
+    * at ANY corpus size; change this formula and the oracle SQL must
+    * change with it. The remaining cross-engine boundary is the
+    * salt-split cap (256) in [[knnGraph]], which the oracle does not
+    * replicate — it never engages at the harness scales (measured max
+    * bucket: 68 at sf0.01/4 bits, 143 at sf0.1/6 bits), and where it
+    * does engage results are approximate by construction. */
   private[graft] def autoBits(n: Long, target: Long = 32L): Int =
     if (n <= target) 4
     else math.max(4,
@@ -1296,7 +1308,10 @@ object SimilarityOps {
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
         .agg(count(lit(1)).as("cand_pairs"))
-      val hits = brute.join(lshAnnTopK(spark, sfDir, tables, bits)
+      // recall arm through the injected-corpus seam: reuses this
+      // setting's persisted eb and the sweep's persisted e — no second
+      // vecs persist, no recomputed bucket explode
+      val hits = brute.join(lshAnnTopKOn(e, eb)
           .select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
       bstats.crossJoin(nCand).crossJoin(hits).crossJoin(bTot) // 1-row frames

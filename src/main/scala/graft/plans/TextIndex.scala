@@ -50,17 +50,35 @@ object TextIndexCatalog {
 
   def clear(): Unit = { indexes.clear(); stemmedIndexes.clear() }
 
+  /** The ONE definition of a variant's on-disk index directory —
+    * SHA-1(docsPath + variant + layout version) under
+    * tmpdir/graft-text-index — shared by [[ensureVariant]]
+    * (build/lookup) and [[purgeDirs]] (the cold-soak purge seam), so a
+    * layout-version bump can never leave purge deleting a STALE
+    * generation while ensure serves a new one: that skew would turn
+    * "cold" soak timings into silent warm index hits.
+    *
+    * The layout suffix versions the variant whose SCHEMA changed:
+    * adding the tf (then positions) column to the BASE postings would
+    * otherwise serve an old narrower directory off its manifest to the
+    * ranked/positional paths. The stemmed layout is keyed separately so
+    * a base-layout bump does not needlessly invalidate (and orphan)
+    * existing stemmed directories. */
+  private def indexDirFor(sfDir: String, variant: String): java.io.File = {
+    val layoutVer = if (variant.isEmpty) "#p1" else "#s1"
+    val key = java.security.MessageDigest.getInstance("SHA-1")
+      .digest((s"$sfDir/documents.parquet" + variant + layoutVer).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-text-index"), key)
+  }
+
   /** Delete the ON-DISK index directories for `sfDir` (both variants,
     * current layouts) — the scale-soak seam: a cold index-build timing
-    * must rebuild postings, not find a prior run's _SUCCESS in tmpdir.
-    * Key derivation mirrors ensureVariant. */
+    * must rebuild postings, not find a prior run's _SUCCESS in tmpdir. */
   private[graft] def purgeDirs(sfDir: String): Unit =
-    Seq("" -> "#p1", "#stemmed" -> "#s1").foreach { case (variant, ver) =>
-      val key = java.security.MessageDigest.getInstance("SHA-1")
-        .digest((s"$sfDir/documents.parquet" + variant + ver).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val dir = new java.io.File(
-        new java.io.File(sys.props("java.io.tmpdir"), "graft-text-index"), key)
+    Seq("", "#stemmed").foreach { variant =>
+      val dir = indexDirFor(sfDir, variant)
       if (dir.exists) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -192,18 +210,7 @@ object TextIndexCatalog {
         val dPath = new Path(docsPath)
         dataFileEntries(dPath.getFileSystem(hconf), dPath)
       }
-    // "#p1" versions the LAYOUT of the variant whose schema changed:
-    // adding the tf (then positions) column to the BASE postings would
-    // otherwise serve an old narrower directory off its manifest to the
-    // ranked/positional paths. The stemmed layout is keyed separately so
-    // a base-layout bump does not needlessly invalidate (and orphan)
-    // existing stemmed directories.
-    val layoutVer = if (variant.isEmpty) "#p1" else "#s1"
-    val key = java.security.MessageDigest.getInstance("SHA-1")
-      .digest((docsPath + variant + layoutVer).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-text-index/$key").getAbsolutePath
+    val idxDir = indexDirFor(sfDir, variant).getAbsolutePath
     val idxPath = new Path(idxDir)
     val ifs = idxPath.getFileSystem(hconf)
     val manifestPath = new Path(idxPath, "_manifest")

@@ -41,11 +41,20 @@ object PlanGate {
 
   /** Gate logic: (hard violations, soft warnings). A query present in
     * the committed audit but absent from the current run is a warning
-    * (it was removed — regenerate), not a failure. */
+    * (it was REMOVED from the registry — regenerate); a query still
+    * registered whose plan THREW (`failedToPlan`) is a hard violation —
+    * a query that no longer plans is the worst regression this gate
+    * exists to catch, and must never degrade into the soft
+    * "no longer registered" path. */
   def violations(committed: Map[String, Shape],
-                 current: Map[String, Shape]): (Seq[String], Seq[String]) = {
+                 current: Map[String, Shape],
+                 failedToPlan: Map[String, String] = Map.empty)
+      : (Seq[String], Seq[String]) = {
     val hard = Seq.newBuilder[String]
     val soft = Seq.newBuilder[String]
+    failedToPlan.toSeq.sortBy(_._1).foreach { case (q, msg) =>
+      hard += s"$q: registered but failed to plan — $msg"
+    }
     current.toSeq.sortBy(_._1).foreach { case (q, cur) =>
       committed.get(q) match {
         case None =>
@@ -59,33 +68,56 @@ object PlanGate {
             soft += s"$q: shape drift ${c.tsv} -> ${cur.tsv} (ok; --write to adopt)"
       }
     }
-    (committed.keySet -- current.keySet).toSeq.sorted.foreach { q =>
-      soft += s"$q: in committed audit but no longer registered (--write to drop)"
-    }
+    (committed.keySet -- current.keySet -- failedToPlan.keySet)
+      .toSeq.sorted.foreach { q =>
+        soft += s"$q: in committed audit but no longer registered (--write to drop)"
+      }
     (hard.result(), soft.result())
   }
 
+  /** Parse the committed audit, naming the offending line (1-based, as
+    * committed) on a truncated or non-numeric entry instead of leaking
+    * an ArrayIndexOutOfBounds from split(). */
   def parseTsv(lines: Iterator[String]): Map[String, Shape] =
-    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
-      val f = l.split("\t")
-      f(0) -> Shape(f(1).toInt, f(2).toInt, f(3).toInt, f(4).toInt, f(5).toInt)
-    }.toMap
+    lines.zipWithIndex
+      .map { case (l, i) => (l.trim, i + 1) }
+      .filter { case (l, _) => l.nonEmpty && !l.startsWith("#") }
+      .map { case (l, ln) =>
+        val f = l.split("\t")
+        if (f.length != 6)
+          throw new IllegalArgumentException(
+            s"$auditPath line $ln: expected 6 tab-separated fields, got ${f.length}: '$l'")
+        try f(0) -> Shape(f(1).toInt, f(2).toInt, f(3).toInt, f(4).toInt, f(5).toInt)
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$auditPath line $ln: non-numeric shape field: '$l'")
+        }
+      }.toMap
 
   val auditPath = "tools/plan_audit.tsv"
 
-  def currentShapes(spark: SparkSession, sfDir: String): Map[String, Shape] =
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val r = try {
-        Some(name -> shapeOf(fn(spark, sfDir).queryExecution.executedPlan.toString))
-      } catch {
+  /** (planned shapes, registered-but-failed-to-plan → message). Failures
+    * are returned, not dropped: a registered query whose plan now throws
+    * must reach [[violations]] as a hard violation, not vanish into the
+    * soft "no longer registered" warning. */
+  def currentShapes(spark: SparkSession, sfDir: String)
+      : (Map[String, Shape], Map[String, String]) = {
+    val shapes = Map.newBuilder[String, Shape]
+    val failed = Map.newBuilder[String, String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try shapes += name ->
+        shapeOf(fn(spark, sfDir).queryExecution.executedPlan.toString)
+      catch {
         case e: Throwable =>
           System.err.println(s"[plangate] $name plan failed: ${e.getMessage}")
-          None
+          failed += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
       }
       spark.catalog.clearCache()
       graft.plans.TextIndexCatalog.clear()
-      r
-    }.toMap
+    }
+    (shapes.result(), failed.result())
+  }
 
   def main(args: Array[String]): Unit = {
     val write = args.contains("--write")
@@ -98,8 +130,16 @@ object PlanGate {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val current = currentShapes(spark, sfDir)
+    val (current, failed) = currentShapes(spark, sfDir)
     spark.stop()
+    if (write && failed.nonEmpty) {
+      // never bake a broken registry into the contract file
+      failed.toSeq.sortBy(_._1).foreach { case (q, m) =>
+        println(s"[plangate] FAIL $q: failed to plan — $m")
+      }
+      println(s"[plangate] refusing --write with ${failed.size} unplannable queries")
+      sys.exit(1)
+    }
     if (write) {
       val body = "# query\tshuffles\tbroadcasts\tscans\tsorts\tspans\n" +
         current.toSeq.sortBy(_._1)
@@ -110,7 +150,7 @@ object PlanGate {
     } else {
       val committed = parseTsv(
         scala.io.Source.fromFile(auditPath)("UTF-8").getLines())
-      val (hard, soft) = violations(committed, current)
+      val (hard, soft) = violations(committed, current, failed)
       soft.foreach(w => println(s"[plangate] WARN $w"))
       hard.foreach(v => println(s"[plangate] FAIL $v"))
       if (hard.nonEmpty) {

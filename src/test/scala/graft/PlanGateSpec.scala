@@ -53,6 +53,29 @@ class PlanGateSpec extends AnyFunSuite {
     assert(soft1.exists(_.contains("q_agg: in committed audit but no longer")), soft1)
   }
 
+  test("a registered query whose plan threw is a hard violation, not a removal warning") {
+    // q_agg is still registered but failed to plan: it is absent from
+    // `current` yet must NOT surface as the soft "no longer registered"
+    // warning — that soft path would let the gate exit 0 on a hard break
+    val (hard, soft) = PlanGate.violations(base, base - "q_agg",
+      failedToPlan = Map("q_agg" -> "AnalysisException: boom"))
+    assert(hard.exists(_.contains("q_agg: registered but failed to plan")), hard)
+    assert(!soft.exists(_.contains("q_agg")), soft)
+  }
+
+  test("truncated or non-numeric audit lines fail with the line number") {
+    val truncated = Seq("# header", "q_join\t1\t2", s"q_agg\t${base("q_agg").tsv}")
+    val e1 = intercept[IllegalArgumentException] {
+      PlanGate.parseTsv(truncated.iterator)
+    }
+    assert(e1.getMessage.contains("line 2") && e1.getMessage.contains("q_join"), e1.getMessage)
+    val nonNumeric = Seq(s"q_join\t${base("q_join").tsv}", "q_agg\t1\tx\t1\t1\t1")
+    val e2 = intercept[IllegalArgumentException] {
+      PlanGate.parseTsv(nonNumeric.iterator)
+    }
+    assert(e2.getMessage.contains("line 2") && e2.getMessage.contains("non-numeric"), e2.getMessage)
+  }
+
   test("tsv round-trip: parse(write(x)) == x, comments and blanks skipped") {
     val body = Seq("# query\tshuffles\tbroadcasts\tscans\tsorts\tspans", "",
       s"q_join\t${base("q_join").tsv}", s"q_agg\t${base("q_agg").tsv}")
