@@ -202,9 +202,26 @@ object SimilarityOps {
     * multi-table hyperplane-LSH buckets as [[lshAnnTopK]] (a
     * bucket-keyed SELF-join — never all pairs), deduped across tables
     * before any payload moves, scored once per surviving pair, and
-    * ranked per anchor through the bounded TopK aggregator (k rows per
-    * partition cross the exchange — a window over candidates would
-    * shuffle every scored pair into per-anchor sort groups).
+    * ranked per anchor by a rank window that Spark plans as
+    * WindowGroupLimit with a PARTIAL stage (pinned by spec): each map
+    * partition keeps only its k best rows per anchor BEFORE the
+    * exchange, so k rows per (anchor, partition) cross the shuffle —
+    * the same bound the typed TopK aggregator gave, minus its
+    * object-aggregation constant. The r11 100× soak measured that
+    * constant as THE build bottleneck: the object hash agg falls back
+    * to sort-based past 128 groups per partition, so the 410 M mirrored
+    * rows paid an object sort at ~µs/row (375 s cold); the
+    * WindowGroupLimit form pays a codegen UnsafeRow sort for the same
+    * bound (136 s cold, same box, same min-of-N discipline — and the
+    * 1-bit Hamming PREFILTER candidate for the same fix measured 3×
+    * SLOWER at 10×/100× local, because the embedding payload joins
+    * broadcast the cached corpus and codegen'd exact scoring is
+    * effectively free: a prefilter can only add a second full-volume
+    * per-anchor selection pass. At true 100 TB, where the corpus joins
+    * are bucketed lookups instead of broadcasts, an 8-byte-code
+    * Hamming tier before the payload join becomes attractive again —
+    * that variant lives in [[binaryHammingTopK]] and would slot in as
+    * a candidate filter if the payload join ever dominates).
     *
     * Scale: candidate volume is Σ_buckets |b|² per table; `bits` is the
     * knob that keeps expected bucket size constant as the corpus grows,
@@ -226,7 +243,8 @@ object SimilarityOps {
     // (same soak after: 3.8 s → 21.1 s, exponent 0.74 — the residual is
     // cluster-correlated hot buckets, BASELINE.md §soak). One count()
     // over the already-persisted scan prices it.
-    val useBits = if (bits > 0) bits else autoBits(e.count())
+    val n = e.count()
+    val useBits = if (bits > 0) bits else autoBits(n)
     // BOUNDED BUCKETS — the hot-bucket remedy the soak forced: more
     // bits cannot split a cluster tighter than its own noise (all
     // members share the sign pattern), so a tight 2500-vector cluster
@@ -258,7 +276,6 @@ object SimilarityOps {
         Seq("t", "bkt", "sub"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val top = graft.functions.TopKAggregator.topKPairs(k)
     val scored = cand
       .join(e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
         col("nrm").as("a_nrm")), "a_id")
@@ -272,13 +289,16 @@ object SimilarityOps {
       // back the halving (caller clearCache()s per the similarity-ops
       // contract)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-anchor top-k as a rank window: `filter(rn <= k)` makes Spark
+    // plan WindowGroupLimit(Partial) UNDER the exchange — the
+    // scale-critical shape (only k rows per anchor per map partition
+    // shuffle; spec-pinned). Ties break (score desc, b_id asc), the
+    // committed oracle's exact ordering.
+    val w = Window.partitionBy("a_id").orderBy(col("score").desc, col("b_id"))
     val knn = scored
       .union(scored.select(col("b_id"), col("a_id"), col("score")))
-      .groupBy("a_id")
-      .agg(top(col("b_id"), col("score")).as("top"))
-      .select(col("a_id"), posexplode(col("top")))
-      .select(col("a_id"), col("col.id").as("b_id"),
-        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
     // keep ISOLATED vectors (no shared bucket with anyone): the graph's
     // anchor set must be the full corpus — a consumer iterating it would
     // otherwise silently lose nodes. They surface as one all-NULL
@@ -1290,14 +1310,44 @@ object SimilarityOps {
     * 1-row aggregates per setting off one persisted bucket explode;
     * the recall arm is [[lshAnnTopK]] at that bits against one shared
     * persisted brute truth. Caller releases via clearCache(). */
+  /** Bucket-occupancy readout for a bit width WITHOUT materializing
+    * candidate pairs — Σ_b C(|b|,2) computed analytically from bucket
+    * counts, so the formula's choice can be priced at corpus sizes
+    * where the raw (uncapped) pair join is deliberately unrunnable
+    * (tight clusters keep Σ|b|² quadratic at any width — the reason
+    * [[knnGraph]] salt-splits). One narrow agg over the bucket explode;
+    * reports the occupancy distribution the autoBits validation reads
+    * (max / p50 / p99 bucket and the pair volume both raw and under
+    * the knnGraph cap). */
+  private[graft] def bucketOccupancy(spark: SparkSession, sfDir: String,
+      tables: Int, bits: Int, cap: Long = 256L): DataFrame = {
+    val e = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshBuckets(e, tables, bits)
+      .groupBy("t", "bkt").agg(count(lit(1)).as("bn"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("bn")).as("max_bucket"),
+        expr("percentile(bn, 0.5)").as("p50_bucket"),
+        expr("percentile(bn, 0.99)").as("p99_bucket"),
+        sum(expr("bn * (bn - 1) DIV 2")).as("raw_pairs"),
+        // the volume the capped knnGraph build actually materializes:
+        // each bucket salt-splits into ⌈bn/cap⌉ sub-buckets
+        sum(expr(s"CASE WHEN bn <= $cap THEN bn * (bn - 1) DIV 2 " +
+          s"ELSE ((bn DIV ((bn + ${cap - 1}) DIV $cap)) + 1) * (bn DIV ((bn + ${cap - 1}) DIV $cap)) DIV 2 * ((bn + ${cap - 1}) DIV $cap) END"))
+          .as("capped_pairs"))
+      .select(lit(bits.toLong).as("bits"), col("n_buckets"),
+        col("max_bucket"), col("p50_bucket"), col("p99_bucket"),
+        col("raw_pairs"), col("capped_pairs"))
+  }
+
   def bitsSweep(spark: SparkSession, sfDir: String,
-                tables: Int = 8): DataFrame = {
+                tables: Int = 8,
+                settings: Seq[Int] = Seq(4, 6)): DataFrame = {
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val brute = bruteForceTopK(spark, sfDir).select("q_id", "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bTot = brute.agg(count(lit(1)).as("possible"))
-    val per = Seq(4, 6).map { bits =>
+    val per = settings.map { bits =>
       val eb = lshBuckets(e, tables, bits)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bstats = eb.groupBy("t", "bkt").agg(count(lit(1)).as("bn"))

@@ -1504,22 +1504,24 @@ object TextOps {
     * (n_chars as the quality proxy; ties broken by doc_id so the
     * selection is deterministic).
     *
-    * Scale shape: the selection runs through the bounded
-    * [[graft.functions.TopKAggregator.TopKPairs]] aggregator, so the
-    * exchange on `source` carries at most k rows per (partition, domain)
-    * and per-domain state is O(k) — a `row_number() OVER (PARTITION BY
-    * source ORDER BY …)` window would instead ship EVERY row of a hot
-    * domain into one task and sort it there before the filter discards
-    * all but k, exactly the skew a domain cap exists to defend against.
-    * One shuffle total; output is |domains|·k rows. */
+    * Scale shape: the rank-window filter plans as
+    * WindowGroupLimit(Partial) — each map partition keeps only its k
+    * best rows per domain BEFORE the exchange, so a hot domain ships at
+    * most k·partitions rows instead of its population (the skew a
+    * domain cap exists to defend against), and per-domain final state
+    * is O(k). One shuffle total; output is |domains|·k rows. (The typed
+    * TopK aggregator gave the same bound but degrades past 128 domains
+    * per partition — the object hash agg's sort-based fallback, the
+    * r11 knnGraph finding; a web-scale corpus has millions of
+    * domains.) */
   def domainCap(spark: SparkSession, sfDir: String, k: Int = 15): DataFrame = {
-    val top = graft.functions.TopKAggregator.topKPairs(k)
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
     docs(spark, sfDir)
-      .groupBy(col("source"))
-      .agg(top(col("doc_id"), col("n_chars").cast("double")).as("top"))
-      .select(col("source"), posexplode(col("top")))
-      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
-        col("col.id").as("doc_id"), col("col.score").cast("long").as("n_chars"))
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rnk", row_number().over(rw).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("source", "rnk", "doc_id", "n_chars")
       .orderBy("source", "rnk")
   }
 
@@ -1983,17 +1985,18 @@ object TextOps {
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(sum(col("a.w") * col("b.w")).as("dot"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val top = graft.functions.TopKAggregator.topKPairs(k)
+    // per-anchor top-k as a rank window — WindowGroupLimit(Partial)
+    // bounds the exchange to k rows per (anchor, partition), and the
+    // anchor count here is the WHOLE corpus, the exact shape where the
+    // typed TopK aggregator degrades (its object hash agg falls back to
+    // an object sort past 128 groups — the r11 knnGraph finding). The
+    // integer dot orders natively; no double roundtrip.
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor").orderBy(col("dot").desc, col("neighbor"))
     pairs.select(col("da").as("anchor"), col("db").as("neighbor"), col("dot"))
       .union(pairs.select(col("db"), col("da"), col("dot")))
-      .groupBy("anchor")
-      // dot ≤ ~2^35 here (df-capped integer weights), exact in the
-      // aggregator's double score; cast back is lossless under 2^53
-      .agg(top(col("neighbor"), col("dot").cast("double")).as("top"))
-      .select(col("anchor"), posexplode(col("top")))
-      .select(col("anchor"), col("col.id").as("neighbor"),
-        col("col.score").cast("long").as("dot"),
-        (col("pos") + 1).cast("long").as("rank"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
       .orderBy("anchor", "rank")
   }
 

@@ -15,23 +15,36 @@ import org.apache.spark.sql.SparkSession
   * n_true and sim_recall's recall_bp ARE the observe metrics at both
   * scales, printed alongside.
   *
-  * Usage: `runMain graft.tools.ScaleSoak [baseDocs] [mult] [reps]`
-  * (defaults 5000 = sf0.1 volume, 10, 2). Output: one JSON line per
-  * (query, scale) plus a closing markdown table for BASELINE.md. */
+  * Usage: `runMain graft.tools.ScaleSoak [baseDocs] [mult] [reps] [only]`
+  * (defaults 5000 = sf0.1 volume, 10, 2, all families; `only` is a
+  * comma-separated subset of the family list for targeted re-measures).
+  * Output: one JSON line per (query, scale) plus a closing markdown
+  * table for BASELINE.md. */
 object ScaleSoak {
-  private val families = Seq(
+  private val allFamilies = Seq(
     // dedup ladder
     "dd_ngram_jaccard", "dd_minhash_lsh", "dd_dup_clusters",
     "dd_dup_clusters_star", "dd_lsh_quality",
     // ANN
     "sim_knn_graph", "sim_graph_search", "sim_ivf_pq", "sim_recall",
-    // search-index build
-    "art_inverted_index", "art_search_bm25_idx")
+    // search-index build + the index-SERVED family: positional
+    // (phrase) and stemmed postings have different growth constants
+    // than the base postings, so each serves from its own soak row
+    "art_inverted_index", "art_search_bm25_idx",
+    "art_search_phrase_idx", "art_search_stemmed_idx")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.map(_.toLong).getOrElse(5000L)
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val reps = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val families = args.drop(3).headOption match {
+      case Some(only) =>
+        val want = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- allFamilies.toSet
+        require(unknown.isEmpty, s"unknown soak families: ${unknown.mkString(", ")}")
+        allFamilies.filter(want)
+      case None => allFamilies
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,10 +59,13 @@ object ScaleSoak {
     // on-disk directories, persisted frames) — the build-inclusive cost
     // a fresh consumer pays, under the same min-of-N discipline as the
     // bench (a single cold sample swung 21 → 38 s between identical
-    // runs on this box). WARM = one extra run with the catalogs left
-    // hot from the last cold rep — the steady-state reuse cost. A
-    // catalog hit in the cold path would report the lookup, not the
-    // build (the r10 lesson: sim_knn_graph "scaled" at 0.02 s).
+    // runs on this box). WARM = MIN over `reps` further runs with the
+    // catalogs left hot from the last cold rep — the steady-state reuse
+    // cost, under the same min-of-N discipline (r10 reported warm as a
+    // single sample and two end-of-run outliers looked like
+    // regressions; the r11 re-measure was asked for by name). A catalog
+    // hit in the cold path would report the lookup, not the build (the
+    // r10 lesson: sim_knn_graph "scaled" at 0.02 s).
     val results = scala.collection.mutable.LinkedHashMap
       .empty[(String, Int), (Double, Double, Long, String)]
     for (scale <- Seq(1, mult)) {
@@ -83,7 +99,8 @@ object ScaleSoak {
           spark.catalog.clearCache()
           cold = math.min(cold, run())
         }
-        val warm = run() // catalogs hot from the last cold rep
+        // catalogs hot from the last cold rep; min-of-N like cold
+        val warm = (1 to reps).map(_ => run()).min
         results((q, scale)) = (cold, warm, rows, metrics)
         println(f"""{"query":"$q","n_docs":${base * scale},"cold_secs":$cold%.3f,"warm_secs":$warm%.3f,"rows":$rows}""")
       }

@@ -1,0 +1,226 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.streaming.{DocStreamOps, EventStreamOps}
+import graft.streaming.DocStreamOps.{BudgetedDoc, DocRow}
+import graft.streaming.EventStreamOps.{EventRow, RawEventRow}
+
+/** STREAMING SCALE SOAK — the [[ScaleSoak]] discipline applied to the
+  * stateful streaming operators, which until r11 were the one family
+  * with zero measured scale evidence: each operator is driven at ~10×
+  * sf0.1 event volume through MemoryStream micro-batches whose EVENT
+  * TIME advances far past the watermark horizon, and the per-trigger
+  * [[org.apache.spark.sql.streaming.StreamingQueryProgress]] state
+  * metrics are recorded. The claim under test is the §8 state contract:
+  * state rows stay proportional to LIVE KEYS (users / sources / open
+  * windows / in-horizon hashes) and PLATEAU as history grows — a state
+  * store that tracks total input instead would grow linearly and
+  * eventually OOM a perpetual ingest.
+  *
+  * Operators covered (the r10 verdict's named list):
+  *   - curate      — content-hash dedup within watermark + quality gate
+  *                   (dropDuplicatesWithinWatermark state)
+  *   - budget_gate — transformWithState per-(source, window) accounts,
+  *                   freed by event-time timers
+  *   - attrib_exact— flatMapGroupsWithState watermark-buffered exact
+  *                   attribution (per-user cursor + in-horizon buffer)
+  *   - cdc_merge   — foreachBatch MERGE into a snapshot (state lives in
+  *                   the TARGET, not the store: snapshot rows ≤ live
+  *                   keys + tombstones, constant across batches)
+  *
+  * Usage: `runMain graft.tools.StreamSoak [nEvents] [nKeys] [nBatches]`
+  * (defaults 100000 = 10× the sf0.1 events table, 2000, 20). Output:
+  * one JSON line per (operator, trigger) plus a closing markdown table
+  * for BASELINE.md §streaming-soak. */
+object StreamSoak {
+
+  /** (trigger, inputRows, stateRows, stateBytes) per progress entry. */
+  private def progressRows(q: StreamingQuery): Seq[(Long, Long, Long, Long)] =
+    q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
+      val st = p.stateOperators.toSeq
+      (p.batchId, p.numInputRows,
+        st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum)
+    }
+
+  private final case class SoakRow(op: String, totalIn: Long,
+    maxState: Long, finalState: Long, liveKeys: Long, outRows: Long,
+    perTrigger: Seq[(Long, Long, Long, Long)])
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = args.headOption.map(_.toLong).getOrElse(100000L)
+    val nKeys = args.drop(1).headOption.map(_.toLong).getOrElse(2000L)
+    val nBatches = args.drop(2).headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val perBatch = (nEvents / nBatches).toInt
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val results = scala.collection.mutable.ArrayBuffer.empty[SoakRow]
+
+    def record(op: String, q: StreamingQuery, liveKeys: Long,
+               outRows: Long, totalIn: Long): Unit = {
+      val rows = progressRows(q)
+      val maxState = if (rows.isEmpty) 0L else rows.map(_._3).max
+      val finalState = if (rows.isEmpty) 0L else rows.last._3
+      rows.foreach { case (b, in, st, bytes) =>
+        println(s"""{"op":"$op","trigger":$b,"input_rows":$in,"state_rows":$st,"state_bytes":$bytes}""")
+      }
+      results += SoakRow(op, totalIn, maxState, finalState, liveKeys,
+        outRows, rows)
+    }
+
+    // ---- 1. curate: dedup state bounded by the in-horizon hash count.
+    // Docs arrive in event-time order, 2 minutes of event time per
+    // micro-batch against a 10-minute watermark, ~30% exact duplicates
+    // from a shared pool — so the md5 state holds ~5 batches' distinct
+    // hashes, NOT the full history.
+    locally {
+      val mem = MemoryStream[DocRow]
+      val q = DocStreamOps.curateDocStream(mem.toDF())
+        .writeStream.format("memory").queryName("soak_curate")
+        .outputMode(OutputMode.Append).start()
+      var sent = 0L
+      (0 until nBatches).foreach { b =>
+        val base = b.toLong * perBatch
+        mem.addData((0 until perBatch).map { i =>
+          val id = base + i
+          // ~30% of docs repeat a pooled text (the dup pool is 1/10 the
+          // batch), the rest are unique — mirrors the batch dd_ mix
+          val text = if (id % 10 < 3) s"pooled doc text ${id % (perBatch / 10)}"
+            else s"unique doc text $id with body tokens"
+          DocRow(id, new Timestamp(t0 + b * 120000L + (i % 120) * 1000L),
+            s"src${id % 7}", text)
+        }: _*)
+        q.processAllAvailable()
+        sent += perBatch
+      }
+      val out = spark.table("soak_curate").count()
+      // live keys = distinct hashes inside the 10-min horizon: 5 full
+      // 2-min batches of ~(0.7 + 0.1/3)·perBatch distinct texts
+      record("curate", q, liveKeys = 5L * perBatch, outRows = out,
+        totalIn = sent)
+      q.stop()
+    }
+
+    // ---- 2. budget gate: state = open (source, window) accounts,
+    // freed by event-time timers. 1-minute windows, 2 minutes of event
+    // time per batch → ≤ ~3 windows open per source at any trigger.
+    locally {
+      val sources = 50
+      val mem = MemoryStream[BudgetedDoc]
+      val q = DocStreamOps.budgetGate(mem.toDS(), budget = 400L,
+          windowMs = 60000L, watermark = "30 seconds")
+        .writeStream.format("memory").queryName("soak_gate")
+        .outputMode(OutputMode.Append).start()
+      var sent = 0L
+      (0 until nBatches).foreach { b =>
+        val base = b.toLong * perBatch
+        mem.addData((0 until perBatch).map { i =>
+          val id = base + i
+          BudgetedDoc(s"src${id % sources}", id, 5L + id % 7,
+            new Timestamp(t0 + b * 120000L + (i % 120) * 1000L))
+        }: _*)
+        q.processAllAvailable()
+        sent += perBatch
+      }
+      val out = spark.table("soak_gate").count()
+      record("budget_gate", q, liveKeys = sources * 3L, outRows = out,
+        totalIn = sent)
+      q.stop()
+    }
+
+    // ---- 3. exact attribution: per-user cursor + watermark-bounded
+    // buffer. 1% of events are purchases, 20% clicks; 2 minutes of
+    // event time per batch against a 10-minute watermark → buffered
+    // rows ∝ in-horizon clicks+purchases, cursors ∝ users.
+    locally {
+      val mem = MemoryStream[RawEventRow]
+      val q = EventStreamOps.lastTouchAttributionsExact(spark, mem.toDF(),
+          "10 minutes")
+        .writeStream.format("memory").queryName("soak_attrib")
+        .outputMode(OutputMode.Append).start()
+      var sent = 0L
+      (0 until nBatches).foreach { b =>
+        val base = b.toLong * perBatch
+        mem.addData((0 until perBatch).map { i =>
+          val id = base + i
+          val typ = if (id % 100 == 0) "purchase"
+            else if (id % 5 == 0) "click" else "view"
+          RawEventRow(id, new Timestamp(t0 + b * 120000L + (i % 120) * 1000L),
+            id % nKeys, typ, if (typ == "purchase") 10.0 else 0.0,
+            s"""{"k":${id % 4}}""")
+        }: _*)
+        q.processAllAvailable()
+        sent += perBatch
+      }
+      val out = spark.table("soak_attrib").count()
+      // live keys: one cursor per user + in-horizon (5 batches) buffer
+      // of the ~21% click/purchase mix
+      record("attrib_exact", q,
+        liveKeys = nKeys + (5L * perBatch * 21L) / 100L,
+        outRows = out, totalIn = sent)
+      q.stop()
+    }
+
+    // ---- 4. CDC merge: state lives in the TARGET snapshot (foreachBatch
+    // MERGE), so the bound under test is snapshot rows ≤ live keys —
+    // constant across batches while total input grows 20×.
+    locally {
+      val mem = MemoryStream[EventRow]
+      var target = EventStreamOps.cdcEmptySnapshot(spark)
+      val snapshotSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = mem.toDF().writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val reduced = EventStreamOps.cdcBatchLastWrites(batch).localCheckpoint()
+          target = EventStreamOps.cdcMerge(target, reduced).localCheckpoint()
+          snapshotSizes += target.count()
+          ()
+        }.start()
+      var sent = 0L
+      (0 until nBatches).foreach { b =>
+        val base = b.toLong * perBatch
+        mem.addData((0 until perBatch).map { i =>
+          val id = base + i
+          // every key is rewritten each batch; 2% tombstone (view)
+          EventRow(id, new Timestamp(t0 + id * 1000L), id % nKeys,
+            if (id % 50 == 0) "view" else "purchase", (id % 100).toDouble)
+        }: _*)
+        q.processAllAvailable()
+        sent += perBatch
+      }
+      val live = EventStreamOps.cdcLive(target).count()
+      snapshotSizes.zipWithIndex.foreach { case (s, i) =>
+        println(s"""{"op":"cdc_merge","trigger":$i,"input_rows":$perBatch,"state_rows":$s,"state_bytes":0}""")
+      }
+      results += SoakRow("cdc_merge", sent, snapshotSizes.max,
+        snapshotSizes.last, nKeys, live,
+        snapshotSizes.zipWithIndex.map { case (s, i) =>
+          (i.toLong, perBatch.toLong, s, 0L) }.toSeq)
+      q.stop()
+    }
+
+    println()
+    println("| operator | events in | max state rows | final state rows | ~live keys | out rows | bounded? |")
+    println("|---|---|---|---|---|---|---|")
+    results.foreach { r =>
+      // bounded = the store never held more than 4× the live-key
+      // estimate AND did not end anywhere near total input
+      val bounded = r.maxState <= 4 * r.liveKeys && r.maxState < r.totalIn / 2
+      println(s"| ${r.op} | ${r.totalIn} | ${r.maxState} | ${r.finalState} | ${r.liveKeys} | ${r.outRows} | ${if (bounded) "yes" else "NO"} |")
+    }
+    spark.stop()
+  }
+}

@@ -2741,13 +2741,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(first.collect().map(_.toString).toSeq == fresh.toSeq)
   }
 
-  test("kNN graph: bounded-aggregator plan, valid per-anchor ranking, recall vs exact neighbors") {
+  test("kNN graph: partial group-limit plan, valid per-anchor ranking, recall vs exact neighbors") {
     import spark.implicits._
     val df = SimilarityOps.knnGraph(spark, sf0001)
-    // per-anchor ranking must come from the bounded TopK aggregator —
-    // a rank window would shuffle every scored candidate pair
+    // per-anchor ranking must keep its map-side bound: the rank window
+    // must plan a PARTIAL WindowGroupLimit under the exchange (k rows
+    // per anchor per partition cross the shuffle). A plain Window with
+    // no partial stage would shuffle every scored candidate pair — the
+    // r11 lesson: so did the typed TopK aggregator in practice, via the
+    // object hash agg's sort-based fallback past 128 groups (375 s vs
+    // 136 s cold at the 100× soak).
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"kNN graph planned a rank window:\n$plan")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"kNN graph lost the partial group limit:\n$plan")
     val rows = df.collect()
     assert(rows.nonEmpty)
     // ranking is well-formed: rn dense from 1, scores non-increasing
