@@ -153,11 +153,17 @@ object SimilarityOps {
   /** (vec_id, table, bucket) rows for multi-table hyperplane LSH —
     * the one definition of the bucket layout shared by every
     * bucket-keyed candidate generator ([[lshAnnTopK]], [[knnGraph]]),
-    * so bucketing changes cannot drift between them. */
-  private def lshBuckets(e: DataFrame, tables: Int, bits: Int): DataFrame =
-    e.select(col("vec_id"), explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), hyperplaneBucket(col("emb"), t, bits).as("bkt"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    * so bucketing changes cannot drift between them. `carry` rides
+    * extra columns through the explode (the knn build carries emb/nrm
+    * so scoring happens inside the bucket self-join's pipeline and no
+    * pair-shaped frame ever needs a payload join). */
+  private def lshBuckets(e: DataFrame, tables: Int, bits: Int,
+                         carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("vec_id") +: carry.map(col)
+    e.select(keep :+ explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), hyperplaneBucket(col("emb"), t, bits).as("bkt"))): _*)).as("tb"): _*)
+      .select(keep ++ Seq(col("tb.t").as("t"), col("tb.bkt").as("bkt")): _*)
+  }
 
   def lshAnnTopK(spark: SparkSession, sfDir: String,
                  tables: Int = 8, bits: Int = 4): DataFrame = {
@@ -200,37 +206,37 @@ object SimilarityOps {
     * from exactly this), drives SemDeDup-style semantic clustering, and
     * feeds diversity-aware sampling. Candidates come from the same
     * multi-table hyperplane-LSH buckets as [[lshAnnTopK]] (a
-    * bucket-keyed SELF-join — never all pairs), deduped across tables
-    * before any payload moves, scored once per surviving pair, and
-    * ranked per anchor by a rank window that Spark plans as
-    * WindowGroupLimit with a PARTIAL stage (pinned by spec): each map
-    * partition keeps only its k best rows per anchor BEFORE the
-    * exchange, so k rows per (anchor, partition) cross the shuffle —
-    * the same bound the typed TopK aggregator gave, minus its
-    * object-aggregation constant. The r11 100× soak measured that
-    * constant as THE build bottleneck: the object hash agg falls back
-    * to sort-based past 128 groups per partition, so the 410 M mirrored
-    * rows paid an object sort at ~µs/row (375 s cold); the
-    * WindowGroupLimit form pays a codegen UnsafeRow sort for the same
-    * bound (136 s cold, same box, same min-of-N discipline — and the
-    * 1-bit Hamming PREFILTER candidate for the same fix measured 3×
-    * SLOWER at 10×/100× local, because the embedding payload joins
-    * broadcast the cached corpus and codegen'd exact scoring is
-    * effectively free: a prefilter can only add a second full-volume
-    * per-anchor selection pass. At true 100 TB, where the corpus joins
-    * are bucketed lookups instead of broadcasts, an 8-byte-code
-    * Hamming tier before the payload join becomes attractive again —
-    * that variant lives in [[binaryHammingTopK]] and would slot in as
-    * a candidate filter if the payload join ever dominates).
+    * bucket-keyed SELF-join — never all pairs), scored inside the
+    * self-join's own pipeline, and ranked in two exact phases:
+    * per-bucket top-k (a PARTIAL WindowGroupLimit in the join's own
+    * stage — the full pair volume meets only a local sort, spec-pinned;
+    * at most k rows per (bucket, anchor, partition) reach any
+    * exchange), then a cross-table merge over the ≤ tables·k survivors
+    * per anchor. See the in-body comment for the exactness argument.
+    *
+    * How it got this shape (r11, all measured — three generations in
+    * one round): (1) the typed TopK aggregator was the 375 s/100×
+    * bottleneck — ObjectHashAggregate falls back to SORT-BASED past
+    * 128 groups per partition, an object sort of all 410 M mirrored
+    * pairs; (2) the prescribed 1-bit Hamming prefilter measured 3×
+    * SLOWER — codegen'd exact scoring is effectively free, so a
+    * prefilter only adds a second full-volume selection pass; (3) a
+    * pooled rank window with WindowGroupLimit(Partial) cut 375 → 136 s
+    * but still paid a 205 M-row distinct, a 205 M-row persist, and
+    * payload joins that stop broadcasting once the corpus outgrows
+    * 10 MB; the two-phase form deletes all three (the only remaining
+    * pair-volume operation is phase 1's local sort).
     *
     * Scale: candidate volume is Σ_buckets |b|² per table; `bits` is the
     * knob that keeps expected bucket size constant as the corpus grows,
-    * and it is now AUTO-SIZED by [[autoBits]] (bits ≈ log₂(N / target
-    * bucket), floor 4) rather than documented — the r10 cold scale soak
-    * measured the fixed-width build super-linear and the sized build
-    * ~linear. Hot buckets are the usual AQE-skew story. The payload join ships one 64-double embedding per
-    * pair side; at 100 TB the vector table is bucketed on vec_id so
-    * both payload joins co-locate. */
+    * AUTO-SIZED by [[autoBits]] (bits ≈ log₂(N / target bucket), floor
+    * 4) — the r10 cold scale soak measured the fixed-width build
+    * super-linear and the sized build ~linear. Hot buckets are the
+    * usual AQE-skew story. At 100 TB the widened bucket explode is the
+    * one corpus-proportional exchange (corpus × tables rows, one
+    * embedding each — the same bytes a bucketed-table co-located join
+    * would move), and every later exchange carries ≤ N·tables·k
+    * survivor rows. */
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = 4,
                tables: Int = 8, bits: Int = 0): DataFrame = {
     val e = vecs(spark, sfDir)
@@ -261,42 +267,63 @@ object SimilarityOps {
     // construction. Costs one narrow bucket-count agg + join on the
     // bucket-explode frame.
     val cap = 256L
-    val eb0 = lshBuckets(e, tables, useBits)
+    val eb0 = lshBuckets(e, tables, useBits, carry = Seq("emb", "nrm"))
+    // bn reads only (t, bkt) — column pruning keeps the count narrow
     val bn = eb0.groupBy("t", "bkt").agg(count(lit(1)).as("bn"))
-    val eb = eb0.join(bn, Seq("t", "bkt"))
+    val eb = eb0.join(broadcast(bn), Seq("t", "bkt"))
       .withColumn("sub", pmod(xxhash64(col("vec_id"), col("t")),
         expr(s"(bn + ${cap - 1}) DIV $cap")).cast("int"))
-    // candidates as UNORDERED pairs (a < b): each pair is scored once —
-    // cosine is symmetric and the dot product's fold order is the same
-    // either way, so mirroring the scored row afterward is bit-identical
-    // to scoring both orientations at half the dot products and half
-    // the payload-join volume
-    val cand = eb.select(col("vec_id").as("a_id"), col("t"), col("bkt"), col("sub"))
-      .join(eb.select(col("vec_id").as("b_id"), col("t"), col("bkt"), col("sub")),
+    // TWO-PHASE EXACT TOP-K: phase 1 ranks INSIDE each (table, bucket,
+    // sub-bucket) — both orientations of every within-bucket pair are
+    // scored in the self-join's own pipeline (the embedding payload
+    // rides the bucket explode, so nothing pair-shaped is ever
+    // payload-joined) and a rank window partitioned by
+    // (t, bkt, sub, a_id) keeps each anchor's k best per bucket. The
+    // scale-critical property is the PARTIAL WindowGroupLimit
+    // (spec-pinned): the full pair volume meets only a LOCAL sort +
+    // group limit in the join's own stage, so no more than k rows per
+    // (bucket, anchor, partition) survive into ANY exchange — whether
+    // the planner then needs one depends on the self-join strategy
+    // (broadcast at oracle scales → a survivors-only exchange; SMJ at
+    // soak scales → already clustered by a prefix of the window keys).
+    // Phase 2 merges across tables: dedup the surviving (anchor,
+    // neighbor) pairs (duplicate rows are bit-identical — same fold,
+    // same score) and re-rank per anchor over ≤ tables·k rows each.
+    //
+    // EXACT, not approximate: under the total order (score desc,
+    // b_id asc), a neighbor in an anchor's global top-k outranks all
+    // but at most k-1 candidates globally, hence within every bucket
+    // containing the pair — so it survives phase 1 in each of them,
+    // and phase 2's merge sees every global winner. Results are
+    // bit-identical to ranking over the pooled candidates (the
+    // committed oracles pool; both SFs re-verified).
+    //
+    // Why this shape (r11, measured): the pooled form materialized the
+    // global candidate set — a 205 M-row distinct, a 205 M-row persist,
+    // and two 205 M-row payload joins that stop broadcasting once the
+    // corpus outgrows the 10 MB threshold (104 MB at 200k vectors).
+    // Here the only pair-volume operation left is phase 1's local sort;
+    // everything that crosses an exchange is either the widened bucket
+    // explode (corpus × tables rows) or ≤ N·tables·k survivors.
+    val wb = Window.partitionBy("t", "bkt", "sub", "a_id")
+      .orderBy(col("score").desc, col("b_id"))
+    val local = eb
+      .select(col("vec_id").as("a_id"), col("t"), col("bkt"), col("sub"),
+        col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+      .join(eb.select(col("vec_id").as("b_id"), col("t"), col("bkt"),
+        col("sub"), col("emb").as("b_emb"), col("nrm").as("b_nrm")),
         Seq("t", "bkt", "sub"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val scored = cand
-      .join(e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
-        col("nrm").as("a_nrm")), "a_id")
-      .join(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
-        col("nrm").as("b_nrm")), "b_id")
-      .select(col("a_id"), col("b_id"),
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("t"), col("bkt"), col("sub"), col("a_id"), col("b_id"),
         cosinePre(col("a_emb"), col("a_nrm"), col("b_emb"), col("b_nrm"))
           .as("score"))
-      // persisted: both union branches read the scored pairs — without
-      // it the mirror branch would re-run the scoring subtree and give
-      // back the halving (caller clearCache()s per the similarity-ops
-      // contract)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-anchor top-k as a rank window: `filter(rn <= k)` makes Spark
-    // plan WindowGroupLimit(Partial) UNDER the exchange — the
-    // scale-critical shape (only k rows per anchor per map partition
-    // shuffle; spec-pinned). Ties break (score desc, b_id asc), the
-    // committed oracle's exact ordering.
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("rb") <= k)
+    // phase 2: ties break (score desc, b_id asc) — the committed
+    // oracle's exact ordering
     val w = Window.partitionBy("a_id").orderBy(col("score").desc, col("b_id"))
-    val knn = scored
-      .union(scored.select(col("b_id"), col("a_id"), col("score")))
+    val knn = local.select("a_id", "b_id", "score")
+      .dropDuplicates("a_id", "b_id")
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
     // keep ISOLATED vectors (no shared bucket with anyone): the graph's
