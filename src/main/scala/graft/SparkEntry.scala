@@ -101,6 +101,7 @@ object SparkEntry {
     "art_search_ranked"        -> ((s: SparkSession, d: String) => ArticleOps.searchRanked(s, d)),
     "art_search_ranked_auto"   -> ((s: SparkSession, d: String) => ArticleOps.searchRankedAuto(s, d)),
     "art_search_bm25"          -> ((s: SparkSession, d: String) => ArticleOps.searchBm25(s, d)),
+    "art_search_qlm"           -> ((s: SparkSession, d: String) => ArticleOps.searchQlm(s, d)),
     "art_search_bm25_idx"      -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Indexed(s, d)),
     "art_search_bm25_auto"     -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Auto(s, d)),
     "art_search_phrase"        -> ((s: SparkSession, d: String) => ArticleOps.searchPhrase(s, d)),
@@ -167,6 +168,7 @@ object SparkEntry {
     // --- iterative graph (crawl frontier O8) ---
     "graph_frontier_bfs"       -> ((s: SparkSession, d: String) => GraphOps.frontierBfs(s, d)),
     "graph_pagerank"           -> ((s: SparkSession, d: String) => GraphOps.pageRank(s, d)),
+    "graph_ppr"                -> ((s: SparkSession, d: String) => GraphOps.personalizedPageRank(s, d)),
     "graph_triangles"          -> ((s: SparkSession, d: String) => GraphOps.triangleCounts(s, d)),
     "graph_clustering"         -> GraphOps.clusteringCoefficients _,
     "graph_label_prop"         -> ((s: SparkSession, d: String) => GraphOps.labelPropagation(s, d)),
@@ -249,6 +251,7 @@ object SparkEntry {
     "dd_dup_clusters"          -> DedupOps.dupClusters _,
     "dd_incremental"           -> DedupOps.incrementalDedup _,
     "dd_exact_substr"          -> DedupOps.exactSubstrDedup _,
+    "dd_span_audit"            -> DedupOps.spanAudit _,
     "dd_block_dedup"           -> ((s: SparkSession, d: String) => DedupOps.blockDedup(s, d)),
     "dd_record_linkage"        -> DedupOps.recordLinkage _,
     "dd_linkage_block_sweep"   -> DedupOps.linkageBlockSweep _,
@@ -259,6 +262,7 @@ object SparkEntry {
     // --- similarity search over embeddings (LLM-pipeline EXT) ---
     "sim_brute_topk"           -> SimilarityOps.bruteForceTopK _,
     "sim_hard_negatives"       -> SimilarityOps.hardNegatives _,
+    "sim_mmr_rerank"           -> ((s: SparkSession, d: String) => SimilarityOps.mmrRerank(s, d)),
     "sim_lsh_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.lshAnnTopK(s, d)),
     "sim_ivf_ann"              -> ((s: SparkSession, d: String) => SimilarityOps.ivfAnnTopK(s, d)),
     "sim_recall"               -> SimilarityOps.annRecall _,
@@ -1453,6 +1457,42 @@ object SparkEntry {
     // BM25-style score: identical expression tree both engines — exact
     // integer inputs through +,×,/ and floor only (no ln), so the floored
     // per-term parts and their BIGINT sum hash-match bitwise
+    // Dirichlet query-likelihood: the qlog2 sixteenth-bit integer log
+    // (see txt_entropy) over the C-multiplied smoothed ratio — both
+    // engines evaluate the identical pure-integer tree
+    "art_search_qlm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS ctot FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+        |cfreq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+        |cand AS (SELECT DISTINCT doc_id FROM tf),
+        |x AS (
+        |  SELECT cand.doc_id,
+        |    COALESCE(tf.tf, 0) * ctot + 2000 * cfreq.cf AS num,
+        |    ctot * (dl.dl + 2000) AS den
+        |  FROM cand CROSS JOIN cfreq
+        |  LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cfreq.term
+        |  JOIN dl ON dl.doc_id = cand.doc_id
+        |  CROSS JOIN stats),
+        |p AS (
+        |  SELECT doc_id,
+        |    (16 * (LENGTH(bin(num)) - 1)
+        |      + ((num - CAST(2 ** (LENGTH(bin(num)) - 1) AS BIGINT)) * 16)
+        |        // CAST(2 ** (LENGTH(bin(num)) - 1) AS BIGINT))
+        |    - (16 * (LENGTH(bin(den)) - 1)
+        |      + ((den - CAST(2 ** (LENGTH(bin(den)) - 1) AS BIGINT)) * 16)
+        |        // CAST(2 ** (LENGTH(bin(den)) - 1) AS BIGINT)) AS part
+        |  FROM x),
+        |scores AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, d.source, s.score
+        |FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+        |ORDER BY s.score DESC, d.doc_id""".stripMargin,
     "art_search_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -2569,6 +2609,46 @@ object SparkEntry {
     // integer-scaled PageRank, 3 unrolled power iterations: ranks ×1e6,
     // contribution = rank // outdeg, damping = 150000 + (85·Σ) // 100 —
     // all-BIGINT floor arithmetic, identical in both engines
+    // personalized PageRank: same integer iteration as graph_pagerank,
+    // rank mass started at and teleported to the doc_id mod-97 seeds
+    "graph_ppr" ->
+      """WITH nodes AS (SELECT doc_id AS node, doc_id % 97 = 0 AS is_seed FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 3) % n FROM documents CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 3 + 5) % n FROM documents CROSS JOIN nn
+        |  WHERE doc_id % 2 = 0),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |it0 AS (SELECT node, is_seed,
+        |  CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT) AS pr FROM nodes),
+        |it1 AS (
+        |  SELECT n1.node, n1.is_seed,
+        |    CAST(CASE WHEN n1.is_seed THEN 150000 ELSE 0 END
+        |      + (85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n1 LEFT JOIN (
+        |    SELECT e.dst, SUM(p.pr // d.outdeg) AS cs
+        |    FROM edges e JOIN deg d ON e.src = d.src JOIN it0 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.dst = n1.node),
+        |it2 AS (
+        |  SELECT n1.node, n1.is_seed,
+        |    CAST(CASE WHEN n1.is_seed THEN 150000 ELSE 0 END
+        |      + (85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n1 LEFT JOIN (
+        |    SELECT e.dst, SUM(p.pr // d.outdeg) AS cs
+        |    FROM edges e JOIN deg d ON e.src = d.src JOIN it1 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.dst = n1.node),
+        |it3 AS (
+        |  SELECT n1.node, n1.is_seed,
+        |    CAST(CASE WHEN n1.is_seed THEN 150000 ELSE 0 END
+        |      + (85 * COALESCE(s.cs, 0)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n1 LEFT JOIN (
+        |    SELECT e.dst, SUM(p.pr // d.outdeg) AS cs
+        |    FROM edges e JOIN deg d ON e.src = d.src JOIN it2 p ON p.node = e.src
+        |    GROUP BY e.dst) s ON s.dst = n1.node)
+        |SELECT node, pr FROM it3 ORDER BY node""".stripMargin,
     "graph_pagerank" ->
       """WITH nodes AS (SELECT doc_id AS node FROM documents),
         |nn AS (SELECT COUNT(*) AS n FROM documents),
@@ -4339,6 +4419,51 @@ object SparkEntry {
         |LEFT JOIN shared ON shared.src_a = sa.source AND shared.src_b = sb.source
         |WHERE sa.source <> sb.source
         |ORDER BY src_a, src_b""".stripMargin,
+    // same corpus/gram/first-occurrence CTEs as dd_exact_substr (the
+    // audit is defined over the exact removable set that pass cuts),
+    // then gaps-and-islands over removable positions per doc
+    "dd_span_audit" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, source, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM corpus),
+        |w2 AS (
+        |  SELECT doc_id, w,
+        |    list_transform(w, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(x, ''), c -> ascii(c))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)) AS whs
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, u.p AS gpos, u.g AS gh FROM (
+        |    SELECT doc_id, unnest([{'p': i, 'g': list_reduce(list_slice(whs, i, i + 7),
+        |        (a, b) -> (a * 31 + b) % 1000000000000000)}
+        |      for i in range(1, len(whs) - 6)]) AS u
+        |    FROM w2 WHERE len(whs) >= 8)),
+        |gs AS (
+        |  SELECT doc_id, gpos,
+        |    COUNT(*) OVER (PARTITION BY gh) AS cnt,
+        |    MIN(doc_id * 1000000000 + gpos) OVER (PARTITION BY gh) AS firstk
+        |  FROM g),
+        |rmv AS (
+        |  SELECT doc_id, gpos FROM gs
+        |  WHERE cnt >= 2 AND doc_id * 1000000000 + gpos <> firstk),
+        |isl AS (
+        |  SELECT doc_id,
+        |    gpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY gpos) AS isl
+        |  FROM rmv),
+        |runs AS (
+        |  SELECT doc_id, COUNT(*) + 7 AS span_words
+        |  FROM isl GROUP BY doc_id, isl)
+        |SELECT span_words,
+        |  COUNT(*) AS n_runs,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM runs GROUP BY span_words ORDER BY span_words""".stripMargin,
     "dd_exact_substr" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents
@@ -5287,6 +5412,56 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // MMR: integer 7*rel - 3*maxsim objective over the top-20 pool,
+    // greedy unrolled to k=5 (the Spark side runs the same greedy over
+    // the collected bounded model)
+    "sim_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(emb)+1),
+        |    i -> emb[i] * emb[i])), (x, y) -> x + y)) AS nrm FROM e),
+        |q AS (SELECT emb AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0),
+        |rl AS (
+        |  SELECT vec_id,
+        |    CAST(floor(1000000.0 * (list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, len(q_emb)+1), i -> q_emb[i] * emb[i])),
+        |      (x, y) -> x + y) / (q_nrm * nrm))) AS BIGINT) AS rel
+        |  FROM n, q WHERE vec_id <> 0),
+        |pool AS (SELECT vec_id, rel FROM rl ORDER BY rel DESC, vec_id LIMIT 20),
+        |pe AS (SELECT p.vec_id, p.rel, n.emb, n.nrm FROM pool p JOIN n USING (vec_id)),
+        |sims AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    CAST(floor(1000000.0 * (list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, len(a.emb)+1), i -> a.emb[i] * b.emb[i])),
+        |      (x, y) -> x + y) / (a.nrm * b.nrm))) AS BIGINT) AS s
+        |  FROM pe a, pe b WHERE a.vec_id <> b.vec_id),
+        |s1 AS (SELECT vec_id, 7 * rel AS obj FROM pool ORDER BY 7 * rel DESC, vec_id LIMIT 1),
+        |r2 AS (SELECT p.vec_id,
+        |    7 * p.rel - 3 * (SELECT MAX(s) FROM sims, s1 WHERE a = p.vec_id AND b = s1.vec_id) AS obj
+        |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM s1)),
+        |s2 AS (SELECT vec_id, obj FROM r2 ORDER BY obj DESC, vec_id LIMIT 1),
+        |sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+        |r3 AS (SELECT p.vec_id,
+        |    7 * p.rel - 3 * (SELECT MAX(s) FROM sims WHERE a = p.vec_id AND b IN (SELECT vec_id FROM sel2)) AS obj
+        |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel2)),
+        |s3 AS (SELECT vec_id, obj FROM r3 ORDER BY obj DESC, vec_id LIMIT 1),
+        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+        |r4 AS (SELECT p.vec_id,
+        |    7 * p.rel - 3 * (SELECT MAX(s) FROM sims WHERE a = p.vec_id AND b IN (SELECT vec_id FROM sel3)) AS obj
+        |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel3)),
+        |s4 AS (SELECT vec_id, obj FROM r4 ORDER BY obj DESC, vec_id LIMIT 1),
+        |sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+        |r5 AS (SELECT p.vec_id,
+        |    7 * p.rel - 3 * (SELECT MAX(s) FROM sims WHERE a = p.vec_id AND b IN (SELECT vec_id FROM sel4)) AS obj
+        |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel4)),
+        |s5 AS (SELECT vec_id, obj FROM r5 ORDER BY obj DESC, vec_id LIMIT 1)
+        |SELECT CAST(rank AS BIGINT) AS rank, vec_id, obj AS mmr_obj FROM (
+        |  SELECT 1 AS rank, vec_id, obj FROM s1
+        |  UNION ALL SELECT 2, vec_id, obj FROM s2
+        |  UNION ALL SELECT 3, vec_id, obj FROM s3
+        |  UNION ALL SELECT 4, vec_id, obj FROM s4
+        |  UNION ALL SELECT 5, vec_id, obj FROM s5)
+        |ORDER BY rank""".stripMargin,
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),

@@ -554,6 +554,62 @@ object ArticleOps {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Query-likelihood ranked search with Dirichlet smoothing (Zhai &
+    * Lafferty 2001, "A Study of Smoothing Methods for Language Models
+    * Applied to Ad Hoc Information Retrieval" — public): the language-
+    * modeling alternative to [[searchBm25]]'s probabilistic ranking.
+    * Each document is scored by the log-likelihood of the query under
+    * the document's smoothed unigram LM,
+    *
+    *   score(d) = Σ_q log P(q|d),
+    *   P(q|d)   = (tf + μ·cf_q/C) / (dl + μ)
+    *
+    * with μ = 2000, cf_q the term's COLLECTION frequency and C the
+    * total token count — every query term contributes (tf = 0 falls
+    * back to the collection prior), which is what distinguishes QL
+    * from tf·idf sums. In exact integer arithmetic: multiply P(q|d)
+    * through by C to get the integer ratio (tf·C + μ·cf_q)/(C·(dl+μ)),
+    * and take logs as the quantized sixteenth-bit [[TextOps.qlog2]] —
+    * no transcendental is evaluated, so scores hash-match bitwise
+    * across engines (the same discipline as the entropy/Zipf family;
+    * qlog2 is exact while its argument < 2⁵², so at ≥ ~10¹³ corpus
+    * tokens rescale cf/C to parts-per-billion first — plan unchanged).
+    *
+    * Shuffle shape mirrors [[searchBm25]]: one doc_id agg for lengths
+    * (stats fall out of it as a 1-row broadcast), one narrow
+    * (doc_id, term) agg for tf, cf folded out of tf by a second
+    * term-keyed agg over ≤|query| rows, and the score join back. */
+  def searchQlm(spark: SparkSession, sfDir: String,
+                keywords: Seq[String] = Seq("spark", "merge"),
+                mu: Long = 2000L): DataFrame = {
+    val kws = keywords.map(_.toLowerCase)
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("ctot"))
+    val tf = toks.filter(col("term").isin(kws: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // collection frequency folds out of tf (cf = Σ_d tf) — no third
+    // tokenize pass; a query term absent from the corpus drops out of
+    // cf and so contributes nothing, on both engines
+    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val cand = tf.select("doc_id").distinct()
+    val scores = cand.crossJoin(broadcast(cf)) // |query| rows per doc
+      .join(tf, Seq("doc_id", "term"), "left")
+      .withColumn("tf0", coalesce(col("tf"), lit(0L)))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // 1-row totals
+      .select(col("doc_id"),
+        (TextOps.qlog2(col("tf0") * col("ctot") + lit(mu) * col("cf")) -
+          TextOps.qlog2(col("ctot") * (col("dl") + lit(mu)))).as("part"))
+      .groupBy("doc_id").agg(sum(col("part")).as("score"))
+    docs(spark, sfDir)
+      .join(scores, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** [[searchBm25]] with the index registered — the TRANSPARENT form:
     * the query is the SAME scan spelling, and TextIndexRewrite folds
     * both tokenize subtrees into the postings (the dl aggregate becomes

@@ -1225,6 +1225,56 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span RUN-LENGTH AUDIT — the read-only advisor a corpus
+    * owner runs BEFORE the destructive [[exactSubstrDedup]] pass: how
+    * much text would the span dedup cut, and in runs of what length?
+    * A removable position is a word-8-gram occurrence that is not the
+    * global first occurrence of its gram (the exact set the dedup pass
+    * cuts); consecutive removable positions within a document form a
+    * RUN (gaps-and-islands), and a run of g grams covers g+7 words.
+    * Output is the corpus-level run-length histogram: for each span
+    * width, how many runs exist and how many documents carry one —
+    * short-span mass is shared boilerplate, long-span mass is
+    * wholesale copying (the memorization-risk signal of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models
+    * Better" — public), and the two call for different pipeline
+    * responses (span surgery vs document removal).
+    *
+    * Scale shape: identical to [[exactSubstrDedup]] up to the removable
+    * set — grams travel as 8-byte polynomial hashes, ONE wide exchange
+    * (the per-gram count/first window). The audit then adds one narrow
+    * (doc_id, gpos) window for the island ids and two bounded
+    * aggregates; the corpus text itself never crosses an exchange, and
+    * the histogram output is O(max span width) rows at any corpus
+    * size. Run on the seeded [[corpus]] so planted exact copies show
+    * up as full-document-width runs at every scale factor. */
+  def spanAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 8
+    val grams = corpus(spark, sfDir).select(col("doc_id"),
+        posexplode(expr("shinglek_hashes(word_poly_hashes(lower(text)), 8)")))
+      .select(col("doc_id"), (col("pos") + 1).as("gpos"), col("col").as("gh"))
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val removable = grams
+      .withColumn("okey", col("doc_id") * lit(1000000000L) + col("gpos"))
+      .withColumn("cnt", count(lit(1)).over(wGram))
+      .withColumn("firstk", min(col("okey")).over(wGram))
+      .filter(col("cnt") >= 2 && col("okey") =!= col("firstk"))
+      .select("doc_id", "gpos")
+    // gaps-and-islands: consecutive gpos share (gpos - row_number) —
+    // the island window runs over removable rows only, a small
+    // fraction of the gram volume
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("gpos")
+    removable
+      .withColumn("isl", col("gpos") - row_number().over(wDoc))
+      .groupBy("doc_id", "isl").agg(count(lit(1)).as("run_grams"))
+      .select(col("doc_id"), (col("run_grams") + (n - 1)).as("span_words"))
+      .groupBy("span_words")
+      .agg(count(lit(1)).as("n_runs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("span_words")
+  }
+
   /** Blocked fuzzy RECORD LINKAGE (entity resolution, Newcombe 1959 /
     * Fellegi–Sunter tradition — public): match a "dirty" feed of
     * customer names back to the master table. The dirty feed is

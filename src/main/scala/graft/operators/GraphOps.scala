@@ -126,6 +126,70 @@ object GraphOps {
     (r.orderBy("node"), rounds)
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002, "Topic-Sensitive
+    * PageRank" — public): the rank mass teleports to a SEED set
+    * instead of uniformly, so scores measure proximity to the seeds —
+    * the engine behind "more like these" corpus expansion (seed a few
+    * curated documents, harvest the high-PPR neighborhood) and
+    * link-graph spam/quality propagation. Same exact-integer power
+    * iteration as [[pageRankOf]] (ranks ×1e6, contribution
+    * `pr DIV outdeg`, damping 85/100 in floor division) with two
+    * changes: rank starts AT the seeds (1e6 each, 0 elsewhere) and the
+    * 150000 teleport term is paid only to seeds. Non-seed mass can
+    * legitimately be 0 (unreached in `iters` hops) — floor division
+    * never manufactures mass, so reachability is exact.
+    *
+    * Scale shape: identical to [[pageRankOf]] — the seed flag is one
+    * boolean riding the checkpointed node state; per round one
+    * key-partitioned join + agg over edges. Seeds here are the
+    * deterministic doc_id % 97 == 0 slice (both engines derive the
+    * same set at any scale factor). */
+  def personalizedPageRank(spark: SparkSession, sfDir: String,
+                           iters: Int = 3): DataFrame =
+    pprOf(
+      Tables.documents(spark, sfDir).select(col("doc_id").as("node"),
+        (col("doc_id") % 97 === 0).as("is_seed")),
+      rankEdges(spark, sfDir), iters)._1
+
+  /** Injectable form of [[personalizedPageRank]]: (node, is_seed)
+    * list + (src, dst) edges. Convergence discipline is
+    * [[pageRankOf]]'s — integer delta-sum observed per round, early
+    * stop only at the exact fixpoint. */
+  def pprOf(nodesDf: DataFrame, edgesDf: DataFrame,
+            iters: Int = 3): (DataFrame, Int) = {
+    val nodes = nodesDf.select(col("node"), col("is_seed"))
+      .repartition(col("node")).localCheckpoint()
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val ej = edgesDf.select("src", "dst")
+      .withColumn("outdeg", count(lit(1)).over(wSrc))
+      .localCheckpoint()
+    var r = nodes.select(col("node"), col("is_seed"),
+      when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)).as("pr"))
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
+      rounds += 1
+      val obs = org.apache.spark.sql.Observation(s"ppr_round_$rounds")
+      val contrib = ej.join(r, ej("src") === r("node"))
+        .select(col("dst"), expr("pr DIV outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      val next = r.select(col("node"), col("is_seed"), col("pr").as("pr_old"))
+        .join(contrib, col("node") === contrib("dst"), "left")
+        .select(col("node"), col("is_seed"), col("pr_old"),
+          (when(col("is_seed"), lit(150000L)).otherwise(lit(0L)) +
+            expr("CAST((85 * coalesce(cs, 0)) DIV 100 AS BIGINT)")).as("pr"))
+        .observe(obs, coalesce(
+          sum(abs(col("pr") - col("pr_old")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("delta"))
+        .select(col("node"), col("is_seed"), col("pr"))
+        .localCheckpoint()
+      converged = obs.get("delta").asInstanceOf[java.math.BigDecimal]
+        .signum == 0
+      r = next
+    }
+    (r.select(col("node"), col("pr")).orderBy("node"), rounds)
+  }
+
   /** Deterministic synthetic graph WITH triangles for [[triangleCounts]]:
     * within each block of 4 consecutive ids, doc i links to i+1 (unless
     * i%4 == 3) and to i+2 (when i%4 < 2) — every full block contributes

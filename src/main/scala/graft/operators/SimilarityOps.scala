@@ -137,6 +137,74 @@ object SimilarityOps {
       col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    * "The Use of MMR, Diversity-Based Reranking..." — public): the
+    * diversity pass a retrieval pipeline runs AFTER top-k — greedily
+    * pick results that are relevant to the query but NOT redundant with
+    * what is already picked,
+    *
+    *   next = argmax_c  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+    *
+    * with λ = 0.7 over a `pool`-sized candidate set (the standard
+    * two-stage shape: a cheap wide retrieval, then an O(k·pool)
+    * quadratic refinement that would be unaffordable corpus-wide and
+    * is trivial over a bounded pool). Scores are floor(1e6·cosine)
+    * BIGINTs and the objective is the ×10-scaled integer 7·rel −
+    * 3·maxsim, so the greedy argmax (ties → min vec_id) is bit-exact
+    * across engines.
+    *
+    * Scale shape: the corpus is touched ONCE — a broadcast-query
+    * cosine scan into a global top-`pool` (TakeOrderedAndProject:
+    * per-partition top-k, merge on the driver). Everything after is a
+    * bounded MODEL, not data: ≤ pool relevance rows and ≤ pool² pair
+    * sims (20 → 380) collect to the driver — the same codebook
+    * contract as the Markov attribution matrix — and the greedy is
+    * driver-local integer arithmetic emitting k rows. At 100 TB only
+    * the first-stage scan grows; the refinement stays 400 tiny rows. */
+  def mmrRerank(spark: SparkSession, sfDir: String,
+                k: Int = 5, pool: Int = 20): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val p = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        floor(lit(1000000.0) *
+          cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")))
+          .cast("long").as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(pool)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = p.select(col("vec_id").as("a"), col("emb").as("ea"),
+      col("nrm").as("na"))
+    val b = p.select(col("vec_id").as("b"), col("emb").as("eb"),
+      col("nrm").as("nb"))
+    val sims = a.join(broadcast(b), col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        floor(lit(1000000.0) *
+          cosinePre(col("ea"), col("na"), col("eb"), col("nb")))
+          .cast("long").as("s"))
+    // bounded-model collects: ≤ pool rows + ≤ pool·(pool−1) sim rows
+    val rel = p.select("vec_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sim = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    p.unpersist()
+    var selected = Vector.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var remaining = rel.keySet
+    for (step <- 1 to math.min(k, rel.size)) {
+      val (obj, c) = remaining.map { c =>
+        val ms = if (selected.isEmpty) 0L
+                 else selected.map(s => sim((c, s))).max
+        (7L * rel(c) - 3L * ms, c)
+      }.minBy { case (o, c) => (-o, c) }
+      selected :+= c
+      remaining -= c
+      out += ((step.toLong, c, obj))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", "vec_id", "mmr_obj").orderBy("rank")
+  }
+
   /** Approximate top-10 via MULTI-TABLE hyperplane LSH (the standard
     * recall dial for top-k ANN): `tables` independent hash tables of
     * `bits` sign bits each; candidates are vectors sharing ANY table's

@@ -4344,6 +4344,107 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("rendezvous") < rows("mod") / 4)
   }
 
+  test("span audit tiles exactly the words exactSubstrDedup removes") {
+    val audit = DedupOps.spanAudit(spark, sf0001).collect()
+    // every run is >= one full gram wide
+    assert(audit.nonEmpty)
+    assert(audit.forall(_.getAs[Long]("span_words") >= 8L))
+    assert(audit.forall { r =>
+      r.getAs[Long]("n_docs") >= 1L &&
+        r.getAs[Long]("n_docs") <= r.getAs[Long]("n_runs") })
+    // runs are maximal and disjoint, so Σ span_words·n_runs over the
+    // histogram must equal Σ (n_words − n_kept) over the destructive
+    // pass — the audit predicts the dedup's cut volume EXACTLY
+    val predicted = audit
+      .map(r => r.getAs[Long]("span_words") * r.getAs[Long]("n_runs")).sum
+    val cut = DedupOps.exactSubstrDedup(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("n_words") - r.getAs[Long]("n_kept")).sum
+    assert(predicted == cut, s"audit predicts $predicted words, pass cuts $cut")
+  }
+
+  test("QLM search: scores match an independent driver-side rederivation") {
+    val got = ArticleOps.searchQlm(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    // independent model: tokenize in Scala, qlog2 in BigInt-free Long
+    // arithmetic (same sixteenth-bit quantization)
+    def qlog2(x: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      16L * e + ((x - (1L << e)) * 16) / (1L << e)
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split(" ").filter(_.nonEmpty))
+    val ctot = docs.map(_._2.length.toLong).sum
+    val kws = Seq("spark", "merge")
+    val cf = kws.map(k => k -> docs.map(_._2.count(_ == k).toLong).sum).toMap
+    val mu = 2000L
+    val expected = docs.flatMap { case (id, ws) =>
+      val tfs = kws.map(k => k -> ws.count(_ == k).toLong).toMap
+      if (tfs.values.sum == 0) None
+      else Some(id -> kws.filter(cf(_) > 0).map { k =>
+        qlog2(tfs(k) * ctot + mu * cf(k)) - qlog2(ctot * (ws.length + mu))
+      }.sum)
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("MMR rerank: matches an independent greedy over the same pool; rank 1 is the pure-relevance argmax") {
+    val got = SimilarityOps.mmrRerank(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("mmr_obj")))
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    assert(got.map(_._2).distinct.length == 5)
+    // independent model: sequential-fold cosine in Scala (same order as
+    // dot_double), floor(1e6·cos), top-20 pool, greedy 7·rel − 3·maxsim
+    val e = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val q = e(0L)
+    val rel = e.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> math.floor(1e6 * cos(q, v)).toLong }
+    val pool = rel.sortBy { case (id, r) => (-r, id) }.take(20).toMap
+    var selected = Vector.empty[Long]
+    val model = (1 to 5).map { step =>
+      val (obj, c) = (pool.keySet -- selected).map { c =>
+        val ms = if (selected.isEmpty) 0L
+                 else selected.map(s =>
+                   math.floor(1e6 * cos(e(c), e(s))).toLong).max
+        (7L * pool(c) - 3L * ms, c)
+      }.minBy { case (o, c) => (-o, c) }
+      selected :+= c
+      (step.toLong, c, obj)
+    }
+    assert(got.toSeq == model)
+    // rank 1 is the relevance argmax by construction (empty penalty)
+    assert(got.head._2 == rel.minBy { case (id, r) => (-r, id) }._1)
+  }
+
+  test("personalized PageRank: mass stays within 3 hops of the seed set; seeds keep the teleport floor") {
+    val pr = GraphOps.personalizedPageRank(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    val edges = GraphOps.rankEdges(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("src") -> r.getAs[Long]("dst"))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val seeds = pr.keySet.filter(_ % 97 == 0)
+    assert(seeds.nonEmpty)
+    // reachable-in-<=3-hops frontier from the seeds
+    var reach = seeds
+    for (_ <- 1 to 3)
+      reach = reach ++ reach.flatMap(n => adj.getOrElse(n, Set.empty))
+    assert(pr.filter(_._2 > 0L).keySet.subsetOf(reach))
+    assert(seeds.forall(s => pr(s) >= 150000L))
+    // non-seed nodes outside the frontier hold exactly zero mass
+    assert((pr.keySet -- reach).forall(n => pr(n) == 0L))
+  }
+
   test("l-diversity: one row per QI group, sensitive cardinality within bounds") {
     val rows = TextOps.lDiversity(spark, sf0001).collect()
     val nGroups = Tables.documents(spark, sf0001)
