@@ -102,6 +102,7 @@ object SparkEntry {
     "art_search_ranked_auto"   -> ((s: SparkSession, d: String) => ArticleOps.searchRankedAuto(s, d)),
     "art_search_bm25"          -> ((s: SparkSession, d: String) => ArticleOps.searchBm25(s, d)),
     "art_search_qlm"           -> ((s: SparkSession, d: String) => ArticleOps.searchQlm(s, d)),
+    "art_search_qlm_idx"       -> ((s: SparkSession, d: String) => ArticleOps.searchQlmIndexed(s, d)),
     "art_search_bm25_idx"      -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Indexed(s, d)),
     "art_search_bm25_auto"     -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Auto(s, d)),
     "art_search_phrase"        -> ((s: SparkSession, d: String) => ArticleOps.searchPhrase(s, d)),
@@ -292,6 +293,7 @@ object SparkEntry {
     // --- multimodal binary plumbing (LLM-pipeline EXT; decode stubbed) ---
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
     "mm_patchify"              -> MultimodalOps.patchify _,
+    "mm_dhash_pairs"           -> ((s: SparkSession, d: String) => MultimodalOps.dhashPairs(s, d)),
     "mm_gif_header"            -> MultimodalOps.gifHeaderDecode _,
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
     "mm_png_ihdr"              -> MultimodalOps.pngIhdrDecode _,
@@ -1461,6 +1463,40 @@ object SparkEntry {
     // (see txt_entropy) over the C-multiplied smoothed ratio — both
     // engines evaluate the identical pure-integer tree
     "art_search_qlm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS ctot FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+        |cfreq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+        |cand AS (SELECT DISTINCT doc_id FROM tf),
+        |x AS (
+        |  SELECT cand.doc_id,
+        |    COALESCE(tf.tf, 0) * ctot + 2000 * cfreq.cf AS num,
+        |    ctot * (dl.dl + 2000) AS den
+        |  FROM cand CROSS JOIN cfreq
+        |  LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cfreq.term
+        |  JOIN dl ON dl.doc_id = cand.doc_id
+        |  CROSS JOIN stats),
+        |p AS (
+        |  SELECT doc_id,
+        |    (16 * (LENGTH(bin(num)) - 1)
+        |      + ((num - CAST(2 ** (LENGTH(bin(num)) - 1) AS BIGINT)) * 16)
+        |        // CAST(2 ** (LENGTH(bin(num)) - 1) AS BIGINT))
+        |    - (16 * (LENGTH(bin(den)) - 1)
+        |      + ((den - CAST(2 ** (LENGTH(bin(den)) - 1) AS BIGINT)) * 16)
+        |        // CAST(2 ** (LENGTH(bin(den)) - 1) AS BIGINT)) AS part
+        |  FROM x),
+        |scores AS (SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, d.source, s.score
+        |FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+        |ORDER BY s.score DESC, d.doc_id""".stripMargin,
+    // identical semantics served off the materialized postings index
+    "art_search_qlm_idx" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |  FROM documents),
@@ -7001,6 +7037,37 @@ object SparkEntry {
         |  CAST(n - 13 AS BIGINT) AS n_body_bytes
         |FROM hx ORDER BY doc_id""".stripMargin,
     // 2D patchify: 4x4 tiles over the 16-byte-wide grid; strided gathers
+    // perceptual dHash near-dup: 56-bit neighbor-comparison signature
+    // over 64 proportionally-sampled payload bytes, 4x14-bit banding,
+    // hamming verify — planted exact copies land at hamming 0
+    "mm_dhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 56), b ->
+        |        CASE WHEN ascii(substring(text,
+        |            CAST((((((b // 7) * 8 + (b % 7)) * 2 + 1) * length(text)) // 128 + 1) AS INT), 1))
+        |          < ascii(substring(text,
+        |            CAST((((((b // 7) * 8 + (b % 7) + 1) * 2 + 1) * length(text)) // 128 + 1) AS INT), 1))
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, x) -> a + x) AS dhash
+        |  FROM corpus),
+        |bnd AS (
+        |  SELECT doc_id, dhash, band, (dhash >> (band * 14)) & 16383 AS bv
+        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    a.dhash AS ha, b2.dhash AS hb
+        |  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.bv = b2.bv
+        |    AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY doc_a, doc_b""".stripMargin,
     "mm_patchify" ->
       """WITH v AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes

@@ -579,6 +579,34 @@ object ArticleOps {
     * (stats fall out of it as a 1-row broadcast), one narrow
     * (doc_id, term) agg for tf, cf folded out of tf by a second
     * term-keyed agg over ≤|query| rows, and the score join back. */
+  /** The QLM per-(doc, term) sixteenth-bit part — ONE expression tree
+    * shared by the scan and indexed forms (the [[bm25Part]] pattern:
+    * bitwise equality between forms is structural, not a convention). */
+  private[operators] def qlmPart(tf0: Column, cf: Column, dl: Column,
+                                 ctot: Column, mu: Long): Column =
+    TextOps.qlog2(tf0 * ctot + lit(mu) * cf) -
+      TextOps.qlog2(ctot * (dl + lit(mu)))
+
+  /** Shared QLM scoring tail over (doc_id, term, tf) rows + per-doc
+    * lengths: candidates × query-term grid (tf coalesced to 0 — the
+    * collection-prior contribution), one part per cell, summed. */
+  private def qlmScores(tf: DataFrame, dl: DataFrame, mu: Long): DataFrame = {
+    val stats = dl.agg(sum(col("dl")).as("ctot"))
+    // collection frequency folds out of tf (cf = Σ_d tf) — no third
+    // pass over the corpus or the postings; a query term absent from
+    // the corpus drops out of cf and contributes nothing, both engines
+    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+    tf.select("doc_id").distinct()
+      .crossJoin(broadcast(cf)) // |query| rows per doc
+      .join(tf, Seq("doc_id", "term"), "left")
+      .withColumn("tf0", coalesce(col("tf"), lit(0L)))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // 1-row totals
+      .select(col("doc_id"),
+        qlmPart(col("tf0"), col("cf"), col("dl"), col("ctot"), mu).as("part"))
+      .groupBy("doc_id").agg(sum(col("part")).as("score"))
+  }
+
   def searchQlm(spark: SparkSession, sfDir: String,
                 keywords: Seq[String] = Seq("spark", "merge"),
                 mu: Long = 2000L): DataFrame = {
@@ -587,25 +615,31 @@ object ArticleOps {
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(sum(col("dl")).as("ctot"))
     val tf = toks.filter(col("term").isin(kws: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // collection frequency folds out of tf (cf = Σ_d tf) — no third
-    // tokenize pass; a query term absent from the corpus drops out of
-    // cf and so contributes nothing, on both engines
-    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
-    val cand = tf.select("doc_id").distinct()
-    val scores = cand.crossJoin(broadcast(cf)) // |query| rows per doc
-      .join(tf, Seq("doc_id", "term"), "left")
-      .withColumn("tf0", coalesce(col("tf"), lit(0L)))
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats)) // 1-row totals
-      .select(col("doc_id"),
-        (TextOps.qlog2(col("tf0") * col("ctot") + lit(mu) * col("cf")) -
-          TextOps.qlog2(col("ctot") * (col("dl") + lit(mu)))).as("part"))
-      .groupBy("doc_id").agg(sum(col("part")).as("score"))
     docs(spark, sfDir)
-      .join(scores, "doc_id")
+      .join(qlmScores(tf, dl, mu), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** [[searchQlm]] served off the MATERIALIZED postings index — zero
+    * query-time tokenization: tf rows are the term-pruned postings, dl
+    * is SUM(tf) over each doc's postings (identical by construction to
+    * the scan's token count), ctot and cf fold out of those. Bitwise
+    * equal to the scan form via the shared [[qlmPart]] tree over the
+    * same exact-integer inputs. */
+  def searchQlmIndexed(spark: SparkSession, sfDir: String,
+                       keywords: Seq[String] = Seq("spark", "merge"),
+                       mu: Long = 2000L): DataFrame = {
+    val kws = keywords.map(_.toLowerCase)
+    val idxPath = graft.plans.TextIndexCatalog.ensureIndex(spark, sfDir)
+    val post = spark.read.parquet(idxPath)
+    val dl = post.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val tf = post.filter(col("term").isin(kws: _*))
+      .select("doc_id", "term", "tf")
+    docs(spark, sfDir)
+      .join(qlmScores(tf, dl, mu), "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
   }

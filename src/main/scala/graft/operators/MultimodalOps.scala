@@ -667,6 +667,72 @@ object MultimodalOps {
           .as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Perceptual-hash NEAR-DUP pairs over binary payloads — the image
+    * dedup tier of a multimodal pipeline (dHash, the
+    * difference-hash of Krawetz's public pHash family: resample to a
+    * small grid, emit one bit per horizontal neighbor comparison). The
+    * "decode + resample" stage is the stubbed fake the multimodal
+    * contract allows: pixels are the payload's own bytes sampled at 64
+    * PROPORTIONAL offsets (idx_k = (2k+1)·n DIV 128 — length-
+    * normalized, so a payload and its exact copy hash identically at
+    * any size), while everything around it — the 56-bit signature, the
+    * 4×14-bit LSH banding, the bucket self-join, the hamming verify —
+    * is the real dataflow an image-dedup pass runs at 100 TB.
+    *
+    * Runs over the seeded dedup [[DedupOps.corpus]] (planted exact
+    * copies guarantee hamming-0 pairs at every scale factor; the
+    * prefix-shifted near-copies hash differently — absolute-position
+    * sampling is translation-sensitive, exactly like real dHash).
+    *
+    * Scale shape: the hash is one row-local pass (64 byte probes); the
+    * only exchanges are the 4-band bucket equi-join (14-bit bands ⇒
+    * bucket population ~N/16384 per band — the width is the same
+    * recall/volume dial as every LSH tier; widen bands as N grows) and
+    * the candidate distinct. Verify is bit_count(xor) on two longs —
+    * no payload ever crosses an exchange. */
+  def dhashPairs(spark: SparkSession, sfDir: String,
+                 maxHamming: Int = 6): DataFrame = {
+    val ps = col("text") // ASCII corpus: string byte probes == binary
+    val n = length(ps)
+    // 64 proportionally-sampled "pixels" (8 rows × 8 cols); the hash is
+    // the 56 horizontal neighbor comparisons (7 per row) — one bit
+    // short of the classic 64 per band-pair, which keeps the signature
+    // strictly positive (both engines' BIGINT shift/popcount semantics
+    // only agree away from the sign bit)
+    val px = transform(sequence(lit(0), lit(63)), k =>
+      ascii(ps.substr(
+        (call_function("div",
+          (k * 2 + 1).cast("long") * n.cast("long"), lit(128L)) + 1L)
+          .cast("int"), lit(1))))
+    // bit b (row r = b DIV 7, col c = b MOD 7): right neighbor > left
+    val dhash = aggregate(sequence(lit(0), lit(55)), lit(0L), (acc, b) => {
+      val base = call_function("div", b.cast("long"), lit(7L)) * 8L +
+        pmod(b.cast("long"), lit(7L))
+      val left = element_at(col("px"), (base + 1L).cast("int"))
+      val right = element_at(col("px"), (base + 2L).cast("int"))
+      acc + when(right > left,
+        call_function("shiftleft", lit(1L), b.cast("int")))
+        .otherwise(lit(0L))
+    })
+    val hashed = DedupOps.corpus(spark, sfDir)
+      .select(col("doc_id"), px.as("px"))
+      .select(col("doc_id"), dhash.as("dhash"))
+    val bands = hashed.select(col("doc_id"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(dhash, band * 14) & 16383"))
+    val cands = bands.select(col("doc_id").as("doc_a"),
+        col("dhash").as("ha"), col("band"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"),
+        col("dhash").as("hb"), col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+    cands
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** ViT-style 2D PATCHIFY plumbing: treat each image payload as a
     * 16-byte-wide pixel grid and cut it into 4×4 tiles — each patch
     * gathers four NON-contiguous 4-byte row slices (that is what makes

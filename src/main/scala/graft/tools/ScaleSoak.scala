@@ -22,9 +22,11 @@ import org.apache.spark.sql.SparkSession
   * table for BASELINE.md. */
 object ScaleSoak {
   private val allFamilies = Seq(
-    // dedup ladder
+    // dedup ladder (span audit rides the exact-substr gram window;
+    // dhash is the multimodal perceptual tier — banded like minhash)
     "dd_ngram_jaccard", "dd_minhash_lsh", "dd_dup_clusters",
-    "dd_dup_clusters_star", "dd_lsh_quality",
+    "dd_dup_clusters_star", "dd_lsh_quality", "dd_span_audit",
+    "mm_dhash_pairs",
     // ANN
     "sim_knn_graph", "sim_graph_search", "sim_ivf_pq", "sim_recall",
     // search-index build + the index-SERVED family: positional

