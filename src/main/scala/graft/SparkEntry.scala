@@ -103,6 +103,7 @@ object SparkEntry {
     "art_search_bm25"          -> ((s: SparkSession, d: String) => ArticleOps.searchBm25(s, d)),
     "art_search_qlm"           -> ((s: SparkSession, d: String) => ArticleOps.searchQlm(s, d)),
     "art_search_qlm_idx"       -> ((s: SparkSession, d: String) => ArticleOps.searchQlmIndexed(s, d)),
+    "art_search_snippet"       -> ((s: SparkSession, d: String) => ArticleOps.searchSnippet(s, d)),
     "art_search_bm25_idx"      -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Indexed(s, d)),
     "art_search_bm25_auto"     -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Auto(s, d)),
     "art_search_phrase"        -> ((s: SparkSession, d: String) => ArticleOps.searchPhrase(s, d)),
@@ -1462,6 +1463,20 @@ object SparkEntry {
     // Dirichlet query-likelihood: the qlog2 sixteenth-bit integer log
     // (see txt_entropy) over the C-multiplied smoothed ratio — both
     // engines evaluate the identical pure-integer tree
+    // keyword-in-context snippet: first-occurrence position, +-3-word
+    // window clamped at the document edges
+    "art_search_snippet" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, source, w, list_position(w, 'merge') AS p
+        |  FROM t WHERE list_position(w, 'merge') > 0)
+        |SELECT doc_id, lang, source,
+        |  CAST(p AS BIGINT) AS hit_pos,
+        |  array_to_string(list_slice(w, greatest(1, p - 3), least(len(w), p + 3)), ' ') AS snippet
+        |FROM m ORDER BY doc_id""".stripMargin,
     "art_search_qlm" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

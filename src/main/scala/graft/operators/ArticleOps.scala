@@ -693,6 +693,32 @@ object ArticleOps {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Search-result SNIPPET generation — the keyword-in-context window
+    * every search UI renders under a hit (reference analogue: the JSON
+    * article payload api.py:28-35 returns whole articles; a result
+    * page excerpts them): for each matching document, the ±3-word
+    * window around the FIRST occurrence of the query term, clamped at
+    * the document edges. Entirely row-local array surgery on the
+    * matching rows (array_position + slice on the token array) — zero
+    * shuffle beyond the match filter itself at any corpus size; at
+    * 100 TB this runs over the index-served candidate set, not the
+    * corpus. */
+  def searchSnippet(spark: SparkSession, sfDir: String,
+                    keyword: String = "merge"): DataFrame = {
+    val w = TextOps.words(col("text"))
+    val p = array_position(w, lit(keyword.toLowerCase))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), w.as("w"), p.as("p"))
+      .filter(col("p") > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("p").as("hit_pos"),
+        concat_ws(" ", slice(col("w"),
+          greatest(lit(1L), col("p") - 3).cast("int"),
+          (least(size(col("w")).cast("long"), col("p") + 3) -
+            greatest(lit(1L), col("p") - 3) + 1).cast("int"))).as("snippet"))
+      .orderBy("doc_id")
+  }
+
   /** SURVEY §1.3 `keywords` CSV → array derivation: the extracted
     * comma-joined keywords string split into one row per keyword with
     * its position (arrays can't be output columns under the driver's

@@ -692,31 +692,15 @@ object MultimodalOps {
     * no payload ever crosses an exchange. */
   def dhashPairs(spark: SparkSession, sfDir: String,
                  maxHamming: Int = 6): DataFrame = {
-    val ps = col("text") // ASCII corpus: string byte probes == binary
-    val n = length(ps)
-    // 64 proportionally-sampled "pixels" (8 rows × 8 cols); the hash is
-    // the 56 horizontal neighbor comparisons (7 per row) — one bit
-    // short of the classic 64 per band-pair, which keeps the signature
-    // strictly positive (both engines' BIGINT shift/popcount semantics
-    // only agree away from the sign bit)
-    val px = transform(sequence(lit(0), lit(63)), k =>
-      ascii(ps.substr(
-        (call_function("div",
-          (k * 2 + 1).cast("long") * n.cast("long"), lit(128L)) + 1L)
-          .cast("int"), lit(1))))
-    // bit b (row r = b DIV 7, col c = b MOD 7): right neighbor > left
-    val dhash = aggregate(sequence(lit(0), lit(55)), lit(0L), (acc, b) => {
-      val base = call_function("div", b.cast("long"), lit(7L)) * 8L +
-        pmod(b.cast("long"), lit(7L))
-      val left = element_at(col("px"), (base + 1L).cast("int"))
-      val right = element_at(col("px"), (base + 2L).cast("int"))
-      acc + when(right > left,
-        call_function("shiftleft", lit(1L), b.cast("int")))
-        .otherwise(lit(0L))
-    })
+    // the signature is the native codegen'd dhash56 loop (64
+    // proportionally-sampled character probes, 56 horizontal
+    // neighbor-comparison bits — one row short of the classic 64,
+    // keeping the value strictly positive so both engines' BIGINT
+    // shift/popcount semantics agree). The HOF spelling it replaced
+    // ([[dhash56Hof]], kept as the spec's independent model) measured
+    // ~0.65 ms/row interpreted — 42 s PER SELF-JOIN SIDE at 60 k docs.
     val hashed = DedupOps.corpus(spark, sfDir)
-      .select(col("doc_id"), px.as("px"))
-      .select(col("doc_id"), dhash.as("dhash"))
+      .select(col("doc_id"), expr("dhash56(text)").as("dhash"))
     val bands = hashed.select(col("doc_id"), col("dhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bv", expr("shiftright(dhash, band * 14) & 16383"))
@@ -731,6 +715,27 @@ object MultimodalOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Interpreted HOF reference implementation of the dhash56 native
+    * expression (kept as the independent model for the equivalence
+    * spec, the dotd/hyperplaneBucket pattern). */
+  private[graft] def dhash56Hof(ps: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = length(ps)
+    val px = transform(sequence(lit(0), lit(63)), k =>
+      ascii(ps.substr(
+        (call_function("div",
+          (k * 2 + 1).cast("long") * n.cast("long"), lit(128L)) + 1L)
+          .cast("int"), lit(1))))
+    aggregate(sequence(lit(0), lit(55)), lit(0L), (acc, b) => {
+      val base = call_function("div", b.cast("long"), lit(7L)) * 8L +
+        pmod(b.cast("long"), lit(7L))
+      acc + when(
+        element_at(px, (base + 2L).cast("int")) >
+          element_at(px, (base + 1L).cast("int")),
+        call_function("shiftleft", lit(1L), b.cast("int")))
+        .otherwise(lit(0L))
+    })
   }
 
   /** ViT-style 2D PATCHIFY plumbing: treat each image payload as a

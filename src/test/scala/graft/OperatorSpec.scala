@@ -4445,12 +4445,44 @@ class OperatorSpec extends AnyFunSuite {
     assert((pr.keySet -- reach).forall(n => pr(n) == 0L))
   }
 
+  test("snippet: first-occurrence window contains the term, clamps at edges, matches a driver-side model") {
+    val rows = ArticleOps.searchSnippet(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val model = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect().flatMap { r =>
+        val ws = r.getAs[String]("text").toLowerCase.split(" ").filter(_.nonEmpty)
+        val i = ws.indexOf("merge") // 0-based; -1 if absent
+        if (i < 0) None
+        else Some(r.getAs[Long]("doc_id") -> ((i + 1).toLong,
+          ws.slice(math.max(0, i - 3), math.min(ws.length, i + 4)).mkString(" ")))
+      }.toMap
+    assert(rows.length == model.size)
+    rows.foreach { r =>
+      val (pos, snip) = model(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("hit_pos") == pos)
+      assert(r.getAs[String]("snippet") == snip)
+      assert(snip.split(" ").length <= 7)
+    }
+  }
+
   test("QLM indexed form is bitwise-equal to the scan form") {
     graft.plans.TextIndexCatalog.clear()
     val scan = ArticleOps.searchQlm(spark, sf0001).collect().toSeq
     val idx = ArticleOps.searchQlmIndexed(spark, sf0001).collect().toSeq
     assert(scan == idx)
     graft.plans.TextIndexCatalog.clear()
+  }
+
+  test("native dhash56 expression equals the interpreted HOF model on every corpus row") {
+    val both = Tables.documents(spark, sf0001)
+      .select(expr("dhash56(text)").as("native"),
+        MultimodalOps.dhash56Hof(col("text")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getAs[Long]("native") == r.getAs[Long]("hof")))
+    // strictly positive / sign-bit-free contract
+    assert(both.forall(r => r.getAs[Long]("native") >= 0L &&
+      r.getAs[Long]("native") < (1L << 56)))
   }
 
   test("dHash near-dup: every planted exact copy collides at hamming 0; proportional sampling is length-invariant") {
