@@ -224,6 +224,7 @@ object SparkEntry {
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "txt_kneser_ney"           -> ((s: SparkSession, d: String) => TextOps.kneserNeyBigrams(s, d)),
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
+    "txt_perplexity_buckets"   -> TextOps.perplexityBuckets _,
     "txt_dsir_weights"         -> ((s: SparkSession, d: String) => TextOps.dsirWeights(s, d)),
     "txt_oov_rate"             -> ((s: SparkSession, d: String) => TextOps.oovRate(s, d)),
     "txt_entropy"              -> TextOps.wordEntropy _,
@@ -4030,6 +4031,44 @@ object SparkEntry {
         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
     // bigram surprisal in whole bits: floored-log2 count ratios via
     // length(bin(x)) — no transcendentals, integer-exact both engines
+    // CCNet head/middle/tail terciles of integer milli-bit surprisal;
+    // exact boundaries off the bounded value histogram
+    "txt_perplexity_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM t WHERE len(w) >= 2)),
+        |db AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+        |lm AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cnt FROM db GROUP BY w1, w2),
+        |lt AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS left_cnt FROM lm GROUP BY w1),
+        |s AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(tf * (CAST(LENGTH(bin(left_cnt)) - 1 AS BIGINT)
+        |            - CAST(LENGTH(bin(cnt)) - 1 AS BIGINT))) AS BIGINT) AS surprisal_bits
+        |  FROM db JOIN lm USING (w1, w2) JOIN lt USING (w1)
+        |  GROUP BY doc_id),
+        |v AS (SELECT doc_id,
+        |    CAST(FLOOR(1000 * surprisal_bits / n_bigrams) AS BIGINT) AS v FROM s),
+        |hist AS (SELECT v, COUNT(*) AS cnt FROM v GROUP BY v),
+        |cum AS (SELECT v, cnt,
+        |    SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+        |nn AS (SELECT COUNT(*) AS n FROM v),
+        |bounds AS (
+        |  SELECT MIN(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+        |    MIN(CASE WHEN cum * 3 >= n * 2 THEN v END) AS t2
+        |  FROM cum CROSS JOIN nn)
+        |SELECT CASE WHEN v <= t1 THEN 'head' WHEN v <= t2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  MIN(v) AS min_milli,
+        |  MAX(v) AS max_milli,
+        |  CAST(SUM(v) AS BIGINT) AS sum_milli
+        |FROM v CROSS JOIN bounds
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_lm_surprisal" ->
       """WITH t AS (
         |  SELECT doc_id,

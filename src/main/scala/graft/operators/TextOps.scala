@@ -1737,6 +1737,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" — public): split the corpus into head / middle / tail
+    * TERCILES of per-token LM surprisal — the standard quality
+    * partition a pretraining pipeline feeds to its mixture sampler
+    * (head = most-fluent-under-the-LM third; CCNet trains on head+
+    * middle and drops or down-weights tail). Surprisal is
+    * [[lmSurprisal]]'s exact integer milli-bits; tercile boundaries
+    * are EXACT (not sketched): surprisal_milli has a bounded value
+    * range (0..~20000 milli-bits/token at ANY corpus size), so the
+    * value histogram is a bounded codebook — one groupBy over docs,
+    * a cumulative window over ≤ that many distinct values, and
+    * boundary t_k = min v with 3·cum ≥ k·n in pure BIGINT compares.
+    *
+    * Scale shape: the LM build is lmSurprisal's (two persisted aggs);
+    * on top of it one doc-count agg, one bounded-histogram window,
+    * a 1-row broadcast of (t1, t2), and a 3-row output agg. The
+    * bucket assignment never shuffles the corpus. */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = lmSurprisal(spark, sfDir)
+      .select(col("doc_id"), col("surprisal_milli").as("v"))
+    val hist = s.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val wv = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wv))
+    val stats = s.agg(count(lit(1)).as("n"))
+    val bounds = cum.crossJoin(broadcast(stats))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("v"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("v"))).as("t2"))
+    s.crossJoin(broadcast(bounds))
+      .select(when(col("v") <= col("t1"), "head")
+        .when(col("v") <= col("t2"), "middle")
+        .otherwise("tail").as("bucket"), col("v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("v")).as("min_milli"),
+        max(col("v")).as("max_milli"),
+        sum(col("v")).as("sum_milli"))
+      .orderBy("bucket")
+  }
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023 — public): score every document by
     * log[p_target(x)/p_raw(x)] under hashed-unigram bag-of-words models

@@ -4445,6 +4445,23 @@ class OperatorSpec extends AnyFunSuite {
     assert((pr.keySet -- reach).forall(n => pr(n) == 0L))
   }
 
+  test("perplexity buckets: terciles partition the corpus, boundaries ordered, sizes within one histogram bin") {
+    val rows = TextOps.perplexityBuckets(spark, sf0001).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_milli"),
+          r.getAs[Long]("max_milli"))).toMap
+    assert(rows.keySet == Set("head", "middle", "tail"))
+    val scored = TextOps.lmSurprisal(spark, sf0001).count()
+    assert(rows.values.map(_._1).sum == scored) // exact partition
+    // ranges are ordered and disjoint
+    assert(rows("head")._3 < rows("middle")._2)
+    assert(rows("middle")._3 < rows("tail")._2)
+    // tercile sizes: head/middle hold AT LEAST a third (boundary values
+    // are inclusive, so ties can only grow the lower buckets)
+    assert(rows("head")._1 * 3 >= scored)
+    assert((rows("head")._1 + rows("middle")._1) * 3 >= 2 * scored)
+  }
+
   test("snippet: first-occurrence window contains the term, clamps at edges, matches a driver-side model") {
     val rows = ArticleOps.searchSnippet(spark, sf0001).collect()
     assert(rows.nonEmpty)
