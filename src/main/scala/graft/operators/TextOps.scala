@@ -1713,7 +1713,14 @@ object TextOps {
     * vocabulary-sized (AQE broadcasts while it fits — no pin, same
     * policy as the TF-IDF df join). Left-context totals derive from the
     * already-grouped LM table, never a second corpus pass. */
-  def lmSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+  def lmSurprisal(spark: SparkSession, sfDir: String): DataFrame =
+    lmSurprisalCore(spark, sfDir).orderBy("doc_id")
+
+  /** [[lmSurprisal]] without the presentation sort — for consumers like
+    * [[perplexityBuckets]] that re-aggregate the scores (the
+    * ngramJaccardPairsUnsorted pattern: a global sort between two
+    * shuffles is dead work). */
+  private def lmSurprisalCore(spark: SparkSession, sfDir: String): DataFrame = {
     val ws = words(col("text"))
     val pairs = transform(sequence(lit(0), size(ws) - 2),
       i => struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2")))
@@ -1734,7 +1741,6 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
         floor(lit(1000) * col("surprisal_bits") / col("n_bigrams"))
           .cast("long").as("surprisal_milli"))
-      .orderBy("doc_id")
   }
 
   /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020, "CCNet:
@@ -1756,8 +1762,14 @@ object TextOps {
     * a 1-row broadcast of (t1, t2), and a 3-row output agg. The
     * bucket assignment never shuffles the corpus. */
   def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = lmSurprisal(spark, sfDir)
+    // persisted: three consumers (histogram, doc count, bucket agg)
+    // would each re-run the scoring join; one narrow (doc_id, v) row
+    // per doc. Caller releases via clearCache() per the session
+    // contract. The unsorted core skips lmSurprisal's presentation
+    // sort — dead work between two shuffles.
+    val s = lmSurprisalCore(spark, sfDir)
       .select(col("doc_id"), col("surprisal_milli").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = s.groupBy("v").agg(count(lit(1)).as("cnt"))
     val wv = org.apache.spark.sql.expressions.Window.orderBy("v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
