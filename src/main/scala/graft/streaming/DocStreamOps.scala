@@ -76,6 +76,32 @@ object DocStreamOps {
       .select(col("doc_id"), col("snap_id"), col("bkey"))
   }
 
+  /** Streaming PERCEPTUAL near-dup admission — the dHash twin of
+    * [[nearDupCandidates]] for binary payloads (the multimodal
+    * corpus's image tier): each incoming payload's 4×14-bit dhash56
+    * band keys (identical layout to the batch `mm_dhash_pairs`) probe
+    * the STATIC band table of the corpus at rest. Unlike the minhash
+    * path, the full 56-bit signature rides BOTH sides of the band
+    * join, so the hamming verify (bit_count(xor) ≤ maxHamming) runs
+    * INLINE in the same stateless lookup — admitted rows are verified
+    * near-dups, with no downstream verify stage. Stream-static,
+    * stateless, no watermark state; at 100 TB the snapshot side is
+    * the (band, bv, dhash, doc_id) index of the lake bucketed on the
+    * band key, and each micro-batch is a lookup join against it. */
+  def dhashAdmission(docs: DataFrame, snapshot: DataFrame,
+                     maxHamming: Int = 6): DataFrame = {
+    def bands(df: DataFrame, idCol: String, hCol: String): DataFrame =
+      df.select(col("doc_id").as(idCol), expr("dhash56(text)").as(hCol))
+        .select(col(idCol), col(hCol),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bv", expr(s"shiftright($hCol, band * 14) & 16383"))
+    bands(docs, "doc_id", "dh")
+      .join(bands(snapshot, "snap_id", "sh"), Seq("band", "bv"))
+      .withColumn("hamming", expr("bit_count(dh ^ sh)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id", "snap_id", "band", "hamming")
+  }
+
   /** Trending terms on the firehose — windowed term frequencies with a
     * watermark, the streaming face of the batch term-statistics family
     * (TF-IDF / term drift / CMS): each tumbling window's counts emit

@@ -603,6 +603,33 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dHash admission: exact payload copy admitted at hamming 0, novel payload passes clean") {
+    import spark.implicits._
+    import graft.streaming.DocStreamOps
+    import graft.streaming.DocStreamOps.DocRow
+    implicit val sql = spark.sqlContext
+    val base = Tables.documents(spark, SparkFixture.sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().take(2)
+    val snapshot = base.toSeq.toDF("doc_id", "text")
+    val mem = MemoryStream[DocRow]
+    val q = DocStreamOps.dhashAdmission(mem.toDF(), snapshot)
+      .writeStream.format("memory").queryName("dhash_adm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        DocRow(2001L, ts(0), "a", base(0)._2), // exact copy: hamming 0
+        DocRow(2002L, ts(1), "b",              // novel: reversed + new tail
+          base(0)._2.split(" ").reverse.mkString(" ") + " wholly novel tail"))
+      q.processAllAvailable()
+      val got = spark.table("dhash_adm")
+        .select("doc_id", "snap_id", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.contains((2001L, base(0)._1, 0L)),
+        s"exact copy not admitted at hamming 0: $got")
+      assert(got.forall(_._3 <= 6L))
+    } finally q.stop()
+  }
+
   test("streaming trending terms: windowed counts emit complete windows after the watermark") {
     import spark.implicits._
     import graft.streaming.DocStreamOps
