@@ -197,4 +197,43 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** DRIVER-SIDE row count of a table — the count a catalog/manifest
+    * already knows, so index-sizing decisions ([[graft.operators
+    * .SimilarityOps]]'s autoBits) never pay a full-scan `count()` job
+    * just to pick a parameter. `synth:` corpora know it analytically
+    * (the generators above are `spark.range`-shaped); parquet tables
+    * read it from file FOOTERS (row counts are parquet block metadata
+    * — the same numbers a Hive/Delta catalog serves from its
+    * manifest), summed driver-side and cached per path for the
+    * session. Zero Spark jobs either way. Exactness matters: the
+    * committed kNN oracles render `autoBits` from `count(*)`, so this
+    * must equal the scan count — footer totals are exact by the
+    * parquet spec (every writer records block row counts). */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = sfDir match {
+    case SynthDir(n, _) => name match {
+      case "documents"  => n.toLong
+      case "embeddings" => math.max(1L, n.toLong * 2L / 5L) // mirror synthTable
+      case other => sys.error(s"synth: tables exist only for documents/embeddings, got $other")
+    }
+    case _ =>
+      val path = s"$sfDir/$name.parquet"
+      rowCountCache.getOrElseUpdate(path, {
+        val conf = spark.sessionState.newHadoopConf()
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(conf)
+        // a single file lists as itself; a directory as its part files
+        fs.listStatus(root).iterator
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .map { s =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(s, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+      })
+  }
+
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 }

@@ -315,9 +315,12 @@ object SimilarityOps {
     // quadratically once buckets stop splitting; autoBits holds the
     // expected bucket near the target so candidate volume stays bounded
     // (same soak after: 3.8 s → 21.1 s, exponent 0.74 — the residual is
-    // cluster-correlated hot buckets, BASELINE.md §soak). One count()
-    // over the already-persisted scan prices it.
-    val n = e.count()
+    // cluster-correlated hot buckets, BASELINE.md §soak). The count is
+    // the MANIFEST's (parquet footers / synth arithmetic —
+    // Tables.rowCount): sizing a parameter must not cost a full-scan
+    // job, and vecs is 1:1 with the embeddings table. The oracle's
+    // count(*) rendering is unchanged — footer totals are exact.
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
     val useBits = if (bits > 0) bits else autoBits(n)
     // BOUNDED BUCKETS — the hot-bucket remedy the soak forced: more
     // bits cannot split a cluster tighter than its own noise (all

@@ -96,6 +96,7 @@ object ScaleSoak {
         }
         (1 to reps).foreach { _ =>
           graft.operators.SimilarityOps.clearKnnIndexCache()
+          graft.operators.TextOps.clearLmCache()
           graft.plans.TextIndexCatalog.clear()
           graft.plans.TextIndexCatalog.purgeDirs(sfDir)
           spark.catalog.clearCache()
