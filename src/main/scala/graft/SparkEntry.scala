@@ -104,6 +104,7 @@ object SparkEntry {
     "art_search_qlm"           -> ((s: SparkSession, d: String) => ArticleOps.searchQlm(s, d)),
     "art_search_qlm_idx"       -> ((s: SparkSession, d: String) => ArticleOps.searchQlmIndexed(s, d)),
     "art_search_snippet"       -> ((s: SparkSession, d: String) => ArticleOps.searchSnippet(s, d)),
+    "art_search_snippet_idx"   -> ((s: SparkSession, d: String) => ArticleOps.searchSnippetIndexed(s, d)),
     "art_search_bm25_idx"      -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Indexed(s, d)),
     "art_search_bm25_auto"     -> ((s: SparkSession, d: String) => ArticleOps.searchBm25Auto(s, d)),
     "art_search_phrase"        -> ((s: SparkSession, d: String) => ArticleOps.searchPhrase(s, d)),
@@ -296,6 +297,7 @@ object SparkEntry {
     "mm_binary_stats"          -> MultimodalOps.binaryStats _,
     "mm_patchify"              -> MultimodalOps.patchify _,
     "mm_dhash_pairs"           -> ((s: SparkSession, d: String) => MultimodalOps.dhashPairs(s, d)),
+    "mm_dhash_px_pairs"        -> ((s: SparkSession, d: String) => MultimodalOps.dhashPxPairs(s, d)),
     "mm_gif_header"            -> MultimodalOps.gifHeaderDecode _,
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
     "mm_png_ihdr"              -> MultimodalOps.pngIhdrDecode _,
@@ -1466,6 +1468,21 @@ object SparkEntry {
     // engines evaluate the identical pure-integer tree
     // keyword-in-context snippet: first-occurrence position, +-3-word
     // window clamped at the document edges
+    // positional-postings snippet serving: same result as the scan
+    // form (positions are in the same empty-filtered coordinates, the
+    // list head + 1 is list_position's first hit), hence the same oracle
+    "art_search_snippet_idx" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, source, w, list_position(w, 'merge') AS p
+        |  FROM t WHERE list_position(w, 'merge') > 0)
+        |SELECT doc_id, lang, source,
+        |  CAST(p AS BIGINT) AS hit_pos,
+        |  array_to_string(list_slice(w, greatest(1, p - 3), least(len(w), p + 3)), ' ') AS snippet
+        |FROM m ORDER BY doc_id""".stripMargin,
     "art_search_snippet" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,
@@ -7094,6 +7111,70 @@ object SparkEntry {
     // perceptual dHash near-dup: 56-bit neighbor-comparison signature
     // over 64 proportionally-sampled payload bytes, 4x14-bit banding,
     // hamming verify — planted exact copies land at hamming 0
+    // mm_dhash_px_pairs: rebuild the byte-identical content-keyed PNG
+    // blobs over the dedup-seeded corpus, PARSE geometry back out of
+    // the blob hex (signature offsets, IHDR width/height/depth/color —
+    // the oracle decodes the container, it does not shortcut via the
+    // generation formula), then run the same integer 2-D luma-grid
+    // resample + 56-bit neighbor compare + 4×14 banding at the
+    // exhaustive hamming-3 bound
+    "mm_dhash_px_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |m AS (
+        |  SELECT doc_id,
+        |    from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
+        |      || lpad(to_hex(16 + length(text) % 2033), 8, '0')
+        |      || lpad(to_hex(16 + (length(text) * 7) % 1017), 8, '0')
+        |      || lpad(to_hex(([1,8,8,8,16])[CAST(length(text) % 5 + 1 AS INT)]), 2, '0')
+        |      || lpad(to_hex(([0,0,2,3,6])[CAST(length(text) % 5 + 1 AS INT)]), 2, '0')
+        |      || '000000' || 'DEADBEEF') || encode(text) AS payload
+        |  FROM corpus),
+        |hx AS (SELECT doc_id, upper(hex(payload)) AS hh,
+        |         octet_length(payload) - 33 AS body FROM m),
+        |geo AS (SELECT doc_id, hh, body,
+        |  ('0x' || substr(hh, 33, 8))::BIGINT AS w,
+        |  ('0x' || substr(hh, 41, 8))::BIGINT AS ht,
+        |  ('0x' || substr(hh, 49, 2))::BIGINT AS depth,
+        |  ('0x' || substr(hh, 51, 2))::BIGINT AS color FROM hx),
+        |par AS (SELECT doc_id, hh, body, w, ht,
+        |  CASE WHEN color = 2 THEN 3 WHEN color = 4 THEN 2
+        |       WHEN color = 6 THEN 4 ELSE 1 END AS ch,
+        |  greatest(1, depth // 8) AS db FROM geo),
+        |lum AS (SELECT doc_id,
+        |  list_transform(
+        |    list_transform(range(0, 64), g ->
+        |      ((((2 * (g // 8) + 1) * ht) // 16) * w
+        |        + (((2 * (g % 8) + 1) * w) // 16)) * (ch * db) % body),
+        |    o -> CASE WHEN ch >= 3 THEN
+        |        (299 * ('0x' || substr(hh, CAST(67 + o * 2 AS INT), 2))::BIGINT
+        |       + 587 * ('0x' || substr(hh, CAST(67 + ((o + db) % body) * 2 AS INT), 2))::BIGINT
+        |       + 114 * ('0x' || substr(hh, CAST(67 + ((o + 2 * db) % body) * 2 AS INT), 2))::BIGINT) // 1000
+        |      ELSE ('0x' || substr(hh, CAST(67 + o * 2 AS INT), 2))::BIGINT END) AS luma
+        |  FROM par),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 56), b ->
+        |        CASE WHEN luma[CAST((b // 7) * 8 + (b % 7) + 2 AS INT)]
+        |               > luma[CAST((b // 7) * 8 + (b % 7) + 1 AS INT)]
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, x) -> a + x) AS dhash
+        |  FROM lum),
+        |bnd AS (
+        |  SELECT doc_id, dhash, band, (dhash >> (band * 14)) & 16383 AS bv
+        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    a.dhash AS ha, b2.dhash AS hb
+        |  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.bv = b2.bv
+        |    AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "mm_dhash_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

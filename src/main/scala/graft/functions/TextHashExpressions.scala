@@ -205,6 +205,12 @@ object TextHashExpressions {
       px(k) = str.charAt((((2L * k + 1L) * n) / 128L).toInt).toInt
       k += 1
     }
+    dhashBits(px)
+  }
+
+  /** [[dhash56]]'s comparison stage over a precomputed 64-sample
+    * grid: 56 horizontal neighbor bits (7 per row × 8 rows). */
+  private def dhashBits(px: Array[Int]): Long = {
     var h = 0L
     var b = 0
     while (b < 56) {
@@ -213,6 +219,71 @@ object TextHashExpressions {
       b += 1
     }
     h
+  }
+
+  /** BYTE-domain twin of [[dhash56]] (same 64 proportional probes, same
+    * 56 comparison bits, over raw payload bytes instead of chars) —
+    * the [[pngDhash56]] fallback for payloads that do not decode as
+    * PNG. Identical to dhash56 on ASCII payloads (byte == char). */
+  def dhash56Bytes(b: Array[Byte]): Long = {
+    val n = b.length.toLong
+    if (n == 0L) return 0L
+    val px = new Array[Int](64)
+    var k = 0
+    while (k < 64) {
+      px(k) = b((((2L * k + 1L) * n) / 128L).toInt) & 0xFF
+      k += 1
+    }
+    dhashBits(px)
+  }
+
+  /** png_dhash56(binary) — the perceptual difference-hash computed from
+    * a REAL container decode (static: called from generated code). See
+    * PngDhash56Expr for the contract: parse the PNG signature + IHDR
+    * geometry, address an 8×8 grid of pixel CENTERS in 2-D raster
+    * coordinates ((py·w + px)·bytes-per-pixel, wrapped into the body),
+    * take integer BT.601 luma ((299R + 587G + 114B) DIV 1000) on
+    * multi-channel color types and the raw sample byte otherwise, then
+    * the standard 56 horizontal neighbor comparisons. Non-decodable
+    * payloads (bad signature, no IHDR, empty body) fall back to the
+    * 1-D proportional byte sampler [[dhash56Bytes]]. All arithmetic is
+    * integer division/modulo, so the DuckDB oracle renders the same
+    * decode bit-for-bit from the blob's hex. */
+  def pngDhash56(b: Array[Byte]): Long = {
+    val n = b.length
+    def u(i: Int): Int = b(i) & 0xFF
+    val decodable = n > 33 &&
+      u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4E && u(3) == 0x47 &&
+      u(4) == 0x0D && u(5) == 0x0A && u(6) == 0x1A && u(7) == 0x0A &&
+      u(12) == 'I' && u(13) == 'H' && u(14) == 'D' && u(15) == 'R'
+    if (!decodable) return dhash56Bytes(b)
+    def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1).toLong << 16) |
+        (u(i + 2).toLong << 8) | u(i + 3).toLong
+    val w = be32(16); val h = be32(20)
+    val depth = u(24); val color = u(25)
+    val body = (n - 33).toLong
+    if (w <= 0L || h <= 0L || body <= 0L) return dhash56Bytes(b)
+    val channels = color match {
+      case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1
+    }
+    val db = math.max(1, depth / 8) // bytes per channel sample
+    val bpp = channels.toLong * db  // bytes per pixel
+    def bodyAt(off: Long): Int = u((33L + off).toInt)
+    val px = new Array[Int](64)
+    var g = 0
+    while (g < 64) {
+      val py = (2L * (g / 8) + 1L) * h / 16L
+      val gx = (2L * (g % 8) + 1L) * w / 16L
+      val off = (py * w + gx) * bpp % body
+      px(g) =
+        if (channels >= 3)
+          (299 * bodyAt(off) + 587 * bodyAt((off + db) % body) +
+            114 * bodyAt((off + 2L * db) % body)) / 1000
+        else bodyAt(off)
+      g += 1
+    }
+    dhashBits(px)
   }
 
   /** 48-bit SimHash over a word-hash array: bit j set iff at least half
@@ -394,6 +465,31 @@ case class DHash56Expr(child: Expression)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextHashExpressions.dhash56($c)")
   override protected def withNewChildInternal(newChild: Expression): DHash56Expr =
+    copy(child = newChild)
+}
+
+/** png_dhash56(binary) — perceptual difference-hash from a REAL PNG
+  * container decode: signature + IHDR parse gives (width, height, bit
+  * depth, color type); the 8×8 luma grid samples pixel CENTERS in 2-D
+  * raster coordinates (py = (2r+1)·h DIV 16, px = (2c+1)·w DIV 16,
+  * byte offset (py·w+px)·bpp wrapped into the body), with integer
+  * BT.601 luma across channels; then the standard 56 horizontal
+  * neighbor bits. Payloads that don't decode (bad signature / missing
+  * IHDR / empty body) take the 1-D proportional BYTE sampler — the
+  * prior tier's expression — as the fast path, so a mixed corpus
+  * still hashes every row. Integer-exact: the oracle rebuilds the
+  * blob and runs the same parse+sample arithmetic in hex space. */
+case class PngDhash56Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "png_dhash56"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashExpressions.pngDhash56(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashExpressions.pngDhash56($c)")
+  override protected def withNewChildInternal(newChild: Expression): PngDhash56Expr =
     copy(child = newChild)
 }
 

@@ -719,6 +719,45 @@ object ArticleOps {
       .orderBy("doc_id")
   }
 
+  /** [[searchSnippet]] served off the POSITIONAL index — the
+    * [[searchPhraseIndexed]] discipline applied to keyword-in-context:
+    * the postings row (term, doc_id, tf, positions) already carries
+    * exactly what the ±3-word window needs, so the candidate set AND
+    * the hit position come from one pushed term-equality probe
+    * (`positions` is the sorted occurrence list in the SAME
+    * empty-filtered token coordinates the scan uses; its head + 1 IS
+    * `array_position`'s 1-based first hit). The corpus is touched
+    * exactly once, by the word-array slice of the matched docs — a
+    * doc_id equi-join against the narrow hit set instead of
+    * tokenizing and probing every document. Bitwise-equal to the scan
+    * form (spec-pinned), same oracle.
+    *
+    * Scale shape: the index contributes only the probed term's
+    * postings rows (row-group-pruned by the sort-on-term write); the
+    * only corpus pass is the output projection of matching docs. At
+    * 100 TB that is the difference between a full-text tokenize scan
+    * and |hits| row lookups. */
+  def searchSnippetIndexed(spark: SparkSession, sfDir: String,
+                           keyword: String = "merge"): DataFrame = {
+    val kw = keyword.toLowerCase
+    val idxPath = graft.plans.TextIndexCatalog.ensureIndex(spark, sfDir)
+    val hits = spark.read.parquet(idxPath)
+      .filter(col("term") === kw)
+      .select(col("doc_id"),
+        (element_at(col("positions"), 1) + 1).cast("long").as("p"))
+    val w = TextOps.words(col("text"))
+    docs(spark, sfDir)
+      .join(hits, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), w.as("w"), col("p"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("p").as("hit_pos"),
+        concat_ws(" ", slice(col("w"),
+          greatest(lit(1L), col("p") - 3).cast("int"),
+          (least(size(col("w")).cast("long"), col("p") + 3) -
+            greatest(lit(1L), col("p") - 3) + 1).cast("int"))).as("snippet"))
+      .orderBy("doc_id")
+  }
+
   /** SURVEY §1.3 `keywords` CSV → array derivation: the extracted
     * comma-joined keywords string split into one row per keyword with
     * its position (arrays can't be output columns under the driver's

@@ -19,7 +19,9 @@ object GraphOps {
     * (id*7+1) % N — one edge per doc, same formula in the DuckDB oracle. */
   def linkEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id")
-    val n = docs.count() // metadata-scale action: one number on the driver
+    // the manifest's count (parquet footers / synth arithmetic) — same
+    // value as count(*), zero jobs (see Tables.rowCount)
+    val n = Tables.rowCount(spark, sfDir, "documents")
     docs.select(col("doc_id").as("src"),
       ((col("doc_id") * 7 + 1) % n).as("dst"))
   }
@@ -33,7 +35,8 @@ object GraphOps {
     * contributes), so the oracle is exact. */
   def rankEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id")
-    val n = docs.count() // metadata-scale action: one number on the driver
+    // manifest count, not a scan job (see Tables.rowCount)
+    val n = Tables.rowCount(spark, sfDir, "documents")
     // one scan: each doc emits its 2-3 out-edges via explode (the
     // union-of-three-selects spelling scanned the table per branch)
     def edge(mul: Int, add: Int) =
@@ -198,7 +201,8 @@ object GraphOps {
     * near-permutations and triangle-free, hence the separate formula. */
   def triEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id")
-    val n = docs.count() // metadata-scale action: one number on the driver
+    // manifest count, not a scan job (see Tables.rowCount)
+    val n = Tables.rowCount(spark, sfDir, "documents")
     def edge(off: Int, maxMod: Int) =
       when(col("doc_id") % 4 < maxMod && col("doc_id") + off < n,
         struct(col("doc_id").as("a"), (col("doc_id") + off).as("b")))
@@ -575,7 +579,8 @@ object GraphOps {
   def kcorePeel(spark: SparkSession, sfDir: String, k: Int = 3,
                 rounds: Int = 3): DataFrame = {
     val e = rankEdges(spark, sfDir)
-    val nNodes = Tables.documents(spark, sfDir).count() // metadata-scale
+    // manifest count, not a scan job (see Tables.rowCount)
+    val nNodes = Tables.rowCount(spark, sfDir, "documents")
     val und = e.filter(col("src") =!= col("dst"))
       .select(col("src").as("v"), col("dst").as("u"))
       .union(e.filter(col("src") =!= col("dst"))

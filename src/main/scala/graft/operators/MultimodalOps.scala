@@ -689,7 +689,16 @@ object MultimodalOps {
     * bucket population ~N/16384 per band — the width is the same
     * recall/volume dial as every LSH tier; widen bands as N grows) and
     * the candidate distinct. Verify is bit_count(xor) on two longs —
-    * no payload ever crosses an exchange. */
+    * no payload ever crosses an exchange.
+    *
+    * RECALL CONTRACT: 4 bands of 14 bits guarantee a band collision
+    * only for pairs at hamming ≤ 3 (pigeonhole: ≤3 differing bits
+    * cannot touch all 4 bands); pairs at hamming 4–6 surface only when
+    * their differing bits happen to spare a band — recall there is
+    * probabilistic, and a pair whose diffs span all 4 bands is missed.
+    * The default verify threshold 6 keeps the probabilistic tail
+    * (both engines band identically, so the oracle matches regardless);
+    * [[dhashPxPairs]] verifies at 3, the guaranteed-exhaustive bound. */
   def dhashPairs(spark: SparkSession, sfDir: String,
                  maxHamming: Int = 6): DataFrame = {
     // the signature is the native codegen'd dhash56 loop (64
@@ -701,6 +710,15 @@ object MultimodalOps {
     // ~0.65 ms/row interpreted — 42 s PER SELF-JOIN SIDE at 60 k docs.
     val hashed = DedupOps.corpus(spark, sfDir)
       .select(col("doc_id"), expr("dhash56(text)").as("dhash"))
+    bandedHammingPairs(hashed, maxHamming)
+  }
+
+  /** Shared 4×14-bit banding + hamming-verify tail of the perceptual
+    * tiers ([[dhashPairs]], [[dhashPxPairs]]): band explode, bucket
+    * self-join, candidate distinct, popcount verify. One definition so
+    * the band arithmetic and the a<b orientation can never drift
+    * between the byte-sampling and decoded-pixel signatures. */
+  private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val bands = hashed.select(col("doc_id"), col("dhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bv", expr("shiftright(dhash, band * 14) & 16383"))
@@ -715,6 +733,61 @@ object MultimodalOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The dedup-seeded corpus wrapped in REAL PNG containers — the
+    * [[dhashPxPairs]] input: every [[DedupOps.corpus]] row becomes a
+    * payload with the byte-exact signature + IHDR header of
+    * [[pngTable]], except geometry (width, height, depth, color type)
+    * derives from the CONTENT length, not the doc_id — a planted exact
+    * copy (same text, different id) therefore carries a byte-identical
+    * payload, the property that pins decoded-pixel hamming 0 at every
+    * scale. Body bytes are the text, standing in for the pixel
+    * stream. */
+  private[graft] def pngDedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    def hex2(c: org.apache.spark.sql.Column, w: Int) = lpad(hex(c), w, "0")
+    val n = length(col("text"))
+    val depth = element_at(
+      array(pngDepthColor.map(p => lit(p._1)): _*), (n % 5 + 1).cast("int"))
+    val color = element_at(
+      array(pngDepthColor.map(p => lit(p._2)): _*), (n % 5 + 1).cast("int"))
+    DedupOps.corpus(spark, sfDir)
+      .select(col("doc_id"),
+        concat(
+          unhex(concat(
+            lit("89504E470D0A1A0A"),
+            lit("0000000D"), lit("49484452"),
+            hex2(lit(16) + n % 2033, 8),
+            hex2(lit(16) + (n * 7) % 1017, 8),
+            hex2(depth, 2), hex2(color, 2),
+            lit("000000"), lit("DEADBEEF"))),
+          col("text").cast("binary")).as("payload"))
+  }
+
+  /** [[dhashPairs]] with the "decode + resample" stage made REAL — the
+    * r11 stand-in (payload bytes sampled 1-D at proportional offsets)
+    * replaced by an actual container decode: `png_dhash56` parses the
+    * PNG signature + IHDR geometry out of each payload, addresses an
+    * 8×8 grid of pixel centers in 2-D raster coordinates
+    * ((py·w + px)·bytes-per-pixel into the body stream), takes integer
+    * BT.601 luma across the color channels the parsed color type
+    * declares, and emits the same 56 neighbor-comparison bits — one
+    * codegen'd row-local pass, zero extra exchanges vs the byte tier.
+    * Payloads that don't decode fall back to the 1-D byte sampler
+    * inside the same expression (spec-pinned), so a mixed corpus still
+    * hashes every row.
+    *
+    * Verified at maxHamming = 3 — the 4×14 banding's EXHAUSTIVE bound
+    * (≤3 differing bits cannot touch all 4 bands), so this tier's
+    * output is complete at its own threshold, closing the recall gap
+    * the byte tier documents. Planted exact copies share text ⇒
+    * byte-identical payloads ⇒ identical decoded grids ⇒ hamming 0,
+    * at every scale factor. */
+  def dhashPxPairs(spark: SparkSession, sfDir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashed = pngDedupCorpus(spark, sfDir)
+      .select(col("doc_id"), expr("png_dhash56(payload)").as("dhash"))
+    bandedHammingPairs(hashed, maxHamming)
   }
 
   /** Interpreted HOF reference implementation of the dhash56 native

@@ -2159,7 +2159,9 @@ object TextOps {
   def ngramNovelty(spark: SparkSession, sfDir: String,
                    batches: Int = 8): DataFrame = {
     val d = Tables.spread(docs(spark, sfDir), col("doc_id"))
-    val total = d.count() // metadata-scale: one number on the driver
+    // manifest count, not a scan job (see Tables.rowCount; spread is
+    // row-preserving so the documents count IS this frame's count)
+    val total = Tables.rowCount(spark, sfDir, "documents")
     val bs = (total + batches - 1) / batches
     val g = d
       .select(expr(s"doc_id DIV $bs").as("batch"),

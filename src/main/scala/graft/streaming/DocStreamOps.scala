@@ -87,7 +87,17 @@ object DocStreamOps {
     * near-dups, with no downstream verify stage. Stream-static,
     * stateless, no watermark state; at 100 TB the snapshot side is
     * the (band, bv, dhash, doc_id) index of the lake bucketed on the
-    * band key, and each micro-batch is a lookup join against it. */
+    * band key, and each micro-batch is a lookup join against it.
+    *
+    * Emits each admitted (doc, snapshot doc) pair exactly ONCE — an
+    * exact copy matches all 4 bands, and a consumer counting
+    * admissions must not see it 4×. The dedup costs NO state: both
+    * full signatures ride the join, so "is this the LOWEST matching
+    * band for the pair" is row-local arithmetic (recompute the band
+    * equality for every lower band from dh/sh) — where a streaming
+    * `dropDuplicates` would grow unbounded state or need a watermark,
+    * this stays a pure filter. `band` in the output is that lowest
+    * matching band. */
   def dhashAdmission(docs: DataFrame, snapshot: DataFrame,
                      maxHamming: Int = 6): DataFrame = {
     def bands(df: DataFrame, idCol: String, hCol: String): DataFrame =
@@ -95,8 +105,15 @@ object DocStreamOps {
         .select(col(idCol), col(hCol),
           explode(sequence(lit(0), lit(3))).as("band"))
         .withColumn("bv", expr(s"shiftright($hCol, band * 14) & 16383"))
+    def bandEq(b: Int) =
+      expr(s"(shiftright(dh, ${b * 14}) & 16383) = (shiftright(sh, ${b * 14}) & 16383)")
+    val firstMatch = (0 to 3).map { b =>
+      (col("band") === b) &&
+        (0 until b).map(j => !bandEq(j)).foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     bands(docs, "doc_id", "dh")
       .join(bands(snapshot, "snap_id", "sh"), Seq("band", "bv"))
+      .filter(firstMatch)
       .withColumn("hamming", expr("bit_count(dh ^ sh)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_id", "snap_id", "band", "hamming")

@@ -55,6 +55,16 @@ object PlanGate {
     failedToPlan.toSeq.sortBy(_._1).foreach { case (q, msg) =>
       hard += s"$q: registered but failed to plan — $msg"
     }
+    // registry-vs-audit COUNT mismatch is hard in BOTH directions: a
+    // registered-but-unaudited query is caught per-name below, but a
+    // STALE audit row (query removed, audit kept) only warned — between
+    // a registry edit and the next --write, the committed audit must
+    // be set-identical to what the registry plans, or the gate is
+    // auditing a different engine than the one shipping.
+    val registered = current.size + failedToPlan.size
+    if (committed.size != registered)
+      hard += s"audit row count ${committed.size} != registered query count " +
+        s"$registered — regenerate with --write"
     current.toSeq.sortBy(_._1).foreach { case (q, cur) =>
       committed.get(q) match {
         case None =>

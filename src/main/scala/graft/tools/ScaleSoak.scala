@@ -33,7 +33,12 @@ object ScaleSoak {
     // (phrase) and stemmed postings have different growth constants
     // than the base postings, so each serves from its own soak row
     "art_inverted_index", "art_search_bm25_idx",
-    "art_search_phrase_idx", "art_search_stemmed_idx")
+    "art_search_phrase_idx", "art_search_stemmed_idx",
+    "art_search_snippet_idx",
+    // the bigram-LM family: cold pays the session LM-catalog build
+    // (clearLmCache above), warm is the overlay served off the pinned
+    // per-doc surprisal frame — the r12 build-once evidence
+    "txt_lm_surprisal", "txt_perplexity_buckets", "txt_doremi_step")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.map(_.toLong).getOrElse(5000L)

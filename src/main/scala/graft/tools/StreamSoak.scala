@@ -212,6 +212,45 @@ object StreamSoak {
       q.stop()
     }
 
+    // ---- 5. perceptual admission: STATELESS stream-static dhash56
+    // band probe with inline hamming verify — the bound under test is
+    // literal zero state rows at any trigger (the lowest-matching-band
+    // filter dedups pairs with row-local arithmetic, not a store), and
+    // admitted rows per trigger tracking the planted copy rate while
+    // input grows 20×. The snapshot is a 5k-doc corpus at rest; ~10%
+    // of each batch replays a snapshot payload verbatim.
+    locally {
+      val snapN = 5000
+      val snapshot = spark.range(0, snapN).selectExpr("id AS doc_id",
+        "concat('snapshot payload body ', id, ' with stable filler tokens') AS text")
+        .localCheckpoint() // pin: the static side re-scans per trigger
+      val mem = MemoryStream[DocRow]
+      val q = DocStreamOps.dhashAdmission(mem.toDF(), snapshot)
+        .writeStream.format("memory").queryName("soak_dhash")
+        .outputMode(OutputMode.Append).start()
+      var sent = 0L
+      (0 until nBatches).foreach { b =>
+        val base = b.toLong * perBatch
+        mem.addData((0 until perBatch).map { i =>
+          val id = base + i
+          val text = if (id % 10 == 0) // planted perceptual copy
+            s"snapshot payload body ${id % snapN} with stable filler tokens"
+          else s"novel streamed doc $id with its own distinct body bytes"
+          DocRow(1000000L + id,
+            new Timestamp(t0 + b * 120000L + (i % 120) * 1000L),
+            s"src${id % 7}", text)
+        }: _*)
+        q.processAllAvailable()
+        sent += perBatch
+      }
+      val out = spark.table("soak_dhash").count()
+      // stateless: live keys 0 — the bounded check degenerates to
+      // "max state rows == 0", which is the whole claim
+      record("dhash_admission", q, liveKeys = 0L, outRows = out,
+        totalIn = sent)
+      q.stop()
+    }
+
     println()
     println("| operator | events in | max state rows | final state rows | ~live keys | out rows | bounded? |")
     println("|---|---|---|---|---|---|---|")

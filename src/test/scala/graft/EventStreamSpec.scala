@@ -621,12 +621,21 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         DocRow(2002L, ts(1), "b",              // novel: reversed + new tail
           base(0)._2.split(" ").reverse.mkString(" ") + " wholly novel tail"))
       q.processAllAvailable()
-      val got = spark.table("dhash_adm")
-        .select("doc_id", "snap_id", "hamming")
-        .as[(Long, Long, Long)].collect().toSet
+      val rows = spark.table("dhash_adm")
+        .select("doc_id", "snap_id", "band", "hamming")
+        .as[(Long, Long, Int, Long)].collect()
+      val got = rows.map(r => (r._1, r._2, r._4)).toSet
       assert(got.contains((2001L, base(0)._1, 0L)),
         s"exact copy not admitted at hamming 0: $got")
-      assert(got.forall(_._3 <= 6L))
+      assert(rows.forall(_._4 <= 6L))
+      // exactly ONE row per admitted pair: the exact copy matches all
+      // 4 bands but must not be admitted 4x (the lowest-matching-band
+      // filter is stateless dedup); its band is therefore 0
+      val pairs = rows.map(r => (r._1, r._2))
+      assert(pairs.distinct.length == pairs.length,
+        s"pair admitted more than once: ${rows.mkString(",")}")
+      assert(rows.filter(r => r._1 == 2001L && r._2 == base(0)._1)
+        .forall(_._3 == 0))
     } finally q.stop()
   }
 

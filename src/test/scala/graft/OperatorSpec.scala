@@ -4513,6 +4513,17 @@ class OperatorSpec extends AnyFunSuite {
     graft.plans.TextIndexCatalog.clear()
   }
 
+  test("snippet indexed form is bitwise-equal to the scan form") {
+    // the positional postings' head-of-list + 1 must land exactly on
+    // array_position's 1-based first hit, in the same empty-filtered
+    // token coordinates — the whole window then derives identically
+    graft.plans.TextIndexCatalog.clear()
+    val scan = ArticleOps.searchSnippet(spark, sf0001).collect().toSeq
+    val idx = ArticleOps.searchSnippetIndexed(spark, sf0001).collect().toSeq
+    assert(scan == idx)
+    graft.plans.TextIndexCatalog.clear()
+  }
+
   test("native dhash56 expression equals the interpreted HOF model on every corpus row") {
     val both = Tables.documents(spark, sf0001)
       .select(expr("dhash56(text)").as("native"),
@@ -4541,9 +4552,63 @@ class OperatorSpec extends AnyFunSuite {
       s"${found.length}/${planted.size} planted copies surfaced")
     assert(rows.forall(_._3 <= 6L))
     // signatures stay below 2^56 (the sign-bit-free contract both
-    // engines' shift/popcount semantics require)
-    val hs = DedupOps.corpus(spark, sf0001).select("doc_id").count()
-    assert(hs > 0) // corpus non-empty sanity for the assertions above
+    // engines' shift/popcount semantics require) — checked on the
+    // actual corpus signatures, not a row-count proxy
+    val hs = DedupOps.corpus(spark, sf0001)
+      .select(expr("dhash56(text)").as("h")).collect()
+      .map(_.getAs[Long]("h"))
+    assert(hs.nonEmpty && hs.forall(h => h >= 0L && h < (1L << 56)))
+  }
+
+  test("decoded-pixel dHash: planted copies at hamming 0, output complete at the banding bound") {
+    val rows = MultimodalOps.dhashPxPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    // content-keyed geometry: a planted exact copy (same text) carries a
+    // byte-identical PNG payload, so the DECODED grid matches too
+    val planted = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 === 0).select("doc_id").collect()
+      .map(r => r.getAs[Long](0)).toSet
+    val found = rows.filter { case (a, b, h) =>
+      planted(a) && b == a + 100000 && h == 0L }
+    assert(found.length == planted.size,
+      s"${found.length}/${planted.size} planted copies surfaced")
+    // verify threshold 3 = the 4×14 banding's exhaustive bound: check
+    // completeness against a brute-force all-pairs scan of the decoded
+    // signatures (possible here precisely because the bound holds)
+    val sig = MultimodalOps.pngDedupCorpus(spark, sf0001)
+      .select(col("doc_id"), expr("png_dhash56(payload)").as("h")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h")))
+    assert(sig.forall { case (_, h) => h >= 0L && h < (1L << 56) })
+    val expect = (for {
+      (a, ha) <- sig; (b, hb) <- sig if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(rows.toSet == expect,
+      s"banded output ${rows.length} pairs != brute force ${expect.size}")
+  }
+
+  test("png_dhash56 falls back to the 1-D byte sampler on non-decodable payloads") {
+    import spark.implicits._
+    val payloads = Seq(
+      "not a png at all, just ascii bytes standing in for a payload",
+      "PNG-ish but truncated before any IHDR chunk",
+      "short")
+    val got = payloads.toDF("s")
+      .select(expr("png_dhash56(CAST(s AS BINARY))").as("px"),
+        expr("dhash56(s)").as("txt")).collect()
+    // ASCII payloads: byte sampling == char sampling, so the fallback
+    // must agree with the text expression exactly
+    got.zip(payloads).foreach { case (r, p) =>
+      assert(r.getAs[Long]("px") == r.getAs[Long]("txt"), s"payload: $p")
+    }
+    // a structurally-valid PNG must NOT take the fallback: its decoded
+    // hash differs from the raw-byte hash of the same blob
+    val png = MultimodalOps.pngDedupCorpus(spark, sf0001).limit(50)
+      .select(expr("png_dhash56(payload)").as("px"),
+        expr("dhash56(CAST(payload AS STRING))").as("raw")).collect()
+    assert(png.nonEmpty && png.exists(r =>
+      r.getAs[Long]("px") != r.getAs[Long]("raw")))
   }
 
   test("l-diversity: one row per QI group, sensitive cardinality within bounds") {

@@ -45,12 +45,28 @@ class PlanGateSpec extends AnyFunSuite {
     assert(soft.exists(_.startsWith("q_agg: shape drift")), soft)
   }
 
-  test("identical shapes are silent, removed queries warn") {
+  test("identical shapes are silent; a stale audit row is a hard count mismatch") {
     val (hard0, soft0) = PlanGate.violations(base, base)
     assert(hard0.isEmpty && soft0.isEmpty)
+    // a query removed from the registry with its audit row left behind
+    // used to only warn — between a registry edit and the next --write
+    // the gate would pass while auditing a query that no longer exists;
+    // the row-count diff makes that window hard
     val (hard1, soft1) = PlanGate.violations(base, base - "q_agg")
-    assert(hard1.isEmpty)
+    assert(hard1.exists(_.contains("audit row count 2 != registered query count 1")), hard1)
     assert(soft1.exists(_.contains("q_agg: in committed audit but no longer")), soft1)
+  }
+
+  test("audit/registry count mismatch is hard in both directions, not fooled by failures") {
+    // unaudited new query: caught per-name AND by the count diff
+    val cur = base + ("q_new" -> Shape(1, 0, 1, 0, 1))
+    val (hard, _) = PlanGate.violations(base, cur)
+    assert(hard.exists(_.contains("audit row count 2 != registered query count 3")), hard)
+    // a failed-to-plan query still counts as REGISTERED: no count
+    // mismatch on top of the (already hard) failure itself
+    val (hard2, _) = PlanGate.violations(base, base - "q_agg",
+      failedToPlan = Map("q_agg" -> "boom"))
+    assert(!hard2.exists(_.contains("audit row count")), hard2)
   }
 
   test("a registered query whose plan threw is a hard violation, not a removal warning") {

@@ -14,8 +14,9 @@
 #                                 the driver's exact discipline)
 #   4. graft.tools.PlanGate     — plan shapes vs the committed audit
 #                                 (exit 1 on shuffle/scan growth, an
-#                                 unaudited query, or a query that no
-#                                 longer plans)
+#                                 unaudited query, a query that no
+#                                 longer plans, or an audit row count
+#                                 that differs from the query registry)
 #
 # The scale soak (graft.tools.ScaleSoak) stays a separate, deliberate
 # invocation: it runs minutes-to-hours by design and its output is
