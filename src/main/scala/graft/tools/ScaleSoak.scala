@@ -26,7 +26,7 @@ object ScaleSoak {
     // dhash is the multimodal perceptual tier — banded like minhash)
     "dd_ngram_jaccard", "dd_minhash_lsh", "dd_dup_clusters",
     "dd_dup_clusters_star", "dd_lsh_quality", "dd_span_audit",
-    "mm_dhash_pairs",
+    "mm_dhash_pairs", "mm_dhash_px_pairs",
     // ANN
     "sim_knn_graph", "sim_graph_search", "sim_ivf_pq", "sim_recall",
     // search-index build + the index-SERVED family: positional
@@ -38,9 +38,19 @@ object ScaleSoak {
     // the bigram-LM family: cold pays the session LM-catalog build
     // (clearLmCache above), warm is the overlay served off the pinned
     // per-doc surprisal frame — the r12 build-once evidence
-    "txt_lm_surprisal", "txt_perplexity_buckets", "txt_doremi_step")
+    "txt_lm_surprisal", "txt_perplexity_buckets", "txt_doremi_step",
+    // the iterative graph family: n_jobs is the load-bearing column
+    // here — rank/CC loops are O(rounds) jobs each with checkpoint +
+    // observe-metric actions, and the claim under test is that the
+    // JOB COUNT stays flat while per-job volume scales (pagerank's
+    // early integer-fixpoint exit may even shrink it)
+    "graph_pagerank", "graph_ppr", "graph_triangles")
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("--list")) { // tools/soak.sh asks for the family list
+      println(allFamilies.mkString(","))
+      return
+    }
     val base = args.headOption.map(_.toLong).getOrElse(5000L)
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val reps = args.drop(2).headOption.map(_.toInt).getOrElse(2)
@@ -60,6 +70,26 @@ object ScaleSoak {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = graft.SparkEntry.queries
+    // per-run JOB evidence rides a listener: n_jobs is the structural
+    // claim for the iterative families (rounds × actions, not data
+    // volume), and summed job wall time is the cluster-side cost with
+    // driver-side planning gaps excluded — the stage-time companion to
+    // wall time the r11 noise post-mortem asked for (a wall-time-only
+    // row can't distinguish "executors were busy" from "the driver
+    // paused between jobs under memory pressure").
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet()
+        jobStarts.put(j.jobId, System.nanoTime()); ()
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(jobStarts.remove(j.jobId))
+          .foreach(t0 => jobNanos.addAndGet(System.nanoTime() - t0)); ()
+      }
+    })
     // (query, scale) -> (coldSecs, warmSecs, rows, metricsString).
     // COLD = MIN over `reps` runs that each start with every session
     // cache dropped (knn index catalog, text-index registry AND its
@@ -74,7 +104,7 @@ object ScaleSoak {
     // hit in the cold path would report the lookup, not the build (the
     // r10 lesson: sim_knn_graph "scaled" at 0.02 s).
     val results = scala.collection.mutable.LinkedHashMap
-      .empty[(String, Int), (Double, Double, Long, String)]
+      .empty[(String, Int), (Double, Double, Long, String, Long, Double)]
     for (scale <- Seq(1, mult)) {
       val sfDir = s"synth:${base * scale}"
       // follow the repo's own §8 sizing advice INSIDE the soak: shuffle
@@ -85,9 +115,13 @@ object ScaleSoak {
         math.min(256, cpus.toInt * math.max(1, scale / 4)).toString)
       for (q <- families) {
         var cold = Double.MaxValue
+        var coldJobs = 0L
+        var coldJobSecs = 0.0
         var rows = 0L
         var metrics = ""
-        def run(): Double = {
+        // returns (wall secs, jobs run, summed job secs) for ONE run
+        def run(): (Double, Long, Double) = {
+          val j0 = jobCount.get(); val n0 = jobNanos.get()
           val t0 = System.nanoTime()
           val collected = qs(q)(spark, sfDir).collect() // full materialization
           val secs = (System.nanoTime() - t0) / 1e9
@@ -97,7 +131,7 @@ object ScaleSoak {
           if (rows <= 4 && collected.nonEmpty)
             metrics = collected.map(_.toString).mkString(" ")
           spark.catalog.clearCache() // intra-query persists only
-          secs
+          (secs, jobCount.get() - j0, (jobNanos.get() - n0) / 1e9)
         }
         (1 to reps).foreach { _ =>
           graft.operators.SimilarityOps.clearKnnIndexCache()
@@ -105,24 +139,25 @@ object ScaleSoak {
           graft.plans.TextIndexCatalog.clear()
           graft.plans.TextIndexCatalog.purgeDirs(sfDir)
           spark.catalog.clearCache()
-          cold = math.min(cold, run())
+          val (secs, jobs, jobSecs) = run()
+          if (secs < cold) { cold = secs; coldJobs = jobs; coldJobSecs = jobSecs }
         }
         // catalogs hot from the last cold rep; min-of-N like cold
-        val warm = (1 to reps).map(_ => run()).min
-        results((q, scale)) = (cold, warm, rows, metrics)
-        println(f"""{"query":"$q","n_docs":${base * scale},"cold_secs":$cold%.3f,"warm_secs":$warm%.3f,"rows":$rows}""")
+        val warm = (1 to reps).map(_ => run()._1).min
+        results((q, scale)) = (cold, warm, rows, metrics, coldJobs, coldJobSecs)
+        println(f"""{"query":"$q","n_docs":${base * scale},"cold_secs":$cold%.3f,"warm_secs":$warm%.3f,"rows":$rows,"n_jobs":$coldJobs,"job_secs":$coldJobSecs%.3f}""")
       }
     }
     println()
-    println(s"| query | cold 1x s | cold ${mult}x s | exponent | warm 1x s | warm ${mult}x s | rows 1x | rows ${mult}x |")
-    println("|---|---|---|---|---|---|---|---|")
+    println(s"| query | cold 1x s | cold ${mult}x s | exponent | warm 1x s | warm ${mult}x s | jobs 1x/${mult}x | job-secs 1x/${mult}x | rows 1x | rows ${mult}x |")
+    println("|---|---|---|---|---|---|---|---|---|---|")
     families.foreach { q =>
-      val (c1, w1, r1, m1) = results((q, 1))
-      val (cm, wm, rm, mm) = results((q, mult))
+      val (c1, w1, r1, m1, j1, js1) = results((q, 1))
+      val (cm, wm, rm, mm, jm, jsm) = results((q, mult))
       val expo = math.log(cm / c1) / math.log(mult.toDouble)
-      println(f"| $q | $c1%.2f | $cm%.2f | $expo%.2f | $w1%.2f | $wm%.2f | $r1 | $rm |")
+      println(f"| $q | $c1%.2f | $cm%.2f | $expo%.2f | $w1%.2f | $wm%.2f | $j1/$jm | $js1%.1f/$jsm%.1f | $r1 | $rm |")
       if (m1.nonEmpty || mm.nonEmpty)
-        println(s"|   metrics | $m1 | $mm | | | | | |")
+        println(s"|   metrics | $m1 | $mm | | | | | | | |")
     }
     spark.stop()
   }
