@@ -49,11 +49,14 @@ IFS=',' read -ra FAMS <<< "$FAMILIES"
 for fam in "${FAMS[@]}"; do
   for inv in $(seq 1 "$INVOCATIONS"); do
     echo "== $fam invocation $inv/$INVOCATIONS ==" >&2
+    # SOAK_REPS: in-JVM repetitions per (query, scale). Default 1 — in
+    # the isolated protocol the min comes from ACROSS invocations;
+    # doubling cold reps inside one JVM just doubles the heavy builds.
     # shellcheck disable=SC2086
     java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-48g}" \
       -XX:MetaspaceSize=512m -XX:SoftRefLRUPolicyMSPerMB=0 \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-      -cp "$CP" graft.tools.ScaleSoak "$BASE" "$MULT" 2 "$fam" 2>/dev/null \
+      -cp "$CP" graft.tools.ScaleSoak "$BASE" "$MULT" "${SOAK_REPS:-1}" "$fam" 2>/dev/null \
       | grep '^{' | sed "s/^{/{\"invocation\":$inv,/" >> "$OUT"
   done
 done
