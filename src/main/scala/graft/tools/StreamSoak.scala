@@ -219,10 +219,24 @@ object StreamSoak {
     // admitted rows per trigger tracking the planted copy rate while
     // input grows 20×. The snapshot is a 5k-doc corpus at rest; ~10%
     // of each batch replays a snapshot payload verbatim.
+    //
+    // Body text is HEX-HASH content, not a template: dhash56 samples 64
+    // proportional character positions, so template strings that differ
+    // only in an embedded id share almost every sampled character and
+    // land within hamming 6 of EVERY row on both sides — the first cut
+    // of this soak measured exactly that degeneracy (33.6 M admissions
+    // from 100 k events against a 5 k snapshot: correct operator output
+    // on a perceptually-uniform corpus). Hash bodies make signatures
+    // independent across ids, so admissions are the planted copies.
     locally {
       val snapN = 5000
-      val snapshot = spark.range(0, snapN).selectExpr("id AS doc_id",
-        "concat('snapshot payload body ', id, ' with stable filler tokens') AS text")
+      def hx(x: Long): String = java.lang.Long.toHexString(x)
+      def snapBody(i: Long): String =
+        s"snap ${hx(i * 0x9E3779B97F4A7C15L)} ${hx(i * -0x3D4D51C2D82B14B1L + 11L)} ${hx((i + 77L) * 0x165667B19E3779F9L)}"
+      def novelBody(i: Long): String =
+        s"novel ${hx(i * -0x2917014B56A026DL + 3L)} ${hx(i * -0x5F89E29B87429BD1L + 5L)} ${hx((i + 13L) * -0x18FC812E5F4BD725L)}"
+      val snapshot = (0L until snapN.toLong).map(i => (i, snapBody(i)))
+        .toDF("doc_id", "text")
         .localCheckpoint() // pin: the static side re-scans per trigger
       val mem = MemoryStream[DocRow]
       val q = DocStreamOps.dhashAdmission(mem.toDF(), snapshot)
@@ -233,9 +247,8 @@ object StreamSoak {
         val base = b.toLong * perBatch
         mem.addData((0 until perBatch).map { i =>
           val id = base + i
-          val text = if (id % 10 == 0) // planted perceptual copy
-            s"snapshot payload body ${id % snapN} with stable filler tokens"
-          else s"novel streamed doc $id with its own distinct body bytes"
+          val text = if (id % 10 == 0) snapBody(id % snapN) // planted copy
+          else novelBody(id)
           DocRow(1000000L + id,
             new Timestamp(t0 + b * 120000L + (i % 120) * 1000L),
             s"src${id % 7}", text)
