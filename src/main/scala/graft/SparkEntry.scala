@@ -298,6 +298,7 @@ object SparkEntry {
     "mm_patchify"              -> MultimodalOps.patchify _,
     "mm_dhash_pairs"           -> ((s: SparkSession, d: String) => MultimodalOps.dhashPairs(s, d)),
     "mm_dhash_px_pairs"        -> ((s: SparkSession, d: String) => MultimodalOps.dhashPxPairs(s, d)),
+    "mm_wav_fp_pairs"          -> ((s: SparkSession, d: String) => MultimodalOps.wavFpPairs(s, d)),
     "mm_gif_header"            -> MultimodalOps.gifHeaderDecode _,
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
     "mm_png_ihdr"              -> MultimodalOps.pngIhdrDecode _,
@@ -7111,6 +7112,66 @@ object SparkEntry {
     // perceptual dHash near-dup: 56-bit neighbor-comparison signature
     // over 64 proportionally-sampled payload bytes, 4x14-bit banding,
     // hamming verify — planted exact copies land at hamming 0
+    // mm_wav_fp_pairs: the audio twin — rebuild the byte-identical
+    // mono/16-bit RIFF/WAVE blobs over the dedup-seeded corpus, parse
+    // channels (byte 22) and bit depth (byte 34) back out of the blob
+    // hex (LE16 — the oracle decodes the container, it does not
+    // shortcut via the generation formula), derive block align and the
+    // frame count, then the same integer energy-contour fingerprint the
+    // native wav_fp56 computes: 57 windows anchored at (2w+1)·nS DIV
+    // 114, each the Σ of 4 consecutive |int16 LE| sample magnitudes
+    // (sign-folded — ASCII bodies never trip it, the arm is for decode
+    // fidelity), 56 neighbor-comparison bits, 4×14 banding at the
+    // exhaustive hamming-3 bound
+    "mm_wav_fp_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |g AS (SELECT doc_id, text,
+        |  lpad(to_hex(length(text) + 36), 8, '0') AS cs,
+        |  lpad(to_hex(length(text)), 8, '0') AS ds FROM corpus),
+        |m AS (SELECT doc_id,
+        |  upper('52494646'
+        |    || substr(cs,7,2) || substr(cs,5,2) || substr(cs,3,2) || substr(cs,1,2)
+        |    || '57415645' || '666D7420' || '10000000' || '0100' || '0100'
+        |    || '401F0000' || '803E0000' || '0200' || '1000' || '64617461'
+        |    || substr(ds,7,2) || substr(ds,5,2) || substr(ds,3,2) || substr(ds,1,2))
+        |    || upper(hex(encode(text))) AS hh FROM g),
+        |geo AS (SELECT doc_id, hh,
+        |  ('0x' || substr(hh, 47, 2) || substr(hh, 45, 2))::BIGINT AS ch,
+        |  ('0x' || substr(hh, 71, 2) || substr(hh, 69, 2))::BIGINT AS bits FROM m),
+        |par AS (SELECT doc_id, hh, ch * (bits // 8) AS ba,
+        |  (length(hh) // 2 - 44) // (ch * (bits // 8)) AS ns FROM geo),
+        |en AS (SELECT doc_id,
+        |  list_transform(range(0, 57), w -> (
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 4), i -> (
+        |        CASE WHEN ('0x' || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba + 1) * 2 + 1 AS INT), 2)
+        |                        || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba) * 2 + 1 AS INT), 2))::BIGINT >= 32768
+        |         THEN 65536 - ('0x' || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba + 1) * 2 + 1 AS INT), 2)
+        |                            || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba) * 2 + 1 AS INT), 2))::BIGINT
+        |         ELSE ('0x' || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba + 1) * 2 + 1 AS INT), 2)
+        |                    || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba) * 2 + 1 AS INT), 2))::BIGINT END))),
+        |      (a, x) -> a + x))) AS e FROM par),
+        |h AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, 56), b ->
+        |      CASE WHEN e[CAST(b + 2 AS INT)] > e[CAST(b + 1 AS INT)]
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+        |    (a, x) -> a + x) AS dhash FROM en),
+        |bnd AS (
+        |  SELECT doc_id, dhash, band, (dhash >> (band * 14)) & 16383 AS bv
+        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    a.dhash AS ha, b2.dhash AS hb
+        |  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.bv = b2.bv
+        |    AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // mm_dhash_px_pairs: rebuild the byte-identical content-keyed PNG
     // blobs over the dedup-seeded corpus, PARSE geometry back out of
     // the blob hex (signature offsets, IHDR width/height/depth/color —

@@ -237,6 +237,62 @@ object TextHashExpressions {
     dhashBits(px)
   }
 
+  /** wav_fp56(binary) — the AUDIO twin of [[pngDhash56]] (static:
+    * called from generated code): a 56-bit energy-contour fingerprint
+    * from a REAL container decode. Parse the canonical RIFF/WAVE
+    * layout (signature + "data" at byte 36, the fixed 44-byte header
+    * MultimodalOps.wavTable writes) and the little-endian PCM geometry
+    * (channels at 22, bit depth at 34); slice the first channel's
+    * sample stream into 57 proportional windows (window w anchors at
+    * frame (2w+1)·nS DIV 114 — the same center-sampling rule as the
+    * dhash grid); each window's energy is the Σ of 4 consecutive
+    * sample magnitudes (8-bit PCM: |s−128|; 16-bit: |int16 LE|); the
+    * 56 bits are the neighbor comparisons e(w+1) > e(w) — the
+    * coarse shape of the loudness contour, the property an audio
+    * near-dup shares across container-level byte differences. PCM
+    * widths beyond {8,16} bits or channel counts beyond {1,2} take
+    * the byte-sampler fallback (16-bit mono/stereo is the canonical
+    * interchange; the spec pins the 8-bit arm on a hand-built
+    * payload), as do non-WAV payloads. Integer div/mod only, so the
+    * oracle replays the decode from the blob hex. */
+  def wavFp56(b: Array[Byte]): Long = {
+    val n = b.length
+    def u(i: Int): Int = b(i) & 0xFF
+    val decodable = n > 44 &&
+      u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
+      u(8) == 'W' && u(9) == 'A' && u(10) == 'V' && u(11) == 'E' &&
+      u(36) == 'd' && u(37) == 'a' && u(38) == 't' && u(39) == 'a'
+    if (!decodable) return dhash56Bytes(b)
+    val channels = u(22) | (u(23) << 8)
+    val bits = u(34) | (u(35) << 8)
+    if ((channels != 1 && channels != 2) || (bits != 8 && bits != 16))
+      return dhash56Bytes(b)
+    val ba = channels * (bits / 8) // block align: bytes per sample frame
+    val nS = ((n - 44) / ba).toLong
+    if (nS <= 0L) return dhash56Bytes(b)
+    def amp(k: Long): Long = {
+      val off = 44 + (k * ba).toInt // first channel of frame k
+      if (bits == 8) math.abs(u(off) - 128).toLong
+      else {
+        val v = u(off) | (u(off + 1) << 8)
+        math.abs(if (v >= 32768) v - 65536 else v).toLong
+      }
+    }
+    var h = 0L
+    var prev = 0L
+    var w = 0
+    while (w <= 56) {
+      val base = (2L * w + 1L) * nS / 114L
+      var e = 0L
+      var i = 0
+      while (i < 4) { e += amp((base + i) % nS); i += 1 }
+      if (w > 0 && e > prev) h |= 1L << (w - 1)
+      prev = e
+      w += 1
+    }
+    h
+  }
+
   /** png_dhash56(binary) — the perceptual difference-hash computed from
     * a REAL container decode (static: called from generated code). See
     * PngDhash56Expr for the contract: parse the PNG signature + IHDR
@@ -479,6 +535,25 @@ case class DHash56Expr(child: Expression)
   * prior tier's expression — as the fast path, so a mixed corpus
   * still hashes every row. Integer-exact: the oracle rebuilds the
   * blob and runs the same parse+sample arithmetic in hex space. */
+/** wav_fp56(binary) — 56-bit audio energy-contour fingerprint from a
+  * real RIFF/WAVE decode; see [[TextHashExpressions.wavFp56]] for the
+  * window/energy/comparison contract and the fallback rules. The
+  * audio member of the perceptual-dedup family (images: png_dhash56);
+  * shares the 4×14-bit banding machinery downstream. */
+case class WavFp56Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "wav_fp56"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashExpressions.wavFp56(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashExpressions.wavFp56($c)")
+  override protected def withNewChildInternal(newChild: Expression): WavFp56Expr =
+    copy(child = newChild)
+}
+
 case class PngDhash56Expr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(BinaryType)

@@ -790,6 +790,59 @@ object MultimodalOps {
     bandedHammingPairs(hashed, maxHamming)
   }
 
+  /** The dedup-seeded corpus wrapped in REAL WAV containers — the
+    * [[wavFpPairs]] input, the audio twin of [[pngDedupCorpus]]: every
+    * [[DedupOps.corpus]] row becomes a canonical 44-byte RIFF/WAVE
+    * header (the byte-exact layout of [[wavTable]], pinned to mono
+    * 16-bit PCM at 8 kHz so the container geometry is content-blind)
+    * followed by the text bytes as the PCM stream — a planted exact
+    * copy (same text, different id) carries a byte-identical payload,
+    * pinning decoded-contour hamming 0 at every scale. Consecutive
+    * byte pairs read as little-endian int16 samples (ASCII keeps the
+    * high byte < 0x80, so the magnitudes are the pair values
+    * themselves); the 8-bit / stereo arms of the decoder are exercised
+    * by the spec on hand-built payloads. */
+  private[graft] def wavDedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    def le32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val h = lpad(hex(c), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val n = length(col("text")).cast("long") // PCM data size in bytes
+    DedupOps.corpus(spark, sfDir)
+      .select(col("doc_id"),
+        concat(
+          unhex(concat(
+            lit("52494646"), le32(n + 36), // "RIFF", chunk size
+            lit("57415645"), lit("666D7420"), lit("10000000"), // "WAVE" "fmt " 16
+            lit("0100"), lit("0100"),     // PCM, channels = 1
+            lit("401F0000"),              // rate 8000 (LE)
+            lit("803E0000"),              // byte rate 16000 (LE)
+            lit("0200"), lit("1000"),     // block align 2, bits 16 (LE)
+            lit("64617461"), le32(n))),   // "data", data size
+          col("text").cast("binary")).as("payload"))
+  }
+
+  /** Audio perceptual near-dup pairs — [[dhashPxPairs]]' modality twin,
+    * completing the image/audio pair of the perceptual-dedup family:
+    * the native `wav_fp56` expression decodes each payload's RIFF/WAVE
+    * container and fingerprints the 56-bit LOUDNESS CONTOUR (57
+    * proportional 4-sample energy windows over the first PCM channel,
+    * neighbor comparisons — the shape an audio near-dup keeps across
+    * container-level byte differences), then the SHARED
+    * [[bandedHammingPairs]] tail bands, bucket-joins and
+    * popcount-verifies exactly as the image tiers do — one codegen'd
+    * row-local pass, no payload across any exchange, and the same
+    * hamming-3 exhaustive banding bound as the px tier. Planted exact
+    * copies share text ⇒ byte-identical WAV payloads ⇒ identical
+    * contours ⇒ hamming 0 at every scale factor. */
+  def wavFpPairs(spark: SparkSession, sfDir: String,
+                 maxHamming: Int = 3): DataFrame = {
+    val hashed = wavDedupCorpus(spark, sfDir)
+      .select(col("doc_id"), expr("wav_fp56(payload)").as("dhash"))
+    bandedHammingPairs(hashed, maxHamming)
+  }
+
   /** Interpreted HOF reference implementation of the dhash56 native
     * expression (kept as the independent model for the equivalence
     * spec, the dotd/hyperplaneBucket pattern). */

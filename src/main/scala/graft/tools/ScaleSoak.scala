@@ -26,7 +26,7 @@ object ScaleSoak {
     // dhash is the multimodal perceptual tier — banded like minhash)
     "dd_ngram_jaccard", "dd_minhash_lsh", "dd_dup_clusters",
     "dd_dup_clusters_star", "dd_lsh_quality", "dd_span_audit",
-    "mm_dhash_pairs", "mm_dhash_px_pairs",
+    "mm_dhash_pairs", "mm_dhash_px_pairs", "mm_wav_fp_pairs",
     // ANN
     "sim_knn_graph", "sim_graph_search", "sim_ivf_pq", "sim_recall",
     // search-index build + the index-SERVED family: positional

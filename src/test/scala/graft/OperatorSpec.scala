@@ -4588,6 +4588,92 @@ class OperatorSpec extends AnyFunSuite {
       s"banded output ${rows.length} pairs != brute force ${expect.size}")
   }
 
+  test("wav fingerprint: planted copies at hamming 0, complete at the banding bound, fallback parity") {
+    import spark.implicits._
+    val rows = MultimodalOps.wavFpPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    // content-blind container geometry: a planted exact copy (same
+    // text) carries a byte-identical WAV payload, so the decoded
+    // loudness contour matches too
+    val planted = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 === 0).select("doc_id").collect()
+      .map(r => r.getAs[Long](0)).toSet
+    val found = rows.filter { case (a, b, h) =>
+      planted(a) && b == a + 100000 && h == 0L }
+    assert(found.length == planted.size,
+      s"${found.length}/${planted.size} planted copies surfaced")
+    // verify threshold 3 = the 4×14 banding's exhaustive bound:
+    // completeness vs a brute-force all-pairs scan of the signatures
+    val sig = MultimodalOps.wavDedupCorpus(spark, sf0001)
+      .select(col("doc_id"), expr("wav_fp56(payload)").as("h")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h")))
+    assert(sig.forall { case (_, h) => h >= 0L && h < (1L << 56) })
+    val expect = (for {
+      (a, ha) <- sig; (b, hb) <- sig if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(rows.toSet == expect,
+      s"banded output ${rows.length} pairs != brute force ${expect.size}")
+    // non-WAV ASCII payloads take the byte sampler — parity with dhash56
+    val fb = Seq("not a wav container", "RIFFxxxx but truncated", "x")
+      .toDF("s")
+      .select(expr("wav_fp56(CAST(s AS BINARY))").as("fp"),
+        expr("dhash56(s)").as("txt")).collect()
+    fb.foreach(r => assert(r.getAs[Long]("fp") == r.getAs[Long]("txt")))
+  }
+
+  test("wav_fp56 decodes the 8-bit and stereo PCM arms (hand-built payloads vs an inline model)") {
+    // independent model: same windows/energies computed here from the
+    // raw sample array, against the expression on a hand-built header
+    def header(channels: Int, bits: Int, dataSize: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataSize)
+      bb.put("WAVE".getBytes); bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1.toShort); bb.putShort(channels.toShort)
+      bb.putInt(8000); bb.putInt(8000 * channels * (bits / 8))
+      bb.putShort((channels * (bits / 8)).toShort); bb.putShort(bits.toShort)
+      bb.put("data".getBytes); bb.putInt(dataSize)
+      bb.array()
+    }
+    def model(amps: Array[Long]): Long = {
+      val nS = amps.length.toLong
+      var h = 0L; var prev = 0L
+      (0 to 56).foreach { w =>
+        val base = (2L * w + 1L) * nS / 114L
+        val e = (0 until 4).map(i => amps(((base + i) % nS).toInt)).sum
+        if (w > 0 && e > prev) h |= 1L << (w - 1)
+        prev = e
+      }
+      h
+    }
+    // 8-bit mono: samples are unsigned bytes, magnitude |s - 128|
+    val body8 = Array.tabulate(301)(i => ((i * 37 + 11) % 256).toByte)
+    val amps8 = body8.map(b => math.abs((b & 0xFF) - 128).toLong)
+    // 16-bit stereo: frames of [left, right] int16 LE; first channel only
+    val frames = Array.tabulate(173)(i => ((i * 2654435761L + 7) % 65536L).toInt)
+    val body16 = frames.flatMap { v =>
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, 0x55.toByte, 0xAA.toByte)
+    }
+    val amps16 = frames.map { v =>
+      math.abs(if (v >= 32768) v - 65536 else v).toLong
+    }
+    import spark.implicits._
+    val got = Seq(
+      ("m8", header(1, 8, body8.length) ++ body8),
+      ("s16", header(2, 16, body16.length) ++ body16))
+      .toDF("name", "payload")
+      .select(col("name"), expr("wav_fp56(payload)").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("m8") == model(amps8), "8-bit mono arm diverged from the model")
+    assert(got("s16") == model(amps16), "stereo 16-bit arm diverged from the model")
+    // unsupported width (24-bit) takes the documented byte fallback
+    val p24 = header(1, 24, 60) ++ Array.tabulate(60)(i => (i * 3).toByte)
+    assert(graft.functions.TextHashExpressions.wavFp56(p24) ==
+      graft.functions.TextHashExpressions.dhash56Bytes(p24))
+  }
+
   test("png_dhash56 falls back to the 1-D byte sampler on non-decodable payloads") {
     import spark.implicits._
     val payloads = Seq(
