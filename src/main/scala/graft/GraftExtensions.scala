@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CdcBoundariesExpr, DHash56Expr, DotDoubleExpr, HyperplaneBucketExpr, PngDhash56Expr, PolyHashExpr, Shingle3HashesExpr, ShingleKHashesExpr, SimHash48Expr, SortedIntersectCountExpr, WavFp56Expr, WordPolyHashesExpr}
+import graft.functions.{CdcBoundariesExpr, DHash56Expr, DotDoubleExpr, HyperplaneBucketExpr, PngDhash56Expr, PngStoredExpr, PolyHashExpr, Shingle3HashesExpr, ShingleKHashesExpr, SimHash48Expr, SortedIntersectCountExpr, WavFp56Expr, WordPolyHashesExpr}
 
 /** Engine extension point (SURVEY.md §7.4 custom work): registers the
   * native hash expressions as SQL functions so queries reach them via
@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("png_dhash56"),
       new ExpressionInfo(classOf[PngDhash56Expr].getName, "png_dhash56"),
       arity("png_dhash56", 1)(children => PngDhash56Expr(children.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("png_stored"),
+      new ExpressionInfo(classOf[PngStoredExpr].getName, "png_stored"),
+      arity("png_stored", 1)(children => PngStoredExpr(children.head))))
     ext.injectFunction((
       new FunctionIdentifier("wav_fp56"),
       new ExpressionInfo(classOf[WavFp56Expr].getName, "wav_fp56"),

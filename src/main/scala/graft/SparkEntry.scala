@@ -7122,7 +7122,10 @@ object SparkEntry {
     // 114, each the Σ of 4 consecutive |int16 LE| sample magnitudes
     // (sign-folded — ASCII bodies never trip it, the arm is for decode
     // fidelity), 56 neighbor-comparison bits, 4×14 banding at the
-    // exhaustive hamming-3 bound
+    // exhaustive hamming-3 bound. A 0-frame payload (ns = 0, i.e. a
+    // sub-block-align body) takes the byte-sampler fallback branch
+    // exactly as the native wav_fp56 does — the contour arm divides by
+    // greatest(1, ns) only so the untaken branch can't raise
     "mm_wav_fp_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -7144,24 +7147,34 @@ object SparkEntry {
         |  ('0x' || substr(hh, 47, 2) || substr(hh, 45, 2))::BIGINT AS ch,
         |  ('0x' || substr(hh, 71, 2) || substr(hh, 69, 2))::BIGINT AS bits FROM m),
         |par AS (SELECT doc_id, hh, ch * (bits // 8) AS ba,
-        |  (length(hh) // 2 - 44) // (ch * (bits // 8)) AS ns FROM geo),
-        |en AS (SELECT doc_id,
+        |  (length(hh) // 2 - 44) // (ch * (bits // 8)) AS ns,
+        |  greatest(1, (length(hh) // 2 - 44) // (ch * (bits // 8))) AS nss FROM geo),
+        |en AS (SELECT doc_id, hh, ns,
         |  list_transform(range(0, 57), w -> (
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(0, 4), i -> (
-        |        CASE WHEN ('0x' || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba + 1) * 2 + 1 AS INT), 2)
-        |                        || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba) * 2 + 1 AS INT), 2))::BIGINT >= 32768
-        |         THEN 65536 - ('0x' || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba + 1) * 2 + 1 AS INT), 2)
-        |                            || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba) * 2 + 1 AS INT), 2))::BIGINT
-        |         ELSE ('0x' || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba + 1) * 2 + 1 AS INT), 2)
-        |                    || substr(hh, CAST((44 + (((2*w+1) * ns // 114 + i) % ns) * ba) * 2 + 1 AS INT), 2))::BIGINT END))),
+        |        CASE WHEN ('0x' || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba + 1) * 2 + 1 AS INT), 2)
+        |                        || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba) * 2 + 1 AS INT), 2))::BIGINT >= 32768
+        |         THEN 65536 - ('0x' || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba + 1) * 2 + 1 AS INT), 2)
+        |                            || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba) * 2 + 1 AS INT), 2))::BIGINT
+        |         ELSE ('0x' || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba + 1) * 2 + 1 AS INT), 2)
+        |                    || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba) * 2 + 1 AS INT), 2))::BIGINT END))),
         |      (a, x) -> a + x))) AS e FROM par),
         |h AS (SELECT doc_id,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(0, 56), b ->
-        |      CASE WHEN e[CAST(b + 2 AS INT)] > e[CAST(b + 1 AS INT)]
-        |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
-        |    (a, x) -> a + x) AS dhash FROM en),
+        |  CASE WHEN ns > 0 THEN
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 56), b ->
+        |        CASE WHEN e[CAST(b + 2 AS INT)] > e[CAST(b + 1 AS INT)]
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, x) -> a + x)
+        |  ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 56), b ->
+        |        CASE WHEN ('0x' || substr(hh, CAST((((2*((b // 7) * 8 + b % 7)+3) * (length(hh) // 2)) // 128) * 2 + 1 AS INT), 2))::BIGINT
+        |                 > ('0x' || substr(hh, CAST((((2*((b // 7) * 8 + b % 7)+1) * (length(hh) // 2)) // 128) * 2 + 1 AS INT), 2))::BIGINT
+        |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, x) -> a + x)
+        |  END AS dhash FROM en),
         |bnd AS (
         |  SELECT doc_id, dhash, band, (dhash >> (band * 14)) & 16383 AS bv
         |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
@@ -7172,13 +7185,22 @@ object SparkEntry {
         |    AND a.doc_id < b2.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
-    // mm_dhash_px_pairs: rebuild the byte-identical content-keyed PNG
-    // blobs over the dedup-seeded corpus, PARSE geometry back out of
-    // the blob hex (signature offsets, IHDR width/height/depth/color —
-    // the oracle decodes the container, it does not shortcut via the
-    // generation formula), then run the same integer 2-D luma-grid
-    // resample + 56-bit neighbor compare + 4×14 banding at the
-    // exhaustive hamming-3 bound
+    // mm_dhash_px_pairs: rebuild the content-keyed VALID PNG blobs over
+    // the dedup-seeded corpus in hex space (signature; IHDR; an IDAT
+    // whose zlib stream carries each filter-prefixed scanline in its
+    // own stored-deflate block, LEN/NLEN and a REAL adler32 computed
+    // here from the raster bytes; IEND with its constant CRC — the
+    // three chunk CRC32 fields alone are 4-byte placeholders, the one
+    // field a SQL rebuild can't reasonably express; the engine writes
+    // real CRCs, spec-pinned via ImageIO/Inflater, and the fingerprint
+    // never reads any checksum byte). Then PARSE geometry back out of
+    // the blob hex (IHDR width/height/depth/color), derive the
+    // scanline stride and the stored-block framing arithmetic from the
+    // PARSED fields (the engine walks arbitrary block layouts; this
+    // generator emits one block per scanline, so the walk closes to
+    // block = off DIV stride), and run the same integer 2-D luma-grid
+    // resample through the block map + 56-bit neighbor compare + 4×14
+    // banding at the exhaustive hamming-3 bound
     "mm_dhash_px_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -7186,36 +7208,61 @@ object SparkEntry {
         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
         |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
-        |m AS (
-        |  SELECT doc_id,
-        |    from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
-        |      || lpad(to_hex(16 + length(text) % 2033), 8, '0')
-        |      || lpad(to_hex(16 + (length(text) * 7) % 1017), 8, '0')
-        |      || lpad(to_hex(([1,8,8,8,16])[CAST(length(text) % 5 + 1 AS INT)]), 2, '0')
-        |      || lpad(to_hex(([0,0,2,3,6])[CAST(length(text) % 5 + 1 AS INT)]), 2, '0')
-        |      || '000000' || 'DEADBEEF') || encode(text) AS payload
+        |g0 AS (SELECT doc_id, text,
+        |  8 + length(text) % 9 AS w0, 8 + (length(text) * 7) % 9 AS h0
         |  FROM corpus),
-        |hx AS (SELECT doc_id, upper(hex(payload)) AS hh,
-        |         octet_length(payload) - 33 AS body FROM m),
-        |geo AS (SELECT doc_id, hh, body,
+        |g1 AS (SELECT doc_id, text, w0, h0, 3 * w0 AS rowpx,
+        |  1 + 3 * w0 AS lb, h0 * 3 * w0 AS need FROM g0),
+        |ras AS (SELECT doc_id, w0, h0, rowpx, lb, need,
+        |  substr(repeat(upper(hex(encode(text))),
+        |    CAST(need // length(text) + 1 AS INT)), 1,
+        |    CAST(need * 2 AS INT)) AS rhex FROM g1),
+        |adl AS (SELECT doc_id, w0, h0, rowpx, lb, need, rhex,
+        |  (1 + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, need), j ->
+        |      ('0x' || substr(rhex, CAST(j * 2 + 1 AS INT), 2))::BIGINT)),
+        |    (a, x) -> a + x)) % 65521 AS ad_a,
+        |  (h0 * lb + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, need), j ->
+        |      ('0x' || substr(rhex, CAST(j * 2 + 1 AS INT), 2))::BIGINT
+        |        * (h0 * lb - ((j // rowpx) * lb + 1 + j % rowpx)))),
+        |    (a, x) -> a + x)) % 65521 AS ad_b FROM ras),
+        |m AS (SELECT doc_id, upper(
+        |  '89504E470D0A1A0A' || '0000000D' || '49484452'
+        |  || lpad(to_hex(w0), 8, '0') || lpad(to_hex(h0), 8, '0')
+        |  || '08' || '02' || '000000' || 'DEADBEEF'
+        |  || lpad(to_hex(2 + h0 * (5 + lb) + 4), 8, '0') || '49444154'
+        |  || '7801'
+        |  || list_reduce(list_prepend('',
+        |       list_transform(range(0, h0), y ->
+        |         (CASE WHEN y = h0 - 1 THEN '01' ELSE '00' END)
+        |         || lpad(to_hex(lb % 256), 2, '0') || lpad(to_hex(lb // 256), 2, '0')
+        |         || lpad(to_hex((65535 - lb) % 256), 2, '0') || lpad(to_hex((65535 - lb) // 256), 2, '0')
+        |         || '00'
+        |         || substr(rhex, CAST(y * rowpx * 2 + 1 AS INT), CAST(rowpx * 2 AS INT)))),
+        |       (a, x) -> a || x)
+        |  || lpad(to_hex(ad_b), 4, '0') || lpad(to_hex(ad_a), 4, '0')
+        |  || 'DEADBEEF'
+        |  || '00000000' || '49454E44' || 'AE426082') AS hh FROM adl),
+        |geo AS (SELECT doc_id, hh,
         |  ('0x' || substr(hh, 33, 8))::BIGINT AS w,
         |  ('0x' || substr(hh, 41, 8))::BIGINT AS ht,
         |  ('0x' || substr(hh, 49, 2))::BIGINT AS depth,
-        |  ('0x' || substr(hh, 51, 2))::BIGINT AS color FROM hx),
-        |par AS (SELECT doc_id, hh, body, w, ht,
+        |  ('0x' || substr(hh, 51, 2))::BIGINT AS color FROM m),
+        |par AS (SELECT doc_id, hh, w, ht,
         |  CASE WHEN color = 2 THEN 3 WHEN color = 4 THEN 2
         |       WHEN color = 6 THEN 4 ELSE 1 END AS ch,
         |  greatest(1, depth // 8) AS db FROM geo),
         |lum AS (SELECT doc_id,
         |  list_transform(
         |    list_transform(range(0, 64), g ->
-        |      ((((2 * (g // 8) + 1) * ht) // 16) * w
-        |        + (((2 * (g % 8) + 1) * w) // 16)) * (ch * db) % body),
+        |      ((((2 * (g // 8) + 1) * ht) // 16) * (1 + w * ch * db)
+        |        + 1 + (((2 * (g % 8) + 1) * w) // 16) * (ch * db))),
         |    o -> CASE WHEN ch >= 3 THEN
-        |        (299 * ('0x' || substr(hh, CAST(67 + o * 2 AS INT), 2))::BIGINT
-        |       + 587 * ('0x' || substr(hh, CAST(67 + ((o + db) % body) * 2 AS INT), 2))::BIGINT
-        |       + 114 * ('0x' || substr(hh, CAST(67 + ((o + 2 * db) % body) * 2 AS INT), 2))::BIGINT) // 1000
-        |      ELSE ('0x' || substr(hh, CAST(67 + o * 2 AS INT), 2))::BIGINT END) AS luma
+        |        (299 * ('0x' || substr(hh, CAST((48 + (o // (1 + w * ch * db)) * (5 + 1 + w * ch * db) + o % (1 + w * ch * db)) * 2 + 1 AS INT), 2))::BIGINT
+        |       + 587 * ('0x' || substr(hh, CAST((48 + (o // (1 + w * ch * db)) * (5 + 1 + w * ch * db) + o % (1 + w * ch * db) + db) * 2 + 1 AS INT), 2))::BIGINT
+        |       + 114 * ('0x' || substr(hh, CAST((48 + (o // (1 + w * ch * db)) * (5 + 1 + w * ch * db) + o % (1 + w * ch * db) + 2 * db) * 2 + 1 AS INT), 2))::BIGINT) // 1000
+        |      ELSE ('0x' || substr(hh, CAST((48 + (o // (1 + w * ch * db)) * (5 + 1 + w * ch * db) + o % (1 + w * ch * db)) * 2 + 1 AS INT), 2))::BIGINT END) AS luma
         |  FROM par),
         |h AS (
         |  SELECT doc_id,

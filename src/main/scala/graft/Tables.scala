@@ -218,19 +218,35 @@ object Tables {
     }
     case _ =>
       val path = s"$sfDir/$name.parquet"
-      rowCountCache.getOrElseUpdate(path, {
-        val conf = spark.sessionState.newHadoopConf()
-        val root = new org.apache.hadoop.fs.Path(path)
-        val fs = root.getFileSystem(conf)
-        // a single file lists as itself; a directory as its part files
-        fs.listStatus(root).iterator
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-          .map { s =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromStatus(s, conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try r.getRecordCount finally r.close()
-          }.sum
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      // recurse: a partitioned/nested layout (part dirs under the
+      // table root) must be counted, not silently skipped; '_' and '.'
+      // prefixes are both sidecar conventions (_SUCCESS, .crc) and
+      // neither is a data file
+      def dataFiles(p: org.apache.hadoop.fs.Path)
+          : Iterator[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).iterator
+          .filter(s => !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .flatMap(s => if (s.isDirectory) dataFiles(s.getPath) else Iterator(s))
+      val files =
+        if (fs.getFileStatus(root).isDirectory) dataFiles(root).toSeq
+        else Seq(fs.getFileStatus(root))
+      // cache on the listing fingerprint, not the bare path: a table
+      // rewritten in-session (new mtimes / sizes / file count) must
+      // re-read footers, not serve the stale sum
+      val key = path + "#" + files.iterator
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime).hashCode())
+        .foldLeft(0L)((a, h) => a * 1000003L + h) + "#" + files.size
+      rowCountCache.getOrElseUpdate(key, {
+        files.iterator.map { s =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(s, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
       })
   }
 

@@ -294,17 +294,32 @@ object TextHashExpressions {
   }
 
   /** png_dhash56(binary) — the perceptual difference-hash computed from
-    * a REAL container decode (static: called from generated code). See
-    * PngDhash56Expr for the contract: parse the PNG signature + IHDR
-    * geometry, address an 8×8 grid of pixel CENTERS in 2-D raster
-    * coordinates ((py·w + px)·bytes-per-pixel, wrapped into the body),
-    * take integer BT.601 luma ((299R + 587G + 114B) DIV 1000) on
-    * multi-channel color types and the raw sample byte otherwise, then
-    * the standard 56 horizontal neighbor comparisons. Non-decodable
-    * payloads (bad signature, no IHDR, empty body) fall back to the
-    * 1-D proportional byte sampler [[dhash56Bytes]]. All arithmetic is
-    * integer division/modulo, so the DuckDB oracle renders the same
-    * decode bit-for-bit from the blob's hex. */
+    * a REAL codec-level container decode (static: called from generated
+    * code). Parse the PNG signature + IHDR geometry, WALK THE CHUNK
+    * STREAM to the first IDAT (skipping ancillary chunks by their
+    * length fields), validate the zlib header (deflate method, no
+    * preset dictionary), walk the DEFLATE BLOCK FRAMING — stored
+    * (BTYPE 00) blocks only, the uncompressed subset of deflate:
+    * 1-byte header + LEN/NLEN (ones'-complement checked) + raw bytes —
+    * and address an 8×8 grid of pixel CENTERS in 2-D raster
+    * coordinates through the reassembled uncompressed scanline stream
+    * (py·(1+w·bpp) + 1 + px·bpp — the +1 skips each scanline's filter
+    * byte). Integer BT.601 luma ((299R + 587G + 114B) DIV 1000) on
+    * multi-channel color types, the raw sample byte otherwise, then
+    * the standard 56 horizontal neighbor comparisons.
+    *
+    * Fallback contract ([[dhash56Bytes]], the 1-D proportional byte
+    * sampler): bad signature / missing IHDR; hostile geometry (w or h
+    * beyond 2²⁴, or a raster that doesn't fit an int — the r12-advice
+    * overflow guard: unsigned-be32 dimensions must degrade, not crash
+    * the task); malformed chunk framing; no IDAT; a non-deflate or
+    * preset-dict zlib header; any NON-STORED deflate block (Huffman
+    * payloads are outside this expression's decodable subset — real
+    * compressed PNGs degrade to the byte tier rather than decode
+    * wrong); LEN/NLEN mismatch; or a stored stream shorter than the
+    * declared raster. All arithmetic is integer division/modulo, so
+    * the DuckDB oracle replays the same decode bit-for-bit from the
+    * blob's hex. */
   def pngDhash56(b: Array[Byte]): Long = {
     val n = b.length
     def u(i: Int): Int = b(i) & 0xFF
@@ -318,28 +333,158 @@ object TextHashExpressions {
         (u(i + 2).toLong << 8) | u(i + 3).toLong
     val w = be32(16); val h = be32(20)
     val depth = u(24); val color = u(25)
-    val body = (n - 33).toLong
-    if (w <= 0L || h <= 0L || body <= 0L) return dhash56Bytes(b)
+    if (w <= 0L || h <= 0L || w > (1L << 24) || h > (1L << 24))
+      return dhash56Bytes(b)
     val channels = color match {
       case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1
     }
-    val db = math.max(1, depth / 8) // bytes per channel sample
-    val bpp = channels.toLong * db  // bytes per pixel
-    def bodyAt(off: Long): Int = u((33L + off).toInt)
+    val db = math.max(1, depth / 8)  // bytes per channel sample
+    val bpp = channels.toLong * db   // bytes per pixel
+    val stride = 1L + w * bpp        // filter byte + one scanline
+    val total = h * stride           // uncompressed stream length
+    if (total > Int.MaxValue.toLong) return dhash56Bytes(b)
+    // chunk walk: first IDAT, skipping ancillary chunks by length
+    var p = 8
+    var idat = -1
+    var idatLen = 0
+    while (p + 8 <= n && idat < 0) {
+      val len = be32(p)
+      if (len > n.toLong || p + 12L + len > n.toLong) return dhash56Bytes(b)
+      val t = p + 4
+      if (u(t) == 'I' && u(t + 1) == 'D' && u(t + 2) == 'A' && u(t + 3) == 'T') {
+        idat = p + 8; idatLen = len.toInt
+      } else if (u(t) == 'I' && u(t + 1) == 'E' && u(t + 2) == 'N' && u(t + 3) == 'D') {
+        return dhash56Bytes(b) // IEND before any IDAT
+      } else p += 12 + len.toInt
+    }
+    if (idat < 0 || idatLen < 7) return dhash56Bytes(b)
+    // zlib header: CM = 8 (deflate), FDICT clear
+    if ((u(idat) & 0x0F) != 8 || (u(idat + 1) & 0x20) != 0)
+      return dhash56Bytes(b)
+    // deflate stored-block walk: (uncompressed start, physical data
+    // offset, length) per block, until BFINAL or the raster is covered
+    val end = idat + idatLen
+    var q = idat + 2
+    var uLen = 0L
+    var nb = 0
+    var starts = new Array[Long](8)
+    var phys = new Array[Int](8)
+    var fin = false
+    while (!fin && uLen < total) {
+      if (q + 5 > end) return dhash56Bytes(b)
+      val hdr = u(q)
+      if (((hdr >> 1) & 3) != 0) return dhash56Bytes(b) // Huffman block
+      val len = u(q + 1) | (u(q + 2) << 8)
+      val nlen = u(q + 3) | (u(q + 4) << 8)
+      if ((len ^ 0xFFFF) != nlen || q + 5 + len > end) return dhash56Bytes(b)
+      if (nb == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, nb * 2)
+        phys = java.util.Arrays.copyOf(phys, nb * 2)
+      }
+      starts(nb) = uLen
+      phys(nb) = q + 5
+      nb += 1
+      uLen += len
+      q += 5 + len
+      fin = (hdr & 1) == 1
+    }
+    if (uLen < total) return dhash56Bytes(b) // raster truncated
+    // one byte of the uncompressed stream, through the block map
+    // (starts ascending; callers only probe off < total <= uLen)
+    def ub(off: Long): Int = {
+      var i = nb - 1
+      while (starts(i) > off) i -= 1
+      u(phys(i) + (off - starts(i)).toInt)
+    }
     val px = new Array[Int](64)
     var g = 0
     while (g < 64) {
       val py = (2L * (g / 8) + 1L) * h / 16L
       val gx = (2L * (g % 8) + 1L) * w / 16L
-      val off = (py * w + gx) * bpp % body
+      val base = py * stride + 1L + gx * bpp // +1 skips the filter byte
       px(g) =
         if (channels >= 3)
-          (299 * bodyAt(off) + 587 * bodyAt((off + db) % body) +
-            114 * bodyAt((off + 2L * db) % body)) / 1000
-        else bodyAt(off)
+          (299 * ub(base) + 587 * ub(base + db) +
+            114 * ub(base + 2L * db)) / 1000
+        else ub(base)
       g += 1
     }
     dhashBits(px)
+  }
+
+  /** png_stored(binary) — build a COMPLETE, VALID PNG container from a
+    * content byte stream (static: called from generated code): the
+    * multimodal dedup corpus generator, codec-real. Geometry derives
+    * from the content LENGTH (w = 8 + n mod 9, h = 8 + 7n mod 9, RGB
+    * 8-bit — color type 2, depth 8), so an exact copy (same bytes,
+    * different doc id) produces a byte-identical container at every
+    * scale. The raster is the content cycled to fill w·h·3 pixel
+    * bytes; each scanline is filter-type-0 prefixed and carried in its
+    * OWN deflate STORED block (RFC 1951 §3.2.4: 00-header + LEN +
+    * ones'-complement NLEN + raw bytes) inside a real zlib stream
+    * (RFC 1950: 0x78 0x01 header, adler32 trailer over the
+    * uncompressed data). Chunk CRC32s are real (java.util.zip.CRC32
+    * over type+data), so the output inflates with java.util.zip
+    * .Inflater and decodes with javax.imageio — both spec-pinned.
+    * Stored-block deflate is the layout a pipeline chooses when blobs
+    * must stay random-access-decodable by integer arithmetic (the
+    * DuckDB oracle replays pixel addressing from the blob hex);
+    * png_dhash56 walks the same framing generally. Empty content
+    * cycles a single zero byte (total function; unreachable on the
+    * seeded corpus). */
+  def pngStored(content: Array[Byte]): Array[Byte] = {
+    val src = if (content.length == 0) Array[Byte](0) else content
+    val n = src.length
+    val w = 8 + n % 9
+    val h = 8 + (n.toLong * 7L % 9L).toInt
+    val rowPx = 3 * w            // pixel bytes per scanline
+    val lenB = 1 + rowPx         // stored-block payload: filter + pixels
+    val zLen = 2 + h * (5 + lenB) + 4 // zlib hdr + blocks + adler32
+    val buf = new java.io.ByteArrayOutputStream(8 + 25 + 12 + zLen + 12)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+      ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      buf.write(be32(data.length.toLong), 0, 4)
+      val tb = tag.getBytes("US-ASCII")
+      buf.write(tb, 0, 4)
+      buf.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      buf.write(be32(crc.getValue), 0, 4)
+    }
+    buf.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    System.arraycopy(be32(w.toLong), 0, ihdr, 0, 4)
+    System.arraycopy(be32(h.toLong), 0, ihdr, 4, 4)
+    ihdr(8) = 8; ihdr(9) = 2 // depth 8, color type 2 (truecolor RGB)
+    chunk("IHDR", ihdr)
+    val z = new Array[Byte](zLen)
+    z(0) = 0x78; z(1) = 0x01 // CM 8 / CINFO 7, no dict, fastest flevel
+    val adler = new java.util.zip.Adler32()
+    var zp = 2
+    var y = 0
+    while (y < h) {
+      z(zp) = if (y == h - 1) 1 else 0 // BFINAL on the last scanline
+      z(zp + 1) = (lenB & 0xFF).toByte
+      z(zp + 2) = ((lenB >> 8) & 0xFF).toByte
+      z(zp + 3) = (~lenB & 0xFF).toByte
+      z(zp + 4) = ((~lenB >> 8) & 0xFF).toByte
+      z(zp + 5) = 0 // filter type 0 (None)
+      var x = 0
+      while (x < rowPx) {
+        z(zp + 6 + x) = src((y * rowPx + x) % n)
+        x += 1
+      }
+      adler.update(z, zp + 5, lenB)
+      zp += 5 + lenB
+      y += 1
+    }
+    System.arraycopy(be32(adler.getValue), 0, z, zp, 4)
+    chunk("IDAT", z)
+    chunk("IEND", Array.emptyByteArray)
+    buf.toByteArray
   }
 
   /** 48-bit SimHash over a word-hash array: bit j set iff at least half
@@ -524,17 +669,20 @@ case class DHash56Expr(child: Expression)
     copy(child = newChild)
 }
 
-/** png_dhash56(binary) — perceptual difference-hash from a REAL PNG
-  * container decode: signature + IHDR parse gives (width, height, bit
-  * depth, color type); the 8×8 luma grid samples pixel CENTERS in 2-D
-  * raster coordinates (py = (2r+1)·h DIV 16, px = (2c+1)·w DIV 16,
-  * byte offset (py·w+px)·bpp wrapped into the body), with integer
-  * BT.601 luma across channels; then the standard 56 horizontal
-  * neighbor bits. Payloads that don't decode (bad signature / missing
-  * IHDR / empty body) take the 1-D proportional BYTE sampler — the
-  * prior tier's expression — as the fast path, so a mixed corpus
-  * still hashes every row. Integer-exact: the oracle rebuilds the
-  * blob and runs the same parse+sample arithmetic in hex space. */
+/** png_dhash56(binary) — perceptual difference-hash from a REAL
+  * codec-level PNG decode: signature + IHDR parse gives (width,
+  * height, bit depth, color type); the chunk walk finds IDAT; the
+  * deflate stored-block walk reassembles the uncompressed scanline
+  * stream (filter byte + pixels per row); the 8×8 luma grid samples
+  * pixel CENTERS in 2-D raster coordinates (py = (2r+1)·h DIV 16,
+  * px = (2c+1)·w DIV 16) with integer BT.601 luma across channels;
+  * then the standard 56 horizontal neighbor bits. Payloads outside
+  * the decodable subset (bad signature / hostile geometry / Huffman
+  * IDAT / malformed framing) take the 1-D proportional BYTE sampler,
+  * so a mixed corpus still hashes every row. Integer-exact: the
+  * oracle rebuilds the blob and replays the same parse + block-framing
+  * + sample arithmetic in hex space. See
+  * [[TextHashExpressions.pngDhash56]] for the full fallback table. */
 /** wav_fp56(binary) — 56-bit audio energy-contour fingerprint from a
   * real RIFF/WAVE decode; see [[TextHashExpressions.wavFp56]] for the
   * window/energy/comparison contract and the fallback rules. The
@@ -551,6 +699,24 @@ case class WavFp56Expr(child: Expression)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextHashExpressions.wavFp56($c)")
   override protected def withNewChildInternal(newChild: Expression): WavFp56Expr =
+    copy(child = newChild)
+}
+
+/** png_stored(binary) — complete valid PNG container (stored-deflate
+  * IDAT, real CRC32/adler32) from a content byte stream; see
+  * [[TextHashExpressions.pngStored]] for the layout contract. The
+  * multimodal dedup corpus generator — row-local, codegen'd. */
+case class PngStoredExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_stored"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashExpressions.pngStored(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashExpressions.pngStored($c)")
+  override protected def withNewChildInternal(newChild: Expression): PngStoredExpr =
     copy(child = newChild)
 }
 

@@ -735,47 +735,38 @@ object MultimodalOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The dedup-seeded corpus wrapped in REAL PNG containers — the
-    * [[dhashPxPairs]] input: every [[DedupOps.corpus]] row becomes a
-    * payload with the byte-exact signature + IHDR header of
-    * [[pngTable]], except geometry (width, height, depth, color type)
-    * derives from the CONTENT length, not the doc_id — a planted exact
-    * copy (same text, different id) therefore carries a byte-identical
-    * payload, the property that pins decoded-pixel hamming 0 at every
-    * scale. Body bytes are the text, standing in for the pixel
-    * stream. */
-  private[graft] def pngDedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    def hex2(c: org.apache.spark.sql.Column, w: Int) = lpad(hex(c), w, "0")
-    val n = length(col("text"))
-    val depth = element_at(
-      array(pngDepthColor.map(p => lit(p._1)): _*), (n % 5 + 1).cast("int"))
-    val color = element_at(
-      array(pngDepthColor.map(p => lit(p._2)): _*), (n % 5 + 1).cast("int"))
+  /** The dedup-seeded corpus wrapped in COMPLETE, VALID PNG containers
+    * — the [[dhashPxPairs]] input: every [[DedupOps.corpus]] row
+    * becomes a real image file via the codegen'd `png_stored`
+    * expression (signature, IHDR with real CRC32, an IDAT whose zlib
+    * stream carries each filter-prefixed scanline in its own
+    * stored-deflate block with a correct adler32 trailer, IEND) —
+    * java.util.zip.Inflater inflates it and javax.imageio decodes it,
+    * both spec-pinned. Geometry (8..16 × 8..16, RGB 8-bit) and the
+    * pixel raster (the content bytes cycled) derive from the CONTENT
+    * alone, so a planted exact copy (same text, different id) carries
+    * a byte-identical container, the property that pins decoded-pixel
+    * hamming 0 at every scale. */
+  private[graft] def pngDedupCorpus(spark: SparkSession, sfDir: String): DataFrame =
     DedupOps.corpus(spark, sfDir)
       .select(col("doc_id"),
-        concat(
-          unhex(concat(
-            lit("89504E470D0A1A0A"),
-            lit("0000000D"), lit("49484452"),
-            hex2(lit(16) + n % 2033, 8),
-            hex2(lit(16) + (n * 7) % 1017, 8),
-            hex2(depth, 2), hex2(color, 2),
-            lit("000000"), lit("DEADBEEF"))),
-          col("text").cast("binary")).as("payload"))
-  }
+        expr("png_stored(CAST(text AS BINARY))").as("payload"))
 
-  /** [[dhashPairs]] with the "decode + resample" stage made REAL — the
-    * r11 stand-in (payload bytes sampled 1-D at proportional offsets)
-    * replaced by an actual container decode: `png_dhash56` parses the
-    * PNG signature + IHDR geometry out of each payload, addresses an
-    * 8×8 grid of pixel centers in 2-D raster coordinates
-    * ((py·w + px)·bytes-per-pixel into the body stream), takes integer
+  /** [[dhashPairs]] with the "decode + resample" stage CODEC-REAL:
+    * the corpus payloads are complete valid PNGs ([[pngDedupCorpus]])
+    * and `png_dhash56` performs an actual container + codec decode —
+    * parse signature + IHDR geometry, walk the chunk stream to IDAT,
+    * walk the zlib/deflate STORED-BLOCK framing (the uncompressed
+    * deflate subset; LEN/NLEN-checked), address an 8×8 grid of pixel
+    * centers in 2-D raster coordinates through the reassembled
+    * scanline stream (skipping each row's filter byte), take integer
     * BT.601 luma across the color channels the parsed color type
-    * declares, and emits the same 56 neighbor-comparison bits — one
+    * declares, and emit the same 56 neighbor-comparison bits — one
     * codegen'd row-local pass, zero extra exchanges vs the byte tier.
-    * Payloads that don't decode fall back to the 1-D byte sampler
-    * inside the same expression (spec-pinned), so a mixed corpus still
-    * hashes every row.
+    * Payloads outside the decodable subset (including real
+    * Huffman-compressed PNGs) fall back to the 1-D byte sampler inside
+    * the same expression (spec-pinned), so a mixed corpus still hashes
+    * every row.
     *
     * Verified at maxHamming = 3 — the 4×14 banding's EXHAUSTIVE bound
     * (≤3 differing bits cannot touch all 4 bands), so this tier's

@@ -860,7 +860,7 @@ object SimilarityOps {
     val e = embCorpus(spark, sfDir)
       .withColumn("nrm", sqrt(dotd(col("emb"), col("emb"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kEff = if (k > 0) k else deriveK(e.count())
+    val kEff = if (k > 0) k else deriveK(embCorpusCount(spark, sfDir))
     // persisted: the assigned corpus (which embeds the O(N·k) argmax
     // assignment) is referenced three times — both pair sides and the
     // kept-flag projection — so the assignment pipeline runs ONCE
@@ -893,6 +893,21 @@ object SimilarityOps {
     * broadcast codebook nor the per-cluster pair blocks dominate. */
   def deriveK(n: Long): Int =
     math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).min(65536L).toInt
+
+  /** [[embCorpus]] row count from the MANIFEST — the same no-full-scan
+    * sizing discipline as [[knnGraph]]'s autoBits (Tables.rowCount):
+    * the corpus is the embeddings table plus its two seeded-copy
+    * arithmetic progressions over the 0-based contiguous `vec_id`
+    * range key (both the parquet testdata and the `synth:` generator
+    * are spark.range-keyed; spec-pinned against a real corpus count),
+    * so [[deriveK]] costs zero Spark jobs. The oracle's count(*)
+    * rendering is unchanged — the formula equals the scan count. */
+  private[graft] def embCorpusCount(spark: SparkSession, sfDir: String): Long = {
+    val n = Tables.rowCount(spark, sfDir, "embeddings")
+    val copies0 = (n + 9) / 10                    // #{vec_id % 10 == 0}
+    val copies5 = if (n > 5) (n + 4) / 10 else 0L // #{vec_id % 10 == 5}
+    n + copies0 + copies5
+  }
 
   /** Cluster assignment + sub-bucket split for [[semanticDedup]],
     * exposed for the pair-volume bound spec. Returns the corpus with

@@ -119,8 +119,25 @@ object ScaleSoak {
         var coldJobSecs = 0.0
         var rows = 0L
         var metrics = ""
+        // job metrics ride the ASYNC SparkListener bus: sampling the
+        // counters right after collect() can miss trailing onJobEnd
+        // events (undercounted n_jobs/job_secs, events bleeding into
+        // the next run). listenerBus.waitUntilEmpty is private[spark],
+        // so settle instead: poll until (count, nanos, in-flight jobs)
+        // hold still across two consecutive reads, bounded at 2 s.
+        def drainListenerBus(): Unit = {
+          var prev = (-1L, -1L, -1)
+          var spins = 0
+          while (spins < 80 && { // 80 × 25 ms = 2 s bound
+            val cur = (jobCount.get(), jobNanos.get(), jobStarts.size())
+            val stable = cur == prev && cur._3 == 0
+            prev = cur
+            !stable
+          }) { Thread.sleep(25); spins += 1 }
+        }
         // returns (wall secs, jobs run, summed job secs) for ONE run
         def run(): (Double, Long, Double) = {
+          drainListenerBus()
           val j0 = jobCount.get(); val n0 = jobNanos.get()
           val t0 = System.nanoTime()
           val collected = qs(q)(spark, sfDir).collect() // full materialization
@@ -131,11 +148,13 @@ object ScaleSoak {
           if (rows <= 4 && collected.nonEmpty)
             metrics = collected.map(_.toString).mkString(" ")
           spark.catalog.clearCache() // intra-query persists only
+          drainListenerBus()
           (secs, jobCount.get() - j0, (jobNanos.get() - n0) / 1e9)
         }
         (1 to reps).foreach { _ =>
           graft.operators.SimilarityOps.clearKnnIndexCache()
           graft.operators.TextOps.clearLmCache()
+          graft.operators.DedupOps.clearDedupCache()
           graft.plans.TextIndexCatalog.clear()
           graft.plans.TextIndexCatalog.purgeDirs(sfDir)
           spark.catalog.clearCache()
