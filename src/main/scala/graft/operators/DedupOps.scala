@@ -209,7 +209,10 @@ object DedupOps {
   private val dedupCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (DataFrame, org.apache.spark.SparkContext)]
 
-  private[graft] def clearDedupCache(): Unit = dedupCache.clear()
+  private[graft] def clearDedupCache(): Unit = {
+    dedupCache.clear()
+    evalGramCounts.clear()
+  }
 
   private def cachedFrame(spark: SparkSession, sfDir: String, kind: String)
       (build: => DataFrame): DataFrame = dedupCache.synchronized {
@@ -249,6 +252,31 @@ object DedupOps {
     cachedFrame(spark, sfDir, "ngram_pairs") {
       ngramJaccardPairsFromShingles(shingleFrame(spark, sfDir), pinnedInput = true)
     }
+
+  /** Pinned distinct EVAL-SUITE gram set (the decontamination probe
+    * side shared by [[contamination]] and [[contaminationBloom]]) plus
+    * its exact count ([[contaminationBloom]]'s Bloom sizing input,
+    * previously a per-query count job). The eval suite is tiny (3
+    * 8-grams per sampled doc) — the pin's value is retiring the
+    * repeated distinct + count, not bytes. */
+  private[graft] def evalGramFrame(spark: SparkSession, sfDir: String): DataFrame =
+    cachedFrame(spark, sfDir, "eval_grams") {
+      val whs = expr("word_poly_hashes(lower(text))")
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 50 === 0)
+        .select(slice(whs, 6, 10).as("ew"))
+        .filter(size(col("ew")) === 10)
+        .select(explode(expr("shinglek_hashes(ew, 8)")).as("g"))
+        .distinct()
+        .localCheckpoint()
+    }
+
+  private val evalGramCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private[graft] def evalGramCount(spark: SparkSession, sfDir: String): Long =
+    evalGramCounts.getOrElseUpdate(sfDir,
+      evalGramFrame(spark, sfDir).count())
 
   /** One scratch LSH pair build over an arbitrary corpus (no catalog) —
     * the logic every [[lshPairsFrame]] miss runs, kept separately
@@ -771,12 +799,7 @@ object DedupOps {
     * rows; both engines hash identically so the join is unchanged. */
   def contamination(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val whs = expr("word_poly_hashes(lower(text))")
-    val ev = d.filter(col("doc_id") % 50 === 0)
-      .select(slice(whs, 6, 10).as("ew"))
-      .filter(size(col("ew")) === 10)
-      .select(explode(expr("shinglek_hashes(ew, 8)")).as("g"))
-      .distinct()
+    val ev = evalGramFrame(spark, sfDir) // pinned distinct eval grams
     d.select(col("doc_id"),
         explode(expr("shinglek_hashes(word_poly_hashes(lower(text)), 8)")).as("g"))
       .join(ev, "g")
@@ -798,25 +821,20 @@ object DedupOps {
     * the same machinery the optimizer's runtime-filter rewrite injects,
     * here placed deliberately).
     *
-    * The filter is SIZED FROM THE DATA, not a constant: a cheap count
-    * of the (persisted, reused) distinct eval-gram set fixes the item
-    * estimate, and bits = 10×items holds the FPR near 0.8% no matter
-    * how the eval suite grows — a hardcoded estimate the corpus
+    * The filter is SIZED FROM THE DATA, not a constant: the exact
+    * count of the catalog-pinned distinct eval-gram set
+    * ([[evalGramCount]] — computed once per corpus snapshot) fixes the
+    * item estimate, and bits = 10×items holds the FPR near 0.8% no
+    * matter how the eval suite grows — a hardcoded estimate the corpus
     * outgrows would silently degrade the prefilter to a pass-through
-    * (still correct, no longer pruning). Caller releases the persisted
-    * eval grams via spark.catalog.clearCache(). */
+    * (still correct, no longer pruning). */
   def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val whs = expr("word_poly_hashes(lower(text))")
-    val ev = d.filter(col("doc_id") % 50 === 0)
-      .select(slice(whs, 6, 10).as("ew"))
-      .filter(size(col("ew")) === 10)
-      .select(explode(expr("shinglek_hashes(ew, 8)")).as("g"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // the eval side is read three times (count, bloom build, verify
-    // join) — the persist makes the sizing count effectively free
-    val nEval = math.max(ev.count(), 1024L)
+    // join) — all off the catalog's pinned rows; the sizing count is
+    // computed once per corpus snapshot and cached beside the frame
+    val ev = evalGramFrame(spark, sfDir)
+    val nEval = math.max(evalGramCount(spark, sfDir), 1024L)
     val nBits = 10L * nEval
     // might_contain demands its bloom input be a SCALAR SUBQUERY (the
     // shape InjectRuntimeFilter builds), not a join column — so the

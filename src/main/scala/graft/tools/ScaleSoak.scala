@@ -23,7 +23,11 @@ import org.apache.spark.sql.SparkSession
 object ScaleSoak {
   private val allFamilies = Seq(
     // dedup ladder (span audit rides the exact-substr gram window;
-    // dhash is the multimodal perceptual tier — banded like minhash)
+    // dhash is the multimodal perceptual tier — banded like minhash).
+    // r13: cold pays the session dedup-signature-catalog build
+    // (clearDedupCache below), warm is the overlay served off the
+    // pinned shingle/signature/pair frames — the LM-catalog evidence
+    // shape applied to the dd family
     "dd_ngram_jaccard", "dd_minhash_lsh", "dd_dup_clusters",
     "dd_dup_clusters_star", "dd_lsh_quality", "dd_span_audit",
     "mm_dhash_pairs", "mm_dhash_px_pairs", "mm_wav_fp_pairs",

@@ -4502,6 +4502,10 @@ class OperatorSpec extends AnyFunSuite {
     assert(DedupOps.shingleFrame(spark, sf0001) eq sh1)
     assert(DedupOps.ngramPairsFrame(spark, sf0001) eq ng1)
     assert(DedupOps.lshPairsFrame(spark, sf0001) eq lsh1)
+    // the eval-gram pin and its cached sizing count stay consistent
+    val ev1 = DedupOps.evalGramFrame(spark, sf0001)
+    assert(DedupOps.evalGramFrame(spark, sf0001) eq ev1)
+    assert(DedupOps.evalGramCount(spark, sf0001) == ev1.count())
     // reuse is bit-identical to building from scratch (no catalog)
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
