@@ -7186,21 +7186,22 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // mm_dhash_px_pairs: rebuild the content-keyed VALID PNG blobs over
-    // the dedup-seeded corpus in hex space (signature; IHDR; an IDAT
-    // whose zlib stream carries each filter-prefixed scanline in its
-    // own stored-deflate block, LEN/NLEN and a REAL adler32 computed
-    // here from the raster bytes; IEND with its constant CRC — the
-    // three chunk CRC32 fields alone are 4-byte placeholders, the one
-    // field a SQL rebuild can't reasonably express; the engine writes
-    // real CRCs, spec-pinned via ImageIO/Inflater, and the fingerprint
-    // never reads any checksum byte). Then PARSE geometry back out of
-    // the blob hex (IHDR width/height/depth/color), derive the
-    // scanline stride and the stored-block framing arithmetic from the
-    // PARSED fields (the engine walks arbitrary block layouts; this
-    // generator emits one block per scanline, so the walk closes to
-    // block = off DIV stride), and run the same integer 2-D luma-grid
-    // resample through the block map + 56-bit neighbor compare + 4×14
-    // banding at the exhaustive hamming-3 bound
+    // the dedup-seeded corpus in hex space, BYTE-IDENTICAL to the
+    // engine's png_stored output — signature; IHDR; an IDAT whose zlib
+    // stream carries each filter-prefixed scanline in its own
+    // stored-deflate block (LEN/NLEN); a real adler32 folded from the
+    // raster bytes; and real chunk CRC32s, derived in SQL by the
+    // standard table-driven fold (the 256-entry CRC-32/ISO-HDLC table
+    // is itself derived in the crct CTE from the reflected polynomial
+    // 0xEDB88320 — nothing is a baked-in magic blob); IEND carries its
+    // constant type-only CRC. Then PARSE geometry back out of the blob
+    // hex (IHDR width/height/depth/color), derive the scanline stride
+    // and the stored-block framing arithmetic from the PARSED fields
+    // (the engine walks arbitrary block layouts; this generator emits
+    // one block per scanline, so the walk closes to block = off DIV
+    // stride), and run the same integer 2-D luma-grid resample through
+    // the block map + 56-bit neighbor compare + 4×14 banding at the
+    // exhaustive hamming-3 bound
     "mm_dhash_px_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -7227,28 +7228,46 @@ object SparkEntry {
         |      ('0x' || substr(rhex, CAST(j * 2 + 1 AS INT), 2))::BIGINT
         |        * (h0 * lb - ((j // rowpx) * lb + 1 + j % rowpx)))),
         |    (a, x) -> a + x)) % 65521 AS ad_b FROM ras),
-        |m AS (SELECT doc_id, upper(
-        |  '89504E470D0A1A0A' || '0000000D' || '49484452'
-        |  || lpad(to_hex(w0), 8, '0') || lpad(to_hex(h0), 8, '0')
-        |  || '08' || '02' || '000000' || 'DEADBEEF'
-        |  || lpad(to_hex(2 + h0 * (5 + lb) + 4), 8, '0') || '49444154'
-        |  || '7801'
-        |  || list_reduce(list_prepend('',
-        |       list_transform(range(0, h0), y ->
-        |         (CASE WHEN y = h0 - 1 THEN '01' ELSE '00' END)
-        |         || lpad(to_hex(lb % 256), 2, '0') || lpad(to_hex(lb // 256), 2, '0')
-        |         || lpad(to_hex((65535 - lb) % 256), 2, '0') || lpad(to_hex((65535 - lb) // 256), 2, '0')
-        |         || '00'
-        |         || substr(rhex, CAST(y * rowpx * 2 + 1 AS INT), CAST(rowpx * 2 AS INT)))),
-        |       (a, x) -> a || x)
-        |  || lpad(to_hex(ad_b), 4, '0') || lpad(to_hex(ad_a), 4, '0')
-        |  || 'DEADBEEF'
-        |  || '00000000' || '49454E44' || 'AE426082') AS hh FROM adl),
+        |crct AS (SELECT list_transform(range(0, 256), n ->
+        |  list_reduce(list_prepend(CAST(n AS BIGINT),
+        |    list_transform(range(0, 8), i -> CAST(0 AS BIGINT))),
+        |    (c, z) -> CASE WHEN c % 2 = 1 THEN xor(c // 2, 3988292384)
+        |              ELSE c // 2 END)) AS tbl),
+        |td AS (SELECT doc_id, w0, h0, lb,
+        |  upper('49484452' || lpad(to_hex(w0), 8, '0') || lpad(to_hex(h0), 8, '0')
+        |    || '08' || '02' || '000000') AS ihdr_td,
+        |  upper('49444154' || '7801'
+        |    || list_reduce(list_prepend('',
+        |         list_transform(range(0, h0), y ->
+        |           (CASE WHEN y = h0 - 1 THEN '01' ELSE '00' END)
+        |           || lpad(to_hex(lb % 256), 2, '0') || lpad(to_hex(lb // 256), 2, '0')
+        |           || lpad(to_hex((65535 - lb) % 256), 2, '0') || lpad(to_hex((65535 - lb) // 256), 2, '0')
+        |           || '00'
+        |           || substr(rhex, CAST(y * rowpx * 2 + 1 AS INT), CAST(rowpx * 2 AS INT)))),
+        |         (a, x) -> a || x)
+        |    || lpad(to_hex(ad_b), 4, '0') || lpad(to_hex(ad_a), 4, '0')) AS idat_td
+        |  FROM adl),
+        |m AS (SELECT doc_id,
+        |  '89504E470D0A1A0A' || '0000000D' || ihdr_td
+        |  || lpad(to_hex(xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT),
+        |       list_transform(range(0, length(ihdr_td) // 2), k ->
+        |         ('0x' || substr(ihdr_td, CAST(k * 2 + 1 AS INT), 2))::BIGINT)),
+        |       (c, b) -> xor(c >> 8, tbl[CAST((xor(c, b) & 255) + 1 AS INT)])),
+        |     4294967295)), 8, '0')
+        |  || lpad(to_hex(2 + h0 * (5 + lb) + 4), 8, '0') || idat_td
+        |  || lpad(to_hex(xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT),
+        |       list_transform(range(0, length(idat_td) // 2), k ->
+        |         ('0x' || substr(idat_td, CAST(k * 2 + 1 AS INT), 2))::BIGINT)),
+        |       (c, b) -> xor(c >> 8, tbl[CAST((xor(c, b) & 255) + 1 AS INT)])),
+        |     4294967295)), 8, '0')
+        |  || '00000000' || '49454E44' || 'AE426082' AS hh0
+        |  FROM td CROSS JOIN crct),
+        |mm AS (SELECT doc_id, upper(hh0) AS hh FROM m),
         |geo AS (SELECT doc_id, hh,
         |  ('0x' || substr(hh, 33, 8))::BIGINT AS w,
         |  ('0x' || substr(hh, 41, 8))::BIGINT AS ht,
         |  ('0x' || substr(hh, 49, 2))::BIGINT AS depth,
-        |  ('0x' || substr(hh, 51, 2))::BIGINT AS color FROM m),
+        |  ('0x' || substr(hh, 51, 2))::BIGINT AS color FROM mm),
         |par AS (SELECT doc_id, hh, w, ht,
         |  CASE WHEN color = 2 THEN 3 WHEN color = 4 THEN 2
         |       WHEN color = 6 THEN 4 ELSE 1 END AS ch,
