@@ -271,6 +271,26 @@ object DedupOps {
         .localCheckpoint()
     }
 
+  /** Publish the catalog's shingle frame as a BUCKETED TABLE — the
+    * cluster-scale form of the localCheckpoint pin (SURVEY §8.1): a
+    * 100 TB dedup run publishes the signature table alongside the
+    * corpus snapshot, bucketed + sorted on doc_id, so every verify
+    * join reads the signature side IN PLACE (bucketed scan satisfies
+    * the join's required distribution — the only exchange left is the
+    * candidate side's, which is near-dup-sized, not corpus-sized).
+    * localCheckpoint blocks die with their executors; a published
+    * bucketed table is the durable, cross-job, cross-cluster entry.
+    * Spec-pinned: the verify-shaped join over the published table
+    * plans exactly one exchange (candidates only) and returns the same
+    * pairs as the in-session pinned frame. */
+  def publishSignatures(spark: SparkSession, sfDir: String,
+                        table: String = "dd_signatures",
+                        buckets: Int = 8): String = {
+    shingleFrame(spark, sfDir).write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable(table)
+    table
+  }
+
   private val evalGramCounts =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 

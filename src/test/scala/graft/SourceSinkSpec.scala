@@ -450,6 +450,44 @@ class SourceSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("published signature table: verify join reads the signature side in place (one exchange, candidates only)") {
+    // the cluster-scale form of the dedup catalog pin: the shingle
+    // frame published bucketed+sorted on doc_id, then a verify-shaped
+    // join (candidate pairs -> signatures) planned against it — the
+    // published side's bucketed scan satisfies the join distribution,
+    // so the ONLY exchange is the near-dup-sized candidate side
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val table = graft.operators.DedupOps.publishSignatures(
+        spark, SparkFixture.sf0001, "dd_sig_pub")
+      val cands = graft.operators.DedupOps
+        .lshPairsFrame(spark, SparkFixture.sf0001)
+        .select("doc_a", "doc_b")
+      val sig = spark.table(table)
+        .select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val verify = cands.join(sig, "doc_a")
+      val plan = verify.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"want exactly 1 exchange (candidate side); plan:\n$plan")
+      // and the published rows serve the same verify results as the
+      // in-session pinned frame
+      val pinned = graft.operators.DedupOps
+        .shingleFrame(spark, SparkFixture.sf0001)
+        .select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val a = verify.select("doc_a", "doc_b", "sha").collect()
+        .map(_.toString).sorted.toSeq
+      val b = cands.join(pinned, "doc_a")
+        .select("doc_a", "doc_b", "sha").collect()
+        .map(_.toString).sorted.toSeq
+      assert(a == b, "published table diverged from the pinned frame")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS dd_sig_pub")
+    }
+  }
+
   test("bucket pruning: a bucket-key point filter reads 1 of N buckets") {
     // the read-side payoff of bucketBy beyond shuffle-free joins: a
     // point predicate on the bucket key hashes to ONE bucket, and the
