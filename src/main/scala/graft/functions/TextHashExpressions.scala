@@ -316,10 +316,14 @@ object TextHashExpressions {
     * preset-dict zlib header; any NON-STORED deflate block (Huffman
     * payloads are outside this expression's decodable subset — real
     * compressed PNGs degrade to the byte tier rather than decode
-    * wrong); LEN/NLEN mismatch; or a stored stream shorter than the
-    * declared raster. All arithmetic is integer division/modulo, so
-    * the DuckDB oracle replays the same decode bit-for-bit from the
-    * blob's hex. */
+    * wrong); LEN/NLEN mismatch; a stored stream shorter than the
+    * declared raster; a non-zero IHDR compression/filter METHOD or
+    * interlace flag (an Adam7 image's scanlines are pass-reordered —
+    * sequential addressing would be wrong, not slow); or a probed
+    * scanline whose per-row filter TYPE isn't 0/None (filtered rows
+    * are delta-coded; unfiltering needs the full prior row). All
+    * arithmetic is integer division/modulo, so the DuckDB oracle
+    * replays the same decode bit-for-bit from the blob's hex. */
   def pngDhash56(b: Array[Byte]): Long = {
     val n = b.length
     def u(i: Int): Int = b(i) & 0xFF
@@ -335,6 +339,11 @@ object TextHashExpressions {
     val depth = u(24); val color = u(25)
     if (w <= 0L || h <= 0L || w > (1L << 24) || h > (1L << 24))
       return dhash56Bytes(b)
+    // IHDR method bytes: only compression 0 (zlib/deflate), filter
+    // method 0, and NO interlacing are in the decodable subset — an
+    // Adam7 image's scanlines are pass-reordered, so addressing them
+    // sequentially would decode WRONG pixels rather than fail
+    if (u(26) != 0 || u(27) != 0 || u(28) != 0) return dhash56Bytes(b)
     val channels = color match {
       case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1
     }
@@ -401,6 +410,11 @@ object TextHashExpressions {
     while (g < 64) {
       val py = (2L * (g / 8) + 1L) * h / 16L
       val gx = (2L * (g % 8) + 1L) * w / 16L
+      // a probed scanline whose filter TYPE isn't 0 (None) carries
+      // delta-coded bytes — unfiltering needs the whole prior row, so
+      // filtered rows are outside the integer-replayable subset:
+      // fall back rather than hash filtered-domain values as pixels
+      if (ub(py * stride) != 0) return dhash56Bytes(b)
       val base = py * stride + 1L + gx * bpp // +1 skips the filter byte
       px(g) =
         if (channels >= 3)

@@ -763,10 +763,11 @@ object MultimodalOps {
     * BT.601 luma across the color channels the parsed color type
     * declares, and emit the same 56 neighbor-comparison bits — one
     * codegen'd row-local pass, zero extra exchanges vs the byte tier.
-    * Payloads outside the decodable subset (including real
-    * Huffman-compressed PNGs) fall back to the 1-D byte sampler inside
-    * the same expression (spec-pinned), so a mixed corpus still hashes
-    * every row.
+    * Payloads outside the decodable subset (real Huffman-compressed,
+    * interlaced, or per-row-filtered PNGs included) fall back to the
+    * 1-D byte sampler inside the same expression (spec-pinned) — the
+    * tier degrades, it never decodes wrong — so a mixed corpus still
+    * hashes every row.
     *
     * Verified at maxHamming = 3 — the 4×14 banding's EXHAUSTIVE bound
     * (≤3 differing bits cannot touch all 4 bands), so this tier's

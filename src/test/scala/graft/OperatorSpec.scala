@@ -4698,9 +4698,11 @@ class OperatorSpec extends AnyFunSuite {
         be32(crc.getValue)
     }
     val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
-    def ihdr(w: Long, h: Long, depth: Int, color: Int): Array[Byte] =
+    def ihdr(w: Long, h: Long, depth: Int, color: Int,
+             interlace: Int = 0): Array[Byte] =
       chunk("IHDR", be32(w) ++ be32(h) ++
-        Array(depth.toByte, color.toByte, 0.toByte, 0.toByte, 0.toByte))
+        Array(depth.toByte, color.toByte, 0.toByte, 0.toByte,
+          interlace.toByte))
     // hostile unsigned-be32 geometry (the r12-advice overflow): the
     // nominal raster overflows any int — must FALL BACK, never throw
     val hostile = sig ++ ihdr(0xFFFFFFF0L, 0xFFFFFFF0L, 8, 2) ++
@@ -4750,6 +4752,23 @@ class OperatorSpec extends AnyFunSuite {
       if (gpx(base + 1) > gpx(base)) gwant |= 1L << bit
     }
     assert(pngDhash56(gpng) == gwant, "grayscale arm diverged from the model")
+    // Adam7 interlace flag: scanlines are pass-reordered — sequential
+    // addressing would decode WRONG pixels, so the guard must fall back
+    val ipng = sig ++ ihdr(gw.toLong, gh.toLong, 8, 0, interlace = 1) ++
+      chunk("IDAT", Array[Byte](0x78, 0x01) ++ stream ++ be32(adler.getValue)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(pngDhash56(ipng) == dhash56Bytes(ipng),
+      "interlaced payload must take the byte-sampler fallback")
+    // a per-row filter TYPE other than 0 (None) means delta-coded rows:
+    // flip the first scanline's filter byte to 1 (Sub) — fallback, not
+    // filtered-domain bytes hashed as pixels
+    val fstream = stream.clone()
+    fstream(5) = 1 // first block: 5-byte stored header, then the filter byte
+    val fpng = sig ++ ihdr(gw.toLong, gh.toLong, 8, 0) ++
+      chunk("IDAT", Array[Byte](0x78, 0x01) ++ fstream ++ be32(adler.getValue)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(pngDhash56(fpng) == dhash56Bytes(fpng),
+      "a filter-type-1 scanline must take the byte-sampler fallback")
     // and the generator round-trips through the general walk: the
     // expression decodes its own corpus (not the fallback) — pinned by
     // comparing against a DELIBERATE byte-sampler on the same blob
