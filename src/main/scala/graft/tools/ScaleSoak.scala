@@ -30,6 +30,9 @@ object ScaleSoak {
     // shape applied to the dd family
     "dd_ngram_jaccard", "dd_minhash_lsh", "dd_dup_clusters",
     "dd_dup_clusters_star", "dd_lsh_quality", "dd_span_audit",
+    // the snapshot-shingle catalog consumers (docShingleFrame):
+    // incremental's base side and the source-overlap matrix
+    "dd_incremental", "dd_source_overlap",
     "mm_dhash_pairs", "mm_dhash_px_pairs", "mm_wav_fp_pairs",
     // ANN
     "sim_knn_graph", "sim_graph_search", "sim_ivf_pq", "sim_recall",

@@ -4759,6 +4759,17 @@ class OperatorSpec extends AnyFunSuite {
       chunk("IEND", Array.emptyByteArray)
     assert(pngDhash56(ipng) == dhash56Bytes(ipng),
       "interlaced payload must take the byte-sampler fallback")
+    // an IDAT split across two chunks: the stored-block walk stops at
+    // the first chunk's boundary, sees a stream shorter than the
+    // declared raster, and must FALL BACK (never stitch blindly, never
+    // decode a partial raster as if complete)
+    val half = stream.length / 2
+    val split = sig ++ ihdr(gw.toLong, gh.toLong, 8, 0) ++
+      chunk("IDAT", Array[Byte](0x78, 0x01) ++ stream.take(half)) ++
+      chunk("IDAT", stream.drop(half) ++ be32(adler.getValue)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(pngDhash56(split) == dhash56Bytes(split),
+      "multi-IDAT payload must take the byte-sampler fallback")
     // a per-row filter TYPE other than 0 (None) means delta-coded rows:
     // flip the first scanline's filter byte to 1 (Sub) — fallback, not
     // filtered-domain bytes hashed as pixels
