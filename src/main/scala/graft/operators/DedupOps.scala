@@ -370,7 +370,9 @@ object DedupOps {
     * in a block size. (Round 2's form joined all pairs within `source`,
     * O(n²) per block.) The df table is small relative to the corpus;
     * AQE broadcasts it at bench scale and shuffle-joins it beyond.
-    * Caller releases persisted signatures via clearCache(). */
+    * Served from the session catalog's pinned pair frame
+    * ([[ngramPairsFrame]]); the build's internal persists are released
+    * inside the build itself. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
     ngramPairsFrame(spark, sfDir).orderBy("doc_a", "doc_b")
 
@@ -915,12 +917,12 @@ object DedupOps {
   /** MinHash+LSH near-dup detection over the dup-seeded corpus:
     * signature → band → bucket self-join → candidate pairs → exact
     * Jaccard verify (≥ 0.5). The candidate set is tiny relative to
-    * all-pairs; the verify join only touches candidates. Signatures are
-    * persisted: the plan references them three times (band explode and
-    * both verify sides) and recomputing the hash pipeline per reference
-    * tripled the query's cost at sf0.1. Contract: the caller releases
-    * the persisted blocks via spark.catalog.clearCache() after the
-    * consuming action (Verify/Bench/specs do). */
+    * all-pairs; the verify join only touches candidates. Signatures
+    * come from the session catalog's pinned frames (the plan references
+    * them three times — band explode and both verify sides — and
+    * recomputing the hash pipeline per reference tripled the query's
+    * cost at sf0.1 before they were pinned); the verified pair set is
+    * itself the pinned [[lshPairsFrame]]. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minhashLshPairs(spark, sfDir).orderBy("doc_a", "doc_b")
 
@@ -999,9 +1001,12 @@ object DedupOps {
     * precision/candidate volume — the empirical S-curve the b·r
     * formulas predict, measured on the actual corpus.
     *
-    * Scale shape: one signature build (persisted, shared by all four
-    * configs), then per config a banded bucket self-join + verify —
-    * identical to [[minhashLsh]]'s shape; stat outputs are 4 rows. */
+    * Scale shape: the corpus side reads the catalog's pinned shingle
+    * frame (only the sweep's own half-truncated variants shingle
+    * fresh); the (sh, sig) union is persisted within-plan and shared
+    * by all four configs, then per config a banded bucket self-join +
+    * verify — identical to [[minhashLsh]]'s shape; stat outputs are 4
+    * rows. Caller releases the within-plan persist via clearCache(). */
   def minhashBandSweep(spark: SparkSession, sfDir: String): DataFrame = {
     // the dup-seeded corpus is BIMODAL (exact/prefixed copies at j ≈ 1,
     // everything else at j ≈ 0), where every banding agrees — add a
@@ -1652,12 +1657,14 @@ object DedupOps {
     * verify tail. [[minhashBandSweep]] predicts these curves from the
     * signature model; this measures them against the real corpus.
     *
-    * Scale shape: both arms are the existing key-partitioned pipelines
-    * running off ONE shared persisted shingle build (the band-sweep
-    * pattern — the signature build is the dominant cost of any dedup
-    * tier and must never be paid twice); the TP semi-join and all
-    * three counts collapse to 1-row frames. Caller releases persisted
-    * stages via clearCache(). */
+    * Scale shape: both arms read the session catalog's pinned frames
+    * (truth IS [[ngramPairsFrame]]; bands come off [[signatureFrame]] —
+    * the signature build is the dominant cost of any dedup tier and is
+    * now paid once per corpus snapshot, not once per arm); the only
+    * fresh work is the candidate bucket-join, persisted within-plan
+    * because the volume count and the TP semi-join both read it, and
+    * the three 1-row counts. Caller releases the candidate persist via
+    * clearCache(). */
   def lshQuality(spark: SparkSession, sfDir: String): DataFrame = {
     // catalog path: truth is the PINNED exact-Jaccard pair frame and
     // bands come off the pinned signature frame — the only fresh work
