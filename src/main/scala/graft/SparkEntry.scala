@@ -247,6 +247,7 @@ object SparkEntry {
     "dd_minhash_jaccard_est"   -> DedupOps.minhashJaccardEst _,
     "dd_dup_clusters_star"     -> DedupOps.dupClustersStar _,
     "dd_minhash_lsh"           -> DedupOps.minhashLsh _,
+    "dd_published_pairs"       -> DedupOps.publishedPairs _,
     "dd_minhash_band_sweep"    -> DedupOps.minhashBandSweep _,
     "dd_simhash"               -> DedupOps.simhash _,
     "dd_simhash_pairs"         -> DedupOps.simhashPairs _,
@@ -310,8 +311,16 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Aliased entries (queries whose CONTRACT is result-identity with
+    * another registered query — e.g. the durable-catalog serving path)
+    * share the base entry's SQL verbatim below the literal. */
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // publication must not change results: the published-signature
+    // serving path returns dd_minhash_lsh's exact verified pair set
+    ("dd_published_pairs" -> oracleSqlBase("dd_minhash_lsh"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -234,22 +234,29 @@ object Tables {
       val files =
         if (fs.getFileStatus(root).isDirectory) dataFiles(root).toSeq
         else Seq(fs.getFileStatus(root))
-      // cache on the listing fingerprint, not the bare path: a table
+      // validate on the listing fingerprint, keyed by path: a table
       // rewritten in-session (new mtimes / sizes / file count) must
-      // re-read footers, not serve the stale sum
-      val key = path + "#" + files.iterator
+      // re-read footers, not serve the stale sum — and the rewrite
+      // must EVICT the prior entry, not leave it beside the new one
+      // (fingerprint-embedding keys grow without bound across long
+      // soak sessions of repeated publishes)
+      val fp = files.iterator
         .map(s => (s.getPath.getName, s.getLen, s.getModificationTime).hashCode())
-        .foldLeft(0L)((a, h) => a * 1000003L + h) + "#" + files.size
-      rowCountCache.getOrElseUpdate(key, {
-        files.iterator.map { s =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(s, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }.sum
-      })
+        .foldLeft(files.size.toLong)((a, h) => a * 1000003L + h)
+      rowCountCache.get(path) match {
+        case Some((`fp`, n)) => n
+        case _ =>
+          val n = files.iterator.map { s =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(s, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+          rowCountCache.put(path, (fp, n))
+          n
+      }
   }
 
   private val rowCountCache =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 }

@@ -4502,10 +4502,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(DedupOps.shingleFrame(spark, sf0001) eq sh1)
     assert(DedupOps.ngramPairsFrame(spark, sf0001) eq ng1)
     assert(DedupOps.lshPairsFrame(spark, sf0001) eq lsh1)
-    // the eval-gram pin and its cached sizing count stay consistent
+    // the eval-gram pin stays consistent, and the manifest-arithmetic
+    // sizing bound dominates the true distinct count (Bloom oversizing
+    // is safe; undersizing silently raises the FPR)
     val ev1 = DedupOps.evalGramFrame(spark, sf0001)
     assert(DedupOps.evalGramFrame(spark, sf0001) eq ev1)
-    assert(DedupOps.evalGramCount(spark, sf0001) == ev1.count())
+    val bound = DedupOps.evalGramCount(spark, sf0001)
+    val exact = ev1.count()
+    assert(bound >= exact && bound <= 3 * exact + 3072,
+      s"eval-gram bound $bound vs exact $exact: not a tight upper bound")
     // reuse is bit-identical to building from scratch (no catalog)
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
@@ -4784,8 +4789,9 @@ class OperatorSpec extends AnyFunSuite {
     // expression decodes its own corpus (not the fallback) — pinned by
     // comparing against a DELIBERATE byte-sampler on the same blob
     val own = pngStored("a modest test document body".getBytes("US-ASCII"))
-    assert(pngDhash56(own) != dhash56Bytes(own) ||
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(own)) != null)
+    assert(pngDhash56(own) != dhash56Bytes(own),
+      "the expression must DECODE its own corpus (luma-grid hash), " +
+        "not take the byte-sampler fallback")
   }
 
   test("wav fingerprint: planted copies at hamming 0, complete at the banding bound, fallback parity") {

@@ -459,6 +459,9 @@ class SourceSinkSpec extends AnyFunSuite {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // default publish mode is ErrorIfExists (r13 advice) — a leftover
+      // table from an aborted run must be cleared, not clobbered silently
+      spark.sql("DROP TABLE IF EXISTS dd_sig_pub")
       val table = graft.operators.DedupOps.publishSignatures(
         spark, SparkFixture.sf0001, "dd_sig_pub")
       val cands = graft.operators.DedupOps
@@ -485,6 +488,56 @@ class SourceSinkSpec extends AnyFunSuite {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS dd_sig_pub")
+    }
+  }
+
+  test("dd_published_pairs: both verify sides read the bucketed table in place; results identical to the catalog path") {
+    // the REGISTERED durable-catalog consumer (r13 left the published
+    // table spec-only): the signature sides of both exact-verify joins
+    // must be served by bucketed scans with NO exchange above them —
+    // only the near-dup-sized candidate side shuffles — and
+    // publication must not change results (same pairs as minhashLsh)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.DedupOps.publishedPairs(spark, SparkFixture.sf0001)
+      val plan = df.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def isPub(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("dd_signatures_"))
+        case _ => false
+      }
+      val pubScans = plan.collect { case f: FileSourceScanExec if isPub(f) => f }
+      assert(pubScans.size == 2, s"want 2 published-table scans:\n$plan")
+      assert(pubScans.forall(_.bucketedScan),
+        s"published scans not served bucketed:\n$plan")
+      // exchanges that redistribute JOINED candidate-sized output (and
+      // the presentation sort) legitimately contain a published scan in
+      // their subtree — the pin is that the published SIDE of each
+      // verify join is never itself redistributed: no hash exchange
+      // whose leaves are published scans alone
+      val shuffledPub = plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }.filter(e => e.collectLeaves().nonEmpty && e.collectLeaves().forall(isPub))
+      assert(shuffledPub.isEmpty,
+        s"a published-table side is redistributed before its join:\n$plan")
+      val got = df.collect().map(_.toString).toSeq
+      val want = graft.operators.DedupOps.minhashLsh(spark, SparkFixture.sf0001)
+        .collect().map(_.toString).toSeq
+      assert(got == want, "publication changed the verified pair set")
+      // session-once publish: the second lookup reuses the same table
+      val t1 = graft.operators.DedupOps
+        .publishedSignatureTable(spark, SparkFixture.sf0001)
+      assert(t1 == graft.operators.DedupOps
+        .publishedSignatureTable(spark, SparkFixture.sf0001))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 
