@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CdcBoundariesExpr, DHash56Expr, DotDoubleExpr, HyperplaneBucketExpr, PngDhash56Expr, PngStoredExpr, PolyHashExpr, Shingle3HashesExpr, ShingleKHashesExpr, SimHash48Expr, SortedIntersectCountExpr, WavFp56Expr, WordPolyHashesExpr}
+import graft.functions.{CdcBoundariesExpr, DHash56Expr, DotDoubleExpr, HyperplaneBucketExpr, PngDeflateExpr, PngDhash56Expr, PngDhashFullExpr, PngStoredExpr, PolyHashExpr, Shingle3HashesExpr, ShingleKHashesExpr, SimHash48Expr, SortedIntersectCountExpr, WavFp56Expr, WordPolyHashesExpr}
 
 /** Engine extension point (SURVEY.md §7.4 custom work): registers the
   * native hash expressions as SQL functions so queries reach them via
@@ -70,6 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("png_stored"),
       new ExpressionInfo(classOf[PngStoredExpr].getName, "png_stored"),
       arity("png_stored", 1)(children => PngStoredExpr(children.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("png_deflate"),
+      new ExpressionInfo(classOf[PngDeflateExpr].getName, "png_deflate"),
+      arity("png_deflate", 1)(children => PngDeflateExpr(children.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("png_dhash56_full"),
+      new ExpressionInfo(classOf[PngDhashFullExpr].getName, "png_dhash56_full"),
+      arity("png_dhash56_full", 1)(children => PngDhashFullExpr(children.head))))
     ext.injectFunction((
       new FunctionIdentifier("wav_fp56"),
       new ExpressionInfo(classOf[WavFp56Expr].getName, "wav_fp56"),

@@ -299,6 +299,9 @@ object SparkEntry {
     "mm_patchify"              -> MultimodalOps.patchify _,
     "mm_dhash_pairs"           -> ((s: SparkSession, d: String) => MultimodalOps.dhashPairs(s, d)),
     "mm_dhash_px_pairs"        -> ((s: SparkSession, d: String) => MultimodalOps.dhashPxPairs(s, d)),
+    "mm_dhash_inflate_pairs"   -> ((s: SparkSession, d: String) => MultimodalOps.dhashInflatePairs(s, d)),
+    "mm_dhash_px_file"         -> ((s: SparkSession, d: String) => MultimodalOps.dhashPxFilePairs(s, d)),
+    "mm_wav_fp_file"           -> ((s: SparkSession, d: String) => MultimodalOps.wavFpFilePairs(s, d)),
     "mm_wav_fp_pairs"          -> ((s: SparkSession, d: String) => MultimodalOps.wavFpPairs(s, d)),
     "mm_gif_header"            -> MultimodalOps.gifHeaderDecode _,
     "mm_decode_features"       -> MultimodalOps.decodeFeatures _,
@@ -318,7 +321,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase +
     // publication must not change results: the published-signature
     // serving path returns dd_minhash_lsh's exact verified pair set
-    ("dd_published_pairs" -> oracleSqlBase("dd_minhash_lsh"))
+    ("dd_published_pairs" -> oracleSqlBase("dd_minhash_lsh")) +
+    // the file round-trip must not change results: the binaryFile
+    // tiers read byte-identical payloads back off disk
+    ("mm_dhash_px_file" -> oracleSqlBase("mm_dhash_px_pairs")) +
+    ("mm_wav_fp_file" -> oracleSqlBase("mm_wav_fp_pairs"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "rel_pricing_summary" ->
@@ -7122,19 +7129,71 @@ object SparkEntry {
     // over 64 proportionally-sampled payload bytes, 4x14-bit banding,
     // hamming verify — planted exact copies land at hamming 0
     // mm_wav_fp_pairs: the audio twin — rebuild the byte-identical
-    // mono/16-bit RIFF/WAVE blobs over the dedup-seeded corpus, parse
-    // channels (byte 22) and bit depth (byte 34) back out of the blob
-    // hex (LE16 — the oracle decodes the container, it does not
-    // shortcut via the generation formula), derive block align and the
-    // frame count, then the same integer energy-contour fingerprint the
-    // native wav_fp56 computes: 57 windows anchored at (2w+1)·nS DIV
-    // 114, each the Σ of 4 consecutive |int16 LE| sample magnitudes
-    // (sign-folded — ASCII bodies never trip it, the arm is for decode
-    // fidelity), 56 neighbor-comparison bits, 4×14 banding at the
-    // exhaustive hamming-3 bound. A 0-frame payload (ns = 0, i.e. a
-    // sub-block-align body) takes the byte-sampler fallback branch
-    // exactly as the native wav_fp56 does — the contour arm divides by
-    // greatest(1, ns) only so the untaken branch can't raise
+    // RIFF/WAVE blobs over the dedup-seeded corpus with MIXED PCM
+    // GEOMETRY (length(text) mod 4 selects channels/bits, the r13
+    // verdict's open arm: mono/stereo x 8/16-bit all present in the
+    // registered corpus), then parse channels (byte 22) and bit depth
+    // (byte 34) back out of the blob hex (LE16 — the oracle decodes
+    // the container, it does not shortcut via the generation formula),
+    // derive block align and the frame count, then the same integer
+    // energy-contour fingerprint the native wav_fp56 computes: 57
+    // windows anchored at (2w+1)·nS DIV 114, each the Σ of 4
+    // consecutive FIRST-CHANNEL sample magnitudes (8-bit: |b-128|;
+    // 16-bit: sign-folded |int16 LE|), 56 neighbor-comparison bits,
+    // 4×14 banding at the exhaustive hamming-3 bound. A 0-frame
+    // payload (ns = 0, a sub-block-align body) takes the byte-sampler
+    // fallback branch exactly as the native wav_fp56 does — the
+    // contour arm divides by greatest(1, ns) only so the untaken
+    // branch can't raise
+    // mm_dhash_inflate_pairs: the full-codec tier over the MIXED
+    // corpus (every 3rd container png_deflate — real Huffman zlib +
+    // per-row filters 0-4; the rest png_stored). DuckDB cannot
+    // inflate, so this oracle replays the DECODED RASTER domain both
+    // generators share (content cycled over w*h*3 RGB bytes, geometry
+    // from content length): luma grid straight off the raster hex —
+    // off = py*rowpx + gx*3, no filter bytes, no container framing.
+    // The engine must RECOVER exactly that raster from real containers
+    // (Inflater + unfilter for the deflate rows, the integer walk for
+    // stored rows) or the hashes — and the pair set — diverge; the
+    // spec additionally pins both decodes against ImageIO.
+    "mm_dhash_inflate_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'extra words added ' || text FROM documents WHERE doc_id % 10 = 5),
+        |g0 AS (SELECT doc_id, text,
+        |  8 + length(text) % 9 AS w0, 8 + (length(text) * 7) % 9 AS h0 FROM corpus),
+        |g1 AS (SELECT doc_id, text, w0, h0, 3 * w0 AS rowpx, h0 * 3 * w0 AS need FROM g0),
+        |ras AS (SELECT doc_id, w0, h0, rowpx,
+        |  substr(repeat(upper(hex(encode(text))),
+        |    CAST(need // length(text) + 1 AS INT)), 1, CAST(need * 2 AS INT)) AS rhex FROM g1),
+        |lum AS (SELECT doc_id,
+        |  list_transform(
+        |    list_transform(range(0, 64), g ->
+        |      (((2 * (g // 8) + 1) * h0) // 16) * rowpx + (((2 * (g % 8) + 1) * w0) // 16) * 3),
+        |    o -> (299 * ('0x' || substr(rhex, CAST(o * 2 + 1 AS INT), 2))::BIGINT
+        |        + 587 * ('0x' || substr(rhex, CAST((o + 1) * 2 + 1 AS INT), 2))::BIGINT
+        |        + 114 * ('0x' || substr(rhex, CAST((o + 2) * 2 + 1 AS INT), 2))::BIGINT) // 1000) AS luma
+        |  FROM ras),
+        |h AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, 56), b ->
+        |      CASE WHEN luma[CAST((b // 7) * 8 + (b % 7) + 2 AS INT)]
+        |             > luma[CAST((b // 7) * 8 + (b % 7) + 1 AS INT)]
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+        |    (a, x) -> a + x) AS dhash FROM lum),
+        |bnd AS (
+        |  SELECT doc_id, dhash, band, (dhash >> (band * 14)) & 16383 AS bv
+        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    a.dhash AS ha, b2.dhash AS hb
+        |  FROM bnd a JOIN bnd b2 ON a.band = b2.band AND a.bv = b2.bv
+        |    AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "mm_wav_fp_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -7145,24 +7204,37 @@ object SparkEntry {
         |g AS (SELECT doc_id, text,
         |  lpad(to_hex(length(text) + 36), 8, '0') AS cs,
         |  lpad(to_hex(length(text)), 8, '0') AS ds FROM corpus),
+        |gp AS (SELECT doc_id, text, cs, ds,
+        |  CASE WHEN length(text) % 4 IN (0, 1) THEN 1 ELSE 2 END AS gch,
+        |  CASE WHEN length(text) % 4 IN (0, 2) THEN 8 ELSE 16 END AS gbits FROM g),
+        |gp2 AS (SELECT doc_id, text, cs, ds, gch, gbits,
+        |  gch * (gbits // 8) AS gba,
+        |  lpad(to_hex(8000 * gch * (gbits // 8)), 8, '0') AS br FROM gp),
         |m AS (SELECT doc_id,
         |  upper('52494646'
         |    || substr(cs,7,2) || substr(cs,5,2) || substr(cs,3,2) || substr(cs,1,2)
-        |    || '57415645' || '666D7420' || '10000000' || '0100' || '0100'
-        |    || '401F0000' || '803E0000' || '0200' || '1000' || '64617461'
+        |    || '57415645' || '666D7420' || '10000000' || '0100'
+        |    || lpad(to_hex(gch), 2, '0') || '00'
+        |    || '401F0000'
+        |    || substr(br,7,2) || substr(br,5,2) || substr(br,3,2) || substr(br,1,2)
+        |    || lpad(to_hex(gba), 2, '0') || '00'
+        |    || lpad(to_hex(gbits), 2, '0') || '00'
+        |    || '64617461'
         |    || substr(ds,7,2) || substr(ds,5,2) || substr(ds,3,2) || substr(ds,1,2))
-        |    || upper(hex(encode(text))) AS hh FROM g),
+        |    || upper(hex(encode(text))) AS hh FROM gp2),
         |geo AS (SELECT doc_id, hh,
         |  ('0x' || substr(hh, 47, 2) || substr(hh, 45, 2))::BIGINT AS ch,
         |  ('0x' || substr(hh, 71, 2) || substr(hh, 69, 2))::BIGINT AS bits FROM m),
-        |par AS (SELECT doc_id, hh, ch * (bits // 8) AS ba,
+        |par AS (SELECT doc_id, hh, bits, ch * (bits // 8) AS ba,
         |  (length(hh) // 2 - 44) // (ch * (bits // 8)) AS ns,
         |  greatest(1, (length(hh) // 2 - 44) // (ch * (bits // 8))) AS nss FROM geo),
         |en AS (SELECT doc_id, hh, ns,
         |  list_transform(range(0, 57), w -> (
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(0, 4), i -> (
-        |        CASE WHEN ('0x' || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba + 1) * 2 + 1 AS INT), 2)
+        |        CASE WHEN bits = 8 THEN
+        |          abs(('0x' || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba) * 2 + 1 AS INT), 2))::BIGINT - 128)
+        |        WHEN ('0x' || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba + 1) * 2 + 1 AS INT), 2)
         |                        || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba) * 2 + 1 AS INT), 2))::BIGINT >= 32768
         |         THEN 65536 - ('0x' || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba + 1) * 2 + 1 AS INT), 2)
         |                            || substr(hh, CAST((44 + (((2*w+1) * nss // 114 + i) % nss) * ba) * 2 + 1 AS INT), 2))::BIGINT

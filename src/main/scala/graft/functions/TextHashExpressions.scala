@@ -293,9 +293,12 @@ object TextHashExpressions {
     h
   }
 
-  /** png_dhash56(binary) — the perceptual difference-hash computed from
-    * a REAL codec-level container decode (static: called from generated
-    * code). Parse the PNG signature + IHDR geometry, WALK THE CHUNK
+  /** STORED-DEFLATE integer walker behind [[pngDhash56]] and the fast
+    * path of [[pngDhashFull]] — returns the perceptual difference-hash
+    * from a REAL codec-level container decode, or -1 when the payload
+    * is outside the integer-replayable subset (the caller picks the
+    * degradation: byte sampler for png_dhash56, real inflation for
+    * png_dhash56_full). Parse the PNG signature + IHDR geometry, WALK THE CHUNK
     * STREAM to the first IDAT (skipping ancillary chunks by their
     * length fields), validate the zlib header (deflate method, no
     * preset dictionary), walk the DEFLATE BLOCK FRAMING — stored
@@ -308,8 +311,7 @@ object TextHashExpressions {
     * multi-channel color types, the raw sample byte otherwise, then
     * the standard 56 horizontal neighbor comparisons.
     *
-    * Fallback contract ([[dhash56Bytes]], the 1-D proportional byte
-    * sampler): bad signature / missing IHDR; hostile geometry (w or h
+    * Sentinel (-1) contract: bad signature / missing IHDR; hostile geometry (w or h
     * beyond 2²⁴, or a raster that doesn't fit an int — the r12-advice
     * overflow guard: unsigned-be32 dimensions must degrade, not crash
     * the task); malformed chunk framing; no IDAT; a non-deflate or
@@ -324,26 +326,26 @@ object TextHashExpressions {
     * are delta-coded; unfiltering needs the full prior row). All
     * arithmetic is integer division/modulo, so the DuckDB oracle
     * replays the same decode bit-for-bit from the blob's hex. */
-  def pngDhash56(b: Array[Byte]): Long = {
+  def pngDhashStored(b: Array[Byte]): Long = {
     val n = b.length
     def u(i: Int): Int = b(i) & 0xFF
     val decodable = n > 33 &&
       u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4E && u(3) == 0x47 &&
       u(4) == 0x0D && u(5) == 0x0A && u(6) == 0x1A && u(7) == 0x0A &&
       u(12) == 'I' && u(13) == 'H' && u(14) == 'D' && u(15) == 'R'
-    if (!decodable) return dhash56Bytes(b)
+    if (!decodable) return -1L
     def be32(i: Int): Long =
       (u(i).toLong << 24) | (u(i + 1).toLong << 16) |
         (u(i + 2).toLong << 8) | u(i + 3).toLong
     val w = be32(16); val h = be32(20)
     val depth = u(24); val color = u(25)
     if (w <= 0L || h <= 0L || w > (1L << 24) || h > (1L << 24))
-      return dhash56Bytes(b)
+      return -1L
     // IHDR method bytes: only compression 0 (zlib/deflate), filter
     // method 0, and NO interlacing are in the decodable subset — an
     // Adam7 image's scanlines are pass-reordered, so addressing them
     // sequentially would decode WRONG pixels rather than fail
-    if (u(26) != 0 || u(27) != 0 || u(28) != 0) return dhash56Bytes(b)
+    if (u(26) != 0 || u(27) != 0 || u(28) != 0) return -1L
     val channels = color match {
       case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1
     }
@@ -351,25 +353,25 @@ object TextHashExpressions {
     val bpp = channels.toLong * db   // bytes per pixel
     val stride = 1L + w * bpp        // filter byte + one scanline
     val total = h * stride           // uncompressed stream length
-    if (total > Int.MaxValue.toLong) return dhash56Bytes(b)
+    if (total > Int.MaxValue.toLong) return -1L
     // chunk walk: first IDAT, skipping ancillary chunks by length
     var p = 8
     var idat = -1
     var idatLen = 0
     while (p + 8 <= n && idat < 0) {
       val len = be32(p)
-      if (len > n.toLong || p + 12L + len > n.toLong) return dhash56Bytes(b)
+      if (len > n.toLong || p + 12L + len > n.toLong) return -1L
       val t = p + 4
       if (u(t) == 'I' && u(t + 1) == 'D' && u(t + 2) == 'A' && u(t + 3) == 'T') {
         idat = p + 8; idatLen = len.toInt
       } else if (u(t) == 'I' && u(t + 1) == 'E' && u(t + 2) == 'N' && u(t + 3) == 'D') {
-        return dhash56Bytes(b) // IEND before any IDAT
+        return -1L // IEND before any IDAT
       } else p += 12 + len.toInt
     }
-    if (idat < 0 || idatLen < 7) return dhash56Bytes(b)
+    if (idat < 0 || idatLen < 7) return -1L
     // zlib header: CM = 8 (deflate), FDICT clear
     if ((u(idat) & 0x0F) != 8 || (u(idat + 1) & 0x20) != 0)
-      return dhash56Bytes(b)
+      return -1L
     // deflate stored-block walk: (uncompressed start, physical data
     // offset, length) per block, until BFINAL or the raster is covered
     val end = idat + idatLen
@@ -380,12 +382,12 @@ object TextHashExpressions {
     var phys = new Array[Int](8)
     var fin = false
     while (!fin && uLen < total) {
-      if (q + 5 > end) return dhash56Bytes(b)
+      if (q + 5 > end) return -1L
       val hdr = u(q)
-      if (((hdr >> 1) & 3) != 0) return dhash56Bytes(b) // Huffman block
+      if (((hdr >> 1) & 3) != 0) return -1L // Huffman block
       val len = u(q + 1) | (u(q + 2) << 8)
       val nlen = u(q + 3) | (u(q + 4) << 8)
-      if ((len ^ 0xFFFF) != nlen || q + 5 + len > end) return dhash56Bytes(b)
+      if ((len ^ 0xFFFF) != nlen || q + 5 + len > end) return -1L
       if (nb == starts.length) {
         starts = java.util.Arrays.copyOf(starts, nb * 2)
         phys = java.util.Arrays.copyOf(phys, nb * 2)
@@ -397,7 +399,7 @@ object TextHashExpressions {
       q += 5 + len
       fin = (hdr & 1) == 1
     }
-    if (uLen < total) return dhash56Bytes(b) // raster truncated
+    if (uLen < total) return -1L // raster truncated
     // one byte of the uncompressed stream, through the block map
     // (starts ascending; callers only probe off < total <= uLen)
     def ub(off: Long): Int = {
@@ -414,7 +416,7 @@ object TextHashExpressions {
       // delta-coded bytes — unfiltering needs the whole prior row, so
       // filtered rows are outside the integer-replayable subset:
       // fall back rather than hash filtered-domain values as pixels
-      if (ub(py * stride) != 0) return dhash56Bytes(b)
+      if (ub(py * stride) != 0) return -1L
       val base = py * stride + 1L + gx * bpp // +1 skips the filter byte
       px(g) =
         if (channels >= 3)
@@ -424,6 +426,15 @@ object TextHashExpressions {
       g += 1
     }
     dhashBits(px)
+  }
+
+  /** png_dhash56(binary) — [[pngDhashStored]] with the BYTE-SAMPLER
+    * fallback applied: payloads outside the stored-deflate decodable
+    * subset hash via [[dhash56Bytes]] (static: called from generated
+    * code). The committed px-tier oracle replays exactly this pair. */
+  def pngDhash56(b: Array[Byte]): Long = {
+    val r = pngDhashStored(b)
+    if (r >= 0L) r else dhash56Bytes(b)
   }
 
   /** png_stored(binary) — build a COMPLETE, VALID PNG container from a
@@ -499,6 +510,229 @@ object TextHashExpressions {
     chunk("IDAT", z)
     chunk("IEND", Array.emptyByteArray)
     buf.toByteArray
+  }
+
+  /** png_deflate(binary) — the REAL-WORLD twin of [[pngStored]]: same
+    * content-derived geometry (w = 8 + n mod 9, h = 8 + 7n mod 9, RGB
+    * 8-bit) and the same cycled raster, but each scanline is FILTERED
+    * (filter type y mod 5 — None/Sub/Up/Average/Paeth, so every
+    * unfilter arm of the decoder is exercised) and the stream is
+    * Huffman-compressed by java.util.zip.Deflater — the IDAT layout of
+    * approximately every PNG found in the wild, which
+    * [[pngDhashStored]]'s integer walk correctly refuses. Decoding it
+    * back requires real inflation + per-row unfiltering
+    * ([[pngDhashInflate]]). Same content ⇒ same geometry ⇒ same
+    * DECODED raster as the stored container — the cross-container
+    * near-dup property the inflate tier's oracle pins (an exact copy
+    * stored under a different encoder still lands at hamming 0).
+    * ImageIO accepts the output (spec-pinned); chunk CRC32s and the
+    * zlib framing come from the real java.util.zip codecs. */
+  def pngDeflate(content: Array[Byte]): Array[Byte] = {
+    val src = if (content.length == 0) Array[Byte](0) else content
+    val n = src.length
+    val w = 8 + n % 9
+    val h = 8 + (n.toLong * 7L % 9L).toInt
+    val rowPx = 3 * w
+    def ras(i: Int): Int = src(i % n) & 0xFF
+    val filtered = new Array[Byte]((1 + rowPx) * h)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      val fo = y * (1 + rowPx)
+      filtered(fo) = ft.toByte
+      var x = 0
+      while (x < rowPx) {
+        val raw = ras(y * rowPx + x)
+        val rl = if (x >= 3) ras(y * rowPx + x - 3) else 0
+        val up = if (y > 0) ras((y - 1) * rowPx + x) else 0
+        val ul = if (y > 0 && x >= 3) ras((y - 1) * rowPx + x - 3) else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw - rl
+          case 2 => raw - up
+          case 3 => raw - (rl + up) / 2
+          case _ =>
+            val p = rl + up - ul
+            val pa = math.abs(p - rl)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw - (if (pa <= pb && pa <= pc) rl else if (pb <= pc) up else ul)
+        }
+        filtered(fo + 1 + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // real zlib stream (RFC 1950 wrapper + Huffman-coded deflate);
+    // end() frees the native state NOW — at 100x corpus volume a
+    // GC-deferred release accumulates native memory across the scan
+    val dfl = new java.util.zip.Deflater()
+    val z = try {
+      dfl.setInput(filtered)
+      dfl.finish()
+      val out = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!dfl.finished()) out.write(tmp, 0, dfl.deflate(tmp))
+      out.toByteArray
+    } finally dfl.end()
+    val buf = new java.io.ByteArrayOutputStream(8 + 25 + 12 + z.length + 12)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+      ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      buf.write(be32(data.length.toLong), 0, 4)
+      val tb = tag.getBytes("US-ASCII")
+      buf.write(tb, 0, 4)
+      buf.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      buf.write(be32(crc.getValue), 0, 4)
+    }
+    buf.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    System.arraycopy(be32(w.toLong), 0, ihdr, 0, 4)
+    System.arraycopy(be32(h.toLong), 0, ihdr, 4, 4)
+    ihdr(8) = 8; ihdr(9) = 2
+    chunk("IHDR", ihdr)
+    chunk("IDAT", z)
+    chunk("IEND", Array.emptyByteArray)
+    buf.toByteArray
+  }
+
+  /** FULL-CODEC decode tier behind png_dhash56_full: real inflation
+    * (java.util.zip.Inflater over the concatenation of ALL IDAT chunks
+    * — real encoders split the zlib stream) followed by the per-row
+    * PNG unfilter (None/Sub/Up/Average/Paeth — the sequential
+    * imperative reconstruction that needs each row's fully-decoded
+    * prior row), then the same 8×8 luma-grid resample and 56
+    * neighbor-comparison bits as [[pngDhashStored]]. Returns -1 when
+    * the payload is outside even THIS tier's subset: non-PNG, hostile
+    * geometry, interlaced (Adam7 pass-reordering is not sequential),
+    * non-zlib compression, a truncated or corrupt stream, or an
+    * undefined filter type. Unlike the stored walker this is not
+    * integer-replayable in SQL — the oracle pins the DECODED raster
+    * domain instead, and the spec pins this decode against ImageIO
+    * bit-for-bit. All work is row-local; nothing crosses an exchange. */
+  def pngDhashInflate(b: Array[Byte]): Long = {
+    val n = b.length
+    def u(i: Int): Int = b(i) & 0xFF
+    val parseable = n > 33 &&
+      u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4E && u(3) == 0x47 &&
+      u(4) == 0x0D && u(5) == 0x0A && u(6) == 0x1A && u(7) == 0x0A &&
+      u(12) == 'I' && u(13) == 'H' && u(14) == 'D' && u(15) == 'R'
+    if (!parseable) return -1L
+    def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1).toLong << 16) |
+        (u(i + 2).toLong << 8) | u(i + 3).toLong
+    val w = be32(16); val h = be32(20)
+    val depth = u(24); val color = u(25)
+    if (w <= 0L || h <= 0L || w > (1L << 24) || h > (1L << 24)) return -1L
+    if (u(26) != 0 || u(27) != 0 || u(28) != 0) return -1L
+    val channels = color match {
+      case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1
+    }
+    val db = math.max(1, depth / 8)
+    val bpp = (channels * db).toInt
+    val stride = 1L + w * bpp
+    val total = h * stride
+    if (total > Int.MaxValue.toLong) return -1L
+    var p = 8
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (p + 8 <= n && !sawEnd) {
+      val len = be32(p)
+      if (len > n.toLong || p + 12L + len > n.toLong) return -1L
+      val t = p + 4
+      if (u(t) == 'I' && u(t + 1) == 'D' && u(t + 2) == 'A' && u(t + 3) == 'T')
+        idat.write(b, p + 8, len.toInt)
+      else if (u(t) == 'I' && u(t + 1) == 'E' && u(t + 2) == 'N' && u(t + 3) == 'D')
+        sawEnd = true
+      p += 12 + len.toInt
+    }
+    val zs = idat.toByteArray
+    if (zs.length < 7) return -1L
+    val data = new Array[Byte](total.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(zs)
+      var got = 0
+      while (got < total.toInt && !inf.finished()) {
+        val r = inf.inflate(data, got, total.toInt - got)
+        if (r == 0 && (inf.needsInput() || inf.needsDictionary())) return -1L
+        got += r
+      }
+      if (got < total.toInt) return -1L
+    } catch {
+      case _: java.util.zip.DataFormatException => return -1L
+    } finally inf.end()
+    val wI = w.toInt; val hI = h.toInt
+    val rowPx = wI * bpp
+    val strideI = stride.toInt
+    val ras = new Array[Byte](hI * rowPx)
+    var y = 0
+    while (y < hI) {
+      val ft = data(y * strideI) & 0xFF
+      if (ft > 4) return -1L
+      val ro = y * rowPx
+      val so = y * strideI + 1
+      var x = 0
+      while (x < rowPx) {
+        val raw = data(so + x) & 0xFF
+        val rl = if (x >= bpp) ras(ro + x - bpp) & 0xFF else 0
+        val up = if (y > 0) ras(ro - rowPx + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= bpp) ras(ro - rowPx + x - bpp) & 0xFF else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + rl
+          case 2 => raw + up
+          case 3 => raw + (rl + up) / 2
+          case _ =>
+            val pr = rl + up - ul
+            val pa = math.abs(pr - rl)
+            val pb = math.abs(pr - up)
+            val pc = math.abs(pr - ul)
+            raw + (if (pa <= pb && pa <= pc) rl else if (pb <= pc) up else ul)
+        }
+        ras(ro + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val px = new Array[Int](64)
+    var g = 0
+    while (g < 64) {
+      val py = ((2 * (g / 8) + 1) * hI) / 16
+      val gx = ((2 * (g % 8) + 1) * wI) / 16
+      val base = py * rowPx + gx * bpp
+      px(g) =
+        if (channels >= 3)
+          (299 * (ras(base) & 0xFF) + 587 * (ras(base + db) & 0xFF) +
+            114 * (ras(base + 2 * db) & 0xFF)) / 1000
+        else ras(base) & 0xFF
+      g += 1
+    }
+    dhashBits(px)
+  }
+
+  /** png_dhash56_full(binary) — the ROUTED perceptual hash (static:
+    * called from generated code), the r13 verdict's routing matrix as
+    * one total function:
+    *   1. stored-deflate subset → [[pngDhashStored]]'s integer walk
+    *      (zero-copy, no Inflater, the fast path — a pipeline that
+    *      wrote its own blobs stays on it);
+    *   2. real compressed PNGs → [[pngDhashInflate]] (Inflater +
+    *      unfilter — the tier that decodes the wild);
+    *   3. undecodable (non-PNG, interlaced, corrupt) →
+    *      [[dhash56Bytes]], degrade-never-wrong.
+    * Tiers 1 and 2 agree bit-for-bit wherever both decode (same
+    * raster, same grid — spec-pinned), so routing never changes a
+    * decodable payload's hash. */
+  def pngDhashFull(b: Array[Byte]): Long = {
+    val s = pngDhashStored(b)
+    if (s >= 0L) return s
+    val i = pngDhashInflate(b)
+    if (i >= 0L) i else dhash56Bytes(b)
   }
 
   /** 48-bit SimHash over a word-hash array: bit j set iff at least half
@@ -745,6 +979,41 @@ case class PngDhash56Expr(child: Expression)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextHashExpressions.pngDhash56($c)")
   override protected def withNewChildInternal(newChild: Expression): PngDhash56Expr =
+    copy(child = newChild)
+}
+
+/** png_deflate(binary) — complete valid PNG container (filtered
+  * scanlines, real Huffman-coded zlib IDAT via java.util.zip.Deflater);
+  * see [[TextHashExpressions.pngDeflate]] for the layout contract. The
+  * real-world-container twin of png_stored — row-local, codegen'd. */
+case class PngDeflateExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_deflate"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashExpressions.pngDeflate(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashExpressions.pngDeflate($c)")
+  override protected def withNewChildInternal(newChild: Expression): PngDeflateExpr =
+    copy(child = newChild)
+}
+
+/** png_dhash56_full(binary) — perceptual hash with the full decode
+  * routing (stored walk → Inflater+unfilter → byte sampler); see
+  * [[TextHashExpressions.pngDhashFull]]. */
+case class PngDhashFullExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "png_dhash56_full"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashExpressions.pngDhashFull(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashExpressions.pngDhashFull($c)")
+  override protected def withNewChildInternal(newChild: Expression): PngDhashFullExpr =
     copy(child = newChild)
 }
 

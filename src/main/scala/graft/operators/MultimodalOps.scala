@@ -782,35 +782,80 @@ object MultimodalOps {
     bandedHammingPairs(hashed, maxHamming)
   }
 
+  /** The dedup corpus under MIXED PNG ENCODINGS — the
+    * [[dhashInflatePairs]] input: every third doc is a real
+    * Huffman-compressed, per-row-filtered container (`png_deflate`);
+    * the rest stay stored-deflate (`png_stored`). Both carry the SAME
+    * decoded raster for the same content, so a planted copy pair that
+    * straddles the two encodings still lands at hamming 0 — the
+    * cross-container dedup property a real corpus (mixed encoders)
+    * needs. */
+  private[graft] def pngMixedCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    DedupOps.corpus(spark, sfDir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          expr("png_deflate(CAST(text AS BINARY))"))
+        .otherwise(expr("png_stored(CAST(text AS BINARY))")).as("payload"))
+
+  /** [[dhashPxPairs]] upgraded to the FULL-CODEC decode tier
+    * (`png_dhash56_full`): stored-subset payloads take the integer
+    * walk (no Inflater), real compressed payloads take
+    * Inflater + per-row unfilter, and only genuinely undecodable bytes
+    * degrade to the sampler — over [[pngMixedCorpus]], whose every
+    * third container is a real Huffman/filtered PNG. DuckDB cannot
+    * inflate, so the oracle replays the DECODED RASTER domain (the
+    * generators' shared content-cycled raster) — the spec closes the
+    * loop by pinning the engine's decode of both container kinds
+    * against ImageIO bit-for-bit, and the two tiers against each other
+    * on the stored subset. Same shared [[bandedHammingPairs]] tail at
+    * the exhaustive hamming-3 bound; row-local decode, zero payload
+    * across exchanges. */
+  def dhashInflatePairs(spark: SparkSession, sfDir: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val hashed = pngMixedCorpus(spark, sfDir)
+      .select(col("doc_id"), expr("png_dhash56_full(payload)").as("dhash"))
+    bandedHammingPairs(hashed, maxHamming)
+  }
+
   /** The dedup-seeded corpus wrapped in REAL WAV containers — the
     * [[wavFpPairs]] input, the audio twin of [[pngDedupCorpus]]: every
-    * [[DedupOps.corpus]] row becomes a canonical 44-byte RIFF/WAVE
-    * header (the byte-exact layout of [[wavTable]], pinned to mono
-    * 16-bit PCM at 8 kHz so the container geometry is content-blind)
-    * followed by the text bytes as the PCM stream — a planted exact
-    * copy (same text, different id) carries a byte-identical payload,
-    * pinning decoded-contour hamming 0 at every scale. Consecutive
-    * byte pairs read as little-endian int16 samples (ASCII keeps the
-    * high byte < 0x80, so the magnitudes are the pair values
-    * themselves); the 8-bit / stereo arms of the decoder are exercised
-    * by the spec on hand-built payloads. */
+    * [[DedupOps.corpus]] row becomes a byte-exact 44-byte RIFF/WAVE
+    * header followed by the text bytes as the PCM stream. PCM GEOMETRY
+    * VARIES BY CONTENT (r13 verdict #2 — the registered query must
+    * exercise every decoder arm, not pin mono/16): length(text) mod 4
+    * selects (channels, bits) ∈ {(1,8),(1,16),(2,8),(2,16)}, and the
+    * header's byte-rate/block-align fields follow — deriving from the
+    * CONTENT alone keeps a planted exact copy (same text, different
+    * id) byte-identical, pinning decoded-contour hamming 0 at every
+    * scale, while the corpus now mixes all four geometries and the
+    * oracle parses each back out of the blob hex. A sub-frame body
+    * (n < block align) yields 0 frames and takes wav_fp56's
+    * byte-sampler fallback on both engines. */
   private[graft] def wavDedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     def le32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       val h = lpad(hex(c), 8, "0")
       concat(substring(h, 7, 2), substring(h, 5, 2),
         substring(h, 3, 2), substring(h, 1, 2))
     }
+    def le16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val h = lpad(hex(c), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
     val n = length(col("text")).cast("long") // PCM data size in bytes
+    val k = pmod(n, lit(4L))                 // content-derived geometry key
+    val ch = when(k < 2, lit(1L)).otherwise(lit(2L))
+    val bits = when(pmod(k, lit(2L)) === 0, lit(8L)).otherwise(lit(16L))
+    val ba = ch * when(bits === 8, lit(1L)).otherwise(lit(2L)) // block align
     DedupOps.corpus(spark, sfDir)
       .select(col("doc_id"),
         concat(
           unhex(concat(
             lit("52494646"), le32(n + 36), // "RIFF", chunk size
             lit("57415645"), lit("666D7420"), lit("10000000"), // "WAVE" "fmt " 16
-            lit("0100"), lit("0100"),     // PCM, channels = 1
+            lit("0100"), le16(ch),        // PCM, channels
             lit("401F0000"),              // rate 8000 (LE)
-            lit("803E0000"),              // byte rate 16000 (LE)
-            lit("0200"), lit("1000"),     // block align 2, bits 16 (LE)
+            le32(lit(8000L) * ba),        // byte rate = rate * block align
+            le16(ba), le16(bits),         // block align, bits per sample
             lit("64617461"), le32(n))),   // "data", data size
           col("text").cast("binary")).as("payload"))
   }
@@ -832,6 +877,94 @@ object MultimodalOps {
                  maxHamming: Int = 3): DataFrame = {
     val hashed = wavDedupCorpus(spark, sfDir)
       .select(col("doc_id"), expr("wav_fp56(payload)").as("dhash"))
+    bandedHammingPairs(hashed, maxHamming)
+  }
+
+  // ────────────── perceptual tiers over REAL ON-DISK FILES ──────────────
+
+  private val mediaDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Write-once landing zone for the [[dhashPxFilePairs]] /
+    * [[wavFpFilePairs]] file corpora: the dedup-seeded payloads written
+    * to disk as INDIVIDUAL real files (`<doc_id>.png` / `.wav` — the
+    * O16 basename discipline), then read back through Spark's
+    * `binaryFile` source. This is the shape of a production multimodal
+    * corpus — blobs in an object store, one file per asset — and the
+    * write is executor-side (`foreachPartition`: each task lands its
+    * own partition's files; no driver collect). The directory is keyed
+    * by (corpus path, documents row count) and completed atomically via
+    * a `_COMPLETE` marker, so one session writes and every later
+    * invocation — including a fresh JVM — reuses the files; a partial
+    * directory from a killed run is rebuilt from scratch. */
+  private[graft] def mediaFileDir(spark: SparkSession, sfDir: String,
+                                  kind: String): String =
+    mediaDirs.getOrElseUpdate((sfDir, kind), {
+      val nDocs = Tables.rowCount(spark, sfDir, "documents")
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        f"graft_media_${sfDir.hashCode & 0x7fffffff}%08x_${nDocs}_$kind")
+      val marker = new java.io.File(base, "_COMPLETE")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+          f.delete(); ()
+        }
+        if (base.exists()) rm(base)
+        base.mkdirs()
+        val dir = base.getAbsolutePath
+        val corpus =
+          if (kind == "png") pngDedupCorpus(spark, sfDir)
+          else wavDedupCorpus(spark, sfDir)
+        corpus.select("doc_id", "payload").foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"${r.getLong(0)}.$kind"),
+                r.getAs[Array[Byte]](1))
+            }
+        }
+        marker.createNewFile()
+      }
+      base.getAbsolutePath
+    })
+
+  /** [[dhashPxPairs]] over REAL ON-DISK FILES (r12 verdict #5, open
+    * since: the decode expressions had only ever read synthesized
+    * in-plan payloads): the PNG corpus is written once per corpus
+    * snapshot ([[mediaFileDir]]) and read back via `spark.read.format
+    * ("binaryFile")` — Spark's distributed file-ingest source (one
+    * task per file batch, `pathGlobFilter` pruning at the listing) —
+    * with `png_dhash56(content)` decoding INSIDE the scan projection,
+    * so only (doc_id, dhash) ever crosses an exchange; the payloads
+    * stay in the scan tasks exactly as they would on a 1000-executor
+    * read of an object store. Same pair contract as the in-plan tier
+    * (identical files ⇒ identical pairs): shares its oracle verbatim. */
+  def dhashPxFilePairs(spark: SparkSession, sfDir: String,
+                       maxHamming: Int = 3): DataFrame = {
+    val dir = mediaFileDir(spark, sfDir, "png")
+    val hashed = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        expr("png_dhash56(content)").as("dhash"))
+    bandedHammingPairs(hashed, maxHamming)
+  }
+
+  /** [[wavFpPairs]] over real on-disk `.wav` files — the audio member
+    * of the binaryFile pair; see [[dhashPxFilePairs]]. The mixed PCM
+    * geometries ride through the file round-trip untouched (the files
+    * ARE the payload bytes), so every decoder arm is exercised from
+    * disk too. */
+  def wavFpFilePairs(spark: SparkSession, sfDir: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val dir = mediaFileDir(spark, sfDir, "wav")
+    val hashed = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+          .cast("long").as("doc_id"),
+        expr("wav_fp56(content)").as("dhash"))
     bandedHammingPairs(hashed, maxHamming)
   }
 

@@ -4794,6 +4794,142 @@ class OperatorSpec extends AnyFunSuite {
         "not take the byte-sampler fallback")
   }
 
+  test("wav corpus mixes all four PCM geometries, header fields consistent, every arm decodes") {
+    import graft.functions.TextHashExpressions.{dhash56Bytes, wavFp56}
+    val payloads = MultimodalOps.wavDedupCorpus(spark, sf0001)
+      .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    def u(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    def le16(b: Array[Byte], i: Int): Int = u(b, i) | (u(b, i + 1) << 8)
+    def le32(b: Array[Byte], i: Int): Long =
+      le16(b, i).toLong | (le16(b, i + 2).toLong << 16)
+    val geos = payloads.map(b => (le16(b, 22), le16(b, 34))).toSet
+    // the r13 verdict's open arm: the REGISTERED corpus must exercise
+    // mono/stereo x 8/16-bit, not pin mono/16 and leave the other
+    // decoder arms spec-only
+    assert(geos == Set((1, 8), (1, 16), (2, 8), (2, 16)),
+      s"registered corpus geometries: $geos")
+    payloads.foreach { b =>
+      val ch = le16(b, 22); val bits = le16(b, 34)
+      val ba = ch * (bits / 8)
+      assert(le16(b, 32) == ba, "block align != channels * bytes/sample")
+      assert(le32(b, 28) == 8000L * ba, "byte rate != rate * block align")
+      assert(le32(b, 40) == (b.length - 44).toLong, "data size != PCM length")
+      // every geometry arm actually DECODES (contour, not byte sampler)
+      // on the seeded corpus: bodies are far above one sample frame
+      assert((b.length - 44) / ba > 0)
+    }
+    // per-geometry decode evidence: at least one payload of each
+    // geometry whose contour hash differs from the byte sampler
+    Set((1, 8), (1, 16), (2, 8), (2, 16)).foreach { case (ch, bits) =>
+      assert(payloads.exists(b => le16(b, 22) == ch && le16(b, 34) == bits &&
+        wavFp56(b) != dhash56Bytes(b)),
+        s"geometry ($ch,$bits): no payload decodes away from the sampler")
+    }
+  }
+
+  test("png inflate tier: routing matrix — stored fast path, Inflater+unfilter decode, sampler only when undecodable") {
+    import graft.functions.TextHashExpressions.{dhash56Bytes, pngDeflate, pngDhash56, pngDhashFull, pngStored}
+    val content =
+      "a modest test document body with enough words to vary the raster"
+        .getBytes("US-ASCII")
+    val stored = pngStored(content)
+    val deflated = pngDeflate(content)
+    // row 1: stored subset -> the integer walk, bit-identical across tiers
+    assert(pngDhashFull(stored) == pngDhash56(stored),
+      "full tier diverged from the stored walk on a stored container")
+    assert(pngDhash56(stored) != dhash56Bytes(stored),
+      "stored container must decode, not sample")
+    // row 2: a real Huffman-compressed, per-row-filtered container —
+    // the byte tier refuses it, the full tier decodes it
+    assert(pngDhash56(deflated) == dhash56Bytes(deflated),
+      "byte tier must refuse a Huffman IDAT")
+    assert(pngDhashFull(deflated) != dhash56Bytes(deflated),
+      "full tier must decode a real compressed PNG")
+    // row 3: cross-container identity — same content, same decoded
+    // raster, same hash (the mixed-corpus dedup property)
+    assert(pngDhashFull(deflated) == pngDhashFull(stored),
+      "decoded-raster hash differs across container encodings")
+    // row 4: third-party pin — ImageIO (independent inflate + unfilter)
+    // agrees with the full tier bit-for-bit on the filtered container
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(deflated))
+    assert(img != null, "ImageIO rejected png_deflate output")
+    val px = Array.tabulate(64) { g =>
+      val py = ((2 * (g / 8) + 1) * img.getHeight) / 16
+      val gx = ((2 * (g % 8) + 1) * img.getWidth) / 16
+      val rgb = img.getRGB(gx, py)
+      (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+        114 * (rgb & 0xFF)) / 1000
+    }
+    var want = 0L
+    (0 until 56).foreach { bit =>
+      val base = (bit / 7) * 8 + (bit % 7)
+      if (px(base + 1) > px(base)) want |= 1L << bit
+    }
+    assert(pngDhashFull(deflated) == want,
+      "full tier != ImageIO-derived dhash on the deflate container")
+    // row 5: interlaced (Adam7 pass-reordering) stays OUTSIDE both
+    // decode tiers — degrade to the sampler, never decode wrong
+    val inter = deflated.clone(); inter(28) = 1
+    assert(pngDhashFull(inter) == dhash56Bytes(inter),
+      "interlaced container must take the sampler")
+    // row 6: a truncated stream degrades, never throws
+    val trunc = java.util.Arrays.copyOf(deflated, deflated.length / 2)
+    assert(pngDhashFull(trunc) == dhash56Bytes(trunc),
+      "truncated container must take the sampler")
+    // row 7: multi-IDAT — a real encoder splits the zlib stream across
+    // chunks; the full tier must reassemble ALL of them
+    var p = 8; var idat: Array[Byte] = null; var pre = 0
+    while (idat == null) {
+      val len = java.nio.ByteBuffer.wrap(deflated, p, 4).getInt
+      val tag = new String(deflated, p + 4, 4, "US-ASCII")
+      if (tag == "IDAT") { idat = java.util.Arrays.copyOfRange(deflated, p + 8, p + 8 + len); pre = p }
+      else p += 12 + len
+    }
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length).putInt(data.length)
+        .put(tag.getBytes("US-ASCII")).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val cut = idat.length / 2
+    val multi = deflated.take(pre) ++
+      chunk("IDAT", idat.take(cut)) ++ chunk("IDAT", idat.drop(cut)) ++
+      deflated.drop(pre + 12 + idat.length)
+    assert(pngDhashFull(multi) == pngDhashFull(deflated),
+      "split-IDAT container must decode identically")
+    // corpus-wide cross-container identity (the property the raster
+    // oracle rides on): stored and deflate encodings of every sampled
+    // doc hash identically under the full tier
+    DedupOps.corpus(spark, sf0001).limit(30).select("text").collect()
+      .foreach { r =>
+        val t = r.getString(0).getBytes("UTF-8")
+        assert(pngDhashFull(pngDeflate(t)) == pngDhashFull(pngStored(t)))
+      }
+  }
+
+  test("mm_dhash_inflate_pairs: planted copies at hamming 0 across container encodings") {
+    val rows = MultimodalOps.dhashInflatePairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    val pairs = rows.map(t => (t._1, t._2)).toSet
+    val planted = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 === 0).select("doc_id").collect()
+      .map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { d =>
+      assert(pairs.contains((d, d + 100000)),
+        s"planted exact copy ($d, ${d + 100000}) missing")
+      assert(rows.find(t => t._1 == d && t._2 == d + 100000).get._3 == 0L,
+        s"planted exact copy ($d, ${d + 100000}) not at hamming 0")
+    }
+    // the corpus genuinely mixes encodings WITHIN planted pairs:
+    // doc d and d+100000 land on different doc_id%3 branches for d%3==0
+    assert(planted.exists(d => d % 3 == 0),
+      "no planted pair straddles the stored/deflate branch split")
+  }
+
   test("wav fingerprint: planted copies at hamming 0, complete at the banding bound, fallback parity") {
     import spark.implicits._
     val rows = MultimodalOps.wavFpPairs(spark, sf0001).collect()

@@ -710,6 +710,37 @@ class SourceSinkSpec extends AnyFunSuite {
     permissive.unpersist()
   }
 
+  test("perceptual file tiers: binaryFile round-trip returns the in-plan pair sets; the landing zone writes once") {
+    import graft.operators.MultimodalOps
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    // byte-identical files on disk => identical decoded pairs (the
+    // contract that lets the file twins share the in-plan oracles)
+    assert(rows(MultimodalOps.dhashPxFilePairs(spark, SparkFixture.sf0001)) ==
+      rows(MultimodalOps.dhashPxPairs(spark, SparkFixture.sf0001)),
+      "file-tier PNG pairs diverged from the in-plan tier")
+    assert(rows(MultimodalOps.wavFpFilePairs(spark, SparkFixture.sf0001)) ==
+      rows(MultimodalOps.wavFpPairs(spark, SparkFixture.sf0001)),
+      "file-tier WAV pairs diverged from the in-plan tier")
+    // write-once: a second invocation reuses the completed landing
+    // zone (same marker mtime — no re-write of the corpus)
+    val dir = MultimodalOps.mediaFileDir(spark, SparkFixture.sf0001, "png")
+    val marker = new java.io.File(dir, "_COMPLETE")
+    assert(marker.exists())
+    val t0 = marker.lastModified()
+    MultimodalOps.dhashPxFilePairs(spark, SparkFixture.sf0001).count()
+    assert(marker.lastModified() == t0, "landing zone was rewritten")
+    // and the files really are the payload bytes (one spot check)
+    val one = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".png")).minBy(_.getName)
+    val id = one.getName.stripSuffix(".png").toLong
+    val fromPlan = MultimodalOps.pngDedupCorpus(spark, SparkFixture.sf0001)
+      .filter(col("doc_id") === id).select("payload").head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(one.toPath), fromPlan),
+      "on-disk file differs from the in-plan payload")
+  }
+
   test("binaryFile source: payload files ride in as (path, content) and the PNG header parse runs on them") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_binsrc").toFile
