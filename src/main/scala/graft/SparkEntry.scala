@@ -225,6 +225,7 @@ object SparkEntry {
     "txt_bigram_lm"            -> ((s: SparkSession, d: String) => TextOps.bigramLmCounts(s, d)),
     "txt_kneser_ney"           -> ((s: SparkSession, d: String) => TextOps.kneserNeyBigrams(s, d)),
     "txt_lm_surprisal"         -> TextOps.lmSurprisal _,
+    "txt_lm_from_stats"        -> TextOps.lmSurprisalFromStats _,
     "txt_perplexity_buckets"   -> TextOps.perplexityBuckets _,
     "txt_dsir_weights"         -> ((s: SparkSession, d: String) => TextOps.dsirWeights(s, d)),
     "txt_oov_rate"             -> ((s: SparkSession, d: String) => TextOps.oovRate(s, d)),
@@ -325,7 +326,10 @@ object SparkEntry {
     // the file round-trip must not change results: the binaryFile
     // tiers read byte-identical payloads back off disk
     ("mm_dhash_px_file" -> oracleSqlBase("mm_dhash_px_pairs")) +
-    ("mm_wav_fp_file" -> oracleSqlBase("mm_wav_fp_pairs"))
+    ("mm_wav_fp_file" -> oracleSqlBase("mm_wav_fp_pairs")) +
+    // serving the LM through the durable stats store must not change
+    // a single scored bit
+    ("txt_lm_from_stats" -> oracleSqlBase("txt_lm_surprisal"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "rel_pricing_summary" ->

@@ -445,20 +445,35 @@ object SimilarityOps {
     else math.max(4,
       math.ceil(math.log(n.toDouble / target) / math.log(2.0)).toInt)
 
-  /** [[knnGraph]] through the session index catalog: build on first
-    * request, materialized reuse after. */
+  private def knnStoreKey(sfDir: String, k: Int, tables: Int, bits: Int) =
+    s"knn-graph#$sfDir#k$k#t$tables#b$bits#v1"
+
+  /** Cold-soak seam for the DISK layer (the session seam is
+    * [[clearKnnIndexCache]]): purge the stored default-parameter graph
+    * so a cold soak rep rebuilds it. */
+  private[graft] def purgeKnnStore(sfDir: String): Unit =
+    graft.plans.FrameStore.purge(knnStoreKey(sfDir, 4, 8, 0))
+
+  /** [[knnGraph]] through the session index catalog, now fronting a
+    * DURABLE store (r13 verdict #5 — the localCheckpoint'd graph died
+    * with the SparkContext and every fresh JVM re-paid the build):
+    * on a session miss, [[graft.plans.FrameStore]] serves the edge
+    * list off disk when its manifest matches the embeddings snapshot
+    * and rebuilds + writes otherwise. Parquet round-trips the exact
+    * doubles, so served and rebuilt graphs are bit-identical
+    * (spec-pinned). */
   def knnGraphIndex(spark: SparkSession, sfDir: String, k: Int = 4,
                     tables: Int = 8, bits: Int = 0): DataFrame =
-    // serialized build + dead-context purge on lookup (the TextOps
-    // bpeTrained discipline): concurrent first consumers must not both
-    // pay the graph build, and stopped-context entries must not pin
-    // analyzed plans across sessions
     knnIndexCache.synchronized {
       knnIndexCache.filterInPlace { case (_, (_, sc)) => !sc.isStopped }
       knnIndexCache.get((sfDir, k, tables, bits)) match {
         case Some((df, sc)) if sc eq spark.sparkContext => df
         case _ =>
-          val df = knnGraph(spark, sfDir, k, tables, bits).localCheckpoint()
+          val df = graft.plans.FrameStore.serveOrBuild(spark,
+            knnStoreKey(sfDir, k, tables, bits),
+            graft.plans.FrameStore.sourceEntries(spark, sfDir, "embeddings")) {
+            knnGraph(spark, sfDir, k, tables, bits)
+          }
           knnIndexCache.put((sfDir, k, tables, bits),
             (df, spark.sparkContext))
           df

@@ -1739,13 +1739,35 @@ object TextOps {
 
   private[graft] def clearLmCache(): Unit = surprisalCache.clear()
 
+  private def lmStoreKey(sfDir: String) = s"lm-surprisal#$sfDir#v1"
+  private def lmStatsKey(sfDir: String) = s"lm-stats#$sfDir#v1"
+
+  /** Cold-soak seam for the DISK layer (the session seam is
+    * [[clearLmCache]]): a true cold LM build must rebuild the stored
+    * frame and the stats generations, not serve a prior run's. */
+  private[graft] def purgeLmStore(sfDir: String): Unit = {
+    graft.plans.FrameStore.purge(lmStoreKey(sfDir))
+    graft.plans.FrameStore.purge(lmStatsKey(sfDir))
+  }
+
+  /** The session layer now fronts a DURABLE store (r13 verdict #5 —
+    * localCheckpoint blocks die with the SparkContext; the scored
+    * frame was rebuilt from scratch by every fresh JVM): on a session
+    * miss, [[graft.plans.FrameStore]] serves the per-doc frame off
+    * disk when its manifest matches the corpus snapshot and rebuilds
+    * + writes it otherwise. A fresh JVM's first LM consumer now pays
+    * one tiny parquet read, not the ~30 M-bigram build. */
   private[graft] def lmSurprisalFrame(spark: SparkSession, sfDir: String): DataFrame =
     surprisalCache.synchronized {
       surprisalCache.filterInPlace { case (_, (_, sc)) => !sc.isStopped }
       surprisalCache.get(sfDir) match {
         case Some((s, sc)) if sc eq spark.sparkContext => s
         case _ =>
-          val s = lmSurprisalBuild(spark, sfDir)
+          val s = graft.plans.FrameStore.serveOrBuild(spark,
+            lmStoreKey(sfDir),
+            graft.plans.FrameStore.sourceEntries(spark, sfDir, "documents")) {
+            lmSurprisalBuild(spark, sfDir)
+          }
           surprisalCache.put(sfDir, (s, spark.sparkContext))
           s
       }
@@ -1759,15 +1781,25 @@ object TextOps {
     * released as soon as the final frame is checkpointed — the pinned
     * frame is one narrow row per doc, the intermediates are
     * corpus-sized. */
-  private[graft] def lmSurprisalBuild(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, w1, w2, tf) bigram terms of an arbitrary docs frame —
+    * the shared front half of [[lmSurprisalBuild]] and the stats
+    * store's delta builds: counts over DISJOINT doc sets merge by
+    * summation (the partial-aggregate law rel_incremental_agg pins),
+    * which is exactly what makes the append-only LM maintenance below
+    * sound. */
+  private def docBigramsOf(df: DataFrame): DataFrame = {
     val ws = words(col("text"))
     val pairs = transform(sequence(lit(0), size(ws) - 2),
       i => struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2")))
-    val docBg = graft.Tables.spread(docs(spark, sfDir), col("doc_id"))
+    graft.Tables.spread(df, col("doc_id"))
       .filter(size(ws) >= 2)
       .select(col("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+  }
+
+  private[graft] def lmSurprisalBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val docBg = docBigramsOf(docs(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lm = docBg.groupBy("w1", "w2").agg(sum(col("tf")).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1784,6 +1816,92 @@ object TextOps {
     docBg.unpersist()
     lm.unpersist()
     scored
+  }
+
+  /** On-disk LM BIGRAM-COUNT store with INCREMENTAL maintenance (r13
+    * verdict #6) — [[graft.plans.TextIndexCatalog]]'s manifest /
+    * delta / intent-marker discipline applied to the LM: the store
+    * holds PARTIAL-count parquet GENERATIONS; an append-only corpus
+    * change builds counts for the NEW doc files alone and appends them
+    * as one more generation — delta cost ∝ delta size, nothing
+    * corpus-wide runs — and readers merge generations with one
+    * vocabulary-bounded groupBy-sum ([[lmCountsFromStats]]), sound
+    * because bigram counts over disjoint doc sets ADD. Any non-append
+    * change (rewritten or removed files) forces the idempotent full
+    * rebuild, as does a surviving `_delta_intent` marker (a crash
+    * between the parquet append and the manifest commit could
+    * otherwise double-count the same delta). */
+  @volatile private[graft] var lastLmStatsBuild: Seq[String] = Seq.empty
+
+  private[graft] def ensureLmStats(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      import org.apache.hadoop.fs.Path
+      val dir = graft.plans.FrameStore.dirFor(lmStatsKey(sfDir))
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val current =
+        graft.plans.FrameStore.sourceEntries(spark, sfDir, "documents")
+      val prev = graft.plans.FrameStore.readManifest(fs, p)
+      val intent = new Path(p, "_delta_intent")
+      val pending = fs.exists(intent)
+      val prevSet = prev.toSet
+      def statsOf(df: DataFrame): DataFrame =
+        docBigramsOf(df).groupBy("w1", "w2").agg(sum(col("tf")).as("cnt"))
+      if (prev.nonEmpty && prevSet == current.toSet && !pending) {
+        lastLmStatsBuild = Seq.empty
+      } else if (prev.nonEmpty && prevSet.subsetOf(current.toSet) &&
+                 !pending && !sfDir.startsWith("synth:")) {
+        val delta = current.filterNot(prevSet)
+        val deltaFiles = delta.map(e => new Path(
+          new Path(s"$sfDir/documents.parquet"),
+          e.substring(0, e.indexOf(':'))).toString)
+        fs.create(intent, true).close()
+        statsOf(spark.read.parquet(deltaFiles: _*))
+          .repartition(col("w1")).write.mode("append").parquet(dir)
+        graft.plans.FrameStore.writeManifest(fs, p, current)
+        fs.delete(intent, false)
+        lastLmStatsBuild = delta.map(e => e.substring(0, e.indexOf(':')))
+      } else {
+        statsOf(graft.Tables.load(spark, sfDir, "documents"))
+          .repartition(col("w1")).write.mode("overwrite").parquet(dir)
+        graft.plans.FrameStore.writeManifest(fs, p, current)
+        if (pending) fs.delete(intent, false)
+        lastLmStatsBuild = current.map(e => e.substring(0, e.indexOf(':')))
+      }
+      dir
+    }
+
+  /** Merged bigram counts off the stats store — one vocabulary-bounded
+    * groupBy-sum over however many partial generations the store
+    * holds (an LSM read; compaction is just a full rebuild). */
+  private[graft] def lmCountsFromStats(spark: SparkSession,
+                                       sfDir: String): DataFrame =
+    spark.read.parquet(ensureLmStats(spark, sfDir))
+      .groupBy("w1", "w2").agg(sum(col("cnt")).as("cnt"))
+
+  /** [[lmSurprisal]] SERVED THROUGH THE DURABLE STATS STORE — the
+    * dd_published_pairs move applied to the LM family: bigram counts
+    * come off the on-disk generations ([[ensureLmStats]] + merge),
+    * left-context totals derive from the merged counts, and only the
+    * per-doc term list runs in-plan. The store's maintenance is
+    * incremental (delta appends); this registered consumer proves the
+    * served, possibly-multi-generation stats reproduce the monolithic
+    * session build EXACTLY — it shares txt_lm_surprisal's oracle
+    * verbatim. */
+  def lmSurprisalFromStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docBg = docBigramsOf(docs(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm = lmCountsFromStats(spark, sfDir)
+    val leftTot = lm.groupBy("w1").agg(sum(col("cnt")).as("left_cnt"))
+    docBg.join(lm, Seq("w1", "w2")).join(leftTot, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * (ilog2(col("left_cnt")) - ilog2(col("cnt"))))
+          .as("surprisal_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+        floor(lit(1000) * col("surprisal_bits") / col("n_bigrams"))
+          .cast("long").as("surprisal_milli"))
+      .orderBy("doc_id")
   }
 
   /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020, "CCNet:

@@ -30,10 +30,18 @@ object ScaleSoak {
     // shape applied to the dd family
     "dd_ngram_jaccard", "dd_minhash_lsh", "dd_dup_clusters",
     "dd_dup_clusters_star", "dd_lsh_quality", "dd_span_audit",
+    // the durable-catalog serving path: publish-once (bucketed table,
+    // cold includes the publish) + in-place verify joins
+    "dd_published_pairs",
     // the snapshot-shingle catalog consumers (docShingleFrame):
     // incremental's base side and the source-overlap matrix
     "dd_incremental", "dd_source_overlap",
     "mm_dhash_pairs", "mm_dhash_px_pairs", "mm_wav_fp_pairs",
+    // full-codec tier (Inflater + unfilter on every 3rd container) and
+    // the binaryFile tiers over the on-disk landing zone (r12 #5: the
+    // landing zone is SOURCE data — written once, never purged by the
+    // cold seam; cold measures the real-file read + decode path)
+    "mm_dhash_inflate_pairs", "mm_dhash_px_file", "mm_wav_fp_file",
     // ANN
     "sim_knn_graph", "sim_graph_search", "sim_ivf_pq", "sim_recall",
     // search-index build + the index-SERVED family: positional
@@ -46,6 +54,8 @@ object ScaleSoak {
     // (clearLmCache above), warm is the overlay served off the pinned
     // per-doc surprisal frame — the r12 build-once evidence
     "txt_lm_surprisal", "txt_perplexity_buckets", "txt_doremi_step",
+    // the durable-stats serving path (LSM generations merged at read)
+    "txt_lm_from_stats",
     // the iterative graph family: n_jobs is the load-bearing column
     // here — rank/CC loops are O(rounds) jobs each with checkpoint +
     // observe-metric actions, and the claim under test is that the
@@ -162,6 +172,16 @@ object ScaleSoak {
           graft.operators.SimilarityOps.clearKnnIndexCache()
           graft.operators.TextOps.clearLmCache()
           graft.operators.DedupOps.clearDedupCache()
+          // the DISK layer under the session catalogs: purged so cold
+          // includes the durable build+write — except under
+          // SOAK_KEEP_STORES=1, the durable-overlay measurement seam
+          // (a FRESH JVM whose "cold" serves a prior invocation's
+          // store: the fresh-JVM reuse number the r13 verdict asked
+          // the disk-backed catalogs to prove)
+          if (!sys.env.get("SOAK_KEEP_STORES").contains("1")) {
+            graft.operators.SimilarityOps.purgeKnnStore(sfDir)
+            graft.operators.TextOps.purgeLmStore(sfDir)
+          }
           graft.plans.TextIndexCatalog.clear()
           graft.plans.TextIndexCatalog.purgeDirs(sfDir)
           spark.catalog.clearCache()

@@ -4485,6 +4485,84 @@ class OperatorSpec extends AnyFunSuite {
     assert(first.collect().sortBy(key).map(_.toString).toSeq == fresh)
   }
 
+  test("durable LM catalog: a fresh session serves the scored frame off disk, bit-identical to a scratch build") {
+    // r13 verdict #5: the localCheckpoint pin died with the JVM; the
+    // FrameStore layer must survive a session-cache clear (the
+    // fresh-JVM proxy) and serve — introspectably — without a rebuild
+    TextOps.purgeLmStore(sf0001)
+    TextOps.clearLmCache()
+    val first = TextOps.lmSurprisalFrame(spark, sf0001)
+    assert(graft.plans.FrameStore.lastAction.startsWith("rebuilt:lm-surprisal"),
+      s"first consumer must rebuild, got ${graft.plans.FrameStore.lastAction}")
+    val rows = first.collect().map(_.toString).sorted.toSeq
+    TextOps.clearLmCache() // session gone, disk intact
+    val second = TextOps.lmSurprisalFrame(spark, sf0001)
+    assert(graft.plans.FrameStore.lastAction.startsWith("served:lm-surprisal"),
+      s"post-clear consumer must SERVE, got ${graft.plans.FrameStore.lastAction}")
+    assert(second.collect().map(_.toString).sorted.toSeq == rows,
+      "served frame diverged from the built frame")
+    assert(rows == TextOps.lmSurprisalBuild(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq,
+      "stored frame diverged from a scratch build")
+  }
+
+  test("LM stats store: append-delta maintenance; merged partial generations equal a full recompute bit-exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-incr").toString
+    val docsDir = s"$tmp/documents.parquet"
+    Seq((1L, "alpha beta gamma alpha beta"), (2L, "beta gamma beta gamma"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(docsDir)
+    TextOps.purgeLmStore(tmp)
+    TextOps.ensureLmStats(spark, tmp)
+    val full = TextOps.lastLmStatsBuild
+    assert(full.nonEmpty, "first call must be a full build")
+    TextOps.ensureLmStats(spark, tmp)
+    assert(TextOps.lastLmStatsBuild.isEmpty, "unchanged corpus must not rebuild")
+    // appended doc file: counts built for the NEW file only (delta
+    // cost ∝ delta size), landed as one more partial generation
+    Seq((3L, "gamma delta alpha gamma delta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    TextOps.ensureLmStats(spark, tmp)
+    val delta = TextOps.lastLmStatsBuild
+    assert(delta.nonEmpty && delta.forall(f => !full.contains(f)),
+      s"delta build must cover only appended files: $delta vs $full")
+    def counts(): Set[(String, String, Long)] =
+      TextOps.lmCountsFromStats(spark, tmp)
+        .as[(String, String, Long)].collect().toSet
+    val merged = counts()
+    assert(merged.exists { case (w1, w2, c) => w1 == "beta" && w2 == "gamma" && c == 3L },
+      s"cross-generation sum wrong: $merged")
+    // the LSM read (base + delta partials) equals a from-scratch
+    // monolithic rebuild over the combined corpus, bit for bit
+    TextOps.purgeLmStore(tmp)
+    TextOps.ensureLmStats(spark, tmp)
+    assert(TextOps.lastLmStatsBuild.size == 2, "recompute must cover both files")
+    assert(counts() == merged, "merged partials diverged from the recompute")
+    // a REWRITTEN file (not append) must force the full-rebuild path
+    Seq((1L, "alpha beta"), (2L, "beta"), (3L, "gamma delta alpha"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(docsDir)
+    TextOps.ensureLmStats(spark, tmp)
+    assert(TextOps.lastLmStatsBuild.nonEmpty, "rewrite must rebuild")
+  }
+
+  test("durable kNN catalog: a fresh session serves the graph off disk, bit-identical to a scratch build") {
+    SimilarityOps.purgeKnnStore(sf0001)
+    SimilarityOps.clearKnnIndexCache()
+    val first = SimilarityOps.knnGraphIndex(spark, sf0001)
+    assert(graft.plans.FrameStore.lastAction.startsWith("rebuilt:knn-graph"),
+      s"first consumer must rebuild, got ${graft.plans.FrameStore.lastAction}")
+    val rows = first.collect().map(_.toString).sorted.toSeq
+    SimilarityOps.clearKnnIndexCache() // session gone, disk intact
+    val second = SimilarityOps.knnGraphIndex(spark, sf0001)
+    assert(graft.plans.FrameStore.lastAction.startsWith("served:knn-graph"),
+      s"post-clear consumer must SERVE, got ${graft.plans.FrameStore.lastAction}")
+    assert(second.collect().map(_.toString).sorted.toSeq == rows,
+      "served graph diverged from the built graph")
+    assert(rows == SimilarityOps.knnGraph(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq,
+      "stored graph diverged from a scratch build")
+  }
+
   test("dedup catalog: one signature build per session, reuse bit-identical to scratch builds") {
     // the LM-catalog contract applied to the dedup ladder: the first
     // dd_* consumer builds + checkpoints the shingle/signature/pair
