@@ -302,6 +302,7 @@ object SparkEntry {
     "mm_dhash_px_pairs"        -> ((s: SparkSession, d: String) => MultimodalOps.dhashPxPairs(s, d)),
     "mm_dhash_inflate_pairs"   -> ((s: SparkSession, d: String) => MultimodalOps.dhashInflatePairs(s, d)),
     "mm_dhash_px_file"         -> ((s: SparkSession, d: String) => MultimodalOps.dhashPxFilePairs(s, d)),
+    "mm_dhash_inflate_file"    -> ((s: SparkSession, d: String) => MultimodalOps.dhashInflateFilePairs(s, d)),
     "mm_wav_fp_file"           -> ((s: SparkSession, d: String) => MultimodalOps.wavFpFilePairs(s, d)),
     "mm_wav_fp_pairs"          -> ((s: SparkSession, d: String) => MultimodalOps.wavFpPairs(s, d)),
     "mm_gif_header"            -> MultimodalOps.gifHeaderDecode _,
@@ -326,6 +327,7 @@ object SparkEntry {
     // the file round-trip must not change results: the binaryFile
     // tiers read byte-identical payloads back off disk
     ("mm_dhash_px_file" -> oracleSqlBase("mm_dhash_px_pairs")) +
+    ("mm_dhash_inflate_file" -> oracleSqlBase("mm_dhash_inflate_pairs")) +
     ("mm_wav_fp_file" -> oracleSqlBase("mm_wav_fp_pairs")) +
     // serving the LM through the durable stats store must not change
     // a single scored bit

@@ -912,14 +912,16 @@ object MultimodalOps {
         if (base.exists()) rm(base)
         base.mkdirs()
         val dir = base.getAbsolutePath
-        val corpus =
-          if (kind == "png") pngDedupCorpus(spark, sfDir)
-          else wavDedupCorpus(spark, sfDir)
+        val (corpus, ext) = kind match {
+          case "png"    => (pngDedupCorpus(spark, sfDir), "png")
+          case "pngmix" => (pngMixedCorpus(spark, sfDir), "png")
+          case _        => (wavDedupCorpus(spark, sfDir), "wav")
+        }
         corpus.select("doc_id", "payload").foreachPartition {
           (it: Iterator[org.apache.spark.sql.Row]) =>
             it.foreach { r =>
               java.nio.file.Files.write(
-                java.nio.file.Paths.get(dir, s"${r.getLong(0)}.$kind"),
+                java.nio.file.Paths.get(dir, s"${r.getLong(0)}.$ext"),
                 r.getAs[Array[Byte]](1))
             }
         }
@@ -965,6 +967,27 @@ object MultimodalOps {
         regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
           .cast("long").as("doc_id"),
         expr("wav_fp56(content)").as("dhash"))
+    bandedHammingPairs(hashed, maxHamming)
+  }
+
+  /** The full pipeline end-to-end on REAL MIXED-ENCODING FILES: the
+    * [[pngMixedCorpus]] payloads (every third a Huffman-compressed,
+    * per-row-filtered PNG — files any image viewer opens) written to
+    * the landing zone and read back via `binaryFile`, decoded by the
+    * routed `png_dhash56_full` inside the scan — a compressed PNG ON
+    * DISK, inflated and unfiltered in the scan task, deduped against
+    * stored-encoding files of the same content at hamming 0. Shares
+    * [[dhashInflatePairs]]' oracle (byte-identical files ⇒ identical
+    * pairs). */
+  def dhashInflateFilePairs(spark: SparkSession, sfDir: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val dir = mediaFileDir(spark, sfDir, "pngmix")
+    val hashed = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        expr("png_dhash56_full(content)").as("dhash"))
     bandedHammingPairs(hashed, maxHamming)
   }
 

@@ -42,6 +42,7 @@ object ScaleSoak {
     // landing zone is SOURCE data — written once, never purged by the
     // cold seam; cold measures the real-file read + decode path)
     "mm_dhash_inflate_pairs", "mm_dhash_px_file", "mm_wav_fp_file",
+    "mm_dhash_inflate_file",
     // ANN
     "sim_knn_graph", "sim_graph_search", "sim_ivf_pq", "sim_recall",
     // search-index build + the index-SERVED family: positional

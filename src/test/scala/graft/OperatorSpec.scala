@@ -4538,6 +4538,13 @@ class OperatorSpec extends AnyFunSuite {
     TextOps.ensureLmStats(spark, tmp)
     assert(TextOps.lastLmStatsBuild.size == 2, "recompute must cover both files")
     assert(counts() == merged, "merged partials diverged from the recompute")
+    // compaction: generations collapse to one, counts identical, and
+    // the next ensure builds nothing (manifest/coverage unchanged)
+    TextOps.compactLmStats(spark, tmp)
+    assert(counts() == merged, "compaction changed the merged counts")
+    TextOps.ensureLmStats(spark, tmp)
+    assert(TextOps.lastLmStatsBuild.isEmpty,
+      "post-compaction ensure must serve, not rebuild")
     // a REWRITTEN file (not append) must force the full-rebuild path
     Seq((1L, "alpha beta"), (2L, "beta"), (3L, "gamma delta alpha"))
       .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(docsDir)

@@ -722,6 +722,12 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(rows(MultimodalOps.wavFpFilePairs(spark, SparkFixture.sf0001)) ==
       rows(MultimodalOps.wavFpPairs(spark, SparkFixture.sf0001)),
       "file-tier WAV pairs diverged from the in-plan tier")
+    // the full-codec tier end-to-end on real mixed-encoding files:
+    // Huffman-compressed PNGs ON DISK, inflated + unfiltered in the
+    // scan, cross-encoding planted copies still paired
+    assert(rows(MultimodalOps.dhashInflateFilePairs(spark, SparkFixture.sf0001)) ==
+      rows(MultimodalOps.dhashInflatePairs(spark, SparkFixture.sf0001)),
+      "file-tier inflate pairs diverged from the in-plan tier")
     // write-once: a second invocation reuses the completed landing
     // zone (same marker mtime — no re-write of the corpus)
     val dir = MultimodalOps.mediaFileDir(spark, SparkFixture.sf0001, "png")
