@@ -55,7 +55,17 @@ object DedupOps {
 
   /** Test corpus with known duplicates, synthesized deterministically on
     * both engines: the documents plus an exact copy of every 10th doc and
-    * a prefix-perturbed near-copy of every (10k+5)th doc. */
+    * a prefix-perturbed near-copy of every (10k+5)th doc.
+    *
+    * Id-range caveat: the seeded-variant offsets (+100000 / +200000)
+    * are sized for the harness scale factors and the DuckDB oracles are
+    * committed against them; on synthetic corpora of >= 100k base docs
+    * (the 100x soak's synth:500000) variant ids re-enter the base range,
+    * so doc_id stops being unique there — in-plan consumers carry the
+    * duplicated ids through, but anything KEYED by doc_id (the
+    * one-file-per-id media landing zone) collapses collided rows
+    * (BASELINE.md §r14 quantifies this on the 100x file-tier row). All
+    * oracle-gated scales (sf0.001-0.1, synth <= 50k) are collision-free. */
   def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     // ONE scan: each row emits itself plus (conditionally) its seeded
     // copy via explode — the union-of-three-filtered-scans spelling
