@@ -312,12 +312,17 @@ object DedupOps {
   def publishSignatures(spark: SparkSession, sfDir: String,
                         table: String = "dd_signatures",
                         buckets: Int = 8,
-                        overwrite: Boolean = false): String = {
+                        overwrite: Boolean = false,
+                        path: Option[String] = None): String = {
     // ErrorIfExists unless the caller opts in: an accidental publish
     // must not clobber a pre-existing catalog table of the same name
-    // (r13 advice); [[publishedSignatureTable]] namespaces its own
-    shingleFrame(spark, sfDir).write
+    // (r13 advice); [[publishedSignatureTable]] namespaces its own.
+    // With `path` the table is EXTERNAL: dropping the catalog entry
+    // (a metastore that died with its JVM) leaves the bucketed files,
+    // which a later session re-REGISTERS instead of rewriting.
+    val w = shingleFrame(spark, sfDir).write
       .mode(if (overwrite) "overwrite" else "errorifexists")
+    path.fold(w)(p => w.option("path", p))
       .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable(table)
     table
   }
@@ -325,28 +330,46 @@ object DedupOps {
   private val publishedTables = scala.collection.concurrent.TrieMap
     .empty[(String, org.apache.spark.SparkContext), String]
 
-  /** Session-once durable publish for [[publishedPairs]]: the table
-    * name is NAMESPACED by the corpus path's hash (a derived name an
-    * overwrite publish can never collide with a user table under), and
-    * the publish runs once per (corpus, session) — exactly the
-    * production cadence: signature the snapshot once, every verify run
-    * after that reads the bucketed table in place. */
+  private[graft] def clearPublishedTables(): Unit = publishedTables.clear()
+
+  /** Durable publish for [[publishedPairs]] — publish ONCE PER CORPUS
+    * SNAPSHOT, not once per session: the table name is NAMESPACED by
+    * the corpus path's hash (a derived name an overwrite publish can
+    * never collide with a user table under) and its data lives as an
+    * EXTERNAL bucketed table under the frame store with a corpus
+    * fingerprint `_manifest` beside it. A session whose metastore has
+    * never seen the table but whose manifest matches the snapshot
+    * RE-REGISTERS the existing files with the bucket spec
+    * (`CREATE TABLE ... CLUSTERED BY ... LOCATION` — metadata only,
+    * zero rewrite; spec-pinned to keep the one-exchange verify plan);
+    * only a changed corpus republishes. Exactly the production
+    * cadence: the signature table is published beside the snapshot
+    * once, and every cluster/JVM after that mounts it. */
   private[graft] def publishedSignatureTable(spark: SparkSession,
                                              sfDir: String): String = {
     publishedTables.filterInPlace { case ((_, sc), _) => !sc.isStopped }
     publishedTables.getOrElseUpdate((sfDir, spark.sparkContext), {
       val tbl = f"dd_signatures_${sfDir.hashCode & 0x7fffffff}%08x"
-      // the in-memory metastore dies with the JVM but the warehouse
-      // DIRECTORY persists — a location orphaned by a previous session
-      // must be cleared or saveAsTable refuses (LOCATION_ALREADY_EXISTS
-      // even under overwrite, since the catalog has no such table)
-      if (!spark.catalog.tableExists(tbl)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), tbl)
-        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(loc)) fs.delete(loc, true)
+      val locStr = graft.plans.FrameStore.dirFor(s"dd-published#$sfDir#v1")
+      val loc = new org.apache.hadoop.fs.Path(locStr)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      val entries =
+        graft.plans.FrameStore.sourceEntries(spark, sfDir, "documents")
+      val known = spark.catalog.tableExists(tbl)
+      if (!known && graft.plans.FrameStore.readManifest(fs, loc) == entries) {
+        spark.sql(
+          s"""CREATE TABLE $tbl (doc_id BIGINT, sh ARRAY<BIGINT>)
+             |USING parquet CLUSTERED BY (doc_id) SORTED BY (doc_id)
+             |INTO 8 BUCKETS LOCATION '$locStr'""".stripMargin)
+      } else {
+        // a stale external location (changed corpus, or a crash before
+        // the manifest committed) must be cleared before the rewrite
+        if (!known && fs.exists(loc)) fs.delete(loc, true)
+        publishSignatures(spark, sfDir, tbl, overwrite = true,
+          path = Some(locStr))
+        graft.plans.FrameStore.writeManifest(fs, loc, entries)
       }
-      publishSignatures(spark, sfDir, tbl, overwrite = true)
+      tbl
     })
   }
 

@@ -884,6 +884,8 @@ object MultimodalOps {
 
   private val mediaDirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val mediaLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
 
   /** Write-once landing zone for the [[dhashPxFilePairs]] /
     * [[wavFpFilePairs]] file corpora: the dedup-seeded payloads written
@@ -899,6 +901,10 @@ object MultimodalOps {
     * directory from a killed run is rebuilt from scratch. */
   private[graft] def mediaFileDir(spark: SparkSession, sfDir: String,
                                   kind: String): String =
+    // per-key lock (the FrameStore discipline): TrieMap.getOrElseUpdate
+    // alone can run two racing builders for the SAME zone concurrently,
+    // and unrelated zones must not serialize behind one monitor
+    mediaLocks.getOrElseUpdate((sfDir, kind), new Object).synchronized {
     mediaDirs.getOrElseUpdate((sfDir, kind), {
       val nDocs = Tables.rowCount(spark, sfDir, "documents")
       val base = new java.io.File(sys.props("java.io.tmpdir"),
@@ -929,6 +935,7 @@ object MultimodalOps {
       }
       base.getAbsolutePath
     })
+    }
 
   /** [[dhashPxPairs]] over REAL ON-DISK FILES (r12 verdict #5, open
     * since: the decode expressions had only ever read synthesized

@@ -506,9 +506,11 @@ class SourceSinkSpec extends AnyFunSuite {
       val plan = df.queryExecution.executedPlan
       import org.apache.spark.sql.execution.FileSourceScanExec
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val pubLoc = graft.plans.FrameStore
+        .dirFor(s"dd-published#${SparkFixture.sf0001}#v1")
       def isPub(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
         case f: FileSourceScanExec =>
-          f.relation.location.rootPaths.exists(_.toString.contains("dd_signatures_"))
+          f.relation.location.rootPaths.exists(_.toString.contains(pubLoc))
         case _ => false
       }
       val pubScans = plan.collect { case f: FileSourceScanExec if isPub(f) => f }
@@ -535,6 +537,38 @@ class SourceSinkSpec extends AnyFunSuite {
         .publishedSignatureTable(spark, SparkFixture.sf0001)
       assert(t1 == graft.operators.DedupOps
         .publishedSignatureTable(spark, SparkFixture.sf0001))
+      // CROSS-SESSION durability: the table is EXTERNAL with a corpus
+      // fingerprint manifest — drop the catalog entry (the metastore
+      // that died with its JVM) and a "new session" must RE-REGISTER
+      // the existing bucketed files (metadata-only DDL, zero rewrite:
+      // data file mtimes unchanged), same rows, still bucket-served
+      val locStr = graft.plans.FrameStore
+        .dirFor(s"dd-published#${SparkFixture.sf0001}#v1")
+      def dataMtimes(): Map[String, Long] =
+        new java.io.File(locStr).listFiles()
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getName -> f.lastModified()).toMap
+      val before = dataMtimes()
+      assert(before.nonEmpty)
+      val rowsBefore = spark.table(t1).collect().map(_.toString).sorted.toSeq
+      spark.sql(s"DROP TABLE $t1") // external: files survive
+      graft.operators.DedupOps.clearPublishedTables()
+      val t2 = graft.operators.DedupOps
+        .publishedSignatureTable(spark, SparkFixture.sf0001)
+      assert(t2 == t1)
+      assert(dataMtimes() == before,
+        "re-registration must not rewrite the published files")
+      assert(spark.table(t2).collect().map(_.toString).sorted.toSeq ==
+        rowsBefore, "re-registered table diverged")
+      val replan = graft.operators.DedupOps
+        .publishedPairs(spark, SparkFixture.sf0001)
+        .queryExecution.executedPlan
+      val rescans = replan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(locStr)) => f
+      }
+      assert(rescans.nonEmpty && rescans.forall(_.bucketedScan),
+        s"re-registered table not served bucketed:\n$replan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
