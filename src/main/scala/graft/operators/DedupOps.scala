@@ -332,6 +332,17 @@ object DedupOps {
 
   private[graft] def clearPublishedTables(): Unit = publishedTables.clear()
 
+  /** Cold-soak seam for the published table's DISK layer (the session
+    * seam is [[clearPublishedTables]]): drop the catalog entry and
+    * delete the external location + manifest so a cold soak rep pays
+    * the full publish, not the metadata-only re-register. */
+  private[graft] def purgePublishedStore(spark: SparkSession,
+                                         sfDir: String): Unit = {
+    spark.sql("DROP TABLE IF EXISTS " +
+      f"dd_signatures_${sfDir.hashCode & 0x7fffffff}%08x")
+    graft.plans.FrameStore.purge(s"dd-published#$sfDir#v1")
+  }
+
   /** Durable publish for [[publishedPairs]] — publish ONCE PER CORPUS
     * SNAPSHOT, not once per session: the table name is NAMESPACED by
     * the corpus path's hash (a derived name an overwrite publish can
@@ -386,7 +397,12 @@ object DedupOps {
     * the SourceSinkSpec pins the one-exchange join shape. */
   def publishedPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = spark.table(publishedSignatureTable(spark, sfDir))
-    val bands = signatureFrame(spark, sfDir)
+    // EVERYTHING derives from the published table — candidates included:
+    // the minhash/band arithmetic is row-local array math over the
+    // STORED shingles, so a fresh JVM that re-registers the table never
+    // re-shingles the corpus text (the expensive half of the catalog
+    // build); same shingles ⇒ same signatures ⇒ identical pairs
+    val bands = minhashBandsFromShingles(sh)
       .select(col("doc_id"), explode(col("bands")).as("bkey"))
     val cands = bands.select(col("doc_id").as("doc_a"), col("bkey"))
       .join(bands.select(col("doc_id").as("doc_b"), col("bkey")), Seq("bkey"))

@@ -173,6 +173,7 @@ object ScaleSoak {
           graft.operators.SimilarityOps.clearKnnIndexCache()
           graft.operators.TextOps.clearLmCache()
           graft.operators.DedupOps.clearDedupCache()
+          graft.operators.DedupOps.clearPublishedTables()
           // the DISK layer under the session catalogs: purged so cold
           // includes the durable build+write — except under
           // SOAK_KEEP_STORES=1, the durable-overlay measurement seam
@@ -182,6 +183,7 @@ object ScaleSoak {
           if (!sys.env.get("SOAK_KEEP_STORES").contains("1")) {
             graft.operators.SimilarityOps.purgeKnnStore(sfDir)
             graft.operators.TextOps.purgeLmStore(sfDir)
+            graft.operators.DedupOps.purgePublishedStore(spark, sfDir)
           }
           graft.plans.TextIndexCatalog.clear()
           graft.plans.TextIndexCatalog.purgeDirs(sfDir)

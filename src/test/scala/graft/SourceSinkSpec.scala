@@ -513,21 +513,25 @@ class SourceSinkSpec extends AnyFunSuite {
           f.relation.location.rootPaths.exists(_.toString.contains(pubLoc))
         case _ => false
       }
+      // EVERYTHING reads the published table now — bands, sa, sb (the
+      // candidate side's banding is row-local math over stored
+      // shingles, so a fresh JVM never re-shingles corpus text)
       val pubScans = plan.collect { case f: FileSourceScanExec if isPub(f) => f }
-      assert(pubScans.size == 2, s"want 2 published-table scans:\n$plan")
-      assert(pubScans.forall(_.bucketedScan),
-        s"published scans not served bucketed:\n$plan")
-      // exchanges that redistribute JOINED candidate-sized output (and
-      // the presentation sort) legitimately contain a published scan in
-      // their subtree — the pin is that the published SIDE of each
-      // verify join is never itself redistributed: no hash exchange
-      // whose leaves are published scans alone
-      val shuffledPub = plan.collect {
-        case e: ShuffleExchangeExec if e.outputPartitioning
-          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
-      }.filter(e => e.collectLeaves().nonEmpty && e.collectLeaves().forall(isPub))
-      assert(shuffledPub.isEmpty,
-        s"a published-table side is redistributed before its join:\n$plan")
+      assert(pubScans.size == 3, s"want 3 published-table scans:\n$plan")
+      assert(pubScans.count(_.bucketedScan) >= 2,
+        s"verify-side published scans not served bucketed:\n$plan")
+      // the load-bearing pin: both VERIFY joins' signature sides reach
+      // their join straight off the bucketed scan — published-only
+      // subtrees containing no exchange. (The band self-join's bkey
+      // exchange and the candidate distinct legitimately shuffle
+      // narrow derived rows.)
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val inPlaceSides = plan.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right).filter(c =>
+          c.collectLeaves().nonEmpty && c.collectLeaves().forall(isPub) &&
+            c.collect { case e: ShuffleExchangeExec => e }.isEmpty))
+      assert(inPlaceSides.size >= 2,
+        s"verify joins' published sides not served in place:\n$plan")
       val got = df.collect().map(_.toString).toSeq
       val want = graft.operators.DedupOps.minhashLsh(spark, SparkFixture.sf0001)
         .collect().map(_.toString).toSeq
@@ -567,7 +571,7 @@ class SourceSinkSpec extends AnyFunSuite {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(_.toString.contains(locStr)) => f
       }
-      assert(rescans.nonEmpty && rescans.forall(_.bucketedScan),
+      assert(rescans.size >= 2 && rescans.count(_.bucketedScan) >= 2,
         s"re-registered table not served bucketed:\n$replan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
