@@ -19,6 +19,8 @@ object Bench {
       // metaspace/GC churn of the dead classloaders). Sized to hold
       // every stage of the full suite so sweeps 2/3 compile nothing.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // O23 journal: per-query task metrics (input/shuffle/output volume)

@@ -1136,9 +1136,11 @@ object DedupOps {
     * Scale shape: the corpus side reads the catalog's pinned shingle
     * frame (only the sweep's own half-truncated variants shingle
     * fresh); the (sh, sig) union is persisted within-plan and shared
-    * by all four configs, then per config a banded bucket self-join +
-    * verify — identical to [[minhashLsh]]'s shape; stat outputs are 4
-    * rows. Caller releases the within-plan persist via clearCache(). */
+    * by all four configs, then ONE banded bucket self-join + verify
+    * keyed (config, band) covers all four configurations at once
+    * (fused r15 — the per-config pipeline ran 4× the stages for the
+    * same row volume); stat outputs are 4 rows. Caller releases the
+    * within-plan persist via clearCache(). */
   def minhashBandSweep(spark: SparkSession, sfDir: String): DataFrame = {
     // the dup-seeded corpus is BIMODAL (exact/prefixed copies at j ≈ 1,
     // everything else at j ≈ 0), where every banding agrees — add a
@@ -1161,33 +1163,52 @@ object DedupOps {
       .select(col("doc_id"), col("sh"),
         array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def statsFor(b: Int, r: Int): DataFrame = {
-      val keys = array((0 until b).map(i =>
+    // ALL FOUR configurations ride ONE banded self-join (fused r15; the
+    // r14 form ran the explode → self-join → distinct → two verify
+    // joins → agg pipeline once per configuration — 4× the stages and
+    // exchanges for the same row volume, 2058 tasks at sf0.1, the
+    // suite's worst task count). The config id joins the band key, so
+    // buckets never mix across configurations; distinct on (cfg, a, b)
+    // is exactly the per-config distinct; one grouped agg replaces four
+    // global ones. Configs with zero candidates are restored by the
+    // 4-row left join below (a global agg emits its row even over no
+    // input; a grouped agg does not).
+    val cfgs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+    val allKeys = array(cfgs.zipWithIndex.flatMap { case ((b, r), ci) =>
+      (0 until b).map(i => struct(lit(ci).as("cfg"),
         concat_ws("_", (lit(i) +: (0 until r).map(j =>
-          element_at(col("sig"), r * i + j + 1))): _*)): _*)
-      val bands = sigs.select(col("doc_id"), explode(keys).as("bkey"))
-      val cands = bands.select(col("doc_id").as("doc_a"), col("bkey"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("bkey")), Seq("bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cands
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-        .select(jaccard(col("sha"), col("shb")).as("j"))
-        .agg(count(lit(1)).as("n_candidates"),
-          // empty candidate set: SUM over no rows is NULL, count is 0 —
-          // pin to 0 so the stat row stays well-typed on both engines
-          coalesce(sum(when(col("j") >= 0.5, 1L).otherwise(0L)), lit(0L))
-            .as("n_verified"))
-        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("n_candidates"), col("n_verified"))
+          element_at(col("sig"), r * i + j + 1))): _*).as("bkey")))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(allKeys).as("cb"))
+      .select(col("doc_id"), col("cb.cfg").as("cfg"), col("cb.bkey").as("bkey"))
+    val cands = bands.select(col("doc_id").as("doc_a"), col("cfg"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("cfg"), col("bkey")),
+        Seq("cfg", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("cfg", "doc_a", "doc_b").distinct()
+    val verified = cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("cfg"), jaccard(col("sha"), col("shb")).as("j"))
+      .groupBy("cfg")
+      .agg(count(lit(1)).as("nc"),
+        sum(when(col("j") >= 0.5, 1L).otherwise(0L)).as("nv"))
+    val cfgTable = {
+      import spark.implicits._
+      cfgs.zipWithIndex.map { case ((b, r), ci) =>
+        (ci, b.toLong, r.toLong) }
+        .toDF("cfg", "bands", "rows_per_band")
     }
     // localCheckpoint the 4-row stat table BEFORE deriving the recall
     // denominator from it: `truth` re-reads the materialized rows
-    // instead of re-executing the (8x1) candidate-join subtree — the
-    // most expensive config — a second time
-    val all = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map((statsFor _).tupled)
-      .reduce(_.union(_)).localCheckpoint()
+    // instead of re-executing the candidate-join subtree a second time
+    val all = cfgTable.join(verified, Seq("cfg"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        // empty candidate set: no group row — pin both stats to 0 so
+        // the stat row stays well-typed on both engines
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("nv"), lit(0L)).as("n_verified"))
+      .localCheckpoint()
     val truth = all.filter(col("bands") === 8)
       .select(col("n_verified").as("n_true"))
     all

@@ -1192,16 +1192,17 @@ object RelationalOps {
     * column type). Reference analogue: index.py's ad-hoc counters grown
     * into the standard profiling report.
     *
-    * ONE pass over the table: every metric for every column rides a
-    * single global aggregate (Spark plans the multi-column
-    * COUNT(DISTINCT) set via one Expand — each input row fans out once
-    * per distinct-agg column, then map-side partial aggs collapse it,
-    * so the shuffle carries per-partition partials, never rows). The
-    * wide 1-row result is then unpivoted driver-free with `stack` into
-    * the (col_name, metric...) shape. At 100 TB the Expand factor (6×
-    * the scan, pre-combine) is the documented cost of EXACT distincts;
-    * the drop-in scale relaxation is approx_count_distinct, which
-    * removes the Expand entirely — same plan otherwise.
+    * TWO linear passes over the table (split r15 — see the inline
+    * comment): the distinct pass plans the multi-column COUNT(DISTINCT)
+    * set via one Expand + HashAggregate (map-side partials collapse the
+    * fan-out; the shuffle carries per-partition partials, never rows),
+    * and the null/min/max pass is a keyless single fold. The wide 1-row
+    * results are recombined with a broadcast cross join and unpivoted
+    * driver-free with `stack` into the (col_name, metric...) shape. At
+    * 100 TB the Expand factor (6× the scan, pre-combine) is the
+    * documented cost of EXACT distincts; the drop-in scale relaxation
+    * is approx_count_distinct, which removes the Expand entirely —
+    * same plan otherwise.
     *
     * min/max string parity: o_totalprice goes through DECIMAL(12,2) so
     * both engines render two fixed decimals; o_orderdate is
@@ -1221,12 +1222,27 @@ object RelationalOps {
       "o_totalprice"    -> money(col("o_totalprice")),
       "o_orderdate"     -> col("o_orderdate"),
       "o_orderpriority" -> col("o_orderpriority"))
-    val aggs = profiled.flatMap { case (n, c) => Seq(
+    // TWO aggregation passes instead of one (r15 optimization): min/max
+    // over string/timestamp/decimal columns carry IMMUTABLE aggregation
+    // buffers, and one buffer like that in an aggregate demotes the
+    // whole operator to SortAggregate — the fused r14 form sorted the
+    // 7×-expanded distinct stream (≈7N wide rows, two sorts around the
+    // exchange; 31 s of the sweep's CPU at sf0.1, the suite's worst).
+    // Split, the distinct pass keeps count-only buffers → HashAggregate
+    // over the Expand (hash keys may be strings; only BUFFERS must be
+    // mutable), and the null/min/max pass is a keyless single fold with
+    // no Expand at all. The price is a second scan of orders; at any
+    // scale, two linear scans beat one sort of 7× the table.
+    val distincts = profiled.map { case (n, c) =>
+      count_distinct(c).as(s"${n}__nd") }
+    val folds = profiled.flatMap { case (n, c) => Seq(
       count(when(c.isNull, lit(1))).as(s"${n}__nn"),
-      count_distinct(c).as(s"${n}__nd"),
       min(c).cast("string").as(s"${n}__mn"),
       max(c).cast("string").as(s"${n}__mx")) }
-    val wide = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val wideD = o.agg(count(lit(1)).as("n_rows"), distincts: _*)
+    val wideF = Tables.orders(spark, sfDir).agg(folds.head, folds.tail: _*)
+    // 1-row × 1-row: the recombination is free; stack unpivots as before
+    val wide = wideD.crossJoin(broadcast(wideF))
     val stackArgs = profiled.map { case (n, _) =>
       s"'$n', ${n}__nn, ${n}__nd, ${n}__mn, ${n}__mx" }.mkString(", ")
     wide.select(col("n_rows"), expr(
