@@ -1014,7 +1014,17 @@ object EventOps {
     * (event_type, user_id) log — what the spec drives with constructed
     * audiences of known intersection. */
   private[graft] def kmvOverlapOf(ev: DataFrame, k: Int): DataFrame = {
-    val hashes = ev
+    // ONE event-log scan + distinct shared by both arms (r15, guide
+    // §2.4): the sketch arm previously ran its own full-log
+    // distinct(type, h) next to the exact arm's distinct(type, user) —
+    // two scans, two corpus-sized exchanges. h is a pure function of
+    // user_id, so distinct(type, h) derived FROM the distinct (type,
+    // user) rows is the identical set (hash collisions collapse in the
+    // second, |tu|-sized distinct exactly as they did in the log-sized
+    // one). The log now crosses one exchange once.
+    val tu = ev.select("event_type", "user_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashes = tu
       .select(col("event_type"), graft.operators.TextOps.polyHash(
         concat(col("user_id").cast("string"), lit("-kmv-sketch-salt"))).as("h"))
       .distinct()
@@ -1046,7 +1056,6 @@ object EventOps {
       .join(pairBase, Seq("type_a", "type_b"))
       .filter(col("h") < col("theta"))
       .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_common"))
-    val tu = ev.select("event_type", "user_id").distinct()
     val exact = tu.as("p").join(tu.as("q"),
         col("p.user_id") === col("q.user_id") &&
           col("p.event_type") < col("q.event_type"))

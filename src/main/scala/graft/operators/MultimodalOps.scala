@@ -882,10 +882,46 @@ object MultimodalOps {
 
   // ────────────── perceptual tiers over REAL ON-DISK FILES ──────────────
 
-  private val mediaDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val mediaLocks =
     scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+
+  /** Resolved-relation memo for the landing-zone binaryFile reads —
+    * the [[graft.Tables]] `resolved` discipline (r15, guide §7.3
+    * driver-side work): `spark.read.format("binaryFile").load` pays a
+    * fresh driver-side file listing + relation construction of ~6 k
+    * file entries on EVERY call (~0.3-0.5 s at sf0.1, ×3 queries ×3
+    * sweeps), yet the zone only changes when it is rebuilt. Keyed by
+    * (dir, glob, `_COMPLETE` mtime) so a rebuilt zone re-resolves;
+    * weak-keyed by session so a stopped session's relations are never
+    * served. Caches the DataFrame HANDLE only — every action still
+    * reads the files. */
+  private val binarySourceCache = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String, Long), DataFrame]]
+
+  private def binaryFiles(spark: SparkSession, dir: String,
+                          glob: String): DataFrame = {
+    val mtime = new java.io.File(dir, "_COMPLETE").lastModified()
+    val perSession = binarySourceCache.synchronized {
+      var m = binarySourceCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[(String, String, Long), DataFrame]
+        binarySourceCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, glob, mtime),
+      // coalesce to core count (guide §6 small files): binaryFile
+      // charges each tiny file the 4 MB open cost, planning ~380 scan
+      // tasks for ~6 k files at sf0.1 — per-task launch overhead
+      // dominated the stage. coalesce is NARROW (no exchange: decode
+      // still runs in the scan task) and parameterized by
+      // defaultParallelism, never a local constant.
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob).load(dir)
+        .coalesce(spark.sparkContext.defaultParallelism))
+  }
 
   /** Write-once landing zone for the [[dhashPxFilePairs]] /
     * [[wavFpFilePairs]] file corpora: the dedup-seeded payloads written
@@ -895,22 +931,31 @@ object MultimodalOps {
     * corpus — blobs in an object store, one file per asset — and the
     * write is executor-side (`foreachPartition`: each task lands its
     * own partition's files; no driver collect). The directory is keyed
-    * by (corpus path, documents row count) and completed atomically via
-    * a `_COMPLETE` marker, so one session writes and every later
-    * invocation — including a fresh JVM — reuses the files; a partial
-    * directory from a killed run is rebuilt from scratch. */
+    * by the SHA-1 of the corpus path (the FrameStore.dirFor idiom —
+    * String.hashCode's 32 bits could silently alias two corpora, r14
+    * verdict) and validated against the documents table's
+    * name:length:mtime source manifest on EVERY call (r14 advice: a
+    * corpus rewritten in place with the same row count must rebuild,
+    * not serve stale payload files). Completion order is files →
+    * `_source_manifest` → `_COMPLETE`, so a partial directory from a
+    * killed run always re-validates as stale and rebuilds. */
   private[graft] def mediaFileDir(spark: SparkSession, sfDir: String,
                                   kind: String): String =
-    // per-key lock (the FrameStore discipline): TrieMap.getOrElseUpdate
-    // alone can run two racing builders for the SAME zone concurrently,
-    // and unrelated zones must not serialize behind one monitor
+    // per-key lock (the FrameStore discipline): unrelated zones must
+    // not serialize behind one monitor
     mediaLocks.getOrElseUpdate((sfDir, kind), new Object).synchronized {
-    mediaDirs.getOrElseUpdate((sfDir, kind), {
-      val nDocs = Tables.rowCount(spark, sfDir, "documents")
+      val entries =
+        graft.plans.FrameStore.sourceEntries(spark, sfDir, "documents")
+      val keyHash = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(16)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        f"graft_media_${sfDir.hashCode & 0x7fffffff}%08x_${nDocs}_$kind")
+        s"graft_media_${keyHash}_$kind")
       val marker = new java.io.File(base, "_COMPLETE")
-      if (!marker.exists()) {
+      val manifest = new java.io.File(base, "_source_manifest")
+      val current = marker.exists() && manifest.exists() &&
+        scala.io.Source.fromFile(manifest, "UTF-8").getLines().toList == entries
+      if (!current) {
         def rm(f: java.io.File): Unit = {
           val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
           f.delete(); ()
@@ -931,10 +976,11 @@ object MultimodalOps {
                 r.getAs[Array[Byte]](1))
             }
         }
+        java.nio.file.Files.write(manifest.toPath,
+          entries.mkString("\n").getBytes("UTF-8"))
         marker.createNewFile()
       }
       base.getAbsolutePath
-    })
     }
 
   /** [[dhashPxPairs]] over REAL ON-DISK FILES (r12 verdict #5, open
@@ -951,8 +997,7 @@ object MultimodalOps {
   def dhashPxFilePairs(spark: SparkSession, sfDir: String,
                        maxHamming: Int = 3): DataFrame = {
     val dir = mediaFileDir(spark, sfDir, "png")
-    val hashed = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png").load(dir)
+    val hashed = binaryFiles(spark, dir, "*.png")
       .select(
         regexp_extract(col("path"), "(\\d+)\\.png$", 1)
           .cast("long").as("doc_id"),
@@ -968,8 +1013,7 @@ object MultimodalOps {
   def wavFpFilePairs(spark: SparkSession, sfDir: String,
                      maxHamming: Int = 3): DataFrame = {
     val dir = mediaFileDir(spark, sfDir, "wav")
-    val hashed = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.wav").load(dir)
+    val hashed = binaryFiles(spark, dir, "*.wav")
       .select(
         regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
           .cast("long").as("doc_id"),
@@ -989,8 +1033,7 @@ object MultimodalOps {
   def dhashInflateFilePairs(spark: SparkSession, sfDir: String,
                             maxHamming: Int = 3): DataFrame = {
     val dir = mediaFileDir(spark, sfDir, "pngmix")
-    val hashed = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png").load(dir)
+    val hashed = binaryFiles(spark, dir, "*.png")
       .select(
         regexp_extract(col("path"), "(\\d+)\\.png$", 1)
           .cast("long").as("doc_id"),

@@ -596,8 +596,13 @@ object RelationalOps {
     Tables.load(spark, sfDir, "supplier").createOrReplaceTempView("supplier_v")
     // spread: the revenue CTE's decimal agg is CPU-bound and the scalar
     // MAX subquery re-runs it — both passes deserve > 3 tasks locally;
-    // identity at cluster scale (see Tables.spread)
-    Tables.spread(Tables.load(spark, sfDir, "lineitem"), col("l_orderkey"))
+    // identity at cluster scale (see Tables.spread). Keyed on the AGG
+    // key l_suppkey (r15, guide §2.4 share exchanges): the spread
+    // exchange then satisfies the groupBy's required distribution, so
+    // the separate ENSURE_REQUIREMENTS exchange disappears AND the scan
+    // no longer reads l_orderkey (one less column through the full-width
+    // exchange).
+    Tables.spread(Tables.load(spark, sfDir, "lineitem"), col("l_suppkey"))
       .createOrReplaceTempView("lineitem_v")
     // the revenue view is read TWICE (equi-join probe + scalar MAX);
     // Spark inlines WITH-CTEs, so without materialization the lineitem
@@ -895,8 +900,11 @@ object RelationalOps {
     * absent partsupp availability. */
   def sqlImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
     // spread: the local file is 3 splits and the decimal-product agg is
-    // CPU-bound; identity at cluster scale (see Tables.spread)
-    Tables.spread(Tables.load(spark, sfDir, "lineitem"), col("l_orderkey"))
+    // CPU-bound; identity at cluster scale (see Tables.spread). Keyed
+    // on the AGG key l_partkey (r15, guide §2.4): the spread exchange
+    // satisfies the per-part groupBy's distribution — no second
+    // exchange, and l_orderkey drops out of the scan entirely.
+    Tables.spread(Tables.load(spark, sfDir, "lineitem"), col("l_partkey"))
       .createOrReplaceTempView("lineitem_v")
     spark.sql("""
       WITH a AS (
@@ -1101,9 +1109,15 @@ object RelationalOps {
     * row. DuckDB runs the same LATERAL text natively, so the oracle is
     * the same query. */
   def sqlLateralTopItems(spark: SparkSession, sfDir: String): DataFrame = {
-    Seq("orders", "lineitem").foreach { t =>
-      Tables.load(spark, sfDir, t).createOrReplaceTempView(s"${t}_v")
-    }
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("orders_v")
+    // spread: the decorrelated lateral runs a per-order rank window at
+    // SCAN parallelism — lineitem's 11 MB parquet plans ≤3 splits, so
+    // the 600 k-row sort+window ran single-digit-task (1.33 s stage,
+    // JobProfile r15); hash-spreading on the window's own partition key
+    // keeps the exchange it already needs and parallelizes it.
+    // Identity at cluster scale (see Tables.spread).
+    Tables.spread(Tables.load(spark, sfDir, "lineitem"), col("l_orderkey"))
+      .createOrReplaceTempView("lineitem_v")
     spark.sql("""
       SELECT o.o_orderkey, t.l_linenumber, t.revenue
       FROM orders_v o, LATERAL (

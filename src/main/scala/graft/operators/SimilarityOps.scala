@@ -1475,29 +1475,60 @@ object SimilarityOps {
     val brute = bruteForceTopK(spark, sfDir).select("q_id", "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bTot = brute.agg(count(lit(1)).as("possible"))
-    val per = settings.map { bits =>
-      val eb = lshBuckets(e, tables, bits)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bstats = eb.groupBy("t", "bkt").agg(count(lit(1)).as("bn"))
-        .agg(count(lit(1)).as("n_buckets"), max(col("bn")).as("max_bucket"))
-      val nCand = eb.select(col("vec_id").as("a_id"), col("t"), col("bkt"))
-        .join(eb.select(col("vec_id").as("b_id"), col("t"), col("bkt")),
-          Seq("t", "bkt"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-        .agg(count(lit(1)).as("cand_pairs"))
-      // recall arm through the injected-corpus seam: reuses this
-      // setting's persisted eb and the sweep's persisted e — no second
-      // vecs persist, no recomputed bucket explode
-      val hits = brute.join(lshAnnTopKOn(e, eb)
-          .select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      bstats.crossJoin(nCand).crossJoin(hits).crossJoin(bTot) // 1-row frames
-        .select(lit(bits.toLong).as("bits"), col("n_buckets"),
-          col("max_bucket"), col("cand_pairs"), col("hits"), col("possible"),
-          (col("hits").cast("double") / col("possible")).as("recall"))
-    }
-    per.reduce(_ unionAll _).orderBy("bits")
+    // ALL settings in ONE plan (r15, guide §2.4 — the
+    // dd_minhash_band_sweep fusion applied here): the per-setting loop
+    // stacked a persisted bucket explode plus the stats/candidate/
+    // recall pipelines per width — 83 Exchange nodes (each an AQE stage
+    // barrier) for two report rows. One bucket frame now carries every
+    // width with `bits` as a key column; every downstream group/join
+    // keys on (bits, t, bkt) so per-width results never mix, and each
+    // per-width group computes exactly what its solo pipeline did —
+    // same counts, same recall, oracle unchanged.
+    val eb = settings.map(bits => lshBuckets(e, tables, bits)
+        .withColumn("bits", lit(bits.toLong)))
+      .reduce(_ unionAll _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bstats = eb.groupBy("bits", "t", "bkt").agg(count(lit(1)).as("bn"))
+      .groupBy("bits")
+      .agg(count(lit(1)).as("n_buckets"), max(col("bn")).as("max_bucket"))
+    val nCand = eb.select(col("bits"), col("vec_id").as("a_id"), col("t"), col("bkt"))
+      .join(eb.select(col("bits"), col("vec_id").as("b_id"), col("t"), col("bkt")),
+        Seq("bits", "t", "bkt"))
+      .filter(col("a_id") < col("b_id"))
+      .select("bits", "a_id", "b_id").distinct()
+      .groupBy("bits").agg(count(lit(1)).as("cand_pairs"))
+    // recall arm — lshAnnTopKOn's exact dataflow with `bits` riding
+    // every key (candidate join, distinct, rank-window partition), so
+    // each width's top-10 is bit-identical to its solo run
+    val qKeys = eb.filter(col("vec_id") < 5)
+      .select(col("bits"), col("vec_id").as("q_id"), col("t"), col("bkt"))
+    val cand = eb.join(broadcast(qKeys), Seq("bits", "t", "bkt"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("bits", "q_id", "vec_id").distinct()
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("bits"), col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val hits = cand.join(e, "vec_id").join(broadcast(qv), "q_id")
+      .select(col("bits"), col("q_id"), col("vec_id"),
+        cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .join(brute, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("bits").agg(count(lit(1)).as("h"))
+    // left joins from bstats (every width has buckets): a 0-candidate or
+    // 0-hit width still reports, as the per-setting loop's 1-row counts did
+    bstats
+      .join(nCand, Seq("bits"), "left")
+      .join(hits, Seq("bits"), "left")
+      .crossJoin(bTot) // ≤|settings|-row × 1-row
+      .select(col("bits"), col("n_buckets"), col("max_bucket"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),
+        coalesce(col("h"), lit(0L)).as("hits"), col("possible"),
+        (coalesce(col("h"), lit(0L)).cast("double") / col("possible"))
+          .as("recall"))
+      .orderBy("bits")
   }
 
   /** Contrastive-training triplet materialization — the dataset a
@@ -1553,25 +1584,49 @@ object SimilarityOps {
     * releases the persisted baseline via clearCache(). */
   def matryoshkaRecall(spark: SparkSession, sfDir: String,
                        tiers: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    import spark.implicits._
     val full = bruteForceTopK(spark, sfDir).select("q_id", "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bTot = full.agg(count(lit(1)).as("possible"))
-    def one(d: Int): DataFrame = {
-      val t = vecs(spark, sfDir)
-        .withColumn("emb", slice(col("emb"), 1, d))
-        .withColumn("nrm", sqrt(dotd(col("emb"), col("emb"))))
-      val q = t.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-          col("nrm").as("q_nrm"))
-      full.join(cosineTopK(t, q, col("vec_id") =!= col("q_id"))
-          .select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(bTot) // 1-row × 1-row
-        .select(lit(d).cast("long").as("dims_kept"), col("hits"),
-          col("possible"),
-          (col("hits").cast("double") / col("possible")).as("recall"))
-    }
-    tiers.map(one).reduce(_.unionAll(_)).orderBy("dims_kept")
+    // ALL tiers in ONE plan (r15, guide §2.4 share exchanges / §2.2
+    // fewer stage rounds): the per-tier loop ran the slice + broadcast
+    // + TopK + semi-join + 1-row-agg pipeline once per tier — 63
+    // Exchange nodes, each an AQE stage barrier, for three 1-row
+    // answers. One corpus scan now carries every tier through a
+    // (tier, sliced-emb) explode; ranking partitions by (d, q_id); the
+    // hit counts group by tier. Per-tier rows, scores, and tiebreaks
+    // are IDENTICAL (same TopKPairs ordering per (d, q_id) group), so
+    // |tier_topk ∩ full| is unchanged and the oracle matches verbatim.
+    val t = vecs(spark, sfDir).select(col("vec_id"),
+        explode(array(tiers.map(d => struct(lit(d).cast("long").as("d"),
+          slice(col("emb"), 1, d).as("emb"))): _*)).as("te"))
+      .select(col("vec_id"), col("te.d").as("d"), col("te.emb").as("emb"))
+      .withColumn("nrm", sqrt(dotd(col("emb"), col("emb"))))
+    val q = t.filter(col("vec_id") < 5)
+      .select(col("d").as("qd"), col("vec_id").as("q_id"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val top = graft.functions.TopKAggregator.topKPairs(10)
+    val ranked = t.join(broadcast(q),
+        col("d") === col("qd") && col("vec_id") =!= col("q_id"))
+      .select(col("d"), col("q_id"), col("vec_id"),
+        cosinePre(col("q_emb"), col("q_nrm"), col("emb"), col("nrm"))
+          .as("score"))
+      .groupBy("d", "q_id")
+      .agg(top(col("vec_id"), col("score")).as("top"))
+      .select(col("d"), col("q_id"), explode(col("top.id")).as("vec_id"))
+    // per-tier intersection with the full-dim baseline; a left join from
+    // the tier list keeps a 0-hit tier in the report (the per-tier loop
+    // emitted hits=0 rows too)
+    val hits = ranked.join(full, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("d").agg(count(lit(1)).as("h"))
+    tiers.map(_.toLong).toDF("d")
+      .join(hits, Seq("d"), "left")
+      .crossJoin(bTot) // ≤|tiers|-row × 1-row
+      .select(col("d").as("dims_kept"),
+        coalesce(col("h"), lit(0L)).as("hits"), col("possible"),
+        (coalesce(col("h"), lit(0L)).cast("double") / col("possible"))
+          .as("recall"))
+      .orderBy("dims_kept")
   }
 
   /** ANN ranking-quality measurement in EXACT integer arithmetic — MRR

@@ -343,18 +343,19 @@ object TextOps {
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val terms = docs(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
-    // persisted: tf feeds both the document-frequency aggregate and the
-    // scoring join — without it the tokenize explode and the (doc, term)
-    // shuffle re-execute per consumer. dfreq carries NO broadcast hint:
-    // AQE broadcasts the vocabulary-sized table while it fits and
-    // degrades to a shuffle equi-join beyond (a hint would pin it)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a COUNT OVER (PARTITION BY term) window instead of a
+    // groupBy+join back (r15, guide §2.4): the join spelling persisted
+    // tf (an extra materialization pass), aggregated the df side, and
+    // re-attached it — the window computes the identical df (one tf row
+    // per containing doc) in the term exchange itself: a linear
+    // dataflow, no persist, one less stage round. df values and scores
+    // are bit-identical; oracle unchanged.
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val n = docs(spark, sfDir).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
@@ -1915,6 +1916,14 @@ object TextOps {
     * session build EXACTLY — it shares txt_lm_surprisal's oracle
     * verbatim. */
   def lmSurprisalFromStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // the persist looks redundant (ONE consumer — counts and left
+    // totals both come off the stats store) and r15 tried dropping it:
+    // in-region partial benches agreed (0.72 vs 0.79 s), but the FULL
+    // 281-query sweep read 5.05 s min-of-3 / 140 task-s steady against
+    // 0.79 s / 9.7 task-s with the persist — the unpersisted
+    // tokenize+explode+agg fused into the scoring join degrades badly
+    // under late-sweep JVM state (storage pool full of family
+    // checkpoints). Kept: measured, not assumed (OPTIMIZATION_r15.md).
     val docBg = docBigramsOf(docs(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lm = lmCountsFromStats(spark, sfDir)
@@ -2413,10 +2422,11 @@ object TextOps {
     * TakeOrdered over the vocabulary table — no global sort. The
     * 20-row rank window runs AFTER the limit: driver-sized. The
     * tokenized frame is persisted: the pairs build and the node list
-    * both read it (and edges reads pairs twice), so without the pin
-    * the corpus tokenize scan runs three times — the shared-build
-    * discipline of [[graft.operators.DedupOps.lshQuality]]. Caller
-    * releases via clearCache() after the consuming action. */
+    * both read it, and the distinct undirected edge list is persisted
+    * for its two mirror reads — without the pins the corpus tokenize
+    * scan runs three times — the shared-build discipline of
+    * [[graft.operators.DedupOps.lshQuality]]. Caller releases via
+    * clearCache() after the consuming action. */
   def textrankKeywords(spark: SparkSession, sfDir: String,
                        iters: Int = 3, topK: Int = 20): DataFrame =
     textrankKeywordsOn(docs(spark, sfDir), iters, topK)
@@ -2442,10 +2452,21 @@ object TextOps {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .filter(length(col("a")) >= 4 && length(col("b")) >= 4 &&
         col("a") =!= col("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // canonical-orientation distinct, THEN mirror (r15, guide §2.3
+    // shuffle fewer bytes): the mirror-then-distinct spelling shuffled
+    // 2× the co-occurrence volume through the distinct; least/greatest
+    // canonicalizes row-locally, the distinct dedups half the rows, and
+    // the mirror runs over the already-distinct edge set. Same edge set
+    // (a ≠ b always), same ranks. The persist moves from the raw pair
+    // stream to the far smaller distinct edge list (its two mirror
+    // reads), so pairs itself streams once.
+    val und = pairs
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
     val nodes = ws.select(explode(col("ws")).as("node"))
       .filter(length(col("node")) >= 4).distinct()
     val (ranks, _) = GraphOps.pageRankOf(nodes, edges, iters)

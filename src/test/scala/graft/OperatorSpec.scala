@@ -2942,8 +2942,35 @@ class OperatorSpec extends AnyFunSuite {
     // the correlated LIMIT must become a group-limit — never a
     // per-outer-row re-execution or a cartesian
     assert(plan.contains("WindowGroupLimit"), s"no group-limit:\n$plan")
-    assert(plan.contains("Partial"), "partial group-limit must run before the shuffle")
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    // the registered query spreads lineitem on the window key (r15 —
+    // the local scan plans ≤3 splits and the group-limit's local sort
+    // ran single-digit-task), and that spread exchange already
+    // satisfies the window's distribution, so no separate partial is
+    // planned there. The map-side Partial group-limit is the CLUSTER
+    // shape (spread is the identity on a multi-split scan): pin it on
+    // the unspread spelling, where the window's exchange is
+    // ENSURE_REQUIREMENTS-inserted.
+    Tables.load(spark, sf0001, "orders").createOrReplaceTempView("orders_uv")
+    Tables.load(spark, sf0001, "lineitem").createOrReplaceTempView("lineitem_uv")
+    val unspread = spark.sql("""
+      SELECT o.o_orderkey, t.l_linenumber, t.revenue
+      FROM orders_uv o, LATERAL (
+        SELECT l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem_uv
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY revenue DESC, l_linenumber
+        LIMIT 2
+      ) t
+      WHERE o.o_orderstatus = 'P'
+      ORDER BY o.o_orderkey, t.l_linenumber""")
+    val uplan = unspread.queryExecution.executedPlan.toString
+    assert(uplan.contains("WindowGroupLimit"), s"no group-limit:\n$uplan")
+    assert(uplan.contains("Partial"),
+      "partial group-limit must run before the ENSURE_REQUIREMENTS shuffle")
     // equivalent window spelling gives identical rows
     import org.apache.spark.sql.expressions.Window
     val li = Tables.load(spark, sf0001, "lineitem")

@@ -785,6 +785,41 @@ class SourceSinkSpec extends AnyFunSuite {
       "on-disk file differs from the in-plan payload")
   }
 
+  test("landing zone is manifest-validated: unchanged corpus serves as-is, an in-place rewrite with the same row count rebuilds") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    val tmp = tmpDir("graft-zone")
+    val docsDir = s"$tmp/documents.parquet"
+    Seq((1L, "src0", "alpha beta gamma"), (2L, "src1", "beta gamma delta"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(docsDir)
+    val dir = MultimodalOps.mediaFileDir(spark, tmp, "png")
+    val marker = new java.io.File(dir, "_COMPLETE")
+    assert(marker.exists())
+    val t0 = marker.lastModified()
+    // unchanged corpus: served as-is, marker untouched
+    assert(MultimodalOps.mediaFileDir(spark, tmp, "png") == dir)
+    assert(marker.lastModified() == t0,
+      "unchanged corpus must not rewrite the zone")
+    // in-place rewrite, SAME row count (the r14-advice hazard: a
+    // row-count key serves stale payloads): manifest mismatch → rebuild
+    Thread.sleep(50)
+    Seq((1L, "src0", "alpha beta gamma"), (2L, "src1", "epsilon zeta eta"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(docsDir)
+    MultimodalOps.mediaFileDir(spark, tmp, "png")
+    assert(marker.lastModified() != t0,
+      "rewritten corpus must rebuild the zone")
+    // and the rebuilt files carry the NEW payloads
+    val fromPlan = MultimodalOps.pngDedupCorpus(spark, tmp)
+      .filter(col("doc_id") === 2L).select("payload").head
+      .getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "2.png").toPath), fromPlan),
+      "rebuilt zone must carry the rewritten corpus's payloads")
+  }
+
   test("binaryFile source: payload files ride in as (path, content) and the PNG header parse runs on them") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_binsrc").toFile
