@@ -1818,13 +1818,25 @@ object DedupOps {
     * (sizes and both self-join sides read it); caller releases via
     * clearCache() after the consuming action. */
   def sourceOverlapMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = docShingleFrame(spark, sfDir) // pinned snapshot shingles
+    // per-shingle source SET instead of a shingle-keyed self-join (r15,
+    // guide §2.3/§2.4): sources are a bounded catalog (≤|sources| per
+    // shingle), so grouping the distinct (source, shingle) rows by
+    // shingle and expanding the ordered source pairs ROW-LOCALLY emits
+    // exactly the rows the self-join produced — Σ_gh |S_gh|·(|S_gh|−1)
+    // — without exchanging the shingle frame twice through a join. The
+    // grouped frame is persisted: sizes (explode → per-source count,
+    // identical to counting g's rows per source) and the pair expansion
+    // both read it. Caller releases via clearCache().
+    val byGh = docShingleFrame(spark, sfDir) // pinned snapshot shingles
       .select(col("source"), explode(col("sh")).as("gh"))
       .distinct()
+      .groupBy("gh").agg(collect_set(col("source")).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    val shared = g.select(col("source").as("src_a"), col("gh"))
-      .join(g.select(col("source").as("src_b"), col("gh")), Seq("gh"))
+    val sizes = byGh.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val shared = byGh
+      .select(explode(col("ss")).as("src_a"), col("ss"))
+      .select(col("src_a"), explode(col("ss")).as("src_b"))
       .filter(col("src_a") =!= col("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
     sizes.select(col("source").as("src_a"), col("n_grams").as("n_a"))

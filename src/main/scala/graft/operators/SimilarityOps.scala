@@ -714,6 +714,15 @@ object SimilarityOps {
     // O(N·k) assignment scan, the payload rejoin and the query vectors
     val e = vecs(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfAnnTopKOn(e, k, nprobe)
+  }
+
+  /** [[ivfAnnTopK]] over an INJECTED (already persisted) corpus — the
+    * shared-persist seam [[annRecall]] uses so its three arms read ONE
+    * materialized corpus scan instead of stacking three (r15; the
+    * lshAnnTopKOn pattern). */
+  private[graft] def ivfAnnTopKOn(e: DataFrame,
+                                  k: Int = 16, nprobe: Int = 2): DataFrame = {
     val cents = ivfCentroids(e, k)
     // map-only assignment: the argmax folds row-locally over the
     // broadcast codebook array — no N·k explosion, no argmax exchange,
@@ -1409,7 +1418,19 @@ object SimilarityOps {
     * hash-matches bitwise. Caller releases persisted intermediates via
     * clearCache(). */
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val brute = bruteForceTopK(spark, sfDir).select("q_id", "vec_id")
+    // ONE persisted corpus scan shared by all three arms (r15, guide
+    // §5 cache what is reused): the exact truth, the IVF arm, and the
+    // LSH arm each persisted their own vecs scan — three
+    // materializations of the same normed corpus per run. The ...On
+    // seams inject the shared frame; per-arm math is unchanged, so
+    // every count and recall is identical.
+    val e = vecs(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val brute = cosineTopK(e, q, col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bTot = brute.agg(count(lit(1)).as("possible"))
     def one(m: DataFrame, name: String): DataFrame =
@@ -1418,8 +1439,8 @@ object SimilarityOps {
         .crossJoin(bTot) // 1-row × 1-row
         .select(lit(name).as("method"), col("hits"), col("possible"),
           (col("hits").cast("double") / col("possible")).as("recall"))
-    one(ivfAnnTopK(spark, sfDir), "ivf")
-      .unionAll(one(lshAnnTopK(spark, sfDir), "lsh"))
+    one(ivfAnnTopKOn(e), "ivf")
+      .unionAll(one(lshAnnTopKOn(e, lshBuckets(e, 8, 4)), "lsh"))
       .orderBy("method")
   }
 

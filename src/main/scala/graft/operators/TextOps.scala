@@ -2117,7 +2117,12 @@ object TextOps {
   /** Per-doc floored micro-unit quality — the shared scoring pass of
     * the blocklist and the composite curation decision. */
   private[graft] def qualityMicroPerDoc(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+    // spread: the composite quality (tokenize + distinct + regex per
+    // row) is the CPU-bound projection the starvation guard exists for
+    // — the local docs scan plans ≤3 splits and pipe_training_corpus's
+    // persist materialized it near-single-task (0.49 s stage,
+    // JobProfile r15). Identity at cluster scale (see Tables.spread).
+    Tables.spread(docs(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), col("source"),
         floor(compositeQuality * lit(1000000)).cast("long").as("q_micro"))
 
